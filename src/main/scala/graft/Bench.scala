@@ -1,23 +1,31 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and prints one
+  * JSON line {"metric":…,"value":…,"queries":{…},"sf":…}. Each query is forced with
+  * a count() (full execution, no result materialization on the driver).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.min(32).toString).toInt
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the JVM/codegen once on the smallest SF so headline numbers measure the
+    // query, not first-call classloading.
+    Registry.all.find(_.name == "q1_pricing_summary")
+      .foreach(q => q.run(spark, "/root/testdata/sf0.001").count())
+    val results = Registry.headline.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try q.run(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

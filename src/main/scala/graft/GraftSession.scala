@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory used by library mains and tests.
+  *
+  * Conventions (match Verify/Bench + the DuckDB oracle):
+  *  - UTC session timezone, so naive parquet timestamps mean the same instant in
+  *    Spark and DuckDB.
+  *  - `inferTimestampNTZ=false`: read parquet timestamps as TimestampType so the
+  *    full functions surface (unix_millis etc.) applies uniformly.
+  *  - AQE on (runtime join-strategy switching + skew splitting at scale).
+  *  - shuffle partitions sized to local cores, not the 200 default.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession =
+    builder(cores).getOrCreate()
+
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which the Spark reader rejects;
+      // read as long nanos and convert (values are µs-aligned, so lossless).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Aggregation operators (SURVEY §2.4).
+  *
+  * All double sums go through [[Exact.dsum]]/[[Exact.davg]] so partial-agg order
+  * (Spark's map-side combine tree vs DuckDB's sequential fold) cannot change the
+  * result. Counts are exact; DuckDB integer sums are CAST to BIGINT to match Spark's
+  * LongType. Hash aggregation is Tungsten's default physical strategy here; at 100 TB
+  * these are one-shuffle partial→final aggs on their group keys.
+  */
+object AggQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1 — multi-function hash agg, TPC-H-Q1-shaped (reference: per-route
+    // first/last/sum/mean/max/std aggregation, routes.py:72-155). Headline query.
+    QueryDef(
+      "q1_pricing_summary",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            Exact.dsum(col("l_quantity")).as("sum_qty"),
+            Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("sum_disc_price"),
+            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            Exact.davg(col("l_quantity")).as("avg_qty"),
+            Exact.davg(col("l_extendedprice")).as("avg_price"),
+            Exact.davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+              |  ${Exact.sqlDsum("l_extendedprice")} AS sum_base_price,
+              |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+              |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+              |  ${Exact.sqlDavg("l_quantity")} AS avg_qty,
+              |  ${Exact.sqlDavg("l_extendedprice")} AS avg_price,
+              |  ${Exact.sqlDavg("l_discount")} AS avg_disc,
+              |  CAST(COUNT(*) AS BIGINT) AS count_order
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // A2 — residual-stats agg: mean/median/sum/MAE/RMSE (reference: TrueSpeed residual
+    // rollup, metrics.py:13-57). Median is exact (quantities are .0/.5-exact doubles,
+    // so both engines' linear interpolation is exact).
+    QueryDef(
+      "a2_residual_stats",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.davg(col("l_quantity")).as("mean_q"),
+            expr("percentile(l_quantity, 0.5)").as("med_q"),
+            Exact.dsum(col("l_quantity")).as("sum_q"),
+            Exact.davg(abs(col("l_quantity") - 25.0)).as("mae"),
+            sqrt(Exact.davg((col("l_quantity") - 25.0) * (col("l_quantity") - 25.0)))
+              .as("rmse"))
+          .orderBy("l_orderkey"),
+      Some(s"""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${Exact.sqlDavg("l_quantity")} AS mean_q,
+              |  median(l_quantity) AS med_q,
+              |  ${Exact.sqlDsum("l_quantity")} AS sum_q,
+              |  ${Exact.sqlDavg("abs(l_quantity - 25.0)")} AS mae,
+              |  sqrt(${Exact.sqlDavg("(l_quantity - 25.0) * (l_quantity - 25.0)")}) AS rmse
+              |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // A4 — named production aggs per entity (reference: Total_Targets/Total_Yards/
+    // Catch_Rate per player, metrics.py:296-322)
+    QueryDef(
+      "a4_named_aggs",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(
+            count(lit(1)).as("total_orders"),
+            Exact.dsum(col("o_totalprice")).as("total_price"),
+            Exact.davg((col("o_orderstatus") === "O").cast("double")).as("open_rate"),
+            sum((col("o_orderpriority") === "1-URGENT").cast("long")).as("n_urgent"))
+          .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS total_orders,
+              |  ${Exact.sqlDsum("o_totalprice")} AS total_price,
+              |  ${Exact.sqlDavg("CAST(o_orderstatus = 'O' AS DOUBLE)")} AS open_rate,
+              |  CAST(SUM(CAST(o_orderpriority = '1-URGENT' AS INT)) AS BIGINT) AS n_urgent
+              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // A5 + A7 — global scalar agg and exact count-distinct (reference: series
+    // min/max/mean thresholds; groupby().ngroups)
+    QueryDef(
+      "a5_scalar_global",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .agg(
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            Exact.davg(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_orderkey")).as("n_orders")),
+      Some(s"""SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+              |  ${Exact.sqlDavg("l_extendedprice")} AS avg_price,
+              |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+              |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+              |FROM lineitem""".stripMargin)),
+
+    // A6 — dedup keep-last-by-order (reference: drop_duplicates(keep='last') after
+    // sort, metrics.py:261-265 → row_number desc === 1)
+    QueryDef(
+      "a6_dedup_keeplast",
+      (s, dir) => {
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
+        // keep-last order tiebreaks on every output column for determinism.
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_linenumber").desc, col("l_quantity").desc)
+        Tables.lineitem(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+             |                           ORDER BY l_linenumber DESC, l_quantity DESC) = 1
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // A7 — count-distinct per group (reference: nunique per play)
+    QueryDef(
+      "a7_count_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_partkey")
+          .agg(countDistinct(col("l_suppkey")).as("n_sup"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_sup,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)),
+
+    // A8 — value_counts top-k with deterministic tiebreak (reference:
+    // value_counts().head(10), BDB_2026.ipynb cell 5)
+    QueryDef(
+      "a8_top_freq",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("p_brand"))
+          .limit(10),
+      Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM part GROUP BY p_brand
+             |ORDER BY cnt DESC, p_brand LIMIT 10""".stripMargin)),
+
+    // A9 — cross-tab via conditional aggregation (reference: clusters × route labels,
+    // BDB_2026.ipynb cell 41). Manual pivot keeps column names stable across engines.
+    QueryDef(
+      "a9_crosstab",
+      (s, dir) => {
+        def cnt(p: String) =
+          sum((col("o_orderpriority") === p).cast("long"))
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(
+            cnt("1-URGENT").as("n_urgent"),
+            cnt("2-HIGH").as("n_high"),
+            cnt("3-MEDIUM").as("n_medium"),
+            cnt("4-NOT SPECIFIED").as("n_notspec"),
+            cnt("5-LOW").as("n_low"),
+            count(lit(1)).as("n_total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(o_orderpriority = '1-URGENT' AS INT)) AS BIGINT) AS n_urgent,
+             |  CAST(SUM(CAST(o_orderpriority = '2-HIGH' AS INT)) AS BIGINT) AS n_high,
+             |  CAST(SUM(CAST(o_orderpriority = '3-MEDIUM' AS INT)) AS BIGINT) AS n_medium,
+             |  CAST(SUM(CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT)) AS BIGINT) AS n_notspec,
+             |  CAST(SUM(CAST(o_orderpriority = '5-LOW' AS INT)) AS BIGINT) AS n_low,
+             |  CAST(COUNT(*) AS BIGINT) AS n_total
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // A10 — histogram binning (reference: hist(bins=50), cell 33). Fixed-width
+    // buckets via integer arithmetic — identical in both engines.
+    QueryDef(
+      "a10_histogram",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .withColumn("bucket",
+            least(floor(col("l_quantity") / 5.0), lit(9.0)).cast("bigint"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(least(floor(l_quantity / 5.0), 9.0) AS BIGINT) AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // A12 — HAVING against a global agg (reference: Total_Targets > max*0.5 volume
+    // filter, metrics.py:327-330). Scalar threshold via cross join of the 1-row agg.
+    QueryDef(
+      "a12_having_global",
+      (s, dir) => {
+        val totals = Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(Exact.dsum(col("o_totalprice")).as("total"))
+        val mx = totals.agg(max(col("total")).as("mx"))
+        totals.crossJoin(mx)
+          .filter(col("total") > col("mx") * 0.5)
+          .select("o_custkey", "total")
+          .orderBy("o_custkey")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT o_custkey, ${Exact.sqlDsum("o_totalprice")} AS total
+              |  FROM orders GROUP BY o_custkey),
+              |m AS (SELECT max(total) AS mx FROM t)
+              |SELECT o_custkey, total FROM t, m WHERE total > mx * 0.5
+              |ORDER BY o_custkey""".stripMargin)),
+
+    // A13 — correlation agg from exact sums (reference: Pearson r between metrics,
+    // viz.py:435). Identical closed form on both engines → bit-equal doubles.
+    QueryDef(
+      "a13_corr",
+      (s, dir) => {
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            Exact.dsum(x).as("sx"), Exact.dsum(y).as("sy"),
+            Exact.dsum(x * x).as("sxx"), Exact.dsum(x * y).as("sxy"),
+            Exact.dsum(y * y).as("syy"))
+          .select(col("l_returnflag"),
+            // round(…,9): the closed form is written identically on both engines,
+            // but fused-multiply-add differences can still flip the last ulp.
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT l_returnflag,
+              |    CAST(COUNT(*) AS DOUBLE) AS n,
+              |    ${Exact.sqlDsum("l_quantity")} AS sx,
+              |    ${Exact.sqlDsum("l_extendedprice")} AS sy,
+              |    ${Exact.sqlDsum("l_quantity * l_quantity")} AS sxx,
+              |    ${Exact.sqlDsum("l_quantity * l_extendedprice")} AS sxy,
+              |    ${Exact.sqlDsum("l_extendedprice * l_extendedprice")} AS syy
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l_returnflag,
+              |  round((n * sxy - sx * sy)
+              |        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+              |    AS corr_qty_price
+              |FROM t ORDER BY l_returnflag""".stripMargin)),
+  )
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact (hash-groupBy), n-gram Jaccard,
+  * MinHash+LSH, and SimHash. A core training-data-pipeline surface.
+  *
+  * The source table has no duplicates, so each query first *plants* them
+  * deterministically (exact copies at doc_id+100000, near-copies with an appended
+  * suffix at doc_id+200000) — the same construction in the DuckDB oracle — and then
+  * must find exactly the planted set.
+  *
+  * Cross-engine exactness: content hashing uses either `md5` (identical in Spark and
+  * DuckDB) or the shared polynomial rolling hash mod 2^31-1; min/sum over those are
+  * order-independent, so even MinHash signatures and SimHash bits hash-match the
+  * oracle bit-for-bit.
+  *
+  * Scale: exact dedup is one hash-agg shuffle on the content hash. MinHash/LSH is the
+  * 100 TB path: signature build is map-side; the candidate join shuffles on band keys
+  * whose cardinality ~ corpus size / band collision rate, never all-pairs. The
+  * all-pairs Jaccard query is deliberately restricted to a small id range — at scale
+  * it exists only as the verifier behind LSH candidates.
+  */
+object DedupQueries {
+
+  /** documents ∪ planted exact dups (+100000, doc_id<40) ∪ planted near-dups
+    * (+200000, doc_id<30, suffix appended). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(
+        d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" zz11 zz22 zz33")).as("text")))
+  }
+
+  private val sqlCorpus =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text || ' zz11 zz22 zz33' AS text
+      |  FROM documents WHERE doc_id < 30)""".stripMargin
+
+  /** Distinct 5-char shingles per doc, for the id-bounded near-dup subset. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .filter(col("doc_id") < 30 || col("doc_id") >= 100000)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")))
+          .as("sh"))
+
+  private val sqlShingles =
+    s"""$sqlCorpus,
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, length(text) - 4),
+       |                            i -> substring(text, i, 5))) AS sh
+       |    FROM corpus WHERE doc_id < 30 OR doc_id >= 100000))""".stripMargin
+
+  /** Shared shingle hash: fold code points as (acc*31 + cp) mod 2^31-1. */
+  private val shHash =
+    "aggregate(transform(sequence(1, length(sh)), i -> ascii(substring(sh, i, 1))), " +
+      "0L, (x, c) -> (x * 31 + c) % 2147483647)"
+
+  private val sqlShHash =
+    "list_reduce([CAST(0 AS BIGINT)] || list_transform(generate_series(1, length(sh)), " +
+      "i -> CAST(ascii(substring(sh, i, 1)) AS BIGINT)), (x, c) -> (x * 31 + c) % 2147483647)"
+
+  private val K = 12 // minhash permutations
+  private def mhA(j: Int): Long = 2L * j + 3
+  private def mhB(j: Int): Long = 7L * j + 1
+
+  /** Per-doc MinHash signature columns mh_0..mh_11 over hashed shingles. */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .withColumn("h", expr(shHash))
+      .groupBy("doc_id")
+      .agg(
+        min((col("h") * mhA(0) + mhB(0)) % 2147483647L).as("mh_0"),
+        (1 until K).map(j =>
+          min((col("h") * mhA(j) + mhB(j)) % 2147483647L).as(s"mh_$j")): _*)
+
+  private val sqlSignatures =
+    s"""$sqlShingles,
+       |hs AS (SELECT doc_id, $sqlShHash AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |${(0 until K).map(j =>
+          s"    MIN((h * ${mhA(j)} + ${mhB(j)}) % 2147483647) AS mh_$j")
+          .mkString(",\n")}
+       |  FROM hs GROUP BY doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup census: total vs content-distinct (md5 is identical cross-engine).
+    QueryDef(
+      "d_exact_count",
+      (s, dir) =>
+        corpus(s, dir).agg(
+          count(lit(1)).as("n_total"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique")),
+      Some(s"""WITH $sqlCorpus
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+              |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+              |FROM corpus""".stripMargin)),
+
+    // Exact dedup groups: hash-groupBy on md5(text), keep min doc_id per group,
+    // report duplicate groups (must be exactly the 40 planted ones).
+    QueryDef(
+      "d_exact_groups",
+      (s, dir) =>
+        corpus(s, dir)
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .select("keep_id", "n_copies", "h")
+          .orderBy("keep_id"),
+      Some(s"""WITH $sqlCorpus
+              |SELECT min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+              |       md5(text) AS h
+              |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+              |ORDER BY keep_id""".stripMargin)),
+
+    // N-gram Jaccard near-dup pairs (exact, all-pairs on the bounded subset): the
+    // ground-truth verifier for the LSH path.
+    QueryDef(
+      "d_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("doc_id").as("d1"), col("sh"))
+        val b = sh.select(col("doc_id").as("d2"), col("sh"))
+        val inter = a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "d1")
+            .withColumnRenamed("n_sh", "n1"), Seq("d1"))
+          .join(sizes.withColumnRenamed("doc_id", "d2")
+            .withColumnRenamed("n_sh", "n2"), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            (col("inter") / (col("n1") + col("n2") - col("inter"))).as("jac"))
+          .filter(col("jac") >= 0.6)
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH $sqlShingles,
+              |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id)
+              |SELECT d1, d2, inter / (s1.n_sh + s2.n_sh - inter) AS jac
+              |FROM inter
+              |JOIN sizes s1 ON s1.doc_id = d1
+              |JOIN sizes s2 ON s2.doc_id = d2
+              |WHERE inter / (s1.n_sh + s2.n_sh - inter) >= 0.6
+              |ORDER BY d1, d2""".stripMargin)),
+
+    // MinHash signatures (shingle→minhash): bit-exact against the oracle thanks to
+    // the shared rolling hash + order-independent MIN.
+    QueryDef(
+      "d_minhash_sig",
+      (s, dir) => signatures(s, dir).orderBy("doc_id"),
+      Some(s"""WITH $sqlSignatures
+              |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // MinHash LSH candidate pairs (band→bucket-join): 4 bands × 3 rows. At corpus
+    // scale this is the dedup join — candidates only, verified by d_ngram_jaccard.
+    QueryDef(
+      "d_minhash_lsh_pairs",
+      (s, dir) => {
+        val sig = signatures(s, dir)
+        val banded = sig.select(col("doc_id"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            concat_ws("_", col(s"mh_${3 * b}"), col(s"mh_${3 * b + 1}"),
+              col(s"mh_${3 * b + 2}")).as("bkey"))): _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val x = banded.select(col("band"), col("bkey"), col("doc_id").as("d1"))
+        val y = banded.select(col("band"), col("bkey"), col("doc_id").as("d2"))
+        x.join(y, Seq("band", "bkey")).filter(col("d1") < col("d2"))
+          .select("d1", "d2").distinct()
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH $sqlSignatures,
+              |banded AS (
+              |${(0 until 4).map(b =>
+                 s"  SELECT doc_id, $b AS band, CAST(mh_${3 * b} AS VARCHAR) || '_' || CAST(mh_${3 * b + 1} AS VARCHAR) || '_' || CAST(mh_${3 * b + 2} AS VARCHAR) AS bkey FROM sig")
+                 .mkString("\n  UNION ALL\n")})
+              |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |FROM banded a JOIN banded b
+              |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              |ORDER BY d1, d2""".stripMargin)),
+  )
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators (SURVEY §2.3).
+  *
+  * Scale design: dimension sides (customer/supplier/nation) are `broadcast()`-hinted —
+  * at 100 TB the fact side never shuffles for those joins. Fact-fact joins (self-join,
+  * pair joins) shuffle on their equi-keys and rely on AQE for skew splitting. The
+  * grouped cross joins (J6/J7) are many-to-many *equi* joins on the group key — the
+  * cartesian blowup is bounded per group (reference: ≤1×11 defender pairs per play,
+  * preprocess.py:391-395), so the shuffle is proportional to output size.
+  */
+object JoinQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J1 — broadcast left equi-join fact⟕dim (reference: tracking ⟕ supp context,
+    // BDB_2026.ipynb cell 17)
+    QueryDef(
+      "j1_broadcast_left",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"), "left")
+          .select("o_orderkey", "c_name", "c_mktsegment")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name, c_mktsegment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // J2/J3 — inner equi-join on a composite key (reference: 3/4-col key joins,
+    // preprocess.py:545). Dim is derived by dedup-before-join (reference:
+    // preprocess.py:318-321).
+    QueryDef(
+      "j2_multikey_inner",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val pairCounts = li.groupBy("l_partkey", "l_suppkey")
+          .agg(count(lit(1)).as("pair_cnt"))
+        li.join(pairCounts, Seq("l_partkey", "l_suppkey"), "inner")
+          .select("l_orderkey", "l_linenumber", "pair_cnt")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH pc AS (
+             |  SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+             |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+             |SELECT l.l_orderkey, l.l_linenumber, pc.pair_cnt
+             |FROM lineitem l JOIN pc USING (l_partkey, l_suppkey)
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
+    // J4 — left-semi join (reference: keep only completed passes,
+    // preprocess.py:302-327). Semi avoids the dedup step entirely.
+    QueryDef(
+      "j4_semi",
+      (s, dir) => {
+        val finished = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        Tables.lineitem(s, dir)
+          .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Left-anti join (complement of J4; the reference's closest analogue is the
+    // NOT-IN filter P4) — parts never shipped in bulk (quantity > 45).
+    QueryDef(
+      "j_anti",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .join(Tables.lineitem(s, dir).filter(col("l_quantity") > 45),
+            col("p_partkey") === col("l_partkey"), "left_anti")
+          .select("p_partkey", "p_name")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+             |                  WHERE l_partkey = p_partkey AND l_quantity > 45)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // J5 — rows at per-group argmax, window form (reference: throw-frame rows via
+    // per-play max(frame_id), preprocess.py:367-373 — window beats join+filter:
+    // no second shuffle). Ties are kept, matching the reference's join-equality form.
+    QueryDef(
+      "j5_argmax_rows",
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey")
+        Tables.lineitem(s, dir)
+          .withColumn("max_qty", max("l_quantity").over(w))
+          .filter(col("l_quantity") === col("max_qty"))
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |QUALIFY l_quantity = MAX(l_quantity) OVER (PARTITION BY l_orderkey)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // J6 — grouped cross join: all pairs within a group (reference: target × defenders
+    // in the same play, preprocess.py:391-395). Equi-join on the group key bounds the
+    // blowup to group-size².
+    QueryDef(
+      "j6_pairs_in_group",
+      (s, dir) => {
+        val sup = Tables.supplier(s, dir)
+        val a = sup.select(col("s_nationkey").as("nk"), col("s_suppkey").as("k1"),
+          col("s_acctbal").as("b1"))
+        val b = sup.select(col("s_nationkey").as("nk"), col("s_suppkey").as("k2"),
+          col("s_acctbal").as("b2"))
+        a.join(b, Seq("nk")).filter(col("k1") < col("k2"))
+          .select(col("nk"), col("k1"), col("k2"), abs(col("b1") - col("b2")).as("bal_gap"))
+          .orderBy("nk", "k1", "k2")
+      },
+      Some("""SELECT a.s_nationkey AS nk, a.s_suppkey AS k1, b.s_suppkey AS k2,
+             |       abs(a.s_acctbal - b.s_acctbal) AS bal_gap
+             |FROM supplier a JOIN supplier b
+             |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+             |ORDER BY nk, k1, k2""".stripMargin)),
+
+    // J7 — nearest-neighbor within group via join+min (reference: per-frame nearest
+    // defender, BDB_2026.ipynb cell 69 — the O(n²) Python loop becomes one shuffle
+    // join + partial agg; the single biggest scalability win in the survey).
+    QueryDef(
+      "j7_nearest_in_group",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("nk"), col("c_acctbal"))
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_nationkey").as("nk"), col("s_acctbal"))
+        cust.join(broadcast(sup), Seq("nk"))
+          .groupBy("c_custkey")
+          .agg(
+            count(lit(1)).as("n_sup"),
+            min(abs(col("c_acctbal") - col("s_acctbal"))).as("min_gap"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_sup,
+             |       min(abs(c_acctbal - s_acctbal)) AS min_gap
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // J8 — left join + fill default (reference: merge defender_sep, missing → 20.0,
+    // BDB_2026.ipynb cell 69/75)
+    QueryDef(
+      "j8_left_join_fill",
+      (s, dir) => {
+        val returned = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .groupBy("l_orderkey")
+          .agg(Exact.dsum(col("l_quantity")).as("ret_qty_raw"))
+        Tables.orders(s, dir)
+          .join(returned, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("ret_qty_raw"), lit(0.0)).as("ret_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""WITH r AS (
+              |  SELECT l_orderkey, ${Exact.sqlDsum("l_quantity")} AS ret_qty_raw
+              |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+              |SELECT o_orderkey, COALESCE(r.ret_qty_raw, 0.0) AS ret_qty
+              |FROM orders LEFT JOIN r ON o_orderkey = r.l_orderkey
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // Multi-way star join: lineitem→orders→customer→nation→region with dims
+    // broadcast (the full TPC-H-ish chain; reference's J1×3 scorecard merge,
+    // metrics.py:198-367).
+    QueryDef(
+      "j_star_chain",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+          .orderBy("r_name", "n_name"),
+      Some(s"""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+              |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation   ON c_nationkey = n_nationkey
+              |JOIN region   ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      headline = true),
+  )
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One verifiable query: a Spark implementation plus (when SQL-expressible) an
+  * equivalent DuckDB oracle over the same parquet tables. The driver hash-compares
+  * the two result sets (columns sorted by name), so implementations here are
+  * engineered for EXACT equality, not approximate closeness — see [[Exact]].
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+/** Determinism helpers.
+  *
+  * Floating-point aggregation is order-dependent: Spark's partial/final agg tree and
+  * DuckDB's sequential sum visit rows in different orders, so `sum(double)` differs in
+  * the last ulps between engines. We make sums order-independent by rounding each value
+  * to a fixed decimal scale (identical HALF_UP rounding on both engines — ties are
+  * impossible because no binary double lands exactly on half of a 10^-s grid) and
+  * summing exactly in decimal. Derived stats (avg, stddev, corr, rmse) are then pure
+  * deterministic double arithmetic over exact sums, written with identical association
+  * order in the Spark expression and the oracle SQL.
+  */
+object Exact {
+  val dt = DecimalType(38, 6)
+
+  /** Order-independent exact sum of a double expression, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(dt)).cast("double")
+
+  /** Exact-sum mean: CAST(SUM(DECIMAL)/1 AS DOUBLE) / COUNT. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** SQL mirror of [[dsum]]. */
+  def sqlDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** SQL mirror of [[davg]]. */
+  def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT($e))"
+
+  private val dt12 = DecimalType(38, 12)
+
+  /** Higher-resolution variant for unit-scale values (embeddings, cosines). */
+  def dsum12(c: Column): Column = sum(c.cast(dt12)).cast("double")
+
+  /** SQL mirror of [[dsum12]]. */
+  def sqlDsum12(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(38,12))) AS DOUBLE)"
+}

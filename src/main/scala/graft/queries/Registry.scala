@@ -1,0 +1,28 @@
+package graft.queries
+
+/** Single source of truth for every verifiable query. SparkEntry / Verify / Bench
+  * all derive from this list. Names must be unique.
+  */
+object Registry {
+  val all: Seq[QueryDef] =
+    RelationalQueries.defs ++
+      JoinQueries.defs ++
+      AggQueries.defs ++
+      WindowQueries.defs ++
+      SetOpQueries.defs ++
+      EventQueries.defs ++
+      TextQueries.defs ++
+      DedupQueries.defs ++
+      SimilarityQueries.defs
+
+  require(all.map(_.name).distinct.size == all.size,
+    s"duplicate query names: ${all.map(_.name).diff(all.map(_.name).distinct)}")
+
+  /** Queries timed by Bench (representative of each operator family's cost). */
+  def headline: Seq[QueryDef] = {
+    val picks = Set("q1_pricing_summary", "j_star_chain", "j7_nearest_in_group",
+      "a2_residual_stats", "w10_ordered_collect", "e_sessionize",
+      "t_fingerprint", "d_minhash_sig", "s_knn_brute")
+    all.filter(q => q.headline || picks(q.name))
+  }
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / predicate / scalar-function operators (SURVEY §2.2, §2.7).
+  *
+  * Each query is engineered for exact DuckDB-oracle equality: deterministic total
+  * ORDER BY, lowercase column names aliased identically on both sides, per-row double
+  * arithmetic only (cross-row reductions live in [[AggQueries]] and use [[Exact]]).
+  *
+  * Scale notes: all of these are narrow map-side operators — no shuffle except the
+  * final global sort (which the driver's verify needs for determinism; production
+  * callers would drop the orderBy). Filters and projections compile to parquet
+  * PushedFilters/ReadSchema pruning.
+  */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // P1 — column projection (reference: bdb2026 selects 7-col supp subset before join)
+    QueryDef(
+      "p1_projection",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P2 — equality filter (reference: player_role == 'Targeted Receiver')
+    QueryDef(
+      "p2_filter_eq",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P3 — conjunctive multi-predicate filter (reference: preprocess.py:295-298)
+    QueryDef(
+      "p3_filter_multi",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "A" && col("l_quantity") > 30 &&
+            lower(col("l_linestatus")) === "f")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |WHERE l_returnflag = 'A' AND l_quantity > 30 AND lower(l_linestatus) = 'f'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P4 — NOT-IN filter (reference: junk-route drop, preprocess.py:264-271)
+    QueryDef(
+      "p4_filter_not_in",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .filter(!col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+          .select("p_partkey", "p_brand")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_brand FROM part
+             |WHERE p_brand NOT IN ('Brand#1','Brand#2','Brand#3')
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // P5 — range predicate (reference: air_yards > 0; s > 15 outliers)
+    QueryDef(
+      "p5_filter_range",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(col("o_totalprice").between(1000.0, 50000.0))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice BETWEEN 1000.0 AND 50000.0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // P6 — null handling: nullif / coalesce fill (reference: fillna/dropna)
+    QueryDef(
+      "p6_null_handling",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            coalesce(expr("nullif(l_discount, 0.0)"), lit(-1.0)).as("disc_fill"),
+            (col("l_discount") === 0.0).cast("int").as("is_zero"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_fill,
+             |  CAST(l_discount = 0.0 AS INT) AS is_zero
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P7 — conditional flip expression (reference: np.where(dir=='left', 120-x, x),
+    // preprocess.py:69)
+    QueryDef(
+      "p7_conditional_flip",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            when(col("l_returnflag") === "R", lit(120.0) - col("l_quantity"))
+              .otherwise(col("l_quantity")).as("qty_flipped"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_returnflag = 'R' THEN 120.0 - l_quantity ELSE l_quantity END AS qty_flipped
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P8 — piecewise scoring expression (reference: hybrid AirPlayIQ, Phase3 cell 18)
+    QueryDef(
+      "p8_piecewise_score",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            when(col("o_totalprice") > 200000.0,
+              least(lit(100.0), col("o_totalprice") / 5000.0))
+              .when(col("o_orderstatus") === "F",
+                greatest(lit(10.0), col("o_totalprice") / 10000.0) * 1.5)
+              .otherwise(lit(50.0)).as("score"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice > 200000.0 THEN least(100.0, o_totalprice / 5000.0)
+             |       WHEN o_orderstatus = 'F' THEN greatest(10.0, o_totalprice / 10000.0) * 1.5
+             |       ELSE 50.0 END AS score
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // P9 — type coercion: cast + try_cast coerce-to-null (reference: astype/to_numeric)
+    QueryDef(
+      "p9_cast_coerce",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("bigint").as("qty_int"),
+            expr("try_cast(l_returnflag AS bigint)").as("bad_num"),
+            expr("try_cast(cast(l_partkey AS string) AS bigint)").as("roundtrip_num"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(l_quantity AS BIGINT) AS qty_int,
+             |  TRY_CAST(l_returnflag AS BIGINT) AS bad_num,
+             |  TRY_CAST(CAST(l_partkey AS VARCHAR) AS BIGINT) AS roundtrip_num
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P10 — boolean flag derivation (reference: is_catch/is_explosive/is_successful)
+    QueryDef(
+      "p10_flags",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            (col("o_orderstatus") === "F").cast("int").as("is_finished"),
+            (col("o_totalprice") >= 100000.0).cast("int").as("is_big"),
+            (col("o_orderpriority") === "1-URGENT").cast("int").as("is_urgent"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderstatus = 'F' AS INT) AS is_finished,
+             |  CAST(o_totalprice >= 100000.0 AS INT) AS is_big,
+             |  CAST(o_orderpriority = '1-URGENT' AS INT) AS is_urgent
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Math scalar family (reference: sqrt/abs/atan2/cos/radians/mod/least/greatest,
+    // preprocess.py:127-187). Transcendentals rounded to 6 dp: libm vs Java Math may
+    // differ in the last ulp; sqrt is IEEE-exact and needs no rounding.
+    QueryDef(
+      "f_math",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            sqrt(col("l_extendedprice")).as("sq"),
+            abs(col("l_quantity") - 25.0).as("ab"),
+            round(atan2(col("l_quantity"), col("l_extendedprice")), 6).as("at2"),
+            round(cos(radians(col("l_quantity"))), 6).as("cosr"),
+            (col("l_partkey") % 7).cast("bigint").as("md"),
+            least(col("l_quantity"), col("l_discount") * 100.0).as("lst"),
+            greatest(col("l_quantity"), col("l_tax") * 100.0).as("grt"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  sqrt(l_extendedprice) AS sq,
+             |  abs(l_quantity - 25.0) AS ab,
+             |  round(atan2(l_quantity, l_extendedprice), 6) AS at2,
+             |  round(cos(radians(l_quantity)), 6) AS cosr,
+             |  CAST(l_partkey % 7 AS BIGINT) AS md,
+             |  least(l_quantity, l_discount * 100.0) AS lst,
+             |  greatest(l_quantity, l_tax * 100.0) AS grt
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // String scalar family (reference: lower/upper/contains/startswith selection)
+    QueryDef(
+      "f_string",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            lower(col("p_type")).as("lo"),
+            upper(col("p_brand")).as("up"),
+            substring(col("p_name"), 1, 5).as("pre"),
+            length(col("p_name")).as("nlen"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+            col("p_type").like("%BRASS%").cast("int").as("has_brass"),
+            regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  lower(p_type) AS lo,
+             |  upper(p_brand) AS up,
+             |  substring(p_name, 1, 5) AS pre,
+             |  length(p_name) AS nlen,
+             |  concat_ws('-', p_brand, p_type) AS joined,
+             |  CAST(p_type LIKE '%BRASS%' AS INT) AS has_brass,
+             |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Date/time scalar family (reference keeps time as strings; we declare the real
+    // temporal surface). String-rendered to keep engine date formatting out of the hash.
+    QueryDef(
+      "f_date",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            year(col("l_shipdate")).as("yr"),
+            month(col("l_shipdate")).as("mo"),
+            dayofmonth(col("l_shipdate")).as("dom"),
+            quarter(col("l_shipdate")).as("qtr"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ds"),
+            unix_timestamp(col("l_shipdate")).as("epoch_s"),
+            datediff(col("l_shipdate").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("bigint").as("days_since"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(year(l_shipdate) AS INT) AS yr,
+             |  CAST(month(l_shipdate) AS INT) AS mo,
+             |  CAST(day(l_shipdate) AS INT) AS dom,
+             |  CAST(quarter(l_shipdate) AS INT) AS qtr,
+             |  strftime(l_shipdate, '%Y-%m-%d') AS ds,
+             |  CAST(epoch(l_shipdate) AS BIGINT) AS epoch_s,
+             |  CAST(datediff('day', DATE '2024-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+  )
+}

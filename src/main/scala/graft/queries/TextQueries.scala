@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data-pipeline
+  * surface: token counting, quality scoring, language-ID heuristics, and document
+  * fingerprinting (rolling hash).
+  *
+  * Everything is pure `Column` expression (whole-stage codegen, no UDFs); the
+  * fingerprint uses a polynomial rolling hash over code points that is reproduced
+  * verbatim in the DuckDB oracle, so even the sketch ops hash-match exactly.
+  *
+  * Scale: all map-side; at 100 TB these run as a single scan with column pruning
+  * (only `doc_id`/`text` are read).
+  */
+object TextQueries {
+
+  /** Occurrence count of `kw` in `' '||text||' '` — replace-based, exact integers.
+    * Same SQL text runs on both engines (Spark SQL also has literal `replace`). */
+  private def hits(kw: String): Column = expr(sqlHits(kw))
+
+  private def sqlHits(kw: String): String =
+    s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$kw', ''))) / ${kw.length} AS BIGINT)"
+
+  /** Rolling hash of one token: fold chars c as (acc*31 + code(c)) mod 2^31-1. */
+  private val tokHash =
+    "aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))), " +
+      "0L, (x, c) -> (x * 31 + c) % 2147483647)"
+
+  private val sqlTokHash =
+    "list_reduce([CAST(0 AS BIGINT)] || list_transform(generate_series(1, length(t)), " +
+      "i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), (x, c) -> (x * 31 + c) % 2147483647)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens + total token chars (BPE-ish length proxy).
+    QueryDef(
+      "t_tokens",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("size(filter(split(text, ' '), x -> x != ''))").as("n_tokens"),
+            expr("""aggregate(filter(split(text, ' '), x -> x != ''),
+                   | 0L, (a, x) -> a + length(x))""".stripMargin).as("tok_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens,
+             |  CAST(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+             |       x -> length(x))) AS BIGINT) AS tok_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length / alpha ratio / stopword ratio composite (reference
+    // analogue: data-quality report cells, BDB_2026.ipynb cell 23).
+    QueryDef(
+      "t_quality",
+      (s, dir) => {
+        val n = length(col("text")).cast("double")
+        val alpha = length(regexp_replace(col("text"), "[^a-z ]", "")).cast("double")
+        val nTok = expr("size(filter(split(text, ' '), x -> x != ''))").cast("double")
+        val stops = (hits(" the ") + hits(" a ") + hits(" of ")).cast("double")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars_obs"),
+            round(lit(0.5) * (alpha / n)
+              + lit(0.3) * least(lit(1.0), nTok / 100.0)
+              + lit(0.2) * least(lit(1.0), stops / 10.0), 6).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars_obs,
+              |  round(
+              |    0.5 * (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+              |           / CAST(length(text) AS DOUBLE))
+              |    + 0.3 * least(1.0, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) / 100.0)
+              |    + 0.2 * least(1.0, CAST(${sqlHits(" the ")} + ${sqlHits(" a ")} + ${sqlHits(" of ")} AS DOUBLE) / 10.0),
+              |    6) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: stopword-hit scoring with a fixed tie order. (A real
+    // n-gram model is a broadcast-joined lookup table; the operator shape — score →
+    // argmax — is identical.)
+    QueryDef(
+      "t_langid",
+      (s, dir) => {
+        val sEn = hits(" the ") + hits(" and ")
+        val sFr = hits(" le ") + hits(" et ")
+        val sEs = hits(" el ") + hits(" que ")
+        val sDe = hits(" der ") + hits(" und ")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            sEn.as("s_en"), sFr.as("s_fr"), sEs.as("s_es"), sDe.as("s_de"),
+            when(sEn >= greatest(sFr, sEs, sDe), "en")
+              .when(sFr >= greatest(sEs, sDe), "fr")
+              .when(sEs >= sDe, "es")
+              .otherwise("de").as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id,
+              |    ${sqlHits(" the ")} + ${sqlHits(" and ")} AS s_en,
+              |    ${sqlHits(" le ")} + ${sqlHits(" et ")} AS s_fr,
+              |    ${sqlHits(" el ")} + ${sqlHits(" que ")} AS s_es,
+              |    ${sqlHits(" der ")} + ${sqlHits(" und ")} AS s_de
+              |  FROM documents)
+              |SELECT doc_id, s_en, s_fr, s_es, s_de,
+              |  CASE WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+              |       WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+              |       WHEN s_es >= s_de THEN 'es'
+              |       ELSE 'de' END AS pred_lang
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprint: two-level polynomial rolling hash (token chars → token
+    // hash; token stream → doc hash), mod 2^31-1 — identical arithmetic in DuckDB.
+    QueryDef(
+      "t_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr(s"""aggregate(filter(split(text, ' '), x -> x != ''),
+                    | 0L, (acc, t) -> (acc * 131 + $tokHash) % 2147483647)"""
+              .stripMargin).as("fp"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    [CAST(0 AS BIGINT)] || list_transform(
+              |      list_filter(string_split(text, ' '), x -> x <> ''),
+              |      t -> $sqlTokHash),
+              |    (acc, th) -> (acc * 131 + th) % 2147483647) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

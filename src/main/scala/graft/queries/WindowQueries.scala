@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window-function operators (SURVEY §2.5) — the workhorse category: every kinematic
+  * feature in the reference is a per-trajectory ordered-window op over
+  * `Window.partitionBy(game,play[,player]).orderBy(frame)`. Here the trajectory is a
+  * user's event stream ordered by time.
+  *
+  * Spark reads `events.ts` as raw nanosecond longs
+  * (`spark.sql.legacy.parquet.nanosAsLong`, see [[graft.GraftSession]]) because the
+  * file carries TIMESTAMP(NANOS); DuckDB truncates the same values to microseconds.
+  * All time arithmetic therefore happens on `tus = ts div 1000` (µs, truncation ==
+  * DuckDB's conversion), keeping the two engines bit-identical.
+  *
+  * Scale: one hash-partition by the window key per query; Catalyst merges identical
+  * window specs into a single WindowExec, so chained lag/lead/min/max over the same
+  * spec sort once.
+  */
+object WindowQueries {
+
+  /** events with tus (epoch µs, bigint) — matches DuckDB epoch_us(ts). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("tus", expr("ts div 1000"))
+
+  private val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+  private val userAll = Window.partitionBy("user_id")
+    .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+  /** DuckDB window spec equivalent to [[byUser]]. */
+  private val wSql = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // W1 — lag-diff velocity (reference: dx = x - lag(x) per trajectory / 0.1 s,
+    // preprocess.py:123-127)
+    QueryDef(
+      "w1_lag_diff",
+      (s, dir) =>
+        ev(s, dir)
+          .select(col("event_id"),
+            coalesce(col("value") - lag("value", 1).over(byUser), lit(0.0)).as("dval"),
+            coalesce(col("tus") - lag("tus", 1).over(byUser), lit(0L)).as("dt_us"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |  COALESCE(value - LAG(value, 1) OVER ($wSql), 0.0) AS dval,
+              |  COALESCE(epoch_us(ts) - LAG(epoch_us(ts), 1) OVER ($wSql), 0) AS dt_us
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // W2 — lead-diff converge-rate (reference: dist[t] - dist[t+1], BDB_2026.ipynb
+    // cell 80; last frame coalesces to 0)
+    QueryDef(
+      "w2_lead_diff",
+      (s, dir) =>
+        ev(s, dir)
+          .select(col("event_id"),
+            coalesce(col("value") - lead("value", 1).over(byUser), lit(0.0))
+              .as("converge"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |  COALESCE(value - LEAD(value, 1) OVER ($wSql), 0.0) AS converge
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // W3 + W4 — cumulative index and group-min broadcast (reference: cumcount() →
+    // frame_since_throw; transform('min'), preprocess.py:195-201)
+    QueryDef(
+      "w3_session_index",
+      (s, dir) =>
+        ev(s, dir)
+          .select(col("event_id"),
+            (row_number().over(byUser) - 1).as("idx"),
+            (col("tus") - min("tus").over(userAll)).as("t_rel_us"),
+            (max("tus").over(userAll) - min("tus").over(userAll)).as("span_us"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |  CAST(ROW_NUMBER() OVER ($wSql) - 1 AS INT) AS idx,
+              |  epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS t_rel_us,
+              |  MAX(epoch_us(ts)) OVER (PARTITION BY user_id)
+              |    - MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS span_us
+              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // W5 — z-score within partition from exact window sums (reference: standardize
+    // within cluster, metrics.py:97-122; population ddof=0 variant)
+    QueryDef(
+      "w5_zscore",
+      (s, dir) => {
+        val wt = Window.partitionBy("event_type")
+        val n = count(lit(1)).over(wt).cast("double")
+        val mean = sum(col("value").cast(Exact.dt)).over(wt).cast("double") / n
+        val meanSq = sum((col("value") * col("value")).cast(Exact.dt)).over(wt)
+          .cast("double") / n
+        ev(s, dir)
+          .withColumn("mean_v", mean)
+          .withColumn("var_v", meanSq - mean * mean)
+          .select(col("event_id"),
+            ((col("value") - col("mean_v")) / sqrt(col("var_v"))).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT event_id, value,
+             |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |      / CAST(COUNT(*) OVER w AS DOUBLE) AS mean_v,
+             |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |      / CAST(COUNT(*) OVER w AS DOUBLE) AS mean_sq
+             |  FROM events WINDOW w AS (PARTITION BY event_type))
+             |SELECT event_id, (value - mean_v) / sqrt(mean_sq - mean_v * mean_v) AS z
+             |FROM t ORDER BY event_id""".stripMargin)),
+
+    // W6 — min-max scale to 0-100, degenerate → 50 (reference: metrics.py:129-137)
+    QueryDef(
+      "w6_minmax_scale",
+      (s, dir) => {
+        val wt = Window.partitionBy("event_type")
+        val mn = min("value").over(wt)
+        val mx = max("value").over(wt)
+        ev(s, dir)
+          .select(col("event_id"),
+            when(mx === mn, lit(50.0))
+              .otherwise(lit(100.0) * (col("value") - mn) / (mx - mn)).as("scaled"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 50.0
+             |       ELSE 100.0 * (value - MIN(value) OVER w)
+             |            / (MAX(value) OVER w - MIN(value) OVER w) END AS scaled
+             |FROM events WINDOW w AS (PARTITION BY event_type)
+             |ORDER BY event_id""".stripMargin)),
+
+    // W7 — rank leaderboard (reference: rank(ascending=False, method='min') ≡ SQL
+    // RANK, metrics.py:348)
+    QueryDef(
+      "w7_rank",
+      (s, dir) => {
+        val totals = Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(Exact.dsum(col("o_totalprice")).as("total"))
+        totals
+          .withColumn("rnk", rank().over(Window.orderBy(col("total").desc)))
+          .filter(col("rnk") <= 100)
+          .orderBy("rnk", "o_custkey")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT o_custkey, ${Exact.sqlDsum("o_totalprice")} AS total
+              |  FROM orders GROUP BY o_custkey)
+              |SELECT o_custkey, total, CAST(RANK() OVER (ORDER BY total DESC) AS INT) AS rnk
+              |FROM t QUALIFY rnk <= 100 ORDER BY rnk, o_custkey""".stripMargin)),
+
+    // W8 — percent rank (reference: style percentiles rank(pct=True), insights cell 2)
+    QueryDef(
+      "w8_percent_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        ev(s, dir)
+          .select(col("event_id"), percent_rank().over(w).as("pct"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pct
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // W9 — top-k per group (reference: best player per route, insights cell 3)
+    QueryDef(
+      "w9_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").desc, col("event_id"))
+        ev(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("event_type", "rn", "event_id", "value")
+          .orderBy("event_type", "rn")
+      },
+      Some("""SELECT event_type, CAST(rn AS INT) AS rn, event_id, value FROM (
+             |  SELECT event_type, event_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+             |  FROM events) WHERE rn <= 3
+             |ORDER BY event_type, rn""".stripMargin)),
+
+    // W10 — ordered collect / padded sequence build (reference: last ≤25 frames per
+    // play → (25,F) tensor, sequences.py:21-88). First 5 values per user, rendered as
+    // a fixed-decimal string so both engines hash identically.
+    QueryDef(
+      "w10_ordered_collect",
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            expr("""concat_ws(',',
+                   |  transform(
+                   |    slice(array_sort(collect_list(struct(tus, event_id, value))), 1, 5),
+                   |    x -> cast(cast(x.value AS decimal(18,2)) AS string)))"""
+              .stripMargin).as("first5"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  array_to_string(
+             |    list_transform(
+             |      (list(value ORDER BY epoch_us(ts), event_id))[1:5],
+             |      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS first5
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // W11 — wrap-around angle diff + threshold count (reference: direction-change
+    // count per route, routes.py:117-126). value%360 stands in for the heading.
+    QueryDef(
+      "w11_angle_wrap",
+      (s, dir) => {
+        val ang = col("value") % 360.0
+        val d = abs(ang - lag(ang, 1).over(byUser))
+        val wrapped = least(d, lit(360.0) - d)
+        ev(s, dir)
+          .withColumn("turn", wrapped)
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("turn") > 30.0, 1L).otherwise(0L)).as("big_turns"),
+            count(col("turn")).as("n_diffs"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT user_id,
+              |    least(abs((value % 360.0) - LAG(value % 360.0, 1) OVER ($wSql)),
+              |          360.0 - abs((value % 360.0) - LAG(value % 360.0, 1) OVER ($wSql)))
+              |      AS turn
+              |  FROM events)
+              |SELECT user_id,
+              |  CAST(SUM(CASE WHEN turn > 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_turns,
+              |  CAST(COUNT(turn) AS BIGINT) AS n_diffs
+              |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)),
+  )
+}
