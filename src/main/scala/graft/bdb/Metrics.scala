@@ -1,0 +1,119 @@
+package graft.bdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Player metrics + scorecards (SURVEY §7 step 8; reference: bdb2026/metrics.py,
+  * Phase3 notebook).
+  */
+object Metrics {
+
+  /** A2 — per-play residual rollup feeding TrueSpeed (reference:
+    * metrics.py:13-57: mean/median/sum/MAE/RMSE of actual−predicted).
+    * Median is exact via `percentile` (sort-based per group) — at very large
+    * group counts switch to percentile_approx, noted in the Scaladoc rather
+    * than silently.
+    */
+  def trueSpeedPerPlay(residuals: DataFrame): DataFrame =
+    residuals
+      .groupBy("game_id", "play_id", "nfl_id")
+      .agg(
+        avg("residual").as("residual_mean"),
+        expr("percentile(residual, 0.5)").as("residual_median"),
+        sum("residual").as("residual_sum"),
+        avg(abs(col("residual"))).as("residual_mae"),
+        sqrt(avg(col("residual") * col("residual"))).as("residual_rmse"),
+        count(lit(1)).as("n_frames"))
+
+  /** Per-player TrueSpeed = mean of per-play residual means, min-max scaled to
+    * 0-100 (reference: metrics.py:129-195). Positive residual = faster-than-
+    * expected convergence.
+    */
+  def trueSpeedPerPlayer(perPlay: DataFrame): DataFrame = {
+    val raw = perPlay.groupBy("nfl_id")
+      .agg(avg("residual_mean").as("true_speed_raw"),
+        count(lit(1)).as("plays_scored"))
+    Normalize.scaleTo100(raw, "true_speed_raw", "true_speed")
+  }
+
+  /** A4 + A12 + W6 + W7 — production scorecard (reference: metrics.py:198-367):
+    * per-player production aggs, volume filter targets > maxTargets*volumeFrac,
+    * 0-100 scaling of the headline metric, dense leaderboard rank.
+    *
+    * @param playerPlays one row per (player, play) with pass_result,
+    *                    yards_gained, expected_points_added columns attached
+    *                    (J1 broadcast joins upstream).
+    */
+  def scorecard(playerPlays: DataFrame, trueSpeed: DataFrame,
+      volumeFrac: Double = 0.5): DataFrame = {
+    val production = playerPlays
+      .groupBy("nfl_id", "player_name")
+      .agg(
+        count(lit(1)).as("total_targets"),
+        sum("yards_gained").as("total_yards"),
+        sum("expected_points_added").as("total_epa"),
+        avg((col("pass_result") === "C").cast("double")).as("catch_rate"),
+        sum((col("yards_gained") >= 20).cast("long")).as("explosive_plays"),
+        avg((col("expected_points_added") > 0).cast("double")).as("success_rate"))
+      .withColumn("yards_per_target", col("total_yards") / col("total_targets"))
+      .withColumn("epa_per_target", col("total_epa") / col("total_targets"))
+
+    // HAVING against a global agg: threshold via unpartitioned window (A12).
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val qualified = production
+      .withColumn("max_targets", max("total_targets").over(wAll))
+      .filter(col("total_targets") > col("max_targets") * volumeFrac)
+      .drop("max_targets")
+
+    qualified
+      .join(trueSpeed, Seq("nfl_id"), "left")
+      .withColumn("rank", rank().over(Window.orderBy(col("true_speed").desc)))
+  }
+
+  /** P8 — hybrid AirPlayIQ piecewise score (reference: Phase3 cell 18
+    * calculate_hybrid_airplay_iq): difficulty multiplier from separation,
+    * open vs contested branch — nested when/otherwise, no UDF.
+    */
+  def hybridAirPlayIq(df: DataFrame,
+      sepCol: String = "defender_separation",
+      convCol: String = "residual_mean"): DataFrame = {
+    val difficulty =
+      when(col(sepCol) < 1.0, 1.5)
+        .when(col(sepCol) < 3.0, 1.2)
+        .otherwise(1.0)
+    val base =
+      when(col(sepCol) >= 3.0, // open: reward convergence efficiency
+        lit(50.0) + col(convCol) * 100.0)
+        .otherwise( // contested: reward beating expectation under pressure
+          lit(50.0) + col(convCol) * 150.0)
+    df.withColumn("air_play_iq",
+      greatest(least(base * difficulty, lit(100.0)), lit(0.0)))
+  }
+
+  /** W8 — percentile archetypes (reference: insights cell 2): style percentiles
+    * per metric, bucketed into named archetypes.
+    */
+  def archetypes(scored: DataFrame): DataFrame = {
+    def pct(c: String) = percent_rank().over(Window.orderBy(col(c)))
+    scored
+      .withColumn("speed_pct", pct("true_speed"))
+      .withColumn("volume_pct", pct("total_targets"))
+      .withColumn("efficiency_pct", pct("yards_per_target"))
+      .withColumn("archetype",
+        when(col("speed_pct") >= 0.75 && col("efficiency_pct") >= 0.75, "Elite Separator")
+          .when(col("speed_pct") >= 0.75, "Burner")
+          .when(col("volume_pct") >= 0.75, "Volume Target")
+          .when(col("efficiency_pct") >= 0.75, "Efficient Specialist")
+          .otherwise("Depth Piece"))
+  }
+
+  /** W9 — best player per route (reference: insights cell 3). */
+  def topPlayerPerRoute(playerRoutes: DataFrame, metric: String): DataFrame = {
+    val w = Window.partitionBy("route_of_targeted_receiver")
+      .orderBy(col(metric).desc, col("nfl_id"))
+    playerRoutes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.bdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+
+  test("trueSpeedPerPlay residual rollup: mean/median/mae/rmse") {
+    import spark.implicits._
+    val residuals = Seq(
+      (1L, 1L, 10L, 1L, 0.2), (1L, 1L, 10L, 2L, -0.2), (1L, 1L, 10L, 3L, 0.6))
+      .toDF("game_id", "play_id", "nfl_id", "frame_id", "residual")
+    val r = Metrics.trueSpeedPerPlay(residuals).head()
+    assert(math.abs(r.getAs[Double]("residual_mean") - 0.2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("residual_median") - 0.2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("residual_mae") - (1.0 / 3)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("residual_rmse")
+      - math.sqrt((0.04 + 0.04 + 0.36) / 3)) < 1e-12)
+    assert(r.getAs[Long]("n_frames") === 3L)
+  }
+
+  test("scorecard: production aggs, volume HAVING filter, rank") {
+    import spark.implicits._
+    // player 1: 4 targets, player 2: 4, player 3: 1 (filtered at 0.5*4)
+    val plays = Seq(
+      (10L, "A", "C", 25L, 1.0), (10L, "A", "C", 10L, 0.5),
+      (10L, "A", "I", 0L, -0.5), (10L, "A", "C", 30L, 2.0),
+      (20L, "B", "C", 5L, 0.2), (20L, "B", "I", 0L, -0.3),
+      (20L, "B", "I", 0L, -0.4), (20L, "B", "C", 8L, 0.1),
+      (30L, "C", "C", 50L, 3.0))
+      .toDF("nfl_id", "player_name", "pass_result", "yards_gained",
+        "expected_points_added")
+    val ts = Seq((10L, 80.0), (20L, 60.0), (30L, 99.0))
+      .toDF("nfl_id", "true_speed")
+    val sc = Metrics.scorecard(plays, ts).orderBy("rank")
+    val rows = sc.collect()
+    assert(rows.length === 2) // player 30 fails the volume filter
+    assert(rows(0).getAs[String]("player_name") === "A")
+    assert(rows(0).getAs[Long]("explosive_plays") === 2L) // 25, 30
+    assert(math.abs(rows(0).getAs[Double]("catch_rate") - 0.75) < 1e-12)
+    assert(rows(0).getAs[Int]("rank") === 1)
+    assert(rows(1).getAs[Int]("rank") === 2)
+  }
+
+  test("hybridAirPlayIq: bounded to [0, 100], contested scores amplified") {
+    import spark.implicits._
+    val df = Seq(
+      (0.5, 0.2),  // tight coverage, positive residual → amplified
+      (5.0, 0.2),  // open
+      (0.5, -2.0), // terrible → clamps at 0
+      (5.0, 2.0))  // great → clamps at 100
+      .toDF("defender_separation", "residual_mean")
+    val iq = Metrics.hybridAirPlayIq(df).select("air_play_iq")
+      .as[Double].collect()
+    assert(iq.forall(v => v >= 0.0 && v <= 100.0))
+    assert(iq(0) > iq(1)) // same residual scores higher when contested
+    assert(iq(2) === 0.0)
+    assert(iq(3) === 100.0)
+  }
+
+  test("archetypes: percentile buckets assign expected labels") {
+    import spark.implicits._
+    val scored = (1 to 20).map { i =>
+      (i.toLong, i * 5.0, i.toLong * 2, i * 1.5)
+    }.toDF("nfl_id", "true_speed", "total_targets", "yards_per_target")
+    val a = Metrics.archetypes(scored)
+    val top = a.filter(col("nfl_id") === 20).head().getAs[String]("archetype")
+    val bottom = a.filter(col("nfl_id") === 1).head().getAs[String]("archetype")
+    assert(top === "Elite Separator")
+    assert(bottom === "Depth Piece")
+  }
+
+  test("topPlayerPerRoute picks the argmax per route") {
+    import spark.implicits._
+    val pr = Seq(
+      ("GO", 10L, 0.9), ("GO", 11L, 0.7), ("OUT", 12L, 0.5), ("OUT", 13L, 0.8))
+      .toDF("route_of_targeted_receiver", "nfl_id", "score")
+    val top = Metrics.topPlayerPerRoute(pr, "score")
+      .orderBy("route_of_targeted_receiver")
+      .select("nfl_id").as[Long].collect()
+    assert(top.toSeq === Seq(10L, 13L))
+  }
+}

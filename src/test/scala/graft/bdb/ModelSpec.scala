@@ -1,0 +1,50 @@
+package graft.bdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ModelSpec extends SparkSpec {
+
+  test("StubModel joins predictions and computes residual") {
+    import spark.implicits._
+    val frames = Seq((1L, 1L, 1L, 0.5), (1L, 1L, 2L, 0.3))
+      .toDF("game_id", "play_id", "frame_id", "converge_rate")
+    val preds = Seq((1L, 1L, 1L, 0.4), (1L, 1L, 2L, 0.35))
+      .toDF("game_id", "play_id", "frame_id", "predicted_converge_rate")
+    val out = new StubModel(preds).withResidual(frames).orderBy("frame_id")
+      .select("residual").as[Double].collect()
+    assert(math.abs(out(0) - 0.1) < 1e-12)
+    assert(math.abs(out(1) + 0.05) < 1e-12)
+  }
+
+  test("GbtModel learns a deterministic function of the features") {
+    import spark.implicits._
+    val train = (1 to 200).map { i =>
+      val x = i % 10
+      (i.toLong, 1L, i.toLong, x.toDouble, x.toDouble) // label == feature
+    }.toDF("game_id", "play_id", "frame_id", "feat", "converge_rate")
+    val model = GbtModel.train(train, Seq("feat"), maxIter = 10, maxDepth = 4)
+    val metrics = ModelEval.regressionMetrics(model.withResidual(train)).head()
+    assert(metrics.getAs[Double]("rmse") < 0.2)
+    assert(metrics.getAs[Double]("r2") > 0.95)
+  }
+
+  test("splitByGame is disjoint and exhaustive on game_id") {
+    import spark.implicits._
+    val df = (1 to 500).map(g => (g.toLong, g * 2.0)).toDF("game_id", "v")
+    val (train, valid) = ModelEval.splitByGame(df, 0.2)
+    assert(train.count() + valid.count() === 500)
+    assert(train.select("game_id").intersect(valid.select("game_id")).count() === 0)
+    assert(valid.count() > 25 && valid.count() < 175) // ~20% ± slack
+  }
+
+  test("regressionMetrics: perfect prediction → rmse 0, r2 1") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0))
+      .toDF("converge_rate", "predicted_converge_rate")
+    val m = ModelEval.regressionMetrics(df).head()
+    assert(m.getAs[Double]("rmse") === 0.0)
+    assert(m.getAs[Double]("mae") === 0.0)
+    assert(math.abs(m.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+}
