@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming forms of the event-time operators (SURVEY §2.8). The reference is
+  * wholly batch; these exist so the same feature expressions run under
+  * Structured Streaming at 100 TB/day ingest — batch queries in
+  * [[graft.queries.EventQueries]] are the oracle-verified equivalents.
+  *
+  * Every transform takes and returns a DataFrame, so it composes identically
+  * over `spark.read` (batch backfill) and `spark.readStream` (live) — the
+  * lambda architecture collapses to one code path.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event_type with a watermark for state
+    * eviction. Late rows beyond the watermark are dropped, matching the
+    * batch query's complete-data semantics on backfill.
+    */
+  def tumblingHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Session windows with a 30-minute inactivity gap — the streaming twin of
+    * the batch gaps-and-islands query (e_sessionize). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  final case class Event(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+      max_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user aggregate
+    * that survives across micro-batches (the KeyValueGroupedDataset path the
+    * survey calls out for custom state). Production deployments add
+    * `GroupStateTimeout.ProcessingTimeTimeout` + `state.setTimeoutDuration`
+    * to bound state for quiet keys; omitted here because timeout wakeups
+    * keep `processAllAvailable` from quiescing in tests.
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, Double.MinValue))
+          val batch = rows.toSeq
+          val next = UserStats(
+            userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum,
+            math.max(prev.max_value, if (batch.isEmpty) prev.max_value
+            else batch.map(_.value).max))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run any of the above on a memory sink and return the query
+    * name for assertions (used by tests and demos). */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .start().processAllAvailable()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumblingHourly aggregates per window/type over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    input.addData(
+      EventStreams.Event(ts(5), 1L, "click", 1.0),
+      EventStreams.Event(ts(10), 1L, "click", 2.0),
+      EventStreams.Event(ts(15), 2L, "view", 5.0))
+    val q = EventStreams.tumblingHourly(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    val rows = spark.table("hourly")
+      .orderBy("event_type").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("event_type") === "click")
+    assert(rows(0).getAs[Long]("cnt") === 2L)
+    assert(rows(0).getAs[Double]("sum_value") === 3.0)
+    assert(rows(0).getAs[Timestamp]("hour_start").toString.contains("10:00:00"))
+  }
+
+  test("sessionCounts splits on the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    // two bursts 40 minutes apart → two sessions for user 1. Session windows
+    // only support Append mode: rows emit once the watermark passes the
+    // session end, so a late flush event advances it.
+    input.addData(
+      EventStreams.Event(ts(0), 1L, "click", 1.0),
+      EventStreams.Event(ts(5), 1L, "click", 1.0),
+      EventStreams.Event(ts(45), 1L, "click", 1.0))
+    val q = EventStreams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(
+      Timestamp.valueOf("2024-01-01 14:00:00"), 99L, "flush", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").filter(col("user_id") === 1L)
+      .orderBy("session_start").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n_events") === 2L)
+    assert(rows(1).getAs[Long]("n_events") === 1L)
+  }
+
+  test("runningUserStats keeps state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("userstats")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(EventStreams.Event(ts(1), 7L, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(ts(2), 7L, "click", 3.0),
+      EventStreams.Event(ts(3), 8L, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("userstats")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("tv"))
+      .orderBy("user_id").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n") === 2L) // user 7 accumulated across batches
+    assert(rows(0).getAs[Double]("tv") === 5.0)
+    assert(rows(1).getAs[Long]("n") === 1L)
+  }
+}
