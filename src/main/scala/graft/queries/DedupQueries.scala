@@ -98,7 +98,91 @@ object DedupQueries {
           .mkString(",\n")}
        |  FROM hs GROUP BY doc_id)""".stripMargin
 
+  /** Per-token rolling hash (same fold as TextQueries) applied to exploded
+    * tokens of the bounded subset. */
+  private def tokenHashes(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .filter(col("doc_id") < 30 || col("doc_id") >= 100000)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .withColumn("th", expr(
+        "aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))), " +
+          "0L, (x, c) -> (x * 31 + c) % 2147483647)"))
+
+  private val sqlTokenHashes =
+    s"""$sqlCorpus,
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+       |  FROM corpus WHERE doc_id < 30 OR doc_id >= 100000),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce([CAST(0 AS BIGINT)] || list_transform(generate_series(1, length(t)),
+       |      i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+       |      (x, c) -> (x * 31 + c) % 2147483647) AS th
+       |  FROM toks)""".stripMargin
+
+  private val B = 24 // simhash bits (of the 31-bit token hash)
+
+  /** 24-bit SimHash per doc: majority vote of token-hash bits. */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val votes = (0 until B).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"sb_$b"))
+    tokenHashes(s, dir)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until B).map(b => when(col(s"sb_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  private val sqlSimhashSigs =
+    s"""$sqlTokenHashes,
+       |votes AS (
+       |  SELECT doc_id,
+       |${(0 until B).map(b =>
+          s"    SUM(CASE WHEN ((th >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS sb_$b")
+          .mkString(",\n")}
+       |  FROM th GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until B).map(b => s"(CASE WHEN sb_$b > 0 THEN ${1L << b} ELSE 0 END)")
+            .mkString(" + ")} AS simhash
+       |  FROM votes)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    // SimHash signatures: majority-vote bit sketch of the token-hash stream —
+    // bit-exact cross-engine (integer votes, shared rolling hash).
+    QueryDef(
+      "d_simhash_sig",
+      (s, dir) => simhashSigs(s, dir).orderBy("doc_id"),
+      Some(s"""WITH $sqlSimhashSigs
+              |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash
+              |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // SimHash near-dup pairs: Hamming distance ≤ 1 on the bounded subset.
+    // At corpus scale the pair search buckets on bit-bands like MinHash LSH.
+    QueryDef(
+      "d_simhash_pairs",
+      (s, dir) => {
+        val sig = simhashSigs(s, dir)
+        val a = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+        val b = sig.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+        a.crossJoin(b).filter(col("d1") < col("d2"))
+          .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+          .filter(col("hamming") <= 1)
+          .select("d1", "d2", "hamming")
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH $sqlSimhashSigs
+              |SELECT a.doc_id AS d1, b.doc_id AS d2,
+              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+              |ORDER BY d1, d2""".stripMargin)),
+
 
     // Exact dedup census: total vs content-distinct (md5 is identical cross-engine).
     QueryDef(
