@@ -18,6 +18,7 @@ object GraftSession {
 
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.call_function
+
+/** SparkSessionExtensions entry point: registers graft's native functions so
+  * they are callable from SQL (`SELECT rolling_hash(text) ...`) as well as the
+  * DataFrame API ([[GraftFunctions]]).
+  *
+  * Wire up with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      RollingHash.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "rolling_hash takes exactly 1 argument")
+        RollingHash(children.head)
+      }))
+  }
+}
+
+/** DataFrame-API handles for the native functions (resolved through the
+  * session's FunctionRegistry, so [[GraftExtensions]] must be installed). */
+object GraftFunctions {
+  def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+}

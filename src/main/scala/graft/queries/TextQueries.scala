@@ -128,5 +128,26 @@ object TextQueries {
               |      t -> $sqlTokHash),
               |    (acc, th) -> (acc * 131 + th) % 2147483647) AS fp
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Same fingerprint through the NATIVE Catalyst expression
+    // (graft.functions.RollingHash, registered by GraftExtensions): the
+    // char-level inner fold runs as one codegen'd pass instead of a nested
+    // HOF with per-char allocations. Same oracle — semantics are identical.
+    QueryDef(
+      "t_fingerprint_native",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("""aggregate(filter(split(text, ' '), x -> x != ''),
+                   | 0L, (acc, t) -> (acc * 131 + rolling_hash(t)) % 2147483647)"""
+              .stripMargin).as("fp"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    [CAST(0 AS BIGINT)] || list_transform(
+              |      list_filter(string_split(text, ' '), x -> x <> ''),
+              |      t -> $sqlTokHash),
+              |    (acc, th) -> (acc * 131 + th) % 2147483647) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }
