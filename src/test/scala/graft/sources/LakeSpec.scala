@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkSpec {
+
+  /** Counts shuffle exchanges, descending through AQE wrappers (an
+    * AdaptiveSparkPlanExec hides its materialized stages from `children`). */
+  private def countShuffles(plan: SparkPlan): Int = plan match {
+    case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+    case q: QueryStageExec => countShuffles(q.plan)
+    case e: ShuffleExchangeLike => 1 + e.children.map(countShuffles).sum
+    case other => other.children.map(countShuffles).sum
+  }
+
+  test("co-bucketed tables join with zero shuffle exchanges") {
+    import spark.implicits._
+    val left = (1 to 1000).map(i => (i.toLong % 50, s"l$i")).toDF("k", "lv")
+    val right = (1 to 500).map(i => (i.toLong % 50, s"r$i")).toDF("k", "rv")
+    Lake.writeBucketed(left, "lake_left", Seq("k"), 8)
+    Lake.writeBucketed(right, "lake_right", Seq("k"), 8)
+    // disable broadcast so the join would normally shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Lake.read(spark, "lake_left")
+        .join(Lake.read(spark, "lake_right"), Seq("k"))
+      joined.count() // force planning + execution
+      val shuffles = countShuffles(joined.queryExecution.executedPlan)
+      assert(shuffles === 0, s"expected bucketed join without exchange, got $shuffles")
+      // and the same join on raw frames DOES shuffle
+      val raw = left.join(right, Seq("k"))
+      raw.count()
+      assert(countShuffles(raw.queryExecution.executedPlan) > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS lake_left")
+      spark.sql("DROP TABLE IF EXISTS lake_right")
+    }
+  }
+
+  test("groupBy on the bucket key needs no exchange") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong % 20, i.toDouble)).toDF("k", "v")
+    Lake.writeBucketed(df, "lake_agg", Seq("k"), 4)
+    try {
+      val agg = Lake.read(spark, "lake_agg").groupBy("k").agg(sum("v"))
+      agg.count()
+      assert(countShuffles(agg.queryExecution.executedPlan) === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS lake_agg")
+  }
+}
