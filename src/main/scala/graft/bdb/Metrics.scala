@@ -109,6 +109,41 @@ object Metrics {
           .otherwise("Depth Piece"))
   }
 
+  /** A3 — per-play mean Euclidean distance between two trajectories of the
+    * same player (reference: metrics.py:60-94 — e.g. actual vs predicted
+    * path). Inputs carry (game_id, play_id, nfl_id, frame_id, x, y).
+    */
+  def trajectoryDeviation(a: DataFrame, b: DataFrame): DataFrame = {
+    val bx = b.select(col("game_id"), col("play_id"), col("nfl_id"),
+      col("frame_id"), col("x").as("bx"), col("y").as("by"))
+    a.join(bx, Schemas.frameKeys)
+      .groupBy(Schemas.trajectoryKeys.map(col): _*)
+      .agg(avg(sqrt((col("x") - col("bx")) * (col("x") - col("bx"))
+        + (col("y") - col("by")) * (col("y") - col("by"))))
+        .as("trajectory_deviation"))
+  }
+
+  /** M8 — closed-form trendline fit y = slope·x + intercept from covariance /
+    * variance aggregates in ONE pass (reference: viz.py:431-449 np.polyfit),
+    * plus Pearson r. Returns a 1-row frame.
+    */
+  def trendline(df: DataFrame, xc: String, yc: String): DataFrame = {
+    val x = col(xc)
+    val y = col(yc)
+    df.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(x).as("mx"), avg(y).as("my"),
+      avg(x * y).as("mxy"), avg(x * x).as("mxx"), avg(y * y).as("myy"))
+      .select(
+        ((col("mxy") - col("mx") * col("my"))
+          / (col("mxx") - col("mx") * col("mx"))).as("slope"),
+        (col("my") - (col("mxy") - col("mx") * col("my"))
+          / (col("mxx") - col("mx") * col("mx")) * col("mx")).as("intercept"),
+        ((col("mxy") - col("mx") * col("my"))
+          / (sqrt(col("mxx") - col("mx") * col("mx"))
+            * sqrt(col("myy") - col("my") * col("my")))).as("pearson_r"))
+  }
+
   /** W9 — best player per route (reference: insights cell 3). */
   def topPlayerPerRoute(playerRoutes: DataFrame, metric: String): DataFrame = {
     val w = Window.partitionBy("route_of_targeted_receiver")

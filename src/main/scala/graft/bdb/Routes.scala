@@ -82,6 +82,14 @@ object Routes {
     RouteClustering(scaler, km, km.transform(scaled))
   }
 
+  /** M4 — 2-component PCA of the scaled feature vectors (reference:
+    * BDB_2026.ipynb cell 39; visualization aid, exposed for parity). Expects
+    * the `features` vector column from [[clusterRoutes]]'s scaler. */
+  def pca2(scaled: DataFrame): DataFrame =
+    new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pca_features").setK(2)
+      .fit(scaled).transform(scaled)
+
   /** One-hot embedding table route_emb_0..k-1 (reference: routes.py:284-295). */
   def oneHotEmbeddings(assigned: DataFrame, k: Int = 12): DataFrame =
     (0 until k).foldLeft(assigned) { (df, i) =>

@@ -13,7 +13,8 @@ object Registry {
       EventQueries.defs ++
       TextQueries.defs ++
       DedupQueries.defs ++
-      SimilarityQueries.defs
+      SimilarityQueries.defs ++
+      SketchQueries.defs
 
   require(all.map(_.name).distinct.size == all.size,
     s"duplicate query names: ${all.map(_.name).diff(all.map(_.name).distinct)}")

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Approximate-sketch operators and the SQL front-end entry.
+  *
+  * The sketch queries have no DuckDB oracle on purpose — HLL/KLL estimates are
+  * engine-specific — so the driver records its rows-only check; each carries
+  * the exact companion value in the same row so accuracy is auditable.
+  * At 100 TB these replace their exact forms: approx_count_distinct is one
+  * pass + constant memory vs count(distinct)'s expensive expand/double-agg,
+  * and percentile_approx avoids the per-group sort of exact percentile.
+  */
+object SketchQueries {
+
+  /** Shared ANSI text runnable by BOTH Spark SQL and DuckDB — demonstrates the
+    * spark.sql() entry point; the oracle is literally the same string. */
+  private val revenueSql =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 20""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "a_approx_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy("l_returnflag"),
+      None),
+
+    QueryDef(
+      "a_approx_quantiles",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+              .as("approx_median"),
+            expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+          .orderBy("l_returnflag"),
+      None),
+
+    // The SQL front-end: the engine accepts raw ANSI SQL over registered
+    // views; the oracle is the identical query text run by DuckDB.
+    QueryDef(
+      "sql_entry_revenue",
+      (s, dir) => {
+        Seq("lineitem", "orders").foreach(t =>
+          Tables.read(s, dir, t).createOrReplaceTempView(t))
+        s.sql(revenueSql)
+      },
+      Some(revenueSql)),
+  )
+}
