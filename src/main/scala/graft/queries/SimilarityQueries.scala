@@ -5,21 +5,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Similarity search over the `embeddings` table (`Array[Float]`, 64-d): brute-force
-  * cosine top-k (the correctness baseline) and a random-hyperplane LSH-bucketed
-  * variant (the scale path).
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-d):
+  * brute-force cosine top-k (the correctness baseline) and a random-hyperplane
+  * LSH-bucketed variant (the scale path).
   *
-  * Exactness strategy: dot products and norms are computed by exploding (vec, dim)
-  * pairs and summing per-element double products through DECIMAL(38,12) — order
-  * independent, so cosine values are bit-identical to the DuckDB oracle built from
-  * the same construction. The LSH hyperplanes are integer-arithmetic pseudo-random
-  * (`((dim*31 + plane*17) % 7) - 3`), identical on both engines.
+  * Exactness strategy: dot products and norms are sequential left-folds over
+  * the array (`aggregate(zip_with(...))` in Spark, `list_reduce` with a
+  * prepended zero in DuckDB) — identical accumulation order, so every double
+  * is bit-identical cross-engine with no decimal detour. Everything is
+  * map-side per pair; the pair set itself is a broadcast-size cross join of
+  * the query set against the candidate shard.
   *
-  * Scale: brute-force is O(Q×N) — fine for a broadcast query set against a
-  * partitioned corpus (each partition scores its shard, then a top-k merge). The LSH
-  * variant buckets the corpus once (map-side signature) and only scores within the
-  * query's bucket — the 100 TB path. The id-range caps here exist only to bound the
-  * sf0.01 oracle; the plan shape is scale-free.
+  * Scale: brute-force is O(Q×N) map-side work after broadcasting Q — each
+  * partition scores its shard and a top-k merge finishes; no shuffle of the
+  * corpus. The LSH variant buckets the corpus once (map-side signature) and
+  * only scores within the query's bucket — the 100 TB path. The id-range caps
+  * bound the sf0.01 oracle; the plan shape is scale-free.
   */
 object SimilarityQueries {
 
@@ -27,84 +28,84 @@ object SimilarityQueries {
   private val QN = 5 // query vectors: vec_id < QN
   private val CN = 400 // candidate corpus: vec_id < CN
 
-  /** (vec_id, dim 1-based, v as double) exploded view, vec_id < CN. */
-  private def unnested(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .filter(col("vec_id") < CN)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("vec_id"), (col("pos") + 1).as("dim"),
-        col("v").cast("double").as("v"))
+  /** Sequential-fold sum of an array<double> expression (bit-exact mirror of
+    * the DuckDB list_reduce with prepended 0.0). */
+  private def foldSum(arr: String): String =
+    s"aggregate($arr, 0.0D, (acc, p) -> acc + p)"
 
-  private val sqlUnnested =
-    s"""unn AS (
-       |  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
-       |  FROM embeddings
-       |  CROSS JOIN (SELECT unnest(generate_series(1, $D)) AS i) dims
-       |  WHERE vec_id < $CN)""".stripMargin
+  private def sqlFoldSum(arr: String): String =
+    s"list_reduce([CAST(0.0 AS DOUBLE)] || $arr, (acc, p) -> acc + p)"
 
-  /** Exact-sum norms per vector. */
+  private val dotExpr = foldSum(
+    "zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))")
+
+  private val sqlDotExpr = sqlFoldSum(
+    "list_transform(list_zip(a.embedding, b.embedding), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
+
+  /** Per-vector squared norm, folded in array order. */
   private def norms(s: SparkSession, dir: String): DataFrame =
-    unnested(s, dir).groupBy("vec_id")
-      .agg(Exact.dsum12(col("v") * col("v")).as("nrm2"))
+    Tables.embeddings(s, dir).filter(col("vec_id") < CN)
+      .select(col("vec_id"), expr(foldSum(
+        "transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        .as("nrm2"))
 
   private val sqlNorms =
     s"""nrm AS (
-       |  SELECT vec_id, ${Exact.sqlDsum12("v * v")} AS nrm2
-       |  FROM unn GROUP BY vec_id)""".stripMargin
+       |  SELECT vec_id,
+       |    ${sqlFoldSum("list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")} AS nrm2
+       |  FROM embeddings WHERE vec_id < $CN)""".stripMargin
 
-  /** Pairwise cosine between query vecs (d1 < QN) and candidates (d1 < d2). */
+  /** Pairwise cosine between query vecs (d1 < QN) and candidates (d1 < d2):
+    * broadcast the query set, fold per pair — no corpus shuffle. */
   private def cosines(s: SparkSession, dir: String): DataFrame = {
-    val u = unnested(s, dir)
-    val q = u.filter(col("vec_id") < QN)
-      .select(col("vec_id").as("d1"), col("dim"), col("v").as("v1"))
-    val c = u.select(col("vec_id").as("d2"), col("dim"), col("v").as("v2"))
-    val dots = q.join(c, Seq("dim")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2")
-      .agg(Exact.dsum12(col("v1") * col("v2")).as("dot"))
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < CN)
+    val q = e.filter(col("vec_id") < QN)
+      .select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val c = e.select(col("vec_id").as("d2"), col("embedding").as("e2"))
     val n = norms(s, dir)
-    dots
-      .join(n.select(col("vec_id").as("d1"), col("nrm2").as("nrm1")), Seq("d1"))
+    broadcast(q).join(c, col("d1") < col("d2"))
+      .withColumn("dot", expr(dotExpr))
+      .join(broadcast(n.select(col("vec_id").as("d1"), col("nrm2").as("nrm1"))), Seq("d1"))
       .join(n.select(col("vec_id").as("d2"), col("nrm2").as("nrm2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         (col("dot") / (sqrt(col("nrm1")) * sqrt(col("nrm2")))).as("cos"))
   }
 
   private val sqlCosines =
-    s"""$sqlUnnested,
-       |$sqlNorms,
-       |dots AS (
-       |  SELECT q.vec_id AS d1, c.vec_id AS d2, ${Exact.sqlDsum12("q.v * c.v")} AS dot
-       |  FROM unn q JOIN unn c ON q.dim = c.dim AND q.vec_id < c.vec_id
-       |  WHERE q.vec_id < $QN
-       |  GROUP BY q.vec_id, c.vec_id),
+    s"""$sqlNorms,
        |cosines AS (
-       |  SELECT d1, d2, dot / (sqrt(n1.nrm2) * sqrt(n2.nrm2)) AS cos
-       |  FROM dots
-       |  JOIN nrm n1 ON n1.vec_id = d1
-       |  JOIN nrm n2 ON n2.vec_id = d2)""".stripMargin
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |    $sqlDotExpr / (sqrt(n1.nrm2) * sqrt(n2.nrm2)) AS cos
+       |  FROM embeddings a
+       |  JOIN embeddings b ON a.vec_id < b.vec_id
+       |  JOIN nrm n1 ON n1.vec_id = a.vec_id
+       |  JOIN nrm n2 ON n2.vec_id = b.vec_id
+       |  WHERE a.vec_id < $QN AND b.vec_id < $CN)""".stripMargin
 
-  /** LSH bucket id: 8 sign bits of dots with integer pseudo-random hyperplanes. */
+  /** LSH bucket id: 8 sign bits of dots with integer pseudo-random
+    * hyperplanes w(dim, j) = ((dim*31 + j*17) % 7) - 3, dim 1-based. */
   private def buckets(s: SparkSession, dir: String): DataFrame = {
-    val planeDots = (0 until 8).map { j =>
-      Exact.dsum12(col("v") * ((col("dim") * 31 + j * 17) % 7 - 3).cast("double"))
+    val dots = (0 until 8).map { j =>
+      expr(foldSum(s"zip_with(embedding, sequence(1, $D), " +
+        s"(x, i) -> CAST(x AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE))"))
         .as(s"dot_$j")
     }
-    unnested(s, dir)
-      .groupBy("vec_id")
-      .agg(planeDots.head, planeDots.tail: _*)
+    Tables.embeddings(s, dir).filter(col("vec_id") < CN)
+      .select(col("vec_id") +: dots: _*)
       .select(col("vec_id"),
         (0 until 8).map(j => when(col(s"dot_$j") >= 0.0, 1L << j).otherwise(0L))
           .reduce(_ + _).as("bucket"))
   }
 
   private val sqlBuckets =
-    s"""$sqlUnnested,
-       |pd AS (
+    s"""pd AS (
        |  SELECT vec_id,
        |${(0 until 8).map(j =>
-          s"    ${Exact.sqlDsum12(s"v * CAST((dim * 31 + $j * 17) % 7 - 3 AS DOUBLE)")} AS dot_$j")
+          s"    ${sqlFoldSum(s"list_transform(list_zip(embedding, generate_series(1, $D)), " +
+            s"p -> CAST(p[1] AS DOUBLE) * CAST((p[2] * 31 + $j * 17) % 7 - 3 AS DOUBLE))")} AS dot_$j")
           .mkString(",\n")}
-       |  FROM unn GROUP BY vec_id),
+       |  FROM embeddings WHERE vec_id < $CN),
        |buckets AS (
        |  SELECT vec_id,
        |    ${(0 until 8).map(j => s"(CASE WHEN dot_$j >= 0.0 THEN ${1L << j} ELSE 0 END)")
@@ -132,8 +133,8 @@ object SimilarityQueries {
               |ORDER BY d1, rnk""".stripMargin),
       headline = true),
 
-    // Embedding near-duplicate pairs: top-20 most-cosine-similar pairs among the
-    // query set — the embedding-cosine dedup operator.
+    // Embedding near-duplicate pairs: top-20 most-cosine-similar pairs among
+    // the query set — the embedding-cosine dedup operator.
     QueryDef(
       "s_embedding_neardup",
       (s, dir) =>
@@ -157,8 +158,8 @@ object SimilarityQueries {
               |       min(vec_id) AS min_vec
               |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
-    // Bucketed ANN: candidates share the query's LSH bucket; exact cosine re-rank
-    // inside the bucket only (the 100 TB search path).
+    // Bucketed ANN: candidates share the query's LSH bucket; exact cosine
+    // re-rank inside the bucket only (the 100 TB search path).
     QueryDef(
       "s_lsh_knn",
       (s, dir) => {
@@ -175,17 +176,7 @@ object SimilarityQueries {
           .orderBy("d1", "rnk")
       },
       Some(s"""WITH $sqlCosines,
-              |pd AS (
-              |  SELECT vec_id,
-              |${(0 until 8).map(j =>
-                 s"    ${Exact.sqlDsum12(s"v * CAST((dim * 31 + $j * 17) % 7 - 3 AS DOUBLE)")} AS dot_$j")
-                 .mkString(",\n")}
-              |  FROM unn GROUP BY vec_id),
-              |buckets AS (
-              |  SELECT vec_id,
-              |    ${(0 until 8).map(j => s"(CASE WHEN dot_$j >= 0.0 THEN ${1L << j} ELSE 0 END)")
-                   .mkString(" + ")} AS bucket
-              |  FROM pd)
+              |$sqlBuckets
               |SELECT d1, CAST(rnk AS INT) AS rnk, d2, cos FROM (
               |  SELECT c.d1, c.d2, c.cos,
               |    ROW_NUMBER() OVER (PARTITION BY c.d1 ORDER BY c.cos DESC, c.d2) AS rnk
