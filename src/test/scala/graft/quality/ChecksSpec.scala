@@ -1,0 +1,47 @@
+package graft.quality
+
+import graft.SparkSpec
+import graft.bdb.Fixtures
+import org.apache.spark.sql.functions._
+
+class ChecksSpec extends SparkSpec {
+
+  test("clean tracking fixture passes every rule") {
+    val df = Fixtures.simplePlay(spark)
+    assert(Checks.report(df, Checks.trackingRules).count() === 0)
+    assert(Checks.oneTargetPerPlay(df).count() === 0)
+    Checks.enforce(df, Checks.trackingRules) // must not throw
+  }
+
+  test("violations are counted per rule in one pass") {
+    val df = Fixtures.simplePlay(spark)
+      .withColumn("s", when(col("frame_id") === 1, 99.0).otherwise(col("s")))
+      .withColumn("x", when(col("frame_id") === 2, -5.0).otherwise(col("x")))
+    val rep = Checks.report(df, Checks.trackingRules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("speed_physical") === 2L) // both players at frame 1
+    assert(rep("x_in_field") === 2L)
+    intercept[IllegalStateException] {
+      Checks.enforce(df, Checks.trackingRules)
+    }
+  }
+
+  test("requireColumns fail-loud lists all missing columns") {
+    val df = Fixtures.simplePlay(spark)
+    Checks.requireColumns(df, Seq("game_id", "x", "y"))
+    val e = intercept[IllegalArgumentException] {
+      Checks.requireColumns(df, Seq("game_id", "nope1", "nope2"))
+    }
+    assert(e.getMessage.contains("nope1"))
+    assert(e.getMessage.contains("nope2"))
+  }
+
+  test("oneTargetPerPlay flags plays with duplicate targets") {
+    val df = Fixtures.simplePlay(spark)
+      .withColumn("player_role",
+        when(col("nfl_id") === 20, "Targeted Receiver").otherwise(col("player_role")))
+    val bad = Checks.oneTargetPerPlay(df).collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[Long]("n_targets") === 2L)
+  }
+}
