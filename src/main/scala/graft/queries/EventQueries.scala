@@ -71,6 +71,28 @@ object EventQueries {
              |       CAST(COUNT(*) AS BIGINT) AS n_events
              |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Sliding (hopping) 1-hour window every 30 min: each event lands in two
+    // windows (streaming form: window($"ts", "1 hour", "30 minutes")).
+    // Expressed relationally as an explode over the two covering window starts.
+    QueryDef(
+      "e_sliding_hourly",
+      (s, dir) =>
+        ev(s, dir)
+          .withColumn("win_start", explode(array(
+            expr("(tus div 1800000000) * 1800"),
+            expr("(tus div 1800000000) * 1800 - 1800"))))
+          .groupBy("win_start")
+          .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_value"))
+          .orderBy("win_start"),
+      Some(s"""SELECT win_start, CAST(COUNT(*) AS BIGINT) AS cnt,
+              |  ${Exact.sqlDsum("value")} AS sum_value
+              |FROM (
+              |  SELECT unnest([(epoch_us(ts) // 1800000000) * 1800,
+              |                 (epoch_us(ts) // 1800000000) * 1800 - 1800]) AS win_start,
+              |         value
+              |  FROM events)
+              |GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
     // Semi-structured JSON extraction (props column) + aggregation.
     QueryDef(
       "e_json_extract",
