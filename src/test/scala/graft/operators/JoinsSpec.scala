@@ -19,4 +19,35 @@ class JoinsSpec extends SparkSpec {
       Joins.onCommonKeys(left, noKeys, candidates)
     }
   }
+
+  test("asOfJoin: backward merge_asof semantics per key") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 35L, 99.0),
+      ("B", 15L, 50.0))
+      .toDF("sym", "trade_t", "px")
+    val quotes = Seq(
+      ("A", 5L, 99.5), ("A", 20L, 100.5), ("A", 30L, 98.5),
+      ("B", 40L, 51.0))
+      .toDF("sym", "quote_t", "bid")
+    val joined = Joins.asOfJoin(trades, quotes, Seq("sym"), "trade_t", "quote_t")
+      .orderBy("sym", "trade_t")
+      .select("sym", "trade_t", "px", "bid").collect()
+    // A@10 → quote@5; A@20 → quote@20 (tie: right wins); A@35 → quote@30
+    assert(joined(0).getAs[Double]("bid") === 99.5)
+    assert(joined(1).getAs[Double]("bid") === 100.5)
+    assert(joined(2).getAs[Double]("bid") === 98.5)
+    // B@15: no earlier quote → null
+    assert(joined(3).isNullAt(3))
+    assert(joined.length === 4) // row count preserved
+  }
+
+  test("asOfJoin rejects colliding value columns") {
+    import spark.implicits._
+    val l = Seq(("A", 1L, 1.0)).toDF("k", "t", "v")
+    val r = Seq(("A", 1L, 2.0)).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(l, r, Seq("k"), "t", "rt")
+    }
+  }
 }
