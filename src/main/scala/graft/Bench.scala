@@ -13,10 +13,12 @@ object Bench {
       Runtime.getRuntime.availableProcessors.min(32).toString).toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen once on the smallest SF so headline numbers measure the
-    // query, not first-call classloading.
-    Registry.all.find(_.name == "q1_pricing_summary")
-      .foreach(q => q.run(spark, "/root/testdata/sf0.001").count())
+    // Warm each headline query once on the smallest SF so timings measure
+    // steady-state execution, not first-call classloading + codegen.
+    Registry.headline.foreach { q =>
+      try q.run(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = Registry.headline.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).count()
