@@ -1,6 +1,7 @@
 package graft.bdb
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Padded fixed-length sequence assembly for sequence models (SURVEY §2.5 W10;
@@ -44,5 +45,56 @@ object Sequences {
         s"transform(sequence(1, $maxLen), i -> CASE WHEN i <= size(kept) THEN 1.0d ELSE 0.0d END)"))
       .select(Schemas.trajectoryKeys.map(col) ++
         Seq(col("seq_len"), col("seq"), col("mask")): _*)
+  }
+
+  // ---- typed-Aggregator variant (SURVEY §2.9 candidate (a)) ----
+
+  final case class FrameIn(game_id: Long, play_id: Long, nfl_id: Long,
+      frame_id: Long, f: Seq[Double])
+  final case class SeqBuf(frames: Seq[(Long, Seq[Double])])
+  final case class Padded(game_id: Long, play_id: Long, nfl_id: Long,
+      seq_len: Int, seq: Seq[Seq[Double]], mask: Seq[Double])
+
+  /** The padded-sequence assembly as ONE typed aggregate with map-side
+    * partial aggregation: each mapper keeps at most `maxLen` frames per
+    * trajectory in the buffer (frames beyond the tail window can be pruned
+    * eagerly only after sort — we keep all and prune at merge to stay exact
+    * for out-of-order input), so the shuffle carries bounded buffers rather
+    * than every raw frame. Alternative to the collect_list+slice form in
+    * [[build]]; same output contract.
+    */
+  def aggregator(nFeatures: Int, maxLen: Int): Aggregator[FrameIn, SeqBuf, (Int, Seq[Seq[Double]], Seq[Double])] =
+    new Aggregator[FrameIn, SeqBuf, (Int, Seq[Seq[Double]], Seq[Double])] {
+      private def prune(fs: Seq[(Long, Seq[Double])]) =
+        if (fs.size <= maxLen) fs else fs.sortBy(_._1).takeRight(maxLen)
+      override def zero: SeqBuf = SeqBuf(Nil)
+      override def reduce(b: SeqBuf, a: FrameIn): SeqBuf =
+        SeqBuf(prune(b.frames :+ (a.frame_id, a.f)))
+      override def merge(b1: SeqBuf, b2: SeqBuf): SeqBuf =
+        SeqBuf(prune(b1.frames ++ b2.frames))
+      override def finish(r: SeqBuf): (Int, Seq[Seq[Double]], Seq[Double]) = {
+        val kept = r.frames.sortBy(_._1).takeRight(maxLen).map(_._2)
+        val pad = Seq.fill(maxLen - kept.size)(Seq.fill(nFeatures)(0.0))
+        val mask = Seq.fill(kept.size)(1.0) ++ Seq.fill(maxLen - kept.size)(0.0)
+        (kept.size, kept ++ pad, mask)
+      }
+      override def bufferEncoder: Encoder[SeqBuf] = Encoders.product[SeqBuf]
+      override def outputEncoder: Encoder[(Int, Seq[Seq[Double]], Seq[Double])] =
+        Encoders.product[(Int, Seq[Seq[Double]], Seq[Double])]
+    }
+
+  /** Typed-path equivalent of [[build]]. */
+  def buildTyped(frames: DataFrame, features: Seq[String], maxLen: Int = 25): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val ds = frames.select(col("game_id"), col("play_id"), col("nfl_id"),
+      col("frame_id"),
+      array(features.map(col(_).cast("double")): _*).as("f")).as[FrameIn]
+    ds.groupByKey(r => (r.game_id, r.play_id, r.nfl_id))
+      .agg(aggregator(features.size, maxLen).toColumn.name("padded"))
+      .select(col("key._1").as("game_id"), col("key._2").as("play_id"),
+        col("key._3").as("nfl_id"),
+        col("padded._1").as("seq_len"), col("padded._2").as("seq"),
+        col("padded._3").as("mask"))
   }
 }

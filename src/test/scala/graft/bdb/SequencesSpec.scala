@@ -42,4 +42,15 @@ class SequencesSpec extends SparkSpec {
     assert(seqOf(out).head === Seq(1.0, 2.0))
     assert(out.getAs[collection.Seq[Double]]("mask").forall(_ === 1.0))
   }
+
+  test("typed Aggregator variant produces identical output to the HOF form") {
+    for (n <- Seq(3, 5, 8)) {
+      val viaHof = Sequences.build(frames(n), Seq("f1", "f2"), maxLen = 5).head()
+      val viaAgg = Sequences.buildTyped(frames(n), Seq("f1", "f2"), maxLen = 5).head()
+      assert(viaAgg.getAs[Int]("seq_len") === viaHof.getAs[Int]("seq_len"), s"n=$n")
+      assert(seqOf(viaAgg) === seqOf(viaHof), s"n=$n")
+      assert(viaAgg.getAs[collection.Seq[Double]]("mask") ===
+        viaHof.getAs[collection.Seq[Double]]("mask"), s"n=$n")
+    }
+  }
 }
