@@ -56,9 +56,24 @@ object Synth {
         pmod(degrees(atan2(col("ball_land_x") - col("x"), col("ball_land_y") - col("y"))),
           lit(360.0)))
       .withColumn("o", col("dir"))
-      .select("game_id", "play_id", "nfl_id", "frame_id", "play_direction",
-        "player_to_predict", "player_name", "player_position", "player_side",
-        "player_role", "x", "y", "s", "a", "dir", "o", "ball_land_x", "ball_land_y")
+      // remaining reference columns (FIXTURES.md §1) so the frame matches
+      // Schemas.groupInput exactly
+      .withColumn("absolute_yardline_number",
+        (pmod(hash(col("play_id"), lit(7)), lit(99)) + 1).cast("long"))
+      .withColumn("player_height",
+        concat(lit("6-"), pmod(hash(col("nfl_id")), lit(6))))
+      .withColumn("player_weight",
+        (pmod(hash(col("nfl_id"), lit(8)), lit(80)) + 180).cast("long"))
+      .withColumn("player_birth_date",
+        concat(lit("199"), pmod(hash(col("nfl_id"), lit(9)), lit(10)), lit("-06-15")))
+      .withColumn("num_frames_output",
+        (pmod(hash(col("game_id"), col("play_id"), lit(10)), lit(20)) + 5).cast("long"))
+      .select("game_id", "play_id", "player_to_predict", "nfl_id", "frame_id",
+        "play_direction", "absolute_yardline_number", "player_name",
+        "player_height", "player_weight", "player_birth_date",
+        "player_position", "player_side", "player_role",
+        "x", "y", "s", "a", "dir", "o",
+        "num_frames_output", "ball_land_x", "ball_land_y")
   }
 
   /** Post-throw ground truth for targeted receivers: actual path converging on
