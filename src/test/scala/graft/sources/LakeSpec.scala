@@ -42,6 +42,27 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("partition columns prune whole directories at scan time") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("prune").toString + "/t"
+    (1 to 300).map(i => (i % 12 + 1, i.toLong, i * 1.5))
+      .toDF("month", "id", "v")
+      .write.partitionBy("month").parquet(path)
+    val filtered = spark.read.parquet(path).filter(col("month") === 3)
+    filtered.count()
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    assert(scan.get.partitionFilters.nonEmpty, "partition filter not pushed")
+    // only month=3's files are actually read (inputFiles ignores pruning, so
+    // use the scan's numFiles metric vs the total on disk)
+    val totalFiles = spark.read.parquet(path).inputFiles.length
+    val readFiles = scan.get.metrics("numFiles").value
+    assert(readFiles < totalFiles,
+      s"expected pruning: read $readFiles of $totalFiles files")
+  }
+
   test("groupBy on the bucket key needs no exchange") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong % 20, i.toDouble)).toDF("k", "v")
