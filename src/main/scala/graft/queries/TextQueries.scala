@@ -51,6 +51,25 @@ object TextQueries {
              |       x -> length(x))) AS BIGINT) AS tok_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BPE-ish token counting: regex classes approximating a byte-pair
+    // pre-tokenizer (letter runs / digit runs / single non-alnum) — the
+    // pattern keeps to constructs with identical semantics in Java regex and
+    // DuckDB's RE2.
+    QueryDef(
+      "t_tokens_bpe",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+              .as("n_bpe_tokens"),
+            size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_digit_runs"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT)
+             |    AS n_bpe_tokens,
+             |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_digit_runs
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Quality scoring: length / alpha ratio / stopword ratio composite (reference
     // analogue: data-quality report cells, BDB_2026.ipynb cell 23).
     QueryDef(

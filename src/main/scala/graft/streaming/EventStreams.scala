@@ -69,6 +69,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `dedup_key` was already seen,
+    * with a watermark bounding the dedup state (keys older than the watermark
+    * are evicted — the streaming twin of the batch md5 hash-groupBy dedup).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Convenience: run any of the above on a memory sink and return the query
     * name for assertions (used by tests and demos). */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {

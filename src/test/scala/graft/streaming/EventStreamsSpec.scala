@@ -59,6 +59,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_events") === 1L)
   }
 
+  test("dedupStream drops repeated keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupStream(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      EventStreams.Event(ts(1), 1L, "click", 1.0),
+      EventStreams.Event(ts(1), 1L, "click", 1.0), // dup within batch
+      EventStreams.Event(ts(2), 2L, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(ts(1), 1L, "click", 1.0)) // dup across batches
+    q.processAllAvailable()
+    val n = spark.table("deduped").count()
+    q.stop()
+    assert(n === 2)
+  }
+
   test("runningUserStats keeps state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
