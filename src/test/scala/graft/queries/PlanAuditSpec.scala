@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan audits (SURVEY §4): the scale-critical plan properties are
+  * asserted, not just eyeballed — projection pruning reaches the parquet
+  * scan, filters are pushed, dimension joins broadcast.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def run(name: String): DataFrame =
+    Registry.all.find(_.name == name).get.run(spark, dir)
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collectWithSubqueries { case f: FileSourceScanExec => f }
+
+  test("p1_projection: scan reads exactly the projected columns") {
+    val s = scans(executedPlan(run("p1_projection")))
+    assert(s.nonEmpty)
+    assert(s.head.requiredSchema.fieldNames.toSet ===
+      Set("l_orderkey", "l_linenumber", "l_quantity"))
+  }
+
+  test("p2_filter_eq: equality predicate is pushed to the parquet scan") {
+    val s = scans(executedPlan(run("p2_filter_eq")))
+    assert(s.head.dataFilters.map(_.toString).mkString
+      .contains("l_returnflag"))
+    assert(s.head.metadata("PushedFilters").contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("j_star_chain: every dimension joins via broadcast") {
+    val plan = executedPlan(run("j_star_chain"))
+    val joins = plan.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(joins.size >= 3, s"expected >=3 broadcast joins, got ${joins.size}")
+    val smj = plan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.isEmpty, "dimension chain should not sort-merge at this scale")
+  }
+
+  test("q1_pricing_summary: scan prunes to the 6 referenced columns") {
+    val s = scans(executedPlan(run("q1_pricing_summary")))
+    assert(s.head.requiredSchema.fieldNames.toSet ===
+      Set("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax"))
+  }
+}
