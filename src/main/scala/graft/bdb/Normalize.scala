@@ -58,7 +58,11 @@ object Normalize {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val mn = min(col(c)).over(w)
     val mx = max(col(c)).over(w)
+    // clamp: 100*(v-mn)/(mx-mn) can land one ulp above 100 (the multiply
+    // rounds before the divide); the contract is a hard [0,100]
     df.withColumn(out,
-      when(mx === mn, lit(50.0)).otherwise(lit(100.0) * (col(c) - mn) / (mx - mn)))
+      when(mx === mn, lit(50.0)).otherwise(
+        greatest(least(lit(100.0) * (col(c) - mn) / (mx - mn), lit(100.0)),
+          lit(0.0))))
   }
 }

@@ -86,7 +86,8 @@ class PropertiesSpec extends SparkSpec {
         val scaled = Normalize.scaleTo100(vs.toDF("v"), "v", "s")
           .select("s").collect().map(_.getDouble(0))
         scaled.forall(s => s >= 0.0 && s <= 100.0) &&
-          (vs.distinct.size == 1 || (scaled.min == 0.0 && scaled.max == 100.0))
+          (vs.distinct.size == 1 ||
+            (scaled.min == 0.0 && scaled.max > 100.0 - 1e-9))
       }
     })
   }
