@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Physical table layout for 100 TB operation (SURVEY §4): partitioned +
   * bucketed Parquet tables.
@@ -29,4 +29,38 @@ object Lake {
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** **Z-order layout**: range-partition + sort rows by the interleaved bits
+    * of two numeric columns before writing, so parquet row-group min/max
+    * stats are tight in BOTH dimensions — point/range filters on either
+    * column skip most files (plain sorting only helps its leading column).
+    *
+    * Columns are min-max normalized to [0, 2^bits) with one global agg
+    * (scale-safe: no global sort; heavily skewed columns interleave less
+    * evenly — pre-bucket by rank on a sample if that matters).
+    */
+  def zorderWrite(df: DataFrame, path: String, c1: String, c2: String,
+      nFiles: Int = 8, bits: Int = 12): Unit = {
+    import org.apache.spark.sql.functions._
+    val buckets = (1 << bits) - 1
+    val stats = df.agg(
+      min(col(c1)).as("mn1"), max(col(c1)).as("mx1"),
+      min(col(c2)).as("mn2"), max(col(c2)).as("mx2"))
+    def bucketed(c: String, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0L)).otherwise(
+        floor((col(c) - mn) / (mx - mn) * buckets).cast("long"))
+    val withZ = df.crossJoin(broadcast(stats))
+      .withColumn("__b1", bucketed(c1, col("mn1"), col("mx1")))
+      .withColumn("__b2", bucketed(c2, col("mn2"), col("mx2")))
+    // interleave bits: z = Σ ((b1>>i & 1) << 2i) + ((b2>>i & 1) << 2i+1)
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(col("__b1"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(col("__b2"), i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+    withZ.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__b1", "__b2", "mn1", "mx1", "mn2", "mx2")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -79,6 +79,26 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-static enrichment: join the live stream against a broadcastable
+    * dimension table (user profiles, play context). Static side is re-read
+    * per micro-batch only if its source changes; no stream state involved.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
+  /** foreachBatch sink: apply an arbitrary BATCH writer to each micro-batch —
+    * the escape hatch for sinks without native streaming support (JDBC,
+    * bucketed tables, multi-table fan-out). batchId enables exactly-once via
+    * idempotent writes keyed on it.
+    */
+  def toBatchSink(df: DataFrame, name: String)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.queryName(name)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => write(batch.toDF(), batchId)
+      }
+      .start()
+
   /** Convenience: run any of the above on a memory sink and return the query
     * name for assertions (used by tests and demos). */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -63,6 +63,32 @@ class LakeSpec extends SparkSpec {
       s"expected pruning: read $readFiles of $totalFiles files")
   }
 
+  test("zorderWrite narrows per-file ranges in BOTH dimensions") {
+    import spark.implicits._
+    // uniform grid over (a, b): a row's a and b are independent
+    val df = (0 until 4096).map(i => (i % 64, i / 64, i.toLong))
+      .toDF("a", "b", "id")
+    val zpath = java.nio.file.Files.createTempDirectory("zord").toString + "/z"
+    val plainPath = java.nio.file.Files.createTempDirectory("zord").toString + "/p"
+    Lake.zorderWrite(df, zpath, "a", "b", nFiles = 8)
+    df.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.parquet(plainPath) // sorted by a only
+
+    def avgSpanPerFile(path: String, c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg((max(col(c)) - min(col(c))).as("span"))
+        .agg(avg("span")).head().getDouble(0)
+      spans
+    }
+    // plain a-sort: b-span per file ≈ full range (63); z-order: both bounded
+    val zA = avgSpanPerFile(zpath, "a")
+    val zB = avgSpanPerFile(zpath, "b")
+    val pB = avgSpanPerFile(plainPath, "b")
+    assert(zB < pB * 0.7, s"z-order b-span $zB should beat a-sorted $pB")
+    assert(zA < 63.0, s"z-order a-span $zA should also be bounded")
+  }
+
   test("groupBy on the bucket key needs no exchange") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong % 20, i.toDouble)).toDF("k", "v")

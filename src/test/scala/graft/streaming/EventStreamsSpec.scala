@@ -78,6 +78,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("enrich joins the stream against a static dim per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.enrich(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      EventStreams.Event(ts(1), 1L, "click", 1.0),
+      EventStreams.Event(ts(2), 9L, "view", 2.0)) // no dim row
+    q.processAllAvailable()
+    val rows = spark.table("enriched").orderBy("user_id").collect()
+    q.stop()
+    assert(rows(0).getAs[String]("tier") === "gold")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("tier"))) // left join preserved
+  }
+
+  test("toBatchSink applies a batch writer per micro-batch with batch ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.toBatchSink(input.toDF(), "sinktest") { (batch, id) =>
+      seen.synchronized { seen += ((id, batch.count())) }
+    }
+    input.addData(EventStreams.Event(ts(1), 1L, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(ts(2), 1L, "view", 2.0),
+      EventStreams.Event(ts(3), 2L, "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val nonEmpty = seen.filter(_._2 > 0)
+    assert(nonEmpty.map(_._2).sum === 3L)
+    assert(nonEmpty.map(_._1).distinct.size === nonEmpty.size) // distinct batch ids
+  }
+
   test("runningUserStats keeps state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
