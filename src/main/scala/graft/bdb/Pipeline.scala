@@ -59,16 +59,23 @@ object Pipeline {
     val scored = model.withResidual(labeled)
     val modelMetrics = ModelEval.regressionMetrics(model.withResidual(valid))
 
-    // Phase 3 — TrueSpeed + scorecard
+    // Phase 3 — TrueSpeed + AirPlayIQ + scorecard
     val perPlay = Metrics.trueSpeedPerPlay(scored)
+    val perPlaySep = scored.groupBy("game_id", "play_id", "nfl_id")
+      .agg(avg("defender_separation").as("defender_separation"))
+    val perPlayIq = Metrics.hybridAirPlayIq(
+      perPlay.join(perPlaySep, Schemas.trajectoryKeys))
     val trueSpeed = Metrics.trueSpeedPerPlayer(perPlay)
     val playerPlays = receivers
       .select("game_id", "play_id", "nfl_id", "player_name").distinct()
       .join(broadcast(supp), Schemas.playKeys)
+    val airIq = perPlayIq.groupBy("nfl_id")
+      .agg(avg("air_play_iq").as("air_play_iq"))
     val scorecard = Metrics.archetypes(
       Metrics.scorecard(playerPlays, trueSpeed))
+      .join(airIq, Seq("nfl_id"), "left")
 
-    Result(labeled, withIq, perPlay, scorecard, modelMetrics)
+    Result(labeled, withIq, perPlayIq, scorecard, modelMetrics)
   }
 
   /** Demo main on synthetic data: prints the scorecard + model metrics. */

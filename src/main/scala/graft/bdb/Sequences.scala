@@ -83,6 +83,21 @@ object Sequences {
         Encoders.product[(Int, Seq[Seq[Double]], Seq[Double])]
     }
 
+  /** Export contract for an EXTERNAL sequence model (SURVEY §7.7c — the LSTM
+    * parity path lives outside the Spark-native core): writes the padded
+    * sequence table + per-frame labels to parquet. A trainer consumes
+    * `sequences/`, writes back a predictions table keyed
+    * (game_id, play_id, frame_id, predicted_converge_rate), and
+    * [[graft.bdb.StubModel]] re-enters the pipeline with it.
+    */
+  def export(frames: DataFrame, features: Seq[String], path: String,
+      labelCol: String = "converge_rate", maxLen: Int = 25): Unit = {
+    build(frames, features, maxLen)
+      .write.mode("overwrite").parquet(s"$path/sequences")
+    frames.select(Schemas.frameKeys.map(col) :+ col(labelCol): _*)
+      .write.mode("overwrite").parquet(s"$path/labels")
+  }
+
   /** Typed-path equivalent of [[build]]. */
   def buildTyped(frames: DataFrame, features: Seq[String], maxLen: Int = 25): DataFrame = {
     val spark = frames.sparkSession
