@@ -201,6 +201,25 @@ object AggQueries {
              |  CAST(COUNT(*) AS BIGINT) AS cnt
              |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ROLLUP — hierarchical subtotals (beyond the reference's surface, part of
+    // the complete agg family). grouping_id disambiguates NULL group values.
+    QueryDef(
+      "a_rollup",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            Exact.dsum(col("l_quantity")).as("sum_qty"),
+            grouping_id().cast("int").as("gid"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(COUNT(*) AS BIGINT) AS cnt,
+              |  ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+              |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST"""
+        .stripMargin)),
+
     // A12 — HAVING against a global agg (reference: Total_Targets > max*0.5 volume
     // filter, metrics.py:327-330). Scalar threshold via cross join of the 1-row agg.
     QueryDef(

@@ -202,6 +202,29 @@ object WindowQueries {
              |      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS first5
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // RANGE-frame rolling window: 30-minute trailing sum/count per user —
+    // the time-based frame spec (rowsBetween only covers W1-W10; this is the
+    // RANGE BETWEEN form, frame bounds in µs).
+    QueryDef(
+      "w_range_rolling",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus")
+          .rangeBetween(-1800000000L, 0L)
+        ev(s, dir)
+          .select(col("event_id"),
+            sum(col("value").cast(Exact.dt)).over(w).cast("double")
+              .as("rolling_sum_30m"),
+            count(lit(1)).over(w).as("rolling_cnt_30m"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS rolling_sum_30m,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS rolling_cnt_30m
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // W11 — wrap-around angle diff + threshold count (reference: direction-change
     // count per route, routes.py:117-126). value%360 stands in for the heading.
     QueryDef(
