@@ -220,6 +220,22 @@ object AggQueries {
               |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST"""
         .stripMargin)),
 
+    // CUBE — all grouping-set combinations (completes the rollup family).
+    QueryDef(
+      "a_cube",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            grouping_id().cast("int").as("gid"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST"""
+        .stripMargin)),
+
     // A12 — HAVING against a global agg (reference: Total_Targets > max*0.5 volume
     // filter, metrics.py:327-330). Scalar threshold via cross join of the 1-row agg.
     QueryDef(

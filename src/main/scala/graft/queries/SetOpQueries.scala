@@ -58,6 +58,61 @@ object SetOpQueries {
               |  SELECT 'kept' AS tag, l_quantity FROM lineitem WHERE l_returnflag = 'N')
               |GROUP BY tag ORDER BY tag""".stripMargin)),
 
+    // INTERSECT — common (returnflag, shipmode-less) pairs across two slices
+    QueryDef(
+      "o5_intersect",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_linestatus") === "F")
+          .select("l_returnflag", "l_partkey")
+          .intersect(li.filter(col("l_linestatus") === "O")
+            .select("l_returnflag", "l_partkey"))
+          .orderBy("l_returnflag", "l_partkey")
+      },
+      Some("""SELECT l_returnflag, l_partkey FROM lineitem WHERE l_linestatus = 'F'
+             |INTERSECT
+             |SELECT l_returnflag, l_partkey FROM lineitem WHERE l_linestatus = 'O'
+             |ORDER BY l_returnflag, l_partkey""".stripMargin)),
+
+    // EXCEPT — parts bulk-shipped only under 'F' status
+    QueryDef(
+      "o6_except",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_linestatus") === "F" && col("l_quantity") > 45)
+          .select("l_partkey").distinct()
+          .except(li.filter(col("l_linestatus") === "O" && col("l_quantity") > 45)
+            .select("l_partkey").distinct())
+          .orderBy("l_partkey")
+      },
+      Some("""SELECT DISTINCT l_partkey FROM lineitem
+             |WHERE l_linestatus = 'F' AND l_quantity > 45
+             |EXCEPT
+             |SELECT DISTINCT l_partkey FROM lineitem
+             |WHERE l_linestatus = 'O' AND l_quantity > 45
+             |ORDER BY l_partkey""".stripMargin)),
+
+    // UNPIVOT / melt — wide → long reshape (Dataset.unpivot; oracle as the
+    // equivalent UNION ALL, which is its exact relational definition)
+    QueryDef(
+      "o7_unpivot",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice")),
+            "metric", "val")
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             |         l_quantity AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+             |         l_extendedprice AS val FROM lineitem)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
     // O4 — distinct (reference: drop_duplicates(), routes.py:279)
     QueryDef(
       "o4_distinct",
