@@ -19,6 +19,21 @@ class CsvSpec extends SparkSpec {
     assert(df.filter("game_id = 2").count() === 1)
   }
 
+  test("PERMISSIVE mode surfaces malformed rows as nulls, not crashes") {
+    val dir = Files.createTempDirectory("csvbad").toString
+    Files.writeString(java.nio.file.Path.of(dir, "bad.csv"),
+      "game_id,play_id,nfl_id,frame_id,x,y\n" +
+        "1,1,10,1,50.0,20.0\n" +
+        "1,1,10,notanumber,oops,20.5\n" + // malformed numerics
+        "2,1,11,1,30.0,10.0\n")
+    val df = Csv.read(spark, s"$dir/bad.csv", graft.bdb.Schemas.groupOutput)
+    assert(df.count() === 3)
+    // the malformed row parses with nulls in the bad fields
+    val bad = df.filter(org.apache.spark.sql.functions.col("frame_id").isNull)
+    assert(bad.count() === 1)
+    assert(bad.head().isNullAt(bad.head().fieldIndex("x")))
+  }
+
   test("cachedParquet writes once and reuses (S3)") {
     import spark.implicits._
     val cache = Files.createTempDirectory("cachetest").toString + "/c"
