@@ -118,19 +118,31 @@ object Routes {
       .drop(featureCols.map(c => s"cent_$c"): _*)
   }
 
-  /** RouteExecIQ: within-cluster z-score of (negated) deviation, clipped to ±3
-    * (reference: metrics.py:97-122 ddof=0 variant; Phase3 cell 14). Lower
+  /** RouteExecIQ: negated within-cluster z-score of deviation — lower
     * deviation = better execution.
+    *
+    * Defaults (sample stddev, no clipping) reproduce the reference's
+    * COMMITTED artifact exactly (outputs/RouteExecIQ.csv; Phase3 cell 14 uses
+    * pandas' ddof=1 — verified to 4e-15 in GoldenParitySpec). The
+    * metrics.py:97-122 variant (ddof=0, clip ±3) is available via
+    * `sampleStd = false, clip = Some(3.0)`; the survey's W5 note flags the
+    * reference's own inconsistency here — match per metric.
     */
-  def routeExecIQ(withDeviation: DataFrame): DataFrame = {
+  def routeExecIQ(withDeviation: DataFrame, sampleStd: Boolean = true,
+      clip: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wc = Window.partitionBy("route_cluster")
-    val sd = stddev_pop("route_deviation").over(wc)
+    val sd =
+      if (sampleStd) stddev_samp("route_deviation").over(wc)
+      else stddev_pop("route_deviation").over(wc)
     // degenerate cluster (all deviations equal) → z = 0; ANSI mode would
     // otherwise raise DIVIDE_BY_ZERO.
-    val z = when(sd === 0.0, lit(0.0)).otherwise(
+    val z = when(sd === 0.0 || sd.isNull, lit(0.0)).otherwise(
       (col("route_deviation") - avg("route_deviation").over(wc)) / sd)
-    withDeviation.withColumn("route_exec_iq",
-      greatest(least(-z, lit(3.0)), lit(-3.0)))
+    val iq = clip match {
+      case Some(c) => greatest(least(-z, lit(c)), lit(-c))
+      case None => -z
+    }
+    withDeviation.withColumn("route_exec_iq", iq)
   }
 }

@@ -69,6 +69,19 @@ class GoldenParitySpec extends SparkSpec {
     assert(stats.getAs[Long]("min_f") >= 1L)
   }
 
+  test("routeExecIQ reproduces the committed RouteExecIQ column exactly") {
+    val golden = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv("/root/reference/outputs/RouteExecIQ.csv")
+      .select(col("game_id"), col("play_id"), col("nfl_id"),
+        col("route_cluster"), col("route_deviation"),
+        col("RouteExecIQ").cast("double").as("golden_iq"))
+    val recomputed = Routes.routeExecIQ(golden)
+    val worst = recomputed
+      .agg(max(abs(col("route_exec_iq") - col("golden_iq")))).head().getDouble(0)
+    assert(worst < 1e-9, s"max |recomputed - golden| = $worst")
+    assert(recomputed.count() === 8202)
+  }
+
   test("defender-separation golden table loads and respects its fill bounds") {
     val sep = spark.read
       .schema(StructType(Seq(

@@ -65,7 +65,8 @@ class RoutesSpec extends SparkSpec {
       .as[Double].collect()
     // centroid (2,…,2): both routes at distance sqrt(8)
     assert(d.forall(v => math.abs(v - math.sqrt(8.0)) < 1e-12))
-    val iq = Routes.routeExecIQ(dev).select("route_exec_iq").as[Double].collect()
+    val iq = Routes.routeExecIQ(dev, sampleStd = false, clip = Some(3.0))
+      .select("route_exec_iq").as[Double].collect()
     assert(iq.forall(v => v >= -3.0 && v <= 3.0))
   }
 }
