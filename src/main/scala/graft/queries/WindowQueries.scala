@@ -202,6 +202,30 @@ object WindowQueries {
              |      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS first5
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Value window functions: first/last/nth within the user's stream —
+    // completes the window family (frame-sensitive last_value needs the
+    // explicit unbounded-following frame in BOTH engines).
+    QueryDef(
+      "w_value_funcs",
+      (s, dir) => {
+        val wAll = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ev(s, dir)
+          .select(col("event_id"),
+            first("value").over(wAll).as("first_v"),
+            last("value").over(wAll).as("last_v"),
+            nth_value(col("value"), 2).over(wAll).as("second_v"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  FIRST_VALUE(value) OVER w AS first_v,
+             |  LAST_VALUE(value) OVER w AS last_v,
+             |  NTH_VALUE(value, 2) OVER w AS second_v
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin)),
+
     // RANGE-frame rolling window: 30-minute trailing sum/count per user —
     // the time-based frame spec (rowsBetween only covers W1-W10; this is the
     // RANGE BETWEEN form, frame bounds in µs).
