@@ -21,32 +21,54 @@ import org.apache.spark.sql.functions._
   */
 object Routes {
 
+  /** Default clustering features — the reference's candidate list
+    * (routes.py:185-189) minus the optional sep_at_catch (added by callers
+    * that computed it). */
   val featureCols: Seq[String] = Seq(
-    "route_depth", "route_width", "total_distance", "avg_speed", "max_speed",
-    "speed_std", "direction_changes", "duration_s")
+    "route_frames", "delta_x", "delta_y", "route_len", "direct_dist",
+    "straightness", "mean_speed", "max_speed", "std_speed")
 
-  /** Per-trajectory route features from normalized + kinematic frames.
-    * Expects x_norm/y_norm/s/dir_change columns (see Normalize/Kinematics).
+  /** Per-trajectory route features from normalized + kinematic frames —
+    * the reference's full 19-column table with identical names and semantics
+    * (routes.py:74-155): first/last via order-free min_by/max_by, route_len
+    * from lag-diff step distances, straightness with the 0-length guard,
+    * sample-std speeds with single-frame fillna(0), wrap-aware direction
+    * changes (> 30°), duration = n_frames × 0.1.
+    * Expects x_norm/y_norm/s/a/dir_change columns (see Normalize/Kinematics).
     */
   def routeFeatures(frames: DataFrame): DataFrame = {
     val stepDist = Kinematics.dist(
       col("x_norm"), col("y_norm"),
       lag("x_norm", 1).over(Kinematics.trajWindow),
       lag("y_norm", 1).over(Kinematics.trajWindow))
+    val dx = col("x_end") - col("x_start")
+    val dy = col("y_end") - col("y_start")
     frames
       .withColumn("step_dist", coalesce(stepDist, lit(0.0)))
       .groupBy(Schemas.trajectoryKeys.map(col): _*)
       .agg(
-        (max_by(col("x_norm"), col("frame_id")) - min_by(col("x_norm"), col("frame_id")))
-          .as("route_depth"),
-        (max(col("y_norm")) - min(col("y_norm"))).as("route_width"),
-        sum(col("step_dist")).as("total_distance"),
-        avg(col("s")).as("avg_speed"),
+        count(lit(1)).cast("double").as("route_frames"),
+        min_by(col("x_norm"), col("frame_id")).as("x_start"),
+        min_by(col("y_norm"), col("frame_id")).as("y_start"),
+        max_by(col("x_norm"), col("frame_id")).as("x_end"),
+        max_by(col("y_norm"), col("frame_id")).as("y_end"),
+        sum(col("step_dist")).as("route_len"),
+        avg(col("s")).as("mean_speed"),
         max(col("s")).as("max_speed"),
-        coalesce(stddev_pop(col("s")), lit(0.0)).as("speed_std"),
+        coalesce(stddev_samp(col("s")), lit(0.0)).as("std_speed"),
+        avg(col("a")).as("mean_accel"),
+        max(col("a")).as("max_accel"),
         sum((col("dir_change") > 30.0).cast("int")).cast("double")
           .as("direction_changes"),
-        ((count(lit(1)) - 1).cast("double") * Kinematics.FrameDt).as("duration_s"))
+        (max(col("y_norm")) - min(col("y_norm"))).as("lateral_range"))
+      .withColumn("delta_x", dx)
+      .withColumn("delta_y", dy)
+      .withColumn("delta_y_abs", abs(dy))
+      .withColumn("direct_dist", sqrt(dx * dx + dy * dy))
+      .withColumn("straightness",
+        when(col("route_len") === 0.0, 0.0)
+          .otherwise(col("direct_dist") / col("route_len")))
+      .withColumn("route_duration", col("route_frames") * Kinematics.FrameDt)
   }
 
   final case class RouteClustering(

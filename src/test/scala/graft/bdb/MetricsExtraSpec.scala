@@ -30,7 +30,7 @@ class MetricsExtraSpec extends SparkSpec {
   test("pca2 (M4): projects scaled features to 2 components") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
-      (1L, i.toLong, 10L, i * 1.0, i * 2.0, 30.0 - i, 5.0, 1.0, 0.5, 2.0, 2.5)
+      (1L, i.toLong, 10L, i * 1.0, i * 2.0, 30.0 - i, 5.0, 1.0, 0.5, 2.0, 2.5, 1.5)
     }.toDF("game_id" +: "play_id" +: "nfl_id" +: Routes.featureCols: _*)
     val clustered = Routes.clusterRoutes(rows, k = 2)
     val projected = Routes.pca2(clustered.assigned)
@@ -43,7 +43,7 @@ class MetricsExtraSpec extends SparkSpec {
   test("model artifact save/load round-trips (S6)") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
-      (1L, i.toLong, 10L, i * 1.0, i * 2.0, 30.0 - i, 5.0, 1.0, 0.5, 2.0, 2.5)
+      (1L, i.toLong, 10L, i * 1.0, i * 2.0, 30.0 - i, 5.0, 1.0, 0.5, 2.0, 2.5, 1.5)
     }.toDF("game_id" +: "play_id" +: "nfl_id" +: Routes.featureCols: _*)
     val clustered = Routes.clusterRoutes(rows, k = 2)
     val dir = java.nio.file.Files.createTempDirectory("kmtest").toString

@@ -11,14 +11,24 @@ class RoutesSpec extends SparkSpec {
     df.filter(col("player_role") === "Targeted Receiver")
   }
 
-  test("route features from one straight 5-frame route") {
+  test("route features match the reference's 19-column surface (routes.py:74-155)") {
     val f = Routes.routeFeatures(frames).head()
-    assert(f.getAs[Double]("route_depth") === 4.0) // x 51 → 55
-    assert(f.getAs[Double]("route_width") === 0.0)
-    assert(math.abs(f.getAs[Double]("total_distance") - 4.0) < 1e-12)
-    assert(f.getAs[Double]("avg_speed") === 1.0)
+    assert(f.getAs[Double]("route_frames") === 5.0)
+    assert(f.getAs[Double]("x_start") === 51.0)
+    assert(f.getAs[Double]("x_end") === 55.0)
+    assert(f.getAs[Double]("delta_x") === 4.0)
+    assert(f.getAs[Double]("delta_y") === 0.0)
+    assert(f.getAs[Double]("delta_y_abs") === 0.0)
+    assert(math.abs(f.getAs[Double]("route_len") - 4.0) < 1e-12)
+    assert(math.abs(f.getAs[Double]("direct_dist") - 4.0) < 1e-12)
+    assert(math.abs(f.getAs[Double]("straightness") - 1.0) < 1e-12)
+    assert(f.getAs[Double]("mean_speed") === 1.0)
+    assert(f.getAs[Double]("max_speed") === 1.0)
+    assert(f.getAs[Double]("std_speed") === 0.0)
+    assert(f.getAs[Double]("mean_accel") === 0.0)
     assert(f.getAs[Double]("direction_changes") === 0.0)
-    assert(math.abs(f.getAs[Double]("duration_s") - 0.4) < 1e-12)
+    assert(f.getAs[Double]("lateral_range") === 0.0)
+    assert(math.abs(f.getAs[Double]("route_duration") - 0.5) < 1e-12) // n*0.1
   }
 
   test("kmeans clustering invariants: k clusters, no null assignments") {
@@ -27,7 +37,7 @@ class RoutesSpec extends SparkSpec {
     val rows = (0 until 40).map { i =>
       val blob = if (i % 2 == 0) 0.0 else 30.0
       (1L, i.toLong, 10L, 5.0 + blob + i * 0.01, 2.0 + blob, 20.0 + blob,
-        3.0 + blob * 0.1, 5.0, 1.0, 2.0 + blob * 0.05, 2.5)
+        3.0 + blob * 0.1, 5.0, 1.0, 2.0 + blob * 0.05, 2.5, 3.0 + blob)
     }.toDF("game_id" +: "play_id" +: "nfl_id" +: Routes.featureCols: _*)
     val result = Routes.clusterRoutes(rows, k = 2, seed = 42L)
     val clusters = result.assigned.select("route_cluster").distinct()
@@ -56,15 +66,15 @@ class RoutesSpec extends SparkSpec {
   test("route deviation is 0 for a route at its centroid, else > 0; execIQ clipped") {
     import spark.implicits._
     val rows = Seq(
-      (1L, 1L, 10L, 0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
-      (1L, 2L, 11L, 0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0))
+      (1L, 1L, 10L, 0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+      (1L, 2L, 11L, 0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0))
       .toDF("game_id" +: "play_id" +: "nfl_id" +: "route_cluster" +:
         Routes.featureCols: _*)
     val dev = Routes.routeDeviation(rows)
     val d = dev.orderBy("play_id").select("route_deviation")
       .as[Double].collect()
-    // centroid (2,…,2): both routes at distance sqrt(8)
-    assert(d.forall(v => math.abs(v - math.sqrt(8.0)) < 1e-12))
+    // centroid (2,…,2): both routes at distance sqrt(9) = 3
+    assert(d.forall(v => math.abs(v - 3.0) < 1e-12))
     val iq = Routes.routeExecIQ(dev, sampleStd = false, clip = Some(3.0))
       .select("route_exec_iq").as[Double].collect()
     assert(iq.forall(v => v >= -3.0 && v <= 3.0))
