@@ -61,6 +61,31 @@ object Separation {
         .as("defender_separation"))
   }
 
+  /** Separation from the nearest defender at the catch point (= the play's
+    * LAST frame) for every offensive player (reference:
+    * preprocess.py:441-513). Same join-over-loop shape as the per-frame
+    * variant, restricted to one frame per play; missing defenders → 10.0
+    * ("wide open" cap). Feeds the optional `sep_at_catch` route feature.
+    */
+  def catchSeparation(tracking: DataFrame): DataFrame = {
+    val atCatch = tracking
+      .withColumn("catch_frame",
+        max("frame_id").over(Window.partitionBy("game_id", "play_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("frame_id") === col("catch_frame"))
+    val offense = atCatch.filter(col("player_side") === "Offense")
+      .select(col("game_id"), col("play_id"), col("nfl_id"),
+        col("x_norm").as("ox"), col("y_norm").as("oy"))
+    val defense = atCatch.filter(col("player_side") === "Defense")
+      .select(col("game_id"), col("play_id"),
+        col("x_norm").as("dx"), col("y_norm").as("dy"))
+    offense.join(defense, Seq("game_id", "play_id"), "left")
+      .groupBy("game_id", "play_id", "nfl_id")
+      .agg(min(Kinematics.dist(col("ox"), col("oy"), col("dx"), col("dy")))
+        .as("sep_at_catch"))
+      .na.fill(Map("sep_at_catch" -> 10.0))
+  }
+
   /** Left-join separation onto a frame table with the reference's missing→20.0
     * default (reference: preprocess.py:489-513, fill 20.0 = "wide open"). */
   def attachSeparation(frames: DataFrame, separation: DataFrame,

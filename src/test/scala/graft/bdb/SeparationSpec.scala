@@ -28,6 +28,18 @@ class SeparationSpec extends SparkSpec {
     assert(perFrame.forall(d => math.abs(d - math.sqrt(5.0)) < 1e-12))
   }
 
+  test("catchSeparation: last-frame nearest defender for every offensive player") {
+    val sep = Separation.catchSeparation(normalized)
+    val rows = sep.collect()
+    assert(rows.length === 1) // one offensive player in the fixture
+    // catch frame 5: receiver (55,30) vs defender (53,31) → sqrt(5)
+    assert(math.abs(rows.head.getAs[Double]("sep_at_catch") - math.sqrt(5.0)) < 1e-12)
+    // no defenders → 10.0 wide-open cap
+    val noDef = Separation.catchSeparation(
+      normalized.filter(col("player_side") === "Offense"))
+    assert(noDef.head().getAs[Double]("sep_at_catch") === 10.0)
+  }
+
   test("attachSeparation fills missing with the 20.0 wide-open default") {
     val recv = normalized.filter(col("player_role") === "Targeted Receiver")
     val sepMissing = Separation.nearestDefenderPerFrame(recv, normalized
