@@ -37,6 +37,18 @@ object Metrics {
     Normalize.scaleTo100(raw, "true_speed_raw", "true_speed")
   }
 
+  /** RouteExecution: per-player mean RouteExecIQ min-max scaled to 0-100 and
+    * rounded to 1 dp (reference: metrics.py:342-344 — the scorecard converts
+    * RouteExecIQ into the 0-100 "RouteExecution" index at normalize time).
+    */
+  def routeExecutionPerPlayer(withIq: DataFrame): DataFrame = {
+    val perPlayer = withIq.groupBy("nfl_id")
+      .agg(avg("route_exec_iq").as("route_exec_iq_mean"))
+    Normalize.scaleTo100(perPlayer, "route_exec_iq_mean", "route_execution_raw")
+      .withColumn("route_execution", round(col("route_execution_raw"), 1))
+      .drop("route_execution_raw")
+  }
+
   /** A4 + A12 + W6 + W7 — production scorecard (reference: metrics.py:198-367):
     * per-player production aggs, volume filter targets > maxTargets*volumeFrac,
     * 0-100 scaling of the headline metric, dense leaderboard rank.

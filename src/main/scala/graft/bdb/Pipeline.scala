@@ -71,9 +71,11 @@ object Pipeline {
       .join(broadcast(supp), Schemas.playKeys)
     val airIq = perPlayIq.groupBy("nfl_id")
       .agg(avg("air_play_iq").as("air_play_iq"))
+    val routeExec = Metrics.routeExecutionPerPlayer(withIq)
     val scorecard = Metrics.archetypes(
       Metrics.scorecard(playerPlays, trueSpeed))
       .join(airIq, Seq("nfl_id"), "left")
+      .join(routeExec, Seq("nfl_id"), "left")
 
     Result(labeled, withIq, perPlayIq, scorecard, modelMetrics)
   }

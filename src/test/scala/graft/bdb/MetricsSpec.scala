@@ -70,6 +70,21 @@ class MetricsSpec extends SparkSpec {
     assert(bottom === "Depth Piece")
   }
 
+  test("routeExecutionPerPlayer: mean IQ scaled 0-100, rounded to 1dp") {
+    import spark.implicits._
+    val iq = Seq(
+      (10L, 1.0), (10L, 0.0), // mean 0.5
+      (20L, -1.0), (20L, -2.0), // mean -1.5 (worst → 0)
+      (30L, 2.0), (30L, 2.0)) // mean 2.0 (best → 100)
+      .toDF("nfl_id", "route_exec_iq")
+    val out = Metrics.routeExecutionPerPlayer(iq)
+      .orderBy("nfl_id").select("route_execution").as[Double].collect()
+    assert(out(2) === 100.0)
+    assert(out(1) === 0.0)
+    assert(out(0) > 0.0 && out(0) < 100.0)
+    assert(out(0) === math.rint(out(0) * 10) / 10) // 1 dp
+  }
+
   test("topPlayerPerRoute picks the argmax per route") {
     import spark.implicits._
     val pr = Seq(
