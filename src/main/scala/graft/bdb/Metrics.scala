@@ -156,6 +156,16 @@ object Metrics {
             * sqrt(col("myy") - col("my") * col("my")))).as("pearson_r"))
   }
 
+  /** Model-beaters (reference: insights cell 4): players whose actual
+    * convergence most exceeds the model's expectation — top-k by mean
+    * per-play residual. */
+  def modelBeaters(perPlay: DataFrame, k: Int = 10, minPlays: Long = 5): DataFrame =
+    perPlay.groupBy("nfl_id")
+      .agg(avg("residual_mean").as("beat_rate"), count(lit(1)).as("n_plays"))
+      .filter(col("n_plays") >= minPlays)
+      .orderBy(col("beat_rate").desc, col("nfl_id"))
+      .limit(k)
+
   /** W9 — best player per route (reference: insights cell 3). */
   def topPlayerPerRoute(playerRoutes: DataFrame, metric: String): DataFrame = {
     val w = Window.partitionBy("route_of_targeted_receiver")

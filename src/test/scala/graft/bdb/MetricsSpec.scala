@@ -85,6 +85,21 @@ class MetricsSpec extends SparkSpec {
     assert(out(0) === math.rint(out(0) * 10) / 10) // 1 dp
   }
 
+  test("modelBeaters: top-k by mean residual with a volume floor") {
+    import spark.implicits._
+    val perPlay = (1 to 30).map { i =>
+      val player = i % 3 + 10L // players 10, 11, 12 with 10 plays each
+      (1L, i.toLong, player, (player - 11L).toDouble / 10) // 12 beats most
+    }.toDF("game_id", "play_id", "nfl_id", "residual_mean")
+    val top = Metrics.modelBeaters(perPlay, k = 2).collect()
+    assert(top.length === 2)
+    assert(top(0).getAs[Long]("nfl_id") === 12L)
+    assert(top(1).getAs[Long]("nfl_id") === 11L)
+    // volume floor excludes thin samples
+    val thin = Metrics.modelBeaters(perPlay.limit(4), k = 5, minPlays = 5)
+    assert(thin.count() === 0)
+  }
+
   test("topPlayerPerRoute picks the argmax per route") {
     import spark.implicits._
     val pr = Seq(
