@@ -22,8 +22,9 @@ object Registry {
   /** Queries timed by Bench (representative of each operator family's cost). */
   def headline: Seq[QueryDef] = {
     val picks = Set("q1_pricing_summary", "j_star_chain", "j7_nearest_in_group",
-      "a2_residual_stats", "w10_ordered_collect", "e_sessionize",
-      "t_fingerprint", "d_minhash_sig", "s_knn_brute")
+      "a2_residual_stats", "a_rollup", "w10_ordered_collect", "w_range_rolling",
+      "e_sessionize", "t_fingerprint", "d_minhash_sig", "d_minhash_lsh_pairs",
+      "s_knn_brute")
     all.filter(q => q.headline || picks(q.name))
   }
 }
