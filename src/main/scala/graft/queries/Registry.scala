@@ -25,6 +25,9 @@ object Registry {
       "a2_residual_stats", "a_rollup", "w10_ordered_collect", "w_range_rolling",
       "e_sessionize", "t_fingerprint", "d_minhash_sig", "d_minhash_lsh_pairs",
       "s_knn_brute")
+    val known = all.map(_.name).toSet
+    val missing = picks.diff(known)
+    require(missing.isEmpty, s"headline picks not in registry: $missing")
     all.filter(q => q.headline || picks(q.name))
   }
 }
