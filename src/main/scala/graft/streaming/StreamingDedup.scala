@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming corpus dedup with a PERSISTENT signature store — the ingestion
+  * pattern for a training-data pipeline: documents arrive as a stream, exact
+  * duplicates (by content hash) are dropped both within each micro-batch and
+  * against everything ever ingested, survivors append to the corpus.
+  *
+  * Built on foreachBatch (the batch writer escape hatch) because the dedup
+  * state must outlive the stream AND be shared with batch backfills — unlike
+  * `dropDuplicates`+watermark, the store is unbounded by design (it holds one
+  * 32-char hash per unique doc, not the documents). At 100 TB the store is a
+  * bucketed table on `h` so the anti-join is shuffle-free; idempotent restarts
+  * come from checkpointing + the content-hash key (re-appending a batch after
+  * a crash re-drops its rows against the store).
+  */
+object StreamingDedup {
+
+  final case class Doc(doc_id: Long, text: String)
+
+  /** Start deduplicating `docs` (streaming frame with doc_id/text) into
+    * `corpusPath`; hash store lives at `storePath`. */
+  def start(docs: DataFrame, storePath: String, corpusPath: String,
+      name: String = "dedup_ingest"): StreamingQuery =
+    docs.writeStream.queryName(name)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        ingestBatch(batch.toDF(), storePath, corpusPath)
+      }
+      .start()
+
+  /** One batch: hash → in-batch dedup → anti-join the store → append both.
+    * Also usable directly for batch backfills (same semantics, same store). */
+  def ingestBatch(batch: DataFrame, storePath: String, corpusPath: String): Unit = {
+    val spark = batch.sparkSession
+    val hashed = batch
+      .withColumn("h", md5(col("text").cast("binary")))
+      .dropDuplicates("h")
+    val freshLazy = knownHashes(spark, storePath) match {
+      case Some(known) => hashed.join(known, Seq("h"), "left_anti")
+      case None => hashed
+    }
+    // eager localCheckpoint: the store append below would otherwise mutate
+    // what the corpus append's lineage re-reads (lazy self-poisoning) — the
+    // materialized rows must be fixed before either write.
+    val fresh = freshLazy.localCheckpoint(true)
+    fresh.select("h").write.mode("append").parquet(storePath)
+    fresh.drop("h").write.mode("append").parquet(corpusPath)
+  }
+
+  private def knownHashes(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path).select("h"))
+    catch { case _: Throwable => None } // store doesn't exist yet
+}
