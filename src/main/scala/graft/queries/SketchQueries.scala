@@ -27,7 +27,37 @@ object SketchQueries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 20""".stripMargin
 
+  /** Correlated scalar subquery — identical text on both engines. */
+  private val correlatedScalarSql =
+    """SELECT o_orderkey,
+      |  (SELECT CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+      |   WHERE l_orderkey = o_orderkey) AS max_qty
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Correlated LATERAL subquery with per-row top-2 — identical text. */
+  private val lateralSql =
+    """SELECT o_orderkey, l.l_linenumber, l.l_quantity
+      |FROM orders, LATERAL (
+      |  SELECT l_linenumber, l_quantity FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+      |ORDER BY o_orderkey, l.l_quantity DESC, l.l_linenumber""".stripMargin
+
+  private def viaSql(sql: String) = (s: org.apache.spark.sql.SparkSession, dir: String) => {
+    Seq("lineitem", "orders").foreach(t =>
+      Tables.read(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sql)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Correlated scalar subquery (Catalyst decorrelates it into an aggregate
+    // + left join — SURVEY §4's "subquery decorrelation" row, exercised).
+    QueryDef("sql_correlated_scalar", viaSql(correlatedScalarSql),
+      Some(correlatedScalarSql)),
+
+    // Correlated LATERAL join with per-row ORDER BY ... LIMIT.
+    QueryDef("sql_lateral_topk", viaSql(lateralSql), Some(lateralSql)),
 
     QueryDef(
       "a_approx_distinct",
