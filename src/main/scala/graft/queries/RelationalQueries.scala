@@ -213,6 +213,34 @@ object RelationalQueries {
              |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Array scalar family over the embedding vectors: 1-based indexing,
+    // length, bounded slice-fold (sequential → bit-exact both engines),
+    // element-wise max via fold.
+    QueryDef(
+      "f_array",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 200)
+          .select(col("vec_id"),
+            element_at(col("embedding"), 1).cast("double").as("first_dim"),
+            size(col("embedding")).as("n_dims"),
+            expr("""aggregate(slice(transform(embedding, x -> CAST(x AS DOUBLE)), 1, 8),
+                   | 0.0D, (a, p) -> a + p)""".stripMargin).as("head8_sum"),
+            expr("""aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
+                   | CAST(-1e300 AS DOUBLE), (a, p) -> CASE WHEN p > a THEN p ELSE a END)"""
+              .stripMargin).as("max_dim"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(embedding[1] AS DOUBLE) AS first_dim,
+             |  CAST(len(embedding) AS INT) AS n_dims,
+             |  list_reduce([CAST(0.0 AS DOUBLE)] ||
+             |    list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)),
+             |    (a, p) -> a + p) AS head8_sum,
+             |  list_reduce([CAST(-1e300 AS DOUBLE)] ||
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |    (a, p) -> CASE WHEN p > a THEN p ELSE a END) AS max_dim
+             |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin)),
+
     // Date/time scalar family (reference keeps time as strings; we declare the real
     // temporal surface). String-rendered to keep engine date formatting out of the hash.
     QueryDef(

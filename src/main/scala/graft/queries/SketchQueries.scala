@@ -49,7 +49,19 @@ object SketchQueries {
     s.sql(sql)
   }
 
+  /** Explicit GROUPING SETS — identical text on both engines. */
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Explicit grouping sets (the general form behind rollup/cube).
+    QueryDef("sql_grouping_sets", viaSql(groupingSetsSql), Some(groupingSetsSql)),
 
     // Correlated scalar subquery (Catalyst decorrelates it into an aggregate
     // + left join — SURVEY §4's "subquery decorrelation" row, exercised).
