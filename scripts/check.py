@@ -41,7 +41,7 @@ def compare(name, spark_df, duck_df):
             neq = ~both_nan & (a != b)
             if neq.any():
                 i = neq.idxmax()
-                maxdiff = (a[~a.isna()] - b[~b.isna()]).abs().max()
+                maxdiff = (a - b).abs().max(skipna=True)
                 problems.append(
                     f"col {c}: {int(neq.sum())}/{len(a)} mismatches, first at row {i}: "
                     f"spark={a[i]!r} duck={b[i]!r} (maxabsdiff={maxdiff:.3e})")

@@ -29,6 +29,11 @@ object Metrics {
   /** Per-player TrueSpeed = mean of per-play residual means, min-max scaled to
     * 0-100 (reference: metrics.py:129-195). Positive residual = faster-than-
     * expected convergence.
+    *
+    * Standalone utility: the 0-100 scale spans WHATEVER subset you pass. For
+    * scorecard parity with the reference, use [[scorecard]] — it filters junk
+    * routes and applies the volume threshold BEFORE scaling (metrics.py
+    * normalizes only within the qualified subset).
     */
   def trueSpeedPerPlayer(perPlay: DataFrame): DataFrame = {
     val raw = perPlay.groupBy("nfl_id")
@@ -40,6 +45,10 @@ object Metrics {
   /** RouteExecution: per-player mean RouteExecIQ min-max scaled to 0-100 and
     * rounded to 1 dp (reference: metrics.py:342-344 — the scorecard converts
     * RouteExecIQ into the 0-100 "RouteExecution" index at normalize time).
+    *
+    * Standalone utility — same caveat as [[trueSpeedPerPlayer]]: the scale
+    * spans the given subset; [[scorecard]] reproduces the reference's
+    * filter-then-scale ordering.
     */
   def routeExecutionPerPlayer(withIq: DataFrame): DataFrame = {
     val perPlayer = withIq.groupBy("nfl_id")
@@ -49,17 +58,39 @@ object Metrics {
       .drop("route_execution_raw")
   }
 
-  /** A4 + A12 + W6 + W7 — production scorecard (reference: metrics.py:198-367):
-    * per-player production aggs, volume filter targets > maxTargets*volumeFrac,
-    * 0-100 scaling of the headline metric, dense leaderboard rank.
+  /** A4 + A12 + W6 + W7 — production scorecard (reference: metrics.py:198-367),
+    * reproducing build_truespeed_scorecard's ordering exactly:
     *
-    * @param playerPlays one row per (player, play) with pass_result,
-    *                    yards_gained, expected_points_added columns attached
-    *                    (J1 broadcast joins upstream).
+    *  1. junk-route filter on the play-level frame (metrics.py:289-291);
+    *  2. process metrics per player over the SCORED subset (residual_mean
+    *     present): mean per-play TrueSpeed raw + mean RouteExecIQ
+    *     (metrics.py:294-304);
+    *  3. production aggs per player over all junk-filtered plays
+    *     (metrics.py:306-323);
+    *  4. inner join process × production;
+    *  5. volume threshold targets > maxTargets·volumeFrac (metrics.py:327-331);
+    *  6. min-max 0-100 scaling of TrueSpeed and RouteExecIQ→RouteExecution
+    *     computed WITHIN the qualified subset only, rounded to 1 dp
+    *     (metrics.py:333-344) — raw values preserved in `true_speed_raw`;
+    *  7. min-method rank on the scaled TrueSpeed (metrics.py:347-348;
+    *     Spark's `rank()` == pandas method="min").
+    *
+    * @param plays one row per (player, play): nfl_id, player_name,
+    *              pass_result, yards_gained, expected_points_added; a
+    *              `residual_mean` per-play process column (null for unscored
+    *              plays); optionally `route_of_targeted_receiver` (enables the
+    *              junk filter) and `route_exec_iq` (enables RouteExecution).
     */
-  def scorecard(playerPlays: DataFrame, trueSpeed: DataFrame,
-      volumeFrac: Double = 0.5): DataFrame = {
-    val production = playerPlays
+  def scorecard(plays: DataFrame, volumeFrac: Double = 0.5,
+      junkRoutes: Seq[String] = Schemas.junkRoutes): DataFrame = {
+    val hasRoute = plays.columns.contains("route_of_targeted_receiver")
+    val hasIq = plays.columns.contains("route_exec_iq")
+    val kept =
+      if (hasRoute)
+        plays.filter(!col("route_of_targeted_receiver").isin(junkRoutes: _*))
+      else plays
+
+    val production = kept
       .groupBy("nfl_id", "player_name")
       .agg(
         count(lit(1)).as("total_targets"),
@@ -71,17 +102,35 @@ object Metrics {
       .withColumn("yards_per_target", col("total_yards") / col("total_targets"))
       .withColumn("epa_per_target", col("total_epa") / col("total_targets"))
 
+    val iqAggs =
+      if (hasIq) Seq(avg("route_exec_iq").as("route_exec_iq_mean")) else Nil
+    val processAggs = Seq(
+      avg("residual_mean").as("true_speed_raw"),
+      count(lit(1)).as("plays_scored")) ++ iqAggs
+    val process = kept.filter(col("residual_mean").isNotNull)
+      .groupBy("nfl_id", "player_name")
+      .agg(processAggs.head, processAggs.tail: _*)
+
     // HAVING against a global agg: threshold via unpartitioned window (A12).
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val qualified = production
+    val qualified = process.join(production, Seq("nfl_id", "player_name"))
       .withColumn("max_targets", max("total_targets").over(wAll))
       .filter(col("total_targets") > col("max_targets") * volumeFrac)
       .drop("max_targets")
 
-    qualified
-      .join(trueSpeed, Seq("nfl_id"), "left")
-      .withColumn("rank", rank().over(Window.orderBy(col("true_speed").desc)))
+    // Scale INSIDE the qualified subset (the fix the round-1 advisor flagged:
+    // scaling before the filters stretches the 0-100 range over players the
+    // scorecard then drops, shifting every published index).
+    val tsScaled = Normalize
+      .scaleTo100(qualified, "true_speed_raw", "__ts")
+      .withColumn("true_speed", round(col("__ts"), 1)).drop("__ts")
+    val scaled =
+      if (hasIq)
+        Normalize.scaleTo100(tsScaled, "route_exec_iq_mean", "__re")
+          .withColumn("route_execution", round(col("__re"), 1)).drop("__re")
+      else tsScaled
+    scaled.withColumn("rank", rank().over(Window.orderBy(col("true_speed").desc)))
   }
 
   /** P8 — hybrid AirPlayIQ piecewise score (reference: Phase3 cell 18

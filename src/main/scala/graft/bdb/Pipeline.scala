@@ -65,17 +65,22 @@ object Pipeline {
       .agg(avg("defender_separation").as("defender_separation"))
     val perPlayIq = Metrics.hybridAirPlayIq(
       perPlay.join(perPlaySep, Schemas.trajectoryKeys))
-    val trueSpeed = Metrics.trueSpeedPerPlayer(perPlay)
+    val airIq = perPlayIq.groupBy("nfl_id")
+      .agg(avg("air_play_iq").as("air_play_iq"))
+    // Play-level merge feeding the scorecard (metrics.py df_play): production
+    // context from supp + per-play process metrics, left-joined so unscored
+    // plays still count toward production; junk-route filter, volume
+    // threshold, and the filter-then-scale 0-100 ordering all live INSIDE
+    // scorecard(), matching the reference.
     val playerPlays = receivers
       .select("game_id", "play_id", "nfl_id", "player_name").distinct()
       .join(broadcast(supp), Schemas.playKeys)
-    val airIq = perPlayIq.groupBy("nfl_id")
-      .agg(avg("air_play_iq").as("air_play_iq"))
-    val routeExec = Metrics.routeExecutionPerPlayer(withIq)
-    val scorecard = Metrics.archetypes(
-      Metrics.scorecard(playerPlays, trueSpeed))
+      .join(perPlay.select(col("game_id"), col("play_id"), col("nfl_id"),
+        col("residual_mean")), Schemas.trajectoryKeys, "left")
+      .join(withIq.select(col("game_id"), col("play_id"), col("nfl_id"),
+        col("route_exec_iq")), Schemas.trajectoryKeys, "left")
+    val scorecard = Metrics.archetypes(Metrics.scorecard(playerPlays))
       .join(airIq, Seq("nfl_id"), "left")
-      .join(routeExec, Seq("nfl_id"), "left")
 
     Result(labeled, withIq, perPlayIq, scorecard, modelMetrics)
   }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
 
 /** Join helpers (SURVEY §2.3 J9) and composed operators Spark lacks natively. */
 object Joins {
@@ -30,9 +31,9 @@ object Joins {
     val collide = valueCols.filter(left.columns.contains)
     require(collide.isEmpty, s"rename right columns before asOfJoin: ${collide.mkString(",")}")
 
-    val leftTagged = left.withColumn("__t", col(leftTime).cast("long"))
+    val leftTagged = left.withColumn("__t", orderKey(left, leftTime))
       .withColumn("__is_left", lit(1))
-    val rightTagged = right.withColumn("__t", col(rightTime).cast("long"))
+    val rightTagged = right.withColumn("__t", orderKey(right, rightTime))
       .withColumn("__is_left", lit(0))
     val unioned = leftTagged.unionByName(
       rightTagged.drop(rightTime), allowMissingColumns = true)
@@ -48,6 +49,20 @@ object Joins {
     carried.filter(col("__is_left") === 1)
       .drop("__t", "__is_left")
   }
+
+  /** Order-preserving sort key for the as-of union. Timestamps become
+    * microsecond longs (`cast("long")` would truncate to whole seconds and
+    * silently attach right rows up to 999 ms in the future); numerics pass
+    * through untouched so long keys keep full precision. */
+  private def orderKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case DateType => unix_date(col(c)).cast("long")
+      case _: NumericType => col(c)
+      case dt => throw new IllegalArgumentException(
+        s"asOfJoin time column $c has unsupported type $dt")
+    }
 
   /** J9 — join on the intersection of available key columns, resolved at
     * plan-build time (reference: bdb2026/preprocess.py:244-248 merges on

@@ -15,13 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted inner equi-join: `big ⋈ small` on `keys`, with `big`'s rows
+  /** Salted equi-join: `big ⋈ small` on `keys`, with `big`'s rows
     * scattered across `nSalts` sub-keys and `small` replicated to match.
-    * Row-count semantics are identical to the unsalted join.
+    *
+    * `joinType` is restricted to `inner` / `left`(`_outer`): for those the
+    * row-count semantics are identical to the unsalted join. Right/full outer
+    * would emit each unmatched `small` row once PER SALT (it was replicated
+    * `nSalts` times), silently multiplying the outer side — so they are
+    * rejected rather than quietly wrong.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       nSalts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(nSalts > 0)
+    require(Set("inner", "left", "left_outer", "leftouter")
+        .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left_outer only (got '$joinType'): " +
+        "outer-preserving the replicated small side would duplicate its " +
+        s"unmatched rows $nSalts times")
     // rand() is fine here: the salt only routes rows, it never changes results
     val salted = big.withColumn("__salt", (rand(42) * nSalts).cast("int"))
     val replicated = small.withColumn("__salt",

@@ -22,18 +22,32 @@ object StreamingDedup {
   final case class Doc(doc_id: Long, text: String)
 
   /** Start deduplicating `docs` (streaming frame with doc_id/text) into
-    * `corpusPath`; hash store lives at `storePath`. */
+    * `corpusPath`; hash store lives at `storePath`.
+    *
+    * `checkpointLocation` is REQUIRED: restart recovery (replaying the
+    * in-flight batch) only exists when the offset log survives the crash.
+    */
   def start(docs: DataFrame, storePath: String, corpusPath: String,
-      name: String = "dedup_ingest"): StreamingQuery =
+      checkpointLocation: String, name: String = "dedup_ingest"): StreamingQuery = {
+    require(checkpointLocation.nonEmpty, "checkpointLocation is required")
     docs.writeStream.queryName(name)
+      .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
         ingestBatch(batch.toDF(), storePath, corpusPath)
       }
       .start()
+  }
 
   /** One batch: hash → in-batch dedup → anti-join the store → append both.
-    * Also usable directly for batch backfills (same semantics, same store). */
+    * Also usable directly for batch backfills (same semantics, same store).
+    *
+    * Write ordering is corpus FIRST, store second: a crash between the two
+    * writes then leaves a corpus row whose hash is not yet in the store, so
+    * the replayed batch re-appends it — a duplicate a later batch/compaction
+    * can drop by `h`. The opposite order would leave the hash in the store
+    * with no corpus row, so the replay anti-joins the document away and it is
+    * silently lost forever. Duplicates are recoverable; loss is not. */
   def ingestBatch(batch: DataFrame, storePath: String, corpusPath: String): Unit = {
     val spark = batch.sparkSession
     val hashed = batch
@@ -47,8 +61,8 @@ object StreamingDedup {
     // what the corpus append's lineage re-reads (lazy self-poisoning) — the
     // materialized rows must be fixed before either write.
     val fresh = freshLazy.localCheckpoint(true)
-    fresh.select("h").write.mode("append").parquet(storePath)
     fresh.drop("h").write.mode("append").parquet(corpusPath)
+    fresh.select("h").write.mode("append").parquet(storePath)
   }
 
   private def knownHashes(spark: SparkSession, path: String): Option[DataFrame] =

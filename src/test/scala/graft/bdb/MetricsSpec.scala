@@ -23,16 +23,14 @@ class MetricsSpec extends SparkSpec {
     import spark.implicits._
     // player 1: 4 targets, player 2: 4, player 3: 1 (filtered at 0.5*4)
     val plays = Seq(
-      (10L, "A", "C", 25L, 1.0), (10L, "A", "C", 10L, 0.5),
-      (10L, "A", "I", 0L, -0.5), (10L, "A", "C", 30L, 2.0),
-      (20L, "B", "C", 5L, 0.2), (20L, "B", "I", 0L, -0.3),
-      (20L, "B", "I", 0L, -0.4), (20L, "B", "C", 8L, 0.1),
-      (30L, "C", "C", 50L, 3.0))
+      (10L, "A", "C", 25L, 1.0, 0.4), (10L, "A", "C", 10L, 0.5, 0.2),
+      (10L, "A", "I", 0L, -0.5, 0.0), (10L, "A", "C", 30L, 2.0, 0.2),
+      (20L, "B", "C", 5L, 0.2, -0.1), (20L, "B", "I", 0L, -0.3, 0.1),
+      (20L, "B", "I", 0L, -0.4, -0.2), (20L, "B", "C", 8L, 0.1, 0.0),
+      (30L, "C", "C", 50L, 3.0, 9.9)) // extreme residual, must NOT stretch the scale
       .toDF("nfl_id", "player_name", "pass_result", "yards_gained",
-        "expected_points_added")
-    val ts = Seq((10L, 80.0), (20L, 60.0), (30L, 99.0))
-      .toDF("nfl_id", "true_speed")
-    val sc = Metrics.scorecard(plays, ts).orderBy("rank")
+        "expected_points_added", "residual_mean")
+    val sc = Metrics.scorecard(plays).orderBy("rank")
     val rows = sc.collect()
     assert(rows.length === 2) // player 30 fails the volume filter
     assert(rows(0).getAs[String]("player_name") === "A")
@@ -40,6 +38,35 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(rows(0).getAs[Double]("catch_rate") - 0.75) < 1e-12)
     assert(rows(0).getAs[Int]("rank") === 1)
     assert(rows(1).getAs[Int]("rank") === 2)
+    // 0-100 scale spans the QUALIFIED subset only (metrics.py:327-344
+    // ordering): A (best of the two) pegs 100, B pegs 0 — player C's 9.9
+    // residual was filtered out before normalization so it can't compress
+    // the survivors toward 0.
+    assert(rows(0).getAs[Double]("true_speed") === 100.0)
+    assert(rows(1).getAs[Double]("true_speed") === 0.0)
+  }
+
+  test("scorecard: junk routes are excluded before scoring and production") {
+    import spark.implicits._
+    val plays = Seq(
+      // player A: 3 real targets + 2 SCREEN (junk) — production must count 3
+      (10L, "A", "GO", "C", 25L, 1.0, 0.4),
+      (10L, "A", "POST", "C", 10L, 0.5, 0.2),
+      (10L, "A", "OUT", "I", 0L, -0.5, 0.0),
+      (10L, "A", "SCREEN", "C", 40L, 3.0, 5.0),
+      (10L, "A", "SCREEN", "C", 35L, 2.5, 5.0),
+      // player B: 3 real targets
+      (20L, "B", "GO", "C", 5L, 0.2, -0.1),
+      (20L, "B", "CROSS", "I", 0L, -0.3, 0.1),
+      (20L, "B", "HITCH", "C", 8L, 0.1, 0.0))
+      .toDF("nfl_id", "player_name", "route_of_targeted_receiver",
+        "pass_result", "yards_gained", "expected_points_added", "residual_mean")
+    val rows = Metrics.scorecard(plays).orderBy("rank").collect()
+    assert(rows.length === 2)
+    val a = rows.find(_.getAs[String]("player_name") == "A").get
+    assert(a.getAs[Long]("total_targets") === 3L) // SCREENs dropped
+    assert(a.getAs[Long]("explosive_plays") === 1L) // 40/35-yd screens dropped
+    assert(a.getAs[Long]("plays_scored") === 3L) // junk excluded from process too
   }
 
   test("hybridAirPlayIq: bounded to [0, 100], contested scores amplified") {

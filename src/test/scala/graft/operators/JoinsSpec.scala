@@ -42,6 +42,22 @@ class JoinsSpec extends SparkSpec {
     assert(joined.length === 4) // row count preserved
   }
 
+  test("asOfJoin keeps sub-second timestamp precision (no whole-second truncation)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // trade at 10:00:00.100; quotes at 10:00:00.050 (before) and
+    // 10:00:00.900 (same SECOND but 800 ms AFTER the trade). A
+    // seconds-truncating key would treat the .900 quote as <= and attach it.
+    val t = (ms: Long) => new Timestamp(1700000000000L + ms)
+    val trades = Seq(("A", t(100), 10.0)).toDF("sym", "trade_t", "px")
+    val quotes = Seq(("A", t(50), 1.0), ("A", t(900), 2.0))
+      .toDF("sym", "quote_t", "bid")
+    val joined = Joins.asOfJoin(trades, quotes, Seq("sym"), "trade_t", "quote_t")
+      .collect()
+    assert(joined.length === 1)
+    assert(joined(0).getAs[Double]("bid") === 1.0)
+  }
+
   test("asOfJoin rejects colliding value columns") {
     import spark.implicits._
     val l = Seq(("A", 1L, 1.0)).toDF("k", "t", "v")

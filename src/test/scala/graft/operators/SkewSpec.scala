@@ -20,6 +20,22 @@ class SkewSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("saltedJoin rejects outer types that would replicate the small side") {
+    import spark.implicits._
+    val big = Seq((1L, "x")).toDF("k", "side")
+    val small = Seq((1L, "dim"), (2L, "unmatched")).toDF("k", "name")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer")) {
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, small, Seq("k"), nSalts = 4, joinType = jt)
+      }
+    }
+    // left outer stays exact: unmatched BIG rows appear once
+    val bigL = Seq((1L, "x"), (99L, "nomatch")).toDF("k", "side")
+    val left = Skew.saltedJoin(bigL, small, Seq("k"), nSalts = 4, joinType = "left")
+    assert(left.count() === 2)
+    assert(left.filter(col("name").isNull).count() === 1)
+  }
+
   test("hotKeys surfaces the dominant key") {
     import spark.implicits._
     val big = ((1 to 900).map(_ => 1L) ++ (1 to 100).map(_.toLong + 1)).toDF("k")
