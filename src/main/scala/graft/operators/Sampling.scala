@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixtures.
+  *
+  * A training corpus is usually a weighted blend of sources ("90% of src0,
+  * 30% of src2, ..."). Doing that with `rand()` makes every run a different
+  * dataset and makes the sample non-reproducible across retries/backfills.
+  * Instead each row's fate is a pure function of its id: a multiplicative
+  * integer hash of the id, reduced to [0, 1000), compared against the
+  * source's per-mille rate. Map-side only — no shuffle, no RNG state, stable
+  * under re-partitioning, retries, and incremental appends (a doc's
+  * keep/drop never changes when other docs arrive).
+  *
+  * The hash is Knuth's multiplicative constant 2654435761 (⌊2^32/φ⌋) with a
+  * prime modulus to break the id's low-bit regularity; per-mille resolution
+  * keeps everything in exact integer arithmetic (cross-engine reproducible —
+  * no float thresholds).
+  */
+object Sampling {
+
+  /** Pseudo-uniform value in [0, 1000) derived from the id. */
+  def perMille(id: Column): Column =
+    pmod(pmod(id.cast("long") * 2654435761L, lit(97911L)), lit(1000L))
+
+  /** SQL text of [[perMille]] (for oracle parity). */
+  def perMilleSql(idExpr: String): String =
+    s"((($idExpr) * 2654435761) % 97911) % 1000"
+
+  /** Keep each row whose source's per-mille rate exceeds its hash draw.
+    * `rates` maps source → rate in [0, 1000]; sources absent from the map
+    * get `defaultRate`.
+    */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Int], defaultRate: Int = 0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),
+      "rates are per-mille: 0..1000")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    df.filter(perMille(col(idCol)) < rate)
+  }
+}

@@ -151,6 +151,32 @@ object DedupQueries {
             .mkString(" + ")} AS simhash
        |  FROM votes)""".stripMargin
 
+  /** LSH candidate pairs (d1 < d2), shared by the pair query and the
+    * component-clustering query. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        concat_ws("_", col(s"mh_${3 * b}"), col(s"mh_${3 * b + 1}"),
+          col(s"mh_${3 * b + 2}")).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val x = banded.select(col("band"), col("bkey"), col("doc_id").as("d1"))
+    val y = banded.select(col("band"), col("bkey"), col("doc_id").as("d2"))
+    x.join(y, Seq("band", "bkey")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  private val sqlLshPairs =
+    s"""$sqlSignatures,
+       |banded AS (
+       |${(0 until 4).map(b =>
+          s"  SELECT doc_id, $b AS band, CAST(mh_${3 * b} AS VARCHAR) || '_' || CAST(mh_${3 * b + 1} AS VARCHAR) || '_' || CAST(mh_${3 * b + 2} AS VARCHAR) AS bkey FROM sig")
+          .mkString("\n  UNION ALL\n")}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // SimHash signatures: majority-vote bit sketch of the token-hash stream —
@@ -259,27 +285,40 @@ object DedupQueries {
     // scale this is the dedup join — candidates only, verified by d_ngram_jaccard.
     QueryDef(
       "d_minhash_lsh_pairs",
+      (s, dir) => lshPairs(s, dir).orderBy("d1", "d2"),
+      Some(s"""WITH $sqlLshPairs
+              |SELECT d1, d2 FROM pairs ORDER BY d1, d2""".stripMargin)),
+
+    // Duplicate-group clustering: transitive closure of the LSH candidate
+    // pairs via distributed min-label propagation
+    // (operators.ConnectedComponents) — the "keep one doc per near-dup
+    // group" step of a corpus pipeline. The oracle computes the same
+    // components with a recursive CTE propagating min labels (pruned to
+    // labels smaller than the receiving node, which cannot cut off the
+    // component minimum).
+    QueryDef(
+      "d_cc_labels",
       (s, dir) => {
-        val sig = signatures(s, dir)
-        val banded = sig.select(col("doc_id"),
-          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-            concat_ws("_", col(s"mh_${3 * b}"), col(s"mh_${3 * b + 1}"),
-              col(s"mh_${3 * b + 2}")).as("bkey"))): _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-        val x = banded.select(col("band"), col("bkey"), col("doc_id").as("d1"))
-        val y = banded.select(col("band"), col("bkey"), col("doc_id").as("d2"))
-        x.join(y, Seq("band", "bkey")).filter(col("d1") < col("d2"))
-          .select("d1", "d2").distinct()
-          .orderBy("d1", "d2")
+        import graft.operators.ConnectedComponents
+        val edges = lshPairs(s, dir)
+          .select(col("d1").as("src"), col("d2").as("dst"))
+        ConnectedComponents.run(edges)
+          .select(col("id").as("doc_id"), col("comp").as("component"),
+            (col("id") === col("comp")).as("is_canonical"))
+          .orderBy("doc_id")
       },
-      Some(s"""WITH $sqlSignatures,
-              |banded AS (
-              |${(0 until 4).map(b =>
-                 s"  SELECT doc_id, $b AS band, CAST(mh_${3 * b} AS VARCHAR) || '_' || CAST(mh_${3 * b + 1} AS VARCHAR) || '_' || CAST(mh_${3 * b + 2} AS VARCHAR) AS bkey FROM sig")
-                 .mkString("\n  UNION ALL\n")})
-              |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              |FROM banded a JOIN banded b
-              |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-              |ORDER BY d1, d2""".stripMargin)),
+      Some(s"""WITH RECURSIVE $sqlLshPairs,
+              |edges AS (
+              |  SELECT d1 AS id, d2 AS nb FROM pairs
+              |  UNION
+              |  SELECT d2 AS id, d1 AS nb FROM pairs),
+              |reach(id, comp) AS (
+              |  SELECT DISTINCT id, id FROM edges
+              |  UNION
+              |  SELECT e.id, r.comp FROM edges e JOIN reach r ON r.id = e.nb
+              |  WHERE r.comp < e.id)
+              |SELECT id AS doc_id, MIN(comp) AS component,
+              |       (id = MIN(comp)) AS is_canonical
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
   )
 }

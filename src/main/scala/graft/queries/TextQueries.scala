@@ -168,5 +168,64 @@ object TextQueries {
               |      t -> $sqlTokHash),
               |    (acc, th) -> (acc * 131 + th) % 2147483647) AS fp
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Training-sequence packing (operators.Packing): docs → fixed-capacity
+    // token sequences, sharded so the running-sum window distributes
+    // (PARTITION BY shard, not one global partition). All-integer arithmetic
+    // → bit-exact cross-engine.
+    QueryDef(
+      "t_pack",
+      (s, dir) => {
+        import graft.operators.Packing
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("size(filter(split(text, ' '), x -> x != ''))")
+              .cast("long").as("n_tok"))
+        Packing.pack(toks, "doc_id", "n_tok", capacity = 512, nShards = 8)
+          .select("doc_id", "shard", "n_tok", "seq_id", "seq_offset")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+             |    doc_id % 8 AS shard
+             |  FROM documents),
+             |packed AS (
+             |  SELECT doc_id, shard, n_tok,
+             |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM toks)
+             |SELECT doc_id, shard, n_tok,
+             |  shard * 4294967296 + (cum - n_tok) // 512 AS seq_id,
+             |  (cum - n_tok) % 512 AS seq_offset
+             |FROM packed ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic mixture sampling (operators.Sampling): weighted blend of
+    // sources where each doc's keep/drop is a pure integer-hash function of
+    // its id — reproducible across runs, retries, and engines (no RNG, no
+    // float thresholds). Verified as per-source kept/total counts.
+    QueryDef(
+      "t_mixture_sample",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, dir)
+        val kept = Sampling.mixture(docs, "doc_id", "source",
+          Map("src0" -> 900, "src1" -> 600, "src2" -> 300), defaultRate = 150)
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+          .join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_total"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH hashed AS (
+              |  SELECT source, ${graft.operators.Sampling.perMilleSql("doc_id")} AS pm
+              |  FROM documents)
+              |SELECT source,
+              |  CAST(COUNT(*) AS BIGINT) AS n_total,
+              |  CAST(SUM(CASE WHEN pm < (CASE source WHEN 'src0' THEN 900
+              |    WHEN 'src1' THEN 600 WHEN 'src2' THEN 300 ELSE 150 END)
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              |FROM hashed GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

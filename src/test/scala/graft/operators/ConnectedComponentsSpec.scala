@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  /** Driver-side union-find ground truth. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    // normalize: every node → min id of its component
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+  }
+
+  test("components match union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    // 60 nodes, sparse random edges → mix of singleton pairs, chains, merges
+    val edges = (1 to 55).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val expected = unionFind(edges)
+    val got = ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("chain graph converges to one component (worst-case diameter)") {
+    import spark.implicits._
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val comps = ConnectedComponents.run(chain.toDF("src", "dst"))
+    assert(comps.select("comp").distinct().count() === 1)
+    assert(comps.count() === 30)
+    assert(comps.agg(min("comp")).head().getLong(0) === 0L)
+  }
+
+  test("disjoint cliques stay separate") {
+    import spark.implicits._
+    val cliqueA = for (i <- 0 to 3; j <- i + 1 to 3) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 to 13; j <- i + 1 to 13) yield (i.toLong, j.toLong)
+    val comps = ConnectedComponents.run((cliqueA ++ cliqueB).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(comps(_) == 0L))
+    assert((10L to 13L).forall(comps(_) == 10L))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("mixture: deterministic, rate-monotone, and stable under repartition") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val rates = Map("src0" -> 1000, "src1" -> 500, "src2" -> 0)
+    val kept = Sampling.mixture(docs, "id", "source", rates, defaultRate = 250)
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("src0") === 500L) // rate 1000 keeps everything
+    assert(!counts.contains("src2")) // rate 0 keeps nothing
+    // ~50% / ~25% within generous bounds (hash is uniform-ish, not exact)
+    assert(counts("src1") > 150 && counts("src1") < 350)
+    assert(counts("src3") > 50 && counts("src3") < 200)
+
+    // determinism: same input → identical kept set, regardless of layout
+    val again = Sampling.mixture(docs.repartition(13), "id", "source", rates, 250)
+    assert(again.select("id").except(kept.select("id")).count() === 0)
+    assert(kept.select("id").except(again.select("id")).count() === 0)
+  }
+
+  test("mixture: keep/drop of a doc never changes when the corpus grows") {
+    import spark.implicits._
+    val small = (0L until 100L).map(i => (i, "s")).toDF("id", "source")
+    val large = (0L until 1000L).map(i => (i, "s")).toDF("id", "source")
+    val keptSmall = Sampling.mixture(small, "id", "source", Map("s" -> 400))
+      .select("id").as[Long].collect().toSet
+    val keptLarge = Sampling.mixture(large, "id", "source", Map("s" -> 400))
+      .filter(col("id") < 100).select("id").as[Long].collect().toSet
+    assert(keptSmall === keptLarge)
+  }
+
+  test("mixture rejects out-of-range rates") {
+    import spark.implicits._
+    val docs = Seq((1L, "s")).toDF("id", "source")
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(docs, "id", "source", Map("s" -> 1500))
+    }
+  }
+}
