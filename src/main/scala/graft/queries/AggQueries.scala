@@ -294,5 +294,67 @@ object AggQueries {
               |        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
               |    AS corr_qty_price
               |FROM t ORDER BY l_returnflag""".stripMargin)),
+
+    // PIVOT: returnflag values become columns (Spark's relational pivot
+    // operator; the oracle states the equivalent CASE-sums, which is also
+    // Spark's own physical strategy for a pivot with known values). Decimal
+    // sums for cross-engine exactness.
+    QueryDef(
+      "a_pivot",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(Exact.dsum(col("l_quantity")))
+          .orderBy("l_linestatus"),
+      Some(s"""SELECT l_linestatus,
+              |  ${Exact.sqlDsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS "A",
+              |  ${Exact.sqlDsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS "N",
+              |  ${Exact.sqlDsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS "R"
+              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // Deterministic MODE per group: most frequent order priority per status,
+    // ties broken by value order (Spark's mode() is tie-nondeterministic, so
+    // the engine states the deterministic argmax explicitly — count desc,
+    // value asc).
+    QueryDef(
+      "a_mode",
+      (s, dir) => {
+        val counts = Tables.orders(s, dir)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("n").desc, col("o_orderpriority"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"), col("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+             |r AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |    ORDER BY n DESC, o_orderpriority) AS rn
+             |  FROM c)
+             |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+             |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Ordered string aggregation (listagg/string_agg): distinct values
+    // sorted then joined — the order-by-inside-agg form made deterministic
+    // (collect_set order is undefined, so sort the array before joining).
+    QueryDef(
+      "a_string_agg",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+            .as("priorities"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             |    AS priorities
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
   )
 }

@@ -267,5 +267,42 @@ object RelationalQueries {
              |  CAST(epoch(l_shipdate) AS BIGINT) AS epoch_s,
              |  CAST(datediff('day', DATE '2024-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Regex scalar family: replace / extract-all count / match flag. Patterns
+    // kept to constructs with identical semantics in Java regex (Spark) and
+    // RE2 (DuckDB): character classes, +, no backrefs or lookaround.
+    QueryDef(
+      "f_regex",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+            size(regexp_extract_all(col("p_type"), lit("[A-Z]+"), lit(0)))
+              .as("n_upper_runs"),
+            col("p_brand").rlike("Brand#[0-9]{2}").cast("int").as("brand_ok"),
+            regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+             |  CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS INT) AS n_upper_runs,
+             |  CAST(regexp_matches(p_brand, 'Brand#[0-9]{2}') AS INT) AS brand_ok,
+             |  regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // LIMIT/OFFSET pagination under a total order (page 3 of 20): OFFSET is
+    // a real relational operator in Spark 4 (Dataset.offset), not a
+    // driver-side skip.
+    QueryDef(
+      "o_limit_offset",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(40)
+          .limit(20)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 20 OFFSET 40""".stripMargin)),
   )
 }

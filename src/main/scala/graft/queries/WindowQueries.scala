@@ -275,5 +275,24 @@ object WindowQueries {
               |  CAST(SUM(CASE WHEN turn > 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_turns,
               |  CAST(COUNT(turn) AS BIGINT) AS n_diffs
               |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // NTILE quartiles per group (SQL-standard bucket arithmetic is identical
+    // in both engines given a total order — unique (orderkey, linenumber)
+    // tiebreak).
+    QueryDef(
+      "w_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            ntile(4).over(w).as("price_quartile"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+             |  CAST(NTILE(4) OVER (PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
+             |    AS price_quartile
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
   )
 }

@@ -54,6 +54,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(smj.isEmpty, "dimension chain should not sort-merge at this scale")
   }
 
+  test("Packing.pack: running-sum window is partitioned, never one global partition") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(1000)
+      .select(col("id").as("doc_id"), (col("id") % 40 + 1).as("n_tok"))
+    val plan = executedPlan(
+      graft.operators.Packing.pack(docs, "doc_id", "n_tok", 512, 8))
+    val windows = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "empty partitionSpec would serialize the corpus through one task")
+  }
+
+  test("Sampling.mixture: map-side only — no shuffle exchange in the plan") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(1000)
+      .select(col("id"), concat(lit("src"), col("id") % 4).as("source"))
+    val plan = executedPlan(graft.operators.Sampling.mixture(
+      docs, "id", "source", Map("src0" -> 500), defaultRate = 100))
+    val exchanges = plan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "mixture sampling must not shuffle")
+  }
+
   test("q1_pricing_summary: scan prunes to the 6 referenced columns") {
     val s = scans(executedPlan(run("q1_pricing_summary")))
     assert(s.head.requiredSchema.fieldNames.toSet ===
