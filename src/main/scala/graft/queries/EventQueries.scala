@@ -109,5 +109,38 @@ object EventQueries {
              |  CAST(COUNT(*) AS BIGINT) AS cnt,
              |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Event-time interval join (attribution): for each purchase, how many
+    // views by the same user in the preceding 10 minutes. The batch twin of
+    // the stream-stream join in streaming.EventStreams.attributeWithin —
+    // equi-key + time-range predicate, integer-µs arithmetic. At scale the
+    // equi-key carries the shuffle; the range condition is a post-join
+    // filter, and the SAME predicate bounds streaming state retention.
+    QueryDef(
+      "e_interval_join",
+      (s, dir) => {
+        val base = ev(s, dir)
+        val views = base.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("tus").as("vt"))
+        val purchases = base.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tus").as("pt"))
+        purchases
+          .join(views,
+            col("user_id") === col("v_user") &&
+              col("vt") < col("pt") &&
+              col("vt") >= col("pt") - 600000000L,
+            "left")
+          .groupBy("event_id", "user_id")
+          .agg(count(col("vt")).as("n_views_10m"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+             |  CAST(COUNT(v.vt) AS BIGINT) AS n_views_10m
+             |FROM (SELECT event_id, user_id, epoch_us(ts) AS pt
+             |      FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT user_id AS v_user, epoch_us(ts) AS vt
+             |           FROM events WHERE event_type = 'view') v
+             |  ON p.user_id = v.v_user AND v.vt < p.pt AND v.vt >= p.pt - 600000000
+             |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin)),
   )
 }

@@ -86,6 +86,22 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
 
+  /** Stream-STREAM interval join (attribution): match each right-side event
+    * (`actions`: a_user_id, a_ts, ...) to left-side events (`impressions`:
+    * user_id, ts, ...) of the same user at most `within` BEFORE it. Both
+    * sides are watermarked — together with the time-range predicate that
+    * bounds the join state Spark must retain (impressions older than
+    * watermark + `within` are evicted). Inner join ⇒ Append mode. The batch
+    * twin is the oracle-verified `e_interval_join` query: same predicate,
+    * same results on complete data.
+    */
+  def attributeWithin(impressions: DataFrame, actions: DataFrame,
+      within: String = "10 minutes", watermark: String = "1 hour"): DataFrame =
+    impressions.withWatermark("ts", watermark)
+      .join(actions.withWatermark("a_ts", watermark),
+        expr(s"user_id = a_user_id AND ts < a_ts AND " +
+          s"ts >= a_ts - INTERVAL $within"))
+
   /** foreachBatch sink: apply an arbitrary BATCH writer to each micro-batch —
     * the escape hatch for sinks without native streaming support (JDBC,
     * bucketed tables, multi-table fan-out). batchId enables exactly-once via

@@ -136,4 +136,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("tv") === 5.0)
     assert(rows(1).getAs[Long]("n") === 1L)
   }
+
+  test("attributeWithin: stream-stream interval join matches within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    final case class Imp(ts: Timestamp, user_id: Long, imp_id: Long)
+    final case class Act(a_ts: Timestamp, a_user_id: Long, act_id: Long)
+    val imps = MemoryStream[(Timestamp, Long, Long)]
+    val acts = MemoryStream[(Timestamp, Long, Long)]
+    val joined = EventStreams.attributeWithin(
+      imps.toDF().toDF("ts", "user_id", "imp_id"),
+      acts.toDF().toDF("a_ts", "a_user_id", "act_id"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((ts(0), 1L, 100L), (ts(30), 1L, 101L), (ts(0), 2L, 200L))
+      acts.addData(
+        (ts(5), 1L, 900L), // 5 min after imp 100 → matches it (not 101)
+        (ts(35), 1L, 901L), // 5 min after imp 101 → matches it only
+        (ts(20), 2L, 902L)) // 20 min after imp 200 → outside 10-min window
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("imp_id", "act_id").orderBy("act_id")
+        .as[(Long, Long)].collect()
+      assert(rows.toSeq === Seq((100L, 900L), (101L, 901L)))
+    } finally q.stop()
+  }
 }
