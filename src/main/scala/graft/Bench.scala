@@ -19,16 +19,22 @@ object Bench {
       try q.run(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // Median of 3 timed runs per query: single-shot numbers on a shared box
+    // swing 2× with background load; the median is the steady-state figure.
     val results = Registry.headline.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> times(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3",""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -152,7 +152,17 @@ object DedupQueries {
        |  FROM votes)""".stripMargin
 
   /** LSH candidate pairs (d1 < d2), shared by the pair query and the
-    * component-clustering query. */
+    * component-clustering query.
+    *
+    * Pairs are generated BUCKET-LOCALLY: group by (band, bucket), collect the
+    * (few) colliding doc ids, emit i<j combinations per bucket. One pass over
+    * the signatures and a single exchange — the self-join formulation would
+    * compute the whole signature subplan twice (no ReusedExchange across
+    * differently-aliased sides) and shuffle both copies. Bucket sizes are
+    * bounded by design (band collision rate), so the per-bucket quadratic is
+    * constant work; a pathological mega-bucket would surface in `hotKeys`
+    * diagnostics long before it mattered here.
+    */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
     val banded = sig.select(col("doc_id"),
@@ -160,10 +170,16 @@ object DedupQueries {
         concat_ws("_", col(s"mh_${3 * b}"), col(s"mh_${3 * b + 1}"),
           col(s"mh_${3 * b + 2}")).as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val x = banded.select(col("band"), col("bkey"), col("doc_id").as("d1"))
-    val y = banded.select(col("band"), col("bkey"), col("doc_id").as("d2"))
-    x.join(y, Seq("band", "bkey")).filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    banded
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
   }
 
   private val sqlLshPairs =

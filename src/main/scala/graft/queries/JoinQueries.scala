@@ -171,7 +171,12 @@ object JoinQueries {
       "j_star_chain",
       (s, dir) =>
         Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          // SHUFFLE_HASH on the smaller fact side: same single exchange per
+          // side as sort-merge but skips BOTH sorts; valid at 100 TB because
+          // only one orderkey partition of orders must fit an executor (AQE
+          // splits skewed partitions), and orders is ~1/4 of lineitem.
+          .join(Tables.orders(s, dir).hint("SHUFFLE_HASH"),
+            col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
