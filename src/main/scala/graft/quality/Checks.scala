@@ -65,4 +65,40 @@ object Checks {
       .groupBy("game_id", "play_id")
       .agg(countDistinct("nfl_id").as("n_targets"))
       .filter(col("n_targets") =!= 1)
+
+  /** Population Stability Index between a baseline and a current frame over
+    * fixed bins of `c`: PSI = Σ_bins (p_cur − p_base)·ln(p_cur / p_base).
+    * The standard drift gate for a continuously-ingested training corpus
+    * (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+    *
+    * Proportions are clamped at `eps` so an empty bin contributes a large
+    * finite term instead of ±∞. Two aggregation passes (one per frame, each a
+    * single scan with map-side combine) + a few-row join — at 100 TB the cost
+    * is the two scans, nothing else. Returns one row:
+    * (psi rounded to 6 dp, n_base, n_cur).
+    */
+  def psi(base: DataFrame, cur: DataFrame, c: String, edges: Seq[Double],
+      eps: Double = 1e-6): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted, "edges must be ascending")
+    def binned(df: DataFrame, n: String) = {
+      val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(col(c) >= e, 1).otherwise(0)
+      }
+      df.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as(n))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned(base, "n_base")
+      .join(binned(cur, "n_cur"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .withColumn("tb", sum("n_base").over(wAll))
+      .withColumn("tc", sum("n_cur").over(wAll))
+      .withColumn("pb", greatest(col("n_base") / col("tb"), lit(eps)))
+      .withColumn("pc", greatest(col("n_cur") / col("tc"), lit(eps)))
+      .agg(
+        round(sum((col("pc") - col("pb")) * log(col("pc") / col("pb"))), 6)
+          .as("psi"),
+        max("tb").as("n_base"), max("tc").as("n_cur"))
+  }
 }

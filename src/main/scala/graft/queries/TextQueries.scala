@@ -227,5 +227,40 @@ object TextQueries {
               |    WHEN 'src1' THEN 600 WHEN 'src2' THEN 300 ELSE 150 END)
               |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
               |FROM hashed GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Distribution-drift gate (quality.Checks.psi): PSI of the doc-length
+    // distribution, src0 as baseline vs src1 as current, fixed bin edges.
+    // Integer bin counts, identical double division, ln rounded via the
+    // 6-dp final round (libm vs JVM last-ulp).
+    QueryDef(
+      "t_drift_psi",
+      (s, dir) => {
+        import graft.quality.Checks
+        val docs = Tables.documents(s, dir)
+        Checks.psi(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"),
+          "n_chars", edges = Seq(150.0, 250.0, 350.0, 450.0))
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    (CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END
+             |   + CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
+             |   + CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END
+             |   + CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END) AS bin
+             |  FROM documents WHERE source IN ('src0', 'src1')),
+             |c AS (
+             |  SELECT bin,
+             |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+             |  FROM d GROUP BY bin),
+             |t AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb, CAST(SUM(nc) AS BIGINT) AS tc FROM c),
+             |p AS (
+             |  SELECT greatest(nb / CAST(tb AS DOUBLE), 1e-6) AS pb,
+             |         greatest(nc / CAST(tc AS DOUBLE), 1e-6) AS pc
+             |  FROM c, t)
+             |SELECT round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
+             |  (SELECT tb FROM t) AS n_base, (SELECT tc FROM t) AS n_cur
+             |FROM p""".stripMargin)),
   )
 }

@@ -62,6 +62,24 @@ object ScaleDemo {
       val r = Pipeline.run(tracking, Synth.output(tracking), supp)
       println(s"[scale] scorecard players: ${r.scorecard.count()}")
     }
+
+    // Near-dup cluster closure at corpus scale: 3M-node graph shaped like an
+    // LSH candidate graph — 500k star clusters of 5 (diameter 2) plus chain
+    // links joining consecutive stars in 1% of cases (forces an extra
+    // propagation round). ~2.9M edges.
+    timed("connected components (3M nodes, ~2.9M edges)") {
+      val n = 3000000L
+      val stars = spark.range(n)
+        .select(col("id").as("src"), (col("id") - col("id") % 5).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val bridges = spark.range(n / 5)
+        .filter(pmod(col("id"), lit(100)) === 0)
+        .select((col("id") * 5).as("src"), (col("id") * 5 + 5).as("dst"))
+        .filter(col("dst") < n)
+      val comps = graft.operators.ConnectedComponents.run(
+        stars.union(bridges))
+      println(s"[scale] components: ${comps.select("comp").distinct().count()}")
+    }
     spark.stop()
   }
 }

@@ -44,4 +44,23 @@ class ChecksSpec extends SparkSpec {
     assert(bad.length === 1)
     assert(bad.head.getAs[Long]("n_targets") === 2L)
   }
+
+  test("psi: zero for identical distributions, large for a shift, finite for empty bins") {
+    import spark.implicits._
+    val edges = Seq(10.0, 20.0, 30.0)
+    val base = (1 to 100).map(i => (i % 40).toDouble).toDF("v")
+    val same = Checks.psi(base, base, "v", edges).head()
+    assert(same.getAs[Double]("psi") === 0.0)
+    assert(same.getAs[Long]("n_base") === 100L)
+
+    // shifted distribution: everything lands in the top bin
+    val shifted = (1 to 100).map(_ => 35.0).toDF("v")
+    val drift = Checks.psi(base, shifted, "v", edges).head().getAs[Double]("psi")
+    assert(drift > 0.25, s"expected major drift, got $drift")
+    assert(!drift.isInfinite) // empty-bin proportions clamp at eps, never ±inf
+
+    intercept[IllegalArgumentException] {
+      Checks.psi(base, base, "v", Seq(20.0, 10.0)) // unsorted edges
+    }
+  }
 }
