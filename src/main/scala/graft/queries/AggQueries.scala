@@ -341,6 +341,26 @@ object AggQueries {
              |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
              |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Exact interpolated percentiles per group (SQL-standard PERCENTILE_CONT
+    // semantics: both engines sort and linearly interpolate; round(6) guards
+    // the interpolation's last ulp). At 100 TB the approximate twin
+    // (a_approx_quantiles) replaces the per-group sort.
+    QueryDef(
+      "a_percentiles",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+             |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Ordered string aggregation (listagg/string_agg): distinct values
     // sorted then joined — the order-by-inside-agg form made deterministic
     // (collect_set order is undefined, so sort the array before joining).

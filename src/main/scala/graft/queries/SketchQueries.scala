@@ -49,6 +49,18 @@ object SketchQueries {
     s.sql(sql)
   }
 
+  /** Correlated EXISTS / NOT EXISTS — identical text on both engines
+    * (Catalyst rewrites into semi/anti joins). */
+  private val existsSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN EXISTS (SELECT 1 FROM lineitem
+      |                    WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |       THEN 1 ELSE 0 END AS has_bulk_item
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Explicit GROUPING SETS — identical text on both engines. */
   private val groupingSetsSql =
     """SELECT l_returnflag, l_linestatus,
@@ -70,6 +82,10 @@ object SketchQueries {
 
     // Correlated LATERAL join with per-row ORDER BY ... LIMIT.
     QueryDef("sql_lateral_topk", viaSql(lateralSql), Some(lateralSql)),
+
+    // Correlated EXISTS in a projection + NOT EXISTS in the filter
+    // (semi/anti-join decorrelation, both positions).
+    QueryDef("sql_exists", viaSql(existsSql), Some(existsSql)),
 
     QueryDef(
       "a_approx_distinct",
