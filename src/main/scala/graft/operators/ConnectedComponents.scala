@@ -45,21 +45,27 @@ object ConnectedComponents {
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
 
+    // Convergence test: labels only ever DECREASE, so the label sum is
+    // strictly monotone and "sum unchanged ⇔ no label changed" — one tiny
+    // aggregate over the checkpointed labels instead of a join + count per
+    // round. decimal(38,0) so the sum can't overflow at 10^11 × 10^11-sized
+    // ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("id", "nb"), Seq("nb"))
         .select("id", "comp")
-      val next = labels.union(viaNeighbor)
+      labels = labels.union(viaNeighbor)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") < col("prev"))
-        .count()
-      labels = next
-      converged = changed == 0
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       it += 1
     }
     require(converged, s"did not converge in $maxIter rounds (diameter too " +
