@@ -44,6 +44,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(comps.agg(min("comp")).head().getLong(0) === 0L)
   }
 
+  test("star contraction matches union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val edges = (1 to 70).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val expected = unionFind(edges)
+    val got = ConnectedComponents.runStarContraction(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("star contraction handles a 200-node chain (diameter >> round budget)") {
+    import spark.implicits._
+    // label propagation would need ~200 rounds; contraction is O(log² n)
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val comps = ConnectedComponents.runStarContraction(
+      chain.toDF("src", "dst"), maxRounds = 20)
+    assert(comps.count() === 200)
+    assert(comps.select("comp").distinct().count() === 1)
+    assert(comps.agg(max("comp")).head().getLong(0) === 0L)
+  }
+
   test("disjoint cliques stay separate") {
     import spark.implicits._
     val cliqueA = for (i <- 0 to 3; j <- i + 1 to 3) yield (i.toLong, j.toLong)
