@@ -341,6 +341,23 @@ object AggQueries {
              |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
              |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Boolean aggregates + conditional counting (every/any/count_if).
+    QueryDef(
+      "a_bool_aggs",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+            bool_or(col("l_quantity") >= 49).as("any_bulk"),
+            count_if(col("l_discount") === 0.0).as("n_no_discount"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  bool_and(l_quantity > 0) AS all_positive_qty,
+             |  bool_or(l_quantity >= 49) AS any_bulk,
+             |  CAST(count_if(l_discount = 0.0) AS BIGINT) AS n_no_discount
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Exact interpolated percentiles per group (SQL-standard PERCENTILE_CONT
     // semantics: both engines sort and linearly interpolate; round(6) guards
     // the interpolation's last ulp). At 100 TB the approximate twin

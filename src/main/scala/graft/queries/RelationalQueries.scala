@@ -290,6 +290,56 @@ object RelationalQueries {
              |  regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Array set algebra over embedding-index arrays (union/intersect/except);
+    // results rendered as sorted joined strings — array cells round-trip
+    // differently through pandas (numpy vs list repr), scalars don't.
+    QueryDef(
+      "f_array_setops",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            expr("transform(sequence(0, CAST(vec_id % 5 AS INT)), x -> x * 2)").as("a"),
+            expr("transform(sequence(0, CAST(vec_id % 7 AS INT)), x -> x * 3)").as("b"))
+          .select(col("vec_id"),
+            array_join(array_sort(array_union(col("a"), col("b"))), ",").as("u"),
+            array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("i"),
+            array_join(array_sort(array_except(col("a"), col("b"))), ",").as("d"))
+          .orderBy("vec_id"),
+      Some("""WITH t AS (
+             |  SELECT vec_id,
+             |    list_transform(generate_series(0, CAST(vec_id % 5 AS INT)), x -> x * 2) AS a,
+             |    list_transform(generate_series(0, CAST(vec_id % 7 AS INT)), x -> x * 3) AS b
+             |  FROM embeddings WHERE vec_id < 100)
+             |SELECT vec_id,
+             |  array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS u,
+             |  coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS i,
+             |  coalesce(array_to_string(list_sort(list_filter(a,
+             |    x -> NOT list_contains(b, x))), ','), '') AS d
+             |FROM t ORDER BY vec_id""".stripMargin)),
+
+    // Bitwise scalar family (identical two's-complement BIGINT semantics).
+    QueryDef(
+      "f_bitwise",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey").bitwiseAND(255L)).as("low_byte"),
+            (col("l_partkey").bitwiseOR(col("l_suppkey"))).as("orred"),
+            (col("l_partkey").bitwiseXOR(col("l_suppkey"))).as("xored"),
+            shiftleft(col("l_linenumber"), 4).cast("bigint").as("shl"),
+            shiftright(col("l_partkey"), 3).as("shr"),
+            bit_count(col("l_partkey")).as("popcount"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_partkey & 255 AS low_byte,
+             |  l_partkey | l_suppkey AS orred,
+             |  xor(l_partkey, l_suppkey) AS xored,
+             |  CAST(l_linenumber << 4 AS BIGINT) AS shl,
+             |  l_partkey >> 3 AS shr,
+             |  CAST(bit_count(l_partkey) AS INT) AS popcount
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // LIMIT/OFFSET pagination under a total order (page 3 of 20): OFFSET is
     // a real relational operator in Spark 4 (Dataset.offset), not a
     // driver-side skip.
