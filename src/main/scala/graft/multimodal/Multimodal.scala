@@ -78,6 +78,50 @@ object Multimodal {
       .withColumn("content_md5", md5(col(blobCol)))
       .withColumn("head_hex", hex(expr(s"substring($blobCol, 1, 8)")))
 
+  /** Resize: metadata transforms are real (new dims, aspect-preserving
+    * option); the pixel work is the stub (a real impl decodes, scales, and
+    * re-encodes `content` here — same row shape in, same out). */
+  def resize(assets: Dataset[Asset], maxW: Int, maxH: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { rows =>
+      rows.map { a =>
+        if (a.width <= maxW && a.height <= maxH) a
+        else {
+          val scale = math.min(maxW.toDouble / a.width, maxH.toDouble / a.height)
+          val (w, h) = (math.max(1, (a.width * scale).toInt),
+            math.max(1, (a.height * scale).toInt))
+          // STUB pixel path: truncate bytes proportionally to the area ratio
+          val keep = math.max(1,
+            (a.content.length * (w.toLong * h) / (a.width.toLong * a.height)).toInt)
+          a.copy(width = w, height = h, content = a.content.take(keep))
+        }
+      }
+    }
+  }
+
+  final case class Frame(asset_id: Long, frame_no: Int, ts_ms: Long,
+      frame: Array[Byte])
+
+  /** Frame sampling: one output row per sampled timestamp — the UDTF-shaped
+    * (1 → N rows) expansion done relationally: `sequence` + `explode` build
+    * the timestamp grid, so Catalyst controls the expansion and the only
+    * per-frame custom work is the (stubbed) frame grab. Partitioning follows
+    * the parent rows; a real decoder seeks per `ts_ms` inside mapPartitions.
+    */
+  def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    val exploded = assets.filter(col("kind") === "video")
+      .filter(col("duration_ms") >= 0)
+      .select(col("asset_id"), col("content"),
+        posexplode(sequence(lit(0L), col("duration_ms"), lit(everyMs)))
+          .as(Seq("frame_no", "ts_ms")))
+    exploded.as[(Long, Array[Byte], Int, Long)].map { case (id, content, no, ts) =>
+      // STUB frame grab: a real codec seeks to ts and decodes one frame
+      val start = if (content.isEmpty) 0 else (no * 7) % content.length
+      Frame(id, no, ts, content.slice(start, math.min(start + 16, content.length)))
+    }
+  }
+
   /** Synthetic asset table (text bytes as stand-in blobs) — deterministic. */
   def synthAssets(spark: SparkSession, n: Int = 100): Dataset[Asset] = {
     import spark.implicits._

@@ -30,6 +30,43 @@ class MultimodalSpec extends SparkSpec {
       first.getAs[Array[Byte]]("content").length.toLong)
   }
 
+  test("resize: aspect-preserving metadata, no-op below bounds, smaller payload") {
+    val assets = Multimodal.synthAssets(spark, 20)
+    val resized = Multimodal.resize(assets, maxW = 32, maxH = 32)
+      .orderBy("asset_id").collect()
+    val orig = assets.orderBy("asset_id").collect()
+    resized.zip(orig).foreach { case (r, o) =>
+      assert(r.width <= 32 && r.height <= 32)
+      if (o.width <= 32 && o.height <= 32) {
+        assert(r.width === o.width && r.content.length === o.content.length)
+      } else {
+        // aspect ratio preserved within integer rounding
+        val ar0 = o.width.toDouble / o.height
+        val ar1 = r.width.toDouble / r.height
+        assert(math.abs(ar0 - ar1) < 0.2, s"aspect $ar0 -> $ar1")
+        assert(r.content.length <= o.content.length)
+      }
+    }
+  }
+
+  test("sampleFrames: one row per timestamp step, videos only") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.synthAssets(spark, 30), everyMs = 5000L)
+    val byAsset = frames.groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val videos = Multimodal.synthAssets(spark, 30)
+      .filter(col("kind") === "video").collect()
+    assert(byAsset.keySet === videos.map(_.asset_id).toSet)
+    videos.foreach { v =>
+      assert(byAsset(v.asset_id) === v.duration_ms / 5000L + 1)
+    }
+    // frame numbers are dense 0..n-1 with aligned timestamps
+    val f0 = frames.filter(col("asset_id") === videos.head.asset_id)
+      .orderBy("frame_no").collect()
+    assert(f0.map(_.frame_no).toSeq === (0 until f0.length))
+    assert(f0.forall(r => r.ts_ms === r.frame_no * 5000L))
+  }
+
   test("blob tables round-trip parquet with binary columns intact") {
     val path = java.nio.file.Files.createTempDirectory("mmtest").toString + "/assets"
     Multimodal.synthAssets(spark, 10).write.parquet(path)
