@@ -336,5 +336,57 @@ object DedupQueries {
               |SELECT id AS doc_id, MIN(comp) AS component,
               |       (id = MIN(comp)) AS is_canonical
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // The last step of the dedup pipeline: pairs → clusters → keep the BEST
+    // doc per cluster by a quality signal (token count here; longest version
+    // wins, min doc_id tiebreak) — not merely the lowest id. Composes
+    // ConnectedComponents with the text-quality surface.
+    QueryDef(
+      "d_cc_keep_best",
+      (s, dir) => {
+        import graft.operators.ConnectedComponents
+        import org.apache.spark.sql.expressions.Window
+        val comps = ConnectedComponents.run(
+          lshPairs(s, dir).select(col("d1").as("src"), col("d2").as("dst")))
+          .select(col("id").as("doc_id"), col("comp").as("component"))
+        val toks = corpus(s, dir).select(col("doc_id"),
+          expr("size(filter(split(text, ' '), x -> x != ''))")
+            .cast("long").as("n_tok"))
+        val w = Window.partitionBy("component")
+          .orderBy(col("n_tok").desc, col("doc_id"))
+        comps.join(toks, Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy()
+          .agg(count(lit(1)).as("n_clusters"),
+            sum("n_tok").as("kept_tokens"),
+            min("doc_id").as("min_keep_id"),
+            max("doc_id").as("max_keep_id"))
+      },
+      Some(s"""WITH RECURSIVE $sqlLshPairs,
+              |edges AS (
+              |  SELECT d1 AS id, d2 AS nb FROM pairs
+              |  UNION
+              |  SELECT d2 AS id, d1 AS nb FROM pairs),
+              |reach(id, comp) AS (
+              |  SELECT DISTINCT id, id FROM edges
+              |  UNION
+              |  SELECT e.id, r.comp FROM edges e JOIN reach r ON r.id = e.nb
+              |  WHERE r.comp < e.id),
+              |labels AS (
+              |  SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+              |toks AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+              |  FROM corpus),
+              |ranked AS (
+              |  SELECT l.doc_id, l.component, t.n_tok,
+              |    ROW_NUMBER() OVER (PARTITION BY l.component
+              |      ORDER BY t.n_tok DESC, l.doc_id) AS rn
+              |  FROM labels l JOIN toks t ON t.doc_id = l.doc_id)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              |  CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
+              |  MIN(doc_id) AS min_keep_id, MAX(doc_id) AS max_keep_id
+              |FROM ranked WHERE rn = 1""".stripMargin)),
   )
 }

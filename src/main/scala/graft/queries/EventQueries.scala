@@ -142,5 +142,54 @@ object EventQueries {
              |           FROM events WHERE event_type = 'view') v
              |  ON p.user_id = v.v_user AND v.vt < p.pt AND v.vt >= p.pt - 600000000
              |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin)),
+
+    // Ordered funnel (view → click → purchase, strictly increasing event
+    // time): classic sequential-pattern analytics. Stage anchors are
+    // "earliest X after the previous stage's anchor", computed as chained
+    // conditional mins per user — one exchange on user_id, the window specs
+    // share it.
+    QueryDef(
+      "e_funnel",
+      (s, dir) => {
+        val wu = Window.partitionBy("user_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val staged = ev(s, dir)
+          .withColumn("first_view",
+            min(when(col("event_type") === "view", col("tus"))).over(wu))
+          .withColumn("first_click",
+            min(when(col("event_type") === "click" &&
+              col("tus") > col("first_view"), col("tus"))).over(wu))
+          .withColumn("first_purchase",
+            min(when(col("event_type") === "purchase" &&
+              col("tus") > col("first_click"), col("tus"))).over(wu))
+        staged.groupBy("user_id")
+          .agg(max("first_view").as("v"), max("first_click").as("c"),
+            max("first_purchase").as("p"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(col("v")).as("n_viewed"),
+            count(col("c")).as("n_clicked_after_view"),
+            count(col("p")).as("n_purchased_after_click"))
+      },
+      Some("""WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+             |s1 AS (
+             |  SELECT user_id,
+             |    MIN(CASE WHEN event_type = 'view' THEN tus END) AS v
+             |  FROM t GROUP BY user_id),
+             |s2 AS (
+             |  SELECT t.user_id, s1.v,
+             |    MIN(CASE WHEN t.event_type = 'click' AND t.tus > s1.v
+             |        THEN t.tus END) AS c
+             |  FROM t JOIN s1 ON t.user_id = s1.user_id GROUP BY t.user_id, s1.v),
+             |s3 AS (
+             |  SELECT t.user_id, s2.v, s2.c,
+             |    MIN(CASE WHEN t.event_type = 'purchase' AND t.tus > s2.c
+             |        THEN t.tus END) AS p
+             |  FROM t JOIN s2 ON t.user_id = s2.user_id GROUP BY t.user_id, s2.v, s2.c)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             |  CAST(COUNT(v) AS BIGINT) AS n_viewed,
+             |  CAST(COUNT(c) AS BIGINT) AS n_clicked_after_view,
+             |  CAST(COUNT(p) AS BIGINT) AS n_purchased_after_click
+             |FROM s3""".stripMargin)),
   )
 }
