@@ -191,5 +191,31 @@ object EventQueries {
              |  CAST(COUNT(c) AS BIGINT) AS n_clicked_after_view,
              |  CAST(COUNT(p) AS BIGINT) AS n_purchased_after_click
              |FROM s3""".stripMargin)),
+
+    // Cohort retention: users grouped by first-seen day, counted per
+    // day-offset of later activity (integer epoch-day arithmetic).
+    QueryDef(
+      "e_retention",
+      (s, dir) => {
+        val days = ev(s, dir)
+          .select(col("user_id"), expr("tus div 86400000000").as("day"))
+          .distinct()
+        val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+        days.join(cohorts, Seq("user_id"))
+          .withColumn("day_offset", col("day") - col("cohort_day"))
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct("user_id").as("n_active"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |cohorts AS (
+             |  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+             |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+             |  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_active
+             |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+             |GROUP BY c.cohort_day, d.day - c.cohort_day
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
   )
 }

@@ -228,6 +228,35 @@ object TextQueries {
               |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
               |FROM hashed GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Stratified fixed-size sample: exactly k docs per source, chosen by the
+    // deterministic per-mille hash order (doc_id tiebreak) — the "balanced
+    // subset" op for eval sets. One exchange on source; at scale the
+    // row_number window per stratum is bounded by stratum size, and a TopK
+    // aggregator replaces it when k << stratum.
+    QueryDef(
+      "t_stratified_sample",
+      (s, dir) => {
+        import graft.operators.Sampling
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(Sampling.perMille(col("doc_id")), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ranked AS (
+              |  SELECT source, doc_id,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY ${graft.operators.Sampling.perMilleSql("doc_id")}, doc_id) AS rn
+              |  FROM documents)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+              |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+              |FROM ranked WHERE rn <= 10
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Distribution-drift gate (quality.Checks.psi): PSI of the doc-length
     // distribution, src0 as baseline vs src1 as current, fixed bin edges.
     // Integer bin counts, identical double division, ln rounded via the
