@@ -78,10 +78,13 @@ object DedupQueries {
   private def mhA(j: Int): Long = 2L * j + 3
   private def mhB(j: Int): Long = 7L * j + 1
 
-  /** Per-doc MinHash signature columns mh_0..mh_11 over hashed shingles. */
+  /** Per-doc MinHash signature columns mh_0..mh_11 over hashed shingles.
+    * Uses the NATIVE codegen'd rolling_hash (identical fold to [[shHash]],
+    * which the oracle states in HOF form) — single pass, no per-char array
+    * allocation in the hot path. */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir)
-      .withColumn("h", expr(shHash))
+      .withColumn("h", expr("rolling_hash(sh)"))
       .groupBy("doc_id")
       .agg(
         min((col("h") * mhA(0) + mhB(0)) % 2147483647L).as("mh_0"),
@@ -105,9 +108,7 @@ object DedupQueries {
       .filter(col("doc_id") < 30 || col("doc_id") >= 100000)
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
-      .withColumn("th", expr(
-        "aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))), " +
-          "0L, (x, c) -> (x * 31 + c) % 2147483647)"))
+      .withColumn("th", expr("rolling_hash(t)")) // native; oracle states the HOF form
 
   private val sqlTokenHashes =
     s"""$sqlCorpus,
