@@ -58,6 +58,37 @@ class JoinsSpec extends SparkSpec {
     assert(joined(0).getAs[Double]("bid") === 1.0)
   }
 
+  test("asOfJoin matches a driver-side merge_asof on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val keys = Seq("A", "B", "C")
+    val left = (1 to 200).map(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(1000).toLong, i.toDouble))
+    // right times unique per key (i * 7 mod 1009 is injective for i<1009):
+    // the operator leaves equal-right-time winners unspecified, so the
+    // reference must not depend on tie order
+    val right = (1 to 150).map(i =>
+      (keys(rnd.nextInt(3)), (i * 7L) % 1009L, 1000.0 + i))
+    val rightSorted = right.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(_._2)
+    }
+    def expected(k: String, lt: Long): Option[Double] =
+      rightSorted.get(k).flatMap(rs => rs.takeWhile(_._2 <= lt).lastOption)
+        .map(_._3)
+
+    val got = Joins.asOfJoin(
+      left.toDF("k", "lt", "lv"),
+      right.toDF("k", "rt", "rv"),
+      Seq("k"), "lt", "rt")
+      .select("k", "lt", "lv", "rv").collect()
+    assert(got.length === left.length)
+    got.foreach { r =>
+      val e = expected(r.getString(0), r.getLong(1))
+      val a = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(a === e, s"key=${r.getString(0)} lt=${r.getLong(1)}")
+    }
+  }
+
   test("asOfJoin rejects colliding value columns") {
     import spark.implicits._
     val l = Seq(("A", 1L, 1.0)).toDF("k", "t", "v")
