@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.Cross
+
+/** Automated plan hygiene sweep over EVERY registry query: no accidental
+  * cartesian products and no accidental single-partition windows. Queries
+  * that legitimately use either are listed explicitly with the reason —
+  * adding a new query with a stray cross join or global window fails here,
+  * not in production.
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Bounded-subset pair generators and broadcast-size query sets: the cross
+    * join is the documented algorithm, not an accident. */
+  private val allowedCross = Set(
+    "d_simhash_pairs", // all-pairs Hamming on the bounded (≤100 doc) subset
+    "d_ngram_jaccard", // exact verifier, same bounded subset
+    "s_knn_brute", // brute-force baseline: query set is broadcast-size
+    "s_embedding_neardup", // all-pairs cosine on a bounded id range
+    "t_drift_psi", // few-bin frame × 1-row totals (c, t in the oracle too)
+    "a12_having_global" // scalar global agg × per-group rollup (1-row side)
+  )
+
+  /** Global-threshold / global-rank semantics: the unpartitioned window IS
+    * the operator, and its input is already aggregated/small. */
+  private val allowedGlobalWindow = Set(
+    "a12_having_global", // HAVING vs global max (per-player rollup input)
+    "o1_sort_multikey", // global row_number over 100 suppliers
+    "w7_rank", // global leaderboard rank (100 rows)
+    "w8_percent_rank", // global percentile (spec'd as whole-population)
+    "w6_minmax_scale", // global min-max scale (whole-population contract)
+    "w5_zscore", // global z-score (same)
+    "o2_topk", // global top-k rank before limit
+    "t_drift_psi" // bin-proportion totals over a few-bin frame (Checks.psi)
+  )
+
+  private def logical(name: String): LogicalPlan =
+    Registry.all.find(_.name == name).get.run(spark, dir)
+      .queryExecution.optimizedPlan
+
+  test("no query plans a cartesian product unless documented") {
+    val offenders = Registry.all.map(_.name).filterNot(allowedCross).filter { n =>
+      logical(n).collect { case j: Join if j.joinType == Cross => j }.nonEmpty
+    }
+    assert(offenders.isEmpty,
+      s"undocumented cross joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("no query plans an unpartitioned window unless documented") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val offenders = Registry.all.map(_.name)
+      .filterNot(allowedGlobalWindow).filter { n =>
+        logical(n).collect {
+          case w: Window if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+      }
+    assert(offenders.isEmpty,
+      s"undocumented global windows in: ${offenders.mkString(", ")}")
+  }
+}
