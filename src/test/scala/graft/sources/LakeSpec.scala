@@ -89,6 +89,45 @@ class LakeSpec extends SparkSpec {
     assert(zA < 63.0, s"z-order a-span $zA should also be bounded")
   }
 
+  test("upsertByKey replaces matching keys and appends new ones") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_up").toString + "/t"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "v").write.parquet(path)
+    Lake.upsertByKey(spark,
+      path, Seq((2L, "b2", 20.0), (9L, "new", 9.0)).toDF("id", "name", "v"),
+      Seq("id"))
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0),
+      (9L, "new", 9.0)))
+
+    // partition-pruned variant: untouched rows outside `where` survive
+    Lake.upsertByKey(spark,
+      path, Seq((3L, "c3", 30.0)).toDF("id", "name", "v"),
+      Seq("id"), where = Some(col("id") >= 3))
+    val out2 = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out2 === Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c3", 30.0),
+      (9L, "new", 9.0)))
+  }
+
+  test("compact rewrites many small files into few") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_c").toString + "/t"
+    // 10 appends of 100 rows → ≥10 files
+    (1 to 10).foreach { b =>
+      (1 to 100).map(i => (b * 1000L + i, i.toDouble)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    val (before, after) = Lake.compact(spark, path, rowsPerFile = 500)
+    assert(before >= 10)
+    assert(after === 2) // 1000 rows / 500 per file
+    assert(spark.read.parquet(path).count() === 1000)
+    assert(spark.read.parquet(path).select(sum("v")).head().getDouble(0)
+      === 10 * (1 to 100).map(_.toDouble).sum)
+  }
+
   test("groupBy on the bucket key needs no exchange") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong % 20, i.toDouble)).toDF("k", "v")
