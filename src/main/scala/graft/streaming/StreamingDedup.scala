@@ -68,4 +68,25 @@ object StreamingDedup {
   private def knownHashes(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path).select("h"))
     catch { case _: Throwable => None } // store doesn't exist yet
+
+  /** Maintenance pass closing the crash-recovery loop: the corpus-first write
+    * order can leave content duplicates after a replay (never losses); this
+    * re-hashes the corpus, keeps one row per content hash (min doc_id), and
+    * rewrites both corpus and store consistently. Run it like any compaction
+    * — periodically, or after a recovery. Returns rows dropped. */
+  def compactCorpus(spark: SparkSession, storePath: String,
+      corpusPath: String): Long = {
+    val corpus = spark.read.parquet(corpusPath)
+    val hashed = corpus.withColumn("h", md5(col("text").cast("binary")))
+    val before = hashed.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id")
+    val keep = hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(true)
+    keep.drop("h").write.mode("overwrite").parquet(corpusPath)
+    keep.select("h").distinct().write.mode("overwrite").parquet(storePath)
+    before - keep.count()
+  }
 }

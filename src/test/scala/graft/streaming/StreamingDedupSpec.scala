@@ -63,5 +63,12 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).count() === 2)
     assert(spark.read.parquet(corpus).select("text").distinct().count() === 1)
     assert(spark.read.parquet(store).count() === 1)
+
+    // compaction closes the loop: one copy kept (min doc_id), store consistent
+    val dropped = StreamingDedup.compactCorpus(spark, store, corpus)
+    assert(dropped === 1L)
+    assert(spark.read.parquet(corpus).count() === 1)
+    assert(spark.read.parquet(corpus).select("doc_id").head().getLong(0) === 1L)
+    assert(spark.read.parquet(store).count() === 1)
   }
 }
