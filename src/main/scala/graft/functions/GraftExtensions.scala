@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "rolling_hash takes exactly 1 argument")
         RollingHash(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      FloatDot.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "float_dot takes exactly 2 arguments")
+        FloatDot(children.head, children(1))
+      }))
   }
 }
 
@@ -29,4 +36,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * session's FunctionRegistry, so [[GraftExtensions]] must be installed). */
 object GraftFunctions {
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
+  def float_dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
 }

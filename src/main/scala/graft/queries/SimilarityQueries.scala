@@ -36,8 +36,10 @@ object SimilarityQueries {
   private def sqlFoldSum(arr: String): String =
     s"list_reduce([CAST(0.0 AS DOUBLE)] || $arr, (acc, p) -> acc + p)"
 
-  private val dotExpr = foldSum(
-    "zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))")
+  // NATIVE codegen'd sequential fold (graft.functions.FloatDot) — identical
+  // accumulation order to the HOF form the oracle states, one fused loop
+  // instead of a zipped intermediate array + two lambdas per element.
+  private val dotExpr = "float_dot(e1, e2)"
 
   private val sqlDotExpr = sqlFoldSum(
     "list_transform(list_zip(a.embedding, b.embedding), " +
@@ -46,9 +48,8 @@ object SimilarityQueries {
   /** Per-vector squared norm, folded in array order. */
   private def norms(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < CN)
-      .select(col("vec_id"), expr(foldSum(
-        "transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
-        .as("nrm2"))
+      .select(col("vec_id"),
+        expr("float_dot(embedding, embedding)").as("nrm2"))
 
   private val sqlNorms =
     s"""nrm AS (
