@@ -42,4 +42,23 @@ object Sampling {
     }
     df.filter(perMille(col(idCol)) < rate)
   }
+
+  /** Stratified FIXED-SIZE sample: exactly `k` rows per stratum (fewer if the
+    * stratum is smaller), chosen by the deterministic hash order with the id
+    * as tiebreak — balanced eval subsets that never change across runs.
+    * One exchange on the stratum key; the per-stratum window state is the
+    * stratum size. When k ≪ stratum at 100 TB, swap the window for the
+    * bounded-state [[TopK]] aggregator (O(k) per mapper, partial-agg
+    * friendly) — same ordering contract, same output.
+    */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(perMille(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

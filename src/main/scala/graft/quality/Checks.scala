@@ -39,6 +39,22 @@ object Checks {
       .toDF("rule", "n_violations", "n_rows")
   }
 
+  /** Streaming ingest gate: enforce the rules on every micro-batch via
+    * foreachBatch, pass clean batches to `sink`. A violating batch throws,
+    * which FAILS the query (and, with a checkpoint, blocks re-processing
+    * until fixed) — bad data stops at the door instead of poisoning the
+    * corpus. */
+  def enforceStream(stream: DataFrame, rules: Seq[Rule],
+      checkpointLocation: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(enforce(batch.toDF(), rules), batchId)
+      }
+      .start()
+
   /** Enforcing variant: throws with the violation summary if any rule fails. */
   def enforce(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val bad = report(df, rules).collect()

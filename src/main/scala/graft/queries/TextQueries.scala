@@ -237,12 +237,7 @@ object TextQueries {
       "t_stratified_sample",
       (s, dir) => {
         import graft.operators.Sampling
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source")
-          .orderBy(Sampling.perMille(col("doc_id")), col("doc_id"))
-        Tables.documents(s, dir)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 10)
+        Sampling.stratified(Tables.documents(s, dir), "source", "doc_id", 10)
           .groupBy("source")
           .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum"))
           .orderBy("source")

@@ -35,6 +35,21 @@ class SamplingSpec extends SparkSpec {
     assert(keptSmall === keptLarge)
   }
 
+  test("stratified: exactly k per stratum, deterministic, short strata kept whole") {
+    import spark.implicits._
+    val df = ((0L until 500L).map(i => (i, s"s${i % 4}")) ++
+      Seq((9000L, "tiny"), (9001L, "tiny"))).toDF("id", "source")
+    val sampled = Sampling.stratified(df, "source", "id", k = 25)
+    val counts = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert((0 to 3).forall(i => counts(s"s$i") === 25L))
+    assert(counts("tiny") === 2L) // stratum smaller than k survives whole
+    // deterministic under physical layout changes
+    val again = Sampling.stratified(df.repartition(17), "source", "id", 25)
+    assert(again.select("id").except(sampled.select("id")).count() === 0)
+    assert(sampled.select("id").except(again.select("id")).count() === 0)
+  }
+
   test("mixture rejects out-of-range rates") {
     import spark.implicits._
     val docs = Seq((1L, "s")).toDF("id", "source")

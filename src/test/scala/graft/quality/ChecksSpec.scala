@@ -45,6 +45,31 @@ class ChecksSpec extends SparkSpec {
     assert(bad.head.getAs[Long]("n_targets") === 2L)
   }
 
+  test("enforceStream passes clean batches and fails the query on violations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ckpt = java.nio.file.Files.createTempDirectory("gate").toString
+    val rules = Seq(Checks.Rule("positive", col("v") > 0.0))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+
+    val input = MemoryStream[(Long, Double)]
+    val q = Checks.enforceStream(
+      input.toDF().toDF("id", "v"), rules, s"$ckpt/c1") {
+      (batch, _) => seen.addAndGet(batch.count())
+    }
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      assert(seen.get() === 2L)
+      input.addData((3L, -1.0)) // violates → batch throws → query fails
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("positive") ||
+        (e.getCause != null && e.getCause.getMessage.contains("positive")))
+      assert(seen.get() === 2L) // bad batch never reached the sink
+    } finally if (q.isActive) q.stop()
+  }
+
   test("psi: zero for identical distributions, large for a shift, finite for empty bins") {
     import spark.implicits._
     val edges = Seq(10.0, 20.0, 30.0)

@@ -56,6 +56,21 @@ class EventBusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parseJson tolerates malformed payloads (null columns, row kept)") {
+    val dir = java.nio.file.Files.createTempDirectory("bus3").toString
+    val bus = FileBus(s"$dir/t", "events")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    bus.append(spark,
+      Seq("k1" -> """{"user_id":1,"action":"ok"}""",
+        "k2" -> """not json at all""",
+        "k3" -> """{"user_id":"wrongtype"}"""),
+      0L, t0)
+    val parsed = EventBus.parseJson(bus.read(spark), valueSchema)
+    assert(parsed.count() === 3) // wire metadata survives even when decode fails
+    assert(parsed.filter(col("action") === "ok").count() === 1)
+    assert(parsed.filter(col("user_id").isNull).count() === 2)
+  }
+
   test("KafkaBus assembles the standard reader options") {
     val kb = KafkaBus("broker1:9092,broker2:9092", "docs", "earliest")
     assert(kb.options === Map(
