@@ -27,6 +27,17 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Sliding (hopping) windows via the native `window(ts, size, slide)` —
+    * each event lands in size/slide windows; the streaming twin of the batch
+    * explode-over-covering-starts query (e_sliding_hourly). */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("sum_value"))
+
   /** Session windows with a 30-minute inactivity gap — the streaming twin of
     * the batch gaps-and-islands query (e_sessionize). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =

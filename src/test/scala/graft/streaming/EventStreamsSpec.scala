@@ -33,6 +33,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(0).getAs[Timestamp]("hour_start").toString.contains("10:00:00"))
   }
 
+  test("slidingCounts: every event lands in size/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    input.addData(EventStreams.Event(ts(10), 1L, "click", 2.0))
+    val q = EventStreams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sliding").orderBy("win_start").collect()
+      assert(rows.length === 2) // 1h window, 30m slide → 2 covering windows
+      assert(rows.forall(_.getAs[Long]("cnt") === 1L))
+      assert(rows(0).getAs[Timestamp]("win_start").toString.contains("09:30:00"))
+      assert(rows(1).getAs[Timestamp]("win_start").toString.contains("10:00:00"))
+    } finally q.stop()
+  }
+
+  test("tumblingHourly drops events later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.tumblingHourly(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // advance event time to 14:00 → watermark moves to 13:30
+      input.addData(EventStreams.Event(
+        Timestamp.valueOf("2024-01-01 14:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // an event at 10:05 is far behind the watermark → dropped, its
+      // hour bucket never appears
+      input.addData(EventStreams.Event(ts(5), 2L, "late", 9.0))
+      q.processAllAvailable()
+      val types = spark.table("late_test").select("event_type")
+        .as[String].collect().toSet
+      assert(types === Set("click"))
+    } finally q.stop()
+  }
+
   test("sessionCounts splits on the inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
