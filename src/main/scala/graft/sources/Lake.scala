@@ -30,13 +30,36 @@ object Lake {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Crash-safe table replacement: write the new contents to `<path>__tmp`,
+    * then swap via two renames (old → `<path>__old`, tmp → path) and delete
+    * the backup. A crash at ANY point leaves either the old table, or the
+    * new one (possibly plus a leftover `__tmp`/`__old` directory to sweep) —
+    * never an empty/partial table, which is what plain
+    * `mode("overwrite")` (delete-then-write) risks. Readers racing the two
+    * renames can see a transient miss — single-writer maintenance windows
+    * assumed; a real lakehouse table format replaces this with a metadata
+    * pointer swap.
+    */
+  def safeReplace(spark: SparkSession, path: String, newData: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(tmp, true); fs.delete(old, true) // sweep prior crash leftovers
+    newData.write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(target, old), s"could not stage $target aside")
+    require(fs.rename(tmp, target), s"could not promote $tmp")
+    fs.delete(old, true)
+  }
+
   /** Batch upsert (the MERGE INTO shape without a table format that has it
     * natively): rows in `updates` replace target rows with the same key;
-    * new keys append. Implemented as target-anti-join-updates ∪ updates and
-    * an atomic swap via temp-dir rename — the same logic a `foreachBatch`
-    * streaming sink runs per micro-batch (keyed on batchId for idempotence).
-    * At 100 TB, partition the table and restrict the rewrite to the
-    * partitions the updates touch (pass `where` to prune).
+    * new keys append. Target-anti-join-updates ∪ updates, committed via
+    * [[safeReplace]] — the same logic a `foreachBatch` streaming sink runs
+    * per micro-batch (keyed on batchId for idempotence). At 100 TB,
+    * partition the table and restrict the rewrite to the partitions the
+    * updates touch (pass `where` to prune).
     */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], where: Option[Column] = None): Unit = {
@@ -49,15 +72,13 @@ object Lake {
     val merged = current.join(updates.select(keys.map(col(_)): _*), keys, "left_anti")
       .unionByName(updates)
       .unionByName(untouched)
-      // materialize BEFORE overwriting the lineage's own source
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(path)
+    safeReplace(spark, path, merged)
   }
 
   /** Small-file compaction: rewrite a parquet directory into ~`rowsPerFile`
     * sized files (streaming appends and per-batch writes accumulate tiny
     * files; scan cost at scale is dominated by file count, not bytes).
-    * Returns (filesBefore, filesAfter).
+    * Committed via [[safeReplace]]. Returns (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long): (Int, Int) = {
     def parquetFiles: Int = {
@@ -69,9 +90,9 @@ object Lake {
       n
     }
     val before = parquetFiles
-    val df = spark.read.parquet(path).localCheckpoint(true)
+    val df = spark.read.parquet(path)
     val nFiles = math.max(1, math.ceil(df.count().toDouble / rowsPerFile).toInt)
-    df.repartition(nFiles).write.mode("overwrite").parquet(path)
+    safeReplace(spark, path, df.repartition(nFiles))
     (before, parquetFiles)
   }
 

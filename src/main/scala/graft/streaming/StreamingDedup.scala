@@ -84,9 +84,13 @@ object StreamingDedup {
     val keep = hashed
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      // materialized once so both replacements write the same snapshot
       .localCheckpoint(true)
-    keep.drop("h").write.mode("overwrite").parquet(corpusPath)
-    keep.select("h").distinct().write.mode("overwrite").parquet(storePath)
+    // crash-safe swaps (Lake.safeReplace): a crash between the two leaves a
+    // compacted corpus with the uncompacted store — harmless, the distinct
+    // hash SET is identical either way.
+    graft.sources.Lake.safeReplace(spark, corpusPath, keep.drop("h"))
+    graft.sources.Lake.safeReplace(spark, storePath, keep.select("h").distinct())
     before - keep.count()
   }
 }

@@ -112,6 +112,21 @@ class LakeSpec extends SparkSpec {
       (9L, "new", 9.0)))
   }
 
+  test("safeReplace swaps contents and sweeps crash leftovers") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_sr").toString + "/t"
+    Seq((1L, "old")).toDF("id", "v").write.parquet(path)
+    // simulate leftovers from a previous crash mid-swap
+    Seq((99L, "stale")).toDF("id", "v").write.parquet(path + "__tmp")
+    Seq((98L, "stale")).toDF("id", "v").write.parquet(path + "__old")
+
+    Lake.safeReplace(spark, path, Seq((2L, "new")).toDF("id", "v"))
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toSeq
+    assert(out === Seq((2L, "new")))
+    assert(!new java.io.File(path + "__tmp").exists())
+    assert(!new java.io.File(path + "__old").exists())
+  }
+
   test("compact rewrites many small files into few") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_c").toString + "/t"
