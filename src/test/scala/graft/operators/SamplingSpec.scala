@@ -50,6 +50,23 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.select("id").except(again.select("id")).count() === 0)
   }
 
+  test("perMille survives corpus-scale ids (no ANSI bigint overflow)") {
+    import spark.implicits._
+    // ids beyond 2^33: the naive id*2654435761 form overflows int64 here
+    // and ANSI mode would throw ARITHMETIC_OVERFLOW
+    val huge = Seq(5000000000L, 8000000000000L, Long.MaxValue / 3, 0L)
+      .toDF("id")
+    val pm = huge.select(Sampling.perMille(col("id")).as("pm"))
+      .as[Long].collect()
+    assert(pm.forall(v => v >= 0 && v < 1000))
+    // modular-reduction form equals the naive form where the naive form
+    // is computable without overflow
+    val small = (0L until 3000L).toDF("id")
+    val viaOp = small.select(Sampling.perMille(col("id"))).as[Long].collect()
+    val naive = (0L until 3000L).map(i => ((i * 2654435761L) % 97911L) % 1000L)
+    assert(viaOp.toSeq === naive)
+  }
+
   test("mixture rejects out-of-range rates") {
     import spark.implicits._
     val docs = Seq((1L, "s")).toDF("id", "source")
