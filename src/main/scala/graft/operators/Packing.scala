@@ -26,9 +26,12 @@ object Packing {
     *                 count per doc)
     * @param capacity tokens per packed sequence
     * @return input columns + shard, cum (running token count within shard),
-    *         seq_id (global sequence index: shard * 2^32 + local index, so
-    *         ids are unique across shards without a second pass), seq_offset
-    *         (token offset of this doc's first token within its sequence)
+    *         seq_id (global sequence index, INTERLEAVED: local·nShards +
+    *         shard — collision-free for any per-shard sequence count, unlike
+    *         a fixed-stride `shard·2^k + local` which wraps into the next
+    *         shard's range once a shard packs more than 2^k sequences),
+    *         seq_offset (token offset of this doc's first token within its
+    *         sequence)
     */
   def pack(docs: DataFrame, idCol: String, tokCol: String,
       capacity: Int, nShards: Int = 32): DataFrame = {
@@ -40,7 +43,7 @@ object Packing {
       .withColumn("cum", sum(col(tokCol).cast("long")).over(w))
       .withColumn("local_seq",
         expr(s"(cum - `$tokCol`) div $capacity")) // integer floor-div, no FP
-      .withColumn("seq_id", col("shard") * (1L << 32) + col("local_seq"))
+      .withColumn("seq_id", col("local_seq") * nShards + col("shard"))
       .withColumn("seq_offset", (col("cum") - col(tokCol)) % capacity)
       .drop("local_seq")
   }

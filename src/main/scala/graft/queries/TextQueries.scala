@@ -196,7 +196,7 @@ object TextQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
              |  FROM toks)
              |SELECT doc_id, shard, n_tok,
-             |  shard * 4294967296 + (cum - n_tok) // 512 AS seq_id,
+             |  ((cum - n_tok) // 512) * 8 + shard AS seq_id,
              |  (cum - n_tok) % 512 AS seq_offset
              |FROM packed ORDER BY doc_id""".stripMargin)),
 
