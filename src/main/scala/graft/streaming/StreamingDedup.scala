@@ -65,9 +65,16 @@ object StreamingDedup {
     fresh.select("h").write.mode("append").parquet(storePath)
   }
 
-  private def knownHashes(spark: SparkSession, path: String): Option[DataFrame] =
-    try Some(spark.read.parquet(path).select("h"))
-    catch { case _: Throwable => None } // store doesn't exist yet
+  /** None only when the store genuinely doesn't exist yet (first batch).
+    * Any OTHER failure (corrupt files, permission, transient IO) must
+    * propagate — treating it as "empty store" would silently re-admit the
+    * whole corpus as fresh. */
+  private def knownHashes(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(path).select("h"))
+  }
 
   /** Maintenance pass closing the crash-recovery loop: the corpus-first write
     * order can leave content duplicates after a replay (never losses); this
