@@ -61,6 +61,17 @@ object SketchQueries {
       |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** CTE defined once, consumed twice (self-join on adjacent keys) —
+    * identical text on both engines. */
+  private val cteReuseSql =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT a.l_orderkey, a.qty, b.qty AS next_qty
+      |FROM per_order a JOIN per_order b ON b.l_orderkey = a.l_orderkey + 1
+      |ORDER BY a.l_orderkey""".stripMargin
+
   /** Explicit GROUPING SETS — identical text on both engines. */
   private val groupingSetsSql =
     """SELECT l_returnflag, l_linestatus,
@@ -86,6 +97,9 @@ object SketchQueries {
     // Correlated EXISTS in a projection + NOT EXISTS in the filter
     // (semi/anti-join decorrelation, both positions).
     QueryDef("sql_exists", viaSql(existsSql), Some(existsSql)),
+
+    // CTE reuse (WITH consumed twice).
+    QueryDef("sql_cte_reuse", viaSql(cteReuseSql), Some(cteReuseSql)),
 
     QueryDef(
       "a_approx_distinct",

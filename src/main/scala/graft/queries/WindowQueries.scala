@@ -276,6 +276,28 @@ object WindowQueries {
               |  CAST(COUNT(turn) AS BIGINT) AS n_diffs
               |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ROWS-frame moving average (5-row centered window): the count-based
+    // frame twin of w_range_rolling's time-based RANGE frame. Decimal-exact
+    // numerator over an integer count.
+    QueryDef(
+      "w_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(-2, 2)
+        ev(s, dir)
+          .select(col("event_id"), col("user_id"),
+            (sum(col("value").cast(Exact.dt)).over(w).cast("double")
+              / count(lit(1)).over(w)).as("ma5"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |    / CAST(COUNT(*) OVER w AS DOUBLE) AS ma5
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+             |ORDER BY event_id""".stripMargin)),
+
     // NTILE quartiles per group (SQL-standard bucket arithmetic is identical
     // in both engines given a total order — unique (orderkey, linenumber)
     // tiebreak).
