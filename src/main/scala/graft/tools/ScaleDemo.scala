@@ -80,6 +80,16 @@ object ScaleDemo {
         stars.union(bridges))
       println(s"[scale] components: ${comps.select("comp").distinct().count()}")
     }
+
+    // Adversarial diameter: one 1M-node PATH. Label propagation would need
+    // 10^6 rounds; star contraction closes it in O(log² n).
+    timed("star contraction (1M-node path, diameter 10^6)") {
+      val path = spark.range(999999L)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val comps = graft.operators.ConnectedComponents.runStarContraction(path)
+      println(s"[scale] path components: ${comps.select("comp").distinct().count()}" +
+        s" (nodes: ${comps.count()})")
+    }
     spark.stop()
   }
 }
