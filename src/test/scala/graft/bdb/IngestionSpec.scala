@@ -35,8 +35,20 @@ class IngestionSpec extends SparkSpec {
     assert(Checks.report(back, Checks.trackingRules).count() === 0)
     assert(Checks.oneTargetPerPlay(back).count() === 0)
 
-    // and the full pipeline runs from the CSV-ingested frame
+    // and the full pipeline runs from the CSV-ingested frame, producing the
+    // complete scorecard surface (reference TrueSpeed.csv column semantics)
     val result = Pipeline.run(back, Synth.output(back), Synth.supplementary(back))
-    assert(result.scorecard.count() > 0)
+    val sc = result.scorecard
+    assert(sc.count() > 0)
+    val expectedCols = Set("nfl_id", "player_name", "true_speed",
+      "true_speed_raw", "route_execution", "plays_scored", "total_targets",
+      "total_yards", "total_epa", "catch_rate", "explosive_plays",
+      "success_rate", "yards_per_target", "epa_per_target", "rank",
+      "archetype", "air_play_iq")
+    val missing = expectedCols.diff(sc.columns.toSet)
+    assert(missing.isEmpty, s"scorecard missing columns: $missing")
+    // scaled metrics live on the reference's 0-100 scale
+    val bounds = sc.agg(min("true_speed"), max("true_speed")).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 100.0)
   }
 }
