@@ -268,6 +268,30 @@ object RelationalQueries {
              |  CAST(datediff('day', DATE '2024-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Temporal truncation + calendar arithmetic (string-rendered: engine
+    // date formatting stays out of the hash; both engines clamp add_months
+    // to month end).
+    QueryDef(
+      "f_datetrunc",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd")
+              .as("month_start"),
+            date_format(date_trunc("quarter", col("l_shipdate")), "yyyy-MM-dd")
+              .as("quarter_start"),
+            date_format(add_months(col("l_shipdate").cast("date"), 2), "yyyy-MM-dd")
+              .as("plus2m"),
+            date_format(last_day(col("l_shipdate")), "yyyy-MM-dd").as("month_end"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+             |  strftime(date_trunc('quarter', l_shipdate), '%Y-%m-%d') AS quarter_start,
+             |  strftime(CAST(l_shipdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+             |  strftime(last_day(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS month_end
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Regex scalar family: replace / extract-all count / match flag. Patterns
     // kept to constructs with identical semantics in Java regex (Spark) and
     // RE2 (DuckDB): character classes, +, no backrefs or lookaround.
