@@ -341,6 +341,24 @@ object AggQueries {
              |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
              |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Mixed multi-distinct aggregation (Catalyst's EXPAND path: two distinct
+    // aggregates over different column sets + a plain sum in one pass).
+    QueryDef(
+      "a_multi_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_linestatus")).as("n_status"),
+            countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status,
+             |  CAST(COUNT(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS n_part_supp,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Boolean aggregates + conditional counting (every/any/count_if).
     QueryDef(
       "a_bool_aggs",

@@ -17,6 +17,37 @@ object JoinQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Non-equi RANGE join: facts against a tiny band dimension via BETWEEN —
+    // broadcast nested-loop on a 4-row side, the correct physical shape
+    // (never shuffle a fact for a banding dim; at huge band counts switch to
+    // a range-bucketed equi-key). Bands derived in-query so both engines see
+    // identical data.
+    QueryDef(
+      "j_range_band",
+      (s, dir) => {
+        val s2 = s
+        import s2.implicits._
+        val bands = Seq(
+          ("low", 0.0, 20000.0), ("mid", 20000.0, 45000.0),
+          ("high", 45000.0, 80000.0), ("extreme", 80000.0, 1e9))
+          .toDF("band", "lo", "hi")
+        Tables.lineitem(s, dir)
+          .join(broadcast(bands),
+            col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"),
+            Exact.dsum(col("l_extendedprice")).as("band_revenue"))
+          .orderBy("band")
+      },
+      Some(s"""WITH bands(band, lo, hi) AS (VALUES
+              |  ('low', 0.0, 20000.0), ('mid', 20000.0, 45000.0),
+              |  ('high', 45000.0, 80000.0), ('extreme', 80000.0, 1e9))
+              |SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${Exact.sqlDsum("l_extendedprice")} AS band_revenue
+              |FROM lineitem JOIN bands
+              |  ON l_extendedprice >= lo AND l_extendedprice < hi
+              |GROUP BY band ORDER BY band""".stripMargin)),
+
     // J1 — broadcast left equi-join fact⟕dim (reference: tracking ⟕ supp context,
     // BDB_2026.ipynb cell 17)
     QueryDef(
