@@ -126,20 +126,21 @@ object ConnectedComponents {
         .distinct()
     }
 
-    def signature(d: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = d.agg(count(lit(1)),
-        sum((col("u") * 1000003L + col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.getDecimal(1))
-    }
+    // Deterministic fixpoint test: the edge list is converged exactly when
+    // it is a forest of stars — no edge's TARGET is itself a SOURCE (every
+    // non-root points directly at its root, and large∘small leaves such a
+    // forest unchanged). A checksum comparison would be probabilistic; this
+    // is a small self-semi-join on the same key the rounds already hash by.
+    def isStarForest(d: DataFrame): Boolean =
+      d.select(col("v").as("id"))
+        .join(d.select(col("u").as("id")), Seq("id"), "left_semi")
+        .isEmpty
 
-    var sig = signature(e)
-    var converged = false
+    var converged = isStarForest(e)
     var round = 0
     while (!converged && round < maxRounds) {
       e = smallStar(largeStar(e)).localCheckpoint(true)
-      val s = signature(e)
-      converged = s == sig
-      sig = s
+      converged = isStarForest(e)
       round += 1
     }
     require(converged, s"star contraction did not converge in $maxRounds rounds")
