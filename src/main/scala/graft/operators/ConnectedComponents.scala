@@ -91,8 +91,15 @@ object ConnectedComponents {
     */
   def runStarContraction(edges: DataFrame, src: String = "src",
       dst: String = "dst", maxRounds: Int = 40): DataFrame = {
+    // Canonicalize BEFORE the initial convergence test: orient every edge
+    // high→low. The input is an arbitrary directed pair list (LSH emits
+    // d1 < d2, i.e. low→high), and the star-forest test below is only
+    // meaningful on a high→low-oriented set — a root-written star like
+    // (1,2),(1,3) would otherwise pass the test untouched and come back as
+    // two components.
     var e = edges
-      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
@@ -127,14 +134,20 @@ object ConnectedComponents {
     }
 
     // Deterministic fixpoint test: the edge list is converged exactly when
-    // it is a forest of stars — no edge's TARGET is itself a SOURCE (every
-    // non-root points directly at its root, and large∘small leaves such a
-    // forest unchanged). A checksum comparison would be probabilistic; this
-    // is a small self-semi-join on the same key the rounds already hash by.
-    def isStarForest(d: DataFrame): Boolean =
-      d.select(col("v").as("id"))
+    // it is a forest of stars — (a) no edge's TARGET is itself a SOURCE
+    // (every non-root points directly at its root) AND (b) every source has
+    // exactly ONE outgoing edge (a node pointing at two "roots" — e.g. the
+    // canonicalized input (3,1),(3,2) — is a star-merge still to happen, not
+    // a forest). large∘small leaves a true forest unchanged. A checksum
+    // comparison would be probabilistic; these are a self-semi-join and a
+    // hash agg on the same key the rounds already hash by.
+    def isStarForest(d: DataFrame): Boolean = {
+      val targetAlsoSource = d.select(col("v").as("id"))
         .join(d.select(col("u").as("id")), Seq("id"), "left_semi")
-        .isEmpty
+      val multiOut = d.groupBy("u").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+      targetAlsoSource.isEmpty && multiOut.isEmpty
+    }
 
     var converged = isStarForest(e)
     var round = 0

@@ -66,6 +66,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(comps.agg(max("comp")).head().getLong(0) === 0L)
   }
 
+  test("star contraction: root-written star (advice regression)") {
+    import spark.implicits._
+    // Edges written FROM the root — no dst ever appears as a src, which the
+    // old directed pre-loop check mistook for a converged star forest.
+    val got = ConnectedComponents.runStarContraction(
+      Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("star contraction: single edge and two-root fan (advice regression)") {
+    import spark.implicits._
+    val single = ConnectedComponents.runStarContraction(
+      Seq((1L, 2L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single === Map(1L -> 1L, 2L -> 1L))
+    // (3,1),(3,2) canonicalizes to itself: no target is a source, but node 3
+    // has TWO outgoing edges — must still merge into one component.
+    val fan = ConnectedComponents.runStarContraction(
+      Seq((3L, 1L), (3L, 2L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fan === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("star contraction agrees with run() on LSH-oriented (d1<d2) pairs") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val edges = (1 to 60)
+      .map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (a min b, a max b) } // LSH emits low→high
+    val expected = unionFind(edges)
+    val got = ConnectedComponents.runStarContraction(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("disjoint cliques stay separate") {
     import spark.implicits._
     val cliqueA = for (i <- 0 to 3; j <- i + 1 to 3) yield (i.toLong, j.toLong)
