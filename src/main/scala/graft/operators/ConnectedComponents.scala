@@ -86,8 +86,10 @@ object ConnectedComponents {
     *  - small-star(u): hook every neighbor v ≤ u (and u) onto
     *    m = min(Γ≤(u) ∪ u).
     * The edge list converges to a forest of stars rooted at component
-    * minima; convergence is detected by the (count, pair-checksum) of the
-    * edge set going stationary.
+    * minima; convergence is detected by a deterministic star-forest fixpoint
+    * test on the high→low-canonicalized edge set: no edge target is itself a
+    * source, and every source has out-degree exactly 1 (see isStarForest
+    * below — a count/checksum heuristic would accept non-star fixpoints).
     */
   def runStarContraction(edges: DataFrame, src: String = "src",
       dst: String = "dst", maxRounds: Int = 40): DataFrame = {

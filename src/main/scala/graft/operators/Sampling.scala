@@ -21,17 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Pseudo-uniform value in [0, 1000) derived from the id. The id is
-    * reduced mod the prime BEFORE the multiply — ((id mod m)·C) mod m equals
-    * (id·C) mod m exactly, but the direct form overflows int64 (and under
-    * ANSI mode THROWS) once id exceeds ~3.4·10⁹, a corpus size 100 TB
-    * reaches. */
+  /** Pseudo-uniform value in [0, 1000) derived from the id. The modulus
+    * 99991 is prime and coprime to the Knuth constant (2654435761 mod 99991
+    * = 74675), so the multiply is a bijection on the residues — no two
+    * residue classes share keep/drop fates. The id is reduced mod the prime
+    * BEFORE the multiply — ((id mod m)·C) mod m equals (id·C) mod m exactly,
+    * but the direct form overflows int64 (and under ANSI mode THROWS) once
+    * id exceeds ~3.4·10⁹, a corpus size 100 TB reaches. */
   def perMille(id: Column): Column =
-    pmod(pmod(id.cast("long"), lit(97911L)) * 2654435761L, lit(97911L)) % 1000L
+    pmod(pmod(id.cast("long"), lit(99991L)) * 2654435761L, lit(99991L)) % 1000L
 
   /** SQL text of [[perMille]] (for oracle parity). */
   def perMilleSql(idExpr: String): String =
-    s"(((($idExpr) % 97911) * 2654435761) % 97911) % 1000"
+    s"(((($idExpr) % 99991) * 2654435761) % 99991) % 1000"
 
   /** Keep each row whose source's per-mille rate exceeds its hash draw.
     * `rates` maps source → rate in [0, 1000]; sources absent from the map

@@ -84,20 +84,27 @@ object SimilarityQueries {
        |  JOIN nrm n2 ON n2.vec_id = b.vec_id
        |  WHERE a.vec_id < $QN AND b.vec_id < $CN)""".stripMargin
 
-  /** LSH bucket id: 8 sign bits of dots with integer pseudo-random
-    * hyperplanes w(dim, j) = ((dim*31 + j*17) % 7) - 3, dim 1-based. */
-  private def buckets(s: SparkSession, dir: String): DataFrame = {
+  /** Append the LSH bucket id MAP-SIDE (no join, no shuffle): 8 sign bits of
+    * dots with integer pseudo-random hyperplanes
+    * w(dim, j) = ((dim*31 + j*17) % 7) - 3, dim 1-based. Keeping the
+    * embedding alongside the bucket is what lets the search equi-join on
+    * `bucket` and score in place — the corpus is never enumerated pairwise.
+    */
+  private def withBucket(e: DataFrame): DataFrame = {
     val dots = (0 until 8).map { j =>
       expr(foldSum(s"zip_with(embedding, sequence(1, $D), " +
         s"(x, i) -> CAST(x AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE))"))
         .as(s"dot_$j")
     }
-    Tables.embeddings(s, dir).filter(col("vec_id") < CN)
-      .select(col("vec_id") +: dots: _*)
-      .select(col("vec_id"),
+    e.select(col("vec_id") +: col("embedding") +: dots: _*)
+      .select(col("vec_id"), col("embedding"),
         (0 until 8).map(j => when(col(s"dot_$j") >= 0.0, 1L << j).otherwise(0L))
           .reduce(_ + _).as("bucket"))
   }
+
+  private def buckets(s: SparkSession, dir: String): DataFrame =
+    withBucket(Tables.embeddings(s, dir).filter(col("vec_id") < CN))
+      .select("vec_id", "bucket")
 
   private val sqlBuckets =
     s"""pd AS (
@@ -159,18 +166,28 @@ object SimilarityQueries {
               |       min(vec_id) AS min_vec
               |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
-    // Bucketed ANN: candidates share the query's LSH bucket; exact cosine
-    // re-rank inside the bucket only (the 100 TB search path).
+    // Bucketed ANN, bucket-FIRST (the 100 TB search path): bucket ids are
+    // computed map-side on both sides, the broadcast query set equi-joins the
+    // corpus ON the bucket key (the Ivf.search shape), and the exact cosine
+    // is computed only for in-bucket candidates. Unlike s_knn_brute, no Q×N
+    // pair is ever enumerated — per-query cost is its bucket's population.
+    // PlanAuditSpec asserts the equi-join-on-bucket / no-nested-loop shape.
     QueryDef(
       "s_lsh_knn",
       (s, dir) => {
-        val b = buckets(s, dir)
-        val withBuckets = cosines(s, dir)
-          .join(b.select(col("vec_id").as("d1"), col("bucket").as("bk1")), Seq("d1"))
-          .join(b.select(col("vec_id").as("d2"), col("bucket").as("bk2")), Seq("d2"))
-          .filter(col("bk1") === col("bk2"))
+        val eb = withBucket(Tables.embeddings(s, dir).filter(col("vec_id") < CN))
+        val q = eb.filter(col("vec_id") < QN)
+          .select(col("vec_id").as("d1"), col("embedding").as("e1"), col("bucket"))
+        val c = eb
+          .select(col("vec_id").as("d2"), col("embedding").as("e2"), col("bucket"))
+        val scored = broadcast(q).join(c, Seq("bucket"))
+          .filter(col("d1") < col("d2"))
+          .withColumn("dot", expr(dotExpr))
+          .select(col("d1"), col("d2"),
+            (col("dot") / (sqrt(expr("float_dot(e1, e1)")) *
+              sqrt(expr("float_dot(e2, e2)")))).as("cos"))
         val w = Window.partitionBy("d1").orderBy(col("cos").desc, col("d2"))
-        withBuckets
+        scored
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select("d1", "rnk", "d2", "cos")

@@ -63,11 +63,22 @@ object Lake {
     */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], where: Option[Column] = None): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val current0 = spark.read.parquet(path)
-    val current = where.map(current0.filter).getOrElse(current0)
-    val untouched = where.map(w => current0.filter(!w)).getOrElse {
-      current0.limit(0)
+    // Three-valued logic guard: a row where `where` evaluates NULL is false
+    // under BOTH `w` and `!w`, so a naive filter pair drops it from the table
+    // entirely. NULL-predicate rows are conservatively kept untouched.
+    val current = where.map(w => current0.filter(coalesce(w, lit(false))))
+      .getOrElse(current0)
+    val untouched = where.map(w => current0.filter(coalesce(!w, lit(true))))
+      .getOrElse(current0.limit(0))
+    // `where` is a rewrite-scope prune, not a filter on the updates: an
+    // update row outside the scope would duplicate its key (its old version
+    // lives in `untouched`). Fail loudly rather than corrupt.
+    where.foreach { w =>
+      require(updates.filter(!coalesce(w, lit(false))).isEmpty,
+        s"upsertByKey: updates contain rows outside the `where` scope $w; " +
+          "widen the predicate or pre-filter the updates")
     }
     val merged = current.join(updates.select(keys.map(col(_)): _*), keys, "left_anti")
       .unionByName(updates)
@@ -82,9 +93,11 @@ object Lake {
     */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long): (Int, Int) = {
     def parquetFiles: Int = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      // resolve the filesystem OF `path` (s3a://, abfs://, ...), not the
+      // configured default one — same as safeReplace above
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
       var n = 0
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n

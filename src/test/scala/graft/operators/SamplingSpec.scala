@@ -63,7 +63,7 @@ class SamplingSpec extends SparkSpec {
     // is computable without overflow
     val small = (0L until 3000L).toDF("id")
     val viaOp = small.select(Sampling.perMille(col("id"))).as[Long].collect()
-    val naive = (0L until 3000L).map(i => ((i * 2654435761L) % 97911L) % 1000L)
+    val naive = (0L until 3000L).map(i => ((i * 2654435761L) % 99991L) % 1000L)
     assert(viaOp.toSeq === naive)
   }
 

@@ -112,6 +112,39 @@ class LakeSpec extends SparkSpec {
       (9L, "new", 9.0)))
   }
 
+  test("upsertByKey keeps rows whose `where` predicate evaluates NULL") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_upn").toString + "/t"
+    // row 3 has a NULL grp: `grp = 'a'` and `NOT (grp = 'a')` are BOTH
+    // non-true for it — a naive filter pair deletes it from the table
+    Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0), (3L, None, 3.0))
+      .toDF("id", "grp", "v").write.parquet(path)
+    Lake.upsertByKey(spark,
+      path, Seq((1L, Some("a"), 10.0)).toDF("id", "grp", "v"),
+      Seq("id"), where = Some(col("grp") === "a"))
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, Option[String], Double)].collect().toSeq
+    assert(out === Seq((1L, Some("a"), 10.0), (2L, Some("b"), 2.0),
+      (3L, None, 3.0)), "NULL-predicate row must survive the upsert")
+  }
+
+  test("upsertByKey rejects updates outside the `where` scope") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_ups").toString + "/t"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v")
+      .write.parquet(path)
+    // update targets grp='b' but the rewrite scope is grp='a': the old row 2
+    // would survive in `untouched` AND reappear via updates → duplicate key.
+    val ex = intercept[IllegalArgumentException] {
+      Lake.upsertByKey(spark,
+        path, Seq((2L, "b", 20.0)).toDF("id", "grp", "v"),
+        Seq("id"), where = Some(col("grp") === "a"))
+    }
+    assert(ex.getMessage.contains("outside the `where` scope"))
+    // and the table is untouched
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
   test("safeReplace swaps contents and sweeps crash leftovers") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_sr").toString + "/t"
