@@ -32,6 +32,46 @@ trait ConvergenceModel {
       col(actualCol) - col("predicted_converge_rate"))
 }
 
+/** In-engine forward-pass inference over the reference's committed Keras
+  * weights (reference: models.py:24-67 architecture; artifacts saved at
+  * BDB_2026.ipynb cell 107): pad sequences with [[Sequences.build]], run the
+  * float32 LSTM forward pass ([[graft.ml.KerasLstm]] — weights read straight
+  * from the `.h5` by the pure-JVM [[graft.ml.H5Lite]]), and join the
+  * per-frame predictions back positionally (the reference renumbers
+  * post-throw frames 1..L in its predictions CSV — `frame_idx` is the rank
+  * of `frame_id` within the trajectory, which equals `frame_id` when frames
+  * are already 1-based and dense).
+  *
+  * The committed per-frame INPUT features were never published (only the
+  * predictions were), so end-to-end numeric parity against the predictions
+  * CSV is unverifiable from public artifacts; the forward pass itself is
+  * pinned to Keras semantics by the cross-implementation fixture in
+  * KerasLstmSpec instead.
+  */
+final class LstmModel(modelPath: String, features: Seq[String],
+    maxLen: Int = 25) extends ConvergenceModel {
+  private val model = graft.ml.KerasLstm.load(modelPath)
+  require(model.nFeatures == features.size,
+    s"$modelPath expects ${model.nFeatures} features, got ${features.size}")
+
+  override def predict(frames: DataFrame): DataFrame = {
+    val keys = Schemas.trajectoryKeys
+    val seqs = Sequences.build(frames, features, maxLen)
+    val preds = graft.ml.KerasLstm.scoreSequences(seqs, model, keys)
+    // Sequences.build keeps the LAST maxLen frames, so seq position 1 is
+    // frame rank (L - maxLen + 1) on long trajectories: shift the rank;
+    // truncated head frames get frame_idx <= 0 → no match → null prediction.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val rankW = w.orderBy(col("frame_id"))
+    frames
+      .withColumn("frame_idx",
+        (row_number().over(rankW) -
+          greatest(count(lit(1)).over(w) - maxLen, lit(0))).cast("long"))
+      .join(preds, keys :+ "frame_idx", "left")
+      .drop("frame_idx")
+  }
+}
+
 /** Precomputed-prediction join (keys: game_id, play_id, frame_id). */
 final class StubModel(predictions: DataFrame) extends ConvergenceModel {
   override def predict(frames: DataFrame): DataFrame =

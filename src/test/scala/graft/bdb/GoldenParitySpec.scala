@@ -82,6 +82,49 @@ class GoldenParitySpec extends SparkSpec {
     assert(recomputed.count() === 8202)
   }
 
+  test("in-engine forward pass over the committed weights lands inside the " +
+    "committed predictions' envelope") {
+    // The reference never published the per-frame model INPUTS, so bit-exact
+    // reproduction of this CSV is not derivable from public artifacts (the
+    // forward-pass math itself is pinned by KerasLstmSpec's independent
+    // cross-implementation fixture). What IS checkable end-to-end: the
+    // committed predictions came from THIS weight file, so the engine's
+    // forward pass on inputs spanning the notebook's feature magnitudes
+    // (BDB_2026.ipynb cell 64 sample: positions ~tens, unit-scale trig)
+    // must produce values inside the CSV's observed output envelope —
+    // a transposed kernel, wrong gate order, or byte-order bug in the
+    // weight path blows outputs far outside it.
+    val m = graft.ml.KerasLstm.load(
+      "/root/reference/models/convergence_lstm_model_BlindPhysics_Completed_Pass.h5")
+    val env = preds.agg(
+      min("predicted_converge_rate").as("lo"),
+      max("predicted_converge_rate").as("hi")).head()
+    val (lo, hi) = (env.getAs[Double]("lo"), env.getAs[Double]("hi"))
+    val rnd = new scala.util.Random(7)
+    val outputs = (0 until 50).flatMap { _ =>
+      val t = 5 + rnd.nextInt(20)
+      val seq = Array.fill(t) {
+        val x = new Array[Float](m.nFeatures)
+        x(0) = 30f + rnd.nextFloat() * 60f // x_norm
+        x(1) = rnd.nextFloat() * 53f // y_norm
+        (2 to 4).foreach(k => x(k) = rnd.nextFloat() * 8f - 4f) // dx dy speed
+        x(5) = rnd.nextFloat() * 20f // dist_to_land
+        (6 to 9).foreach(k => x(k) = rnd.nextFloat() * 2f - 1f)
+        (10 to 12).foreach(k => x(k) = rnd.nextFloat() * 30f)
+        (13 until m.nFeatures).foreach(k => x(k) = rnd.nextFloat() * 10f)
+        x
+      }
+      m.forward(seq)
+    }
+    // generous slack: random inputs are off-manifold; an envelope breach of
+    // 3x the committed output span means broken weights, not odd inputs
+    val span = hi - lo
+    assert(outputs.forall(v => v > lo - 3 * span && v < hi + 3 * span),
+      s"forward outputs [${outputs.min}, ${outputs.max}] vs committed [$lo, $hi]")
+    // and they are not degenerate (all-saturated or constant)
+    assert(outputs.distinct.size > 100)
+  }
+
   test("defender-separation golden table loads and respects its fill bounds") {
     val sep = spark.read
       .schema(StructType(Seq(

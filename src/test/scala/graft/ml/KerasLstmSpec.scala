@@ -1,0 +1,113 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.io.Source
+
+/** Forward-pass semantics pinned by a CROSS-IMPLEMENTATION fixture:
+  * scripts/lstm_fixture.py implements the same architecture independently
+  * (NumPy float32, its own HDF5 parser) over the same committed weights and
+  * wrote src/test/resources/lstm_fixture.csv. Agreement across two unrelated
+  * implementations of the published Keras equations (gate order, activations,
+  * masking, float32 arithmetic) is the strongest available check: the
+  * reference never published the per-frame model INPUTS, only its outputs,
+  * so golden end-to-end parity is not derivable from public artifacts.
+  */
+class KerasLstmSpec extends SparkSpec {
+
+  private val blind =
+    "/root/reference/models/convergence_lstm_model_BlindPhysics_Completed_Pass.h5"
+  private lazy val model = KerasLstm.load(blind)
+
+  private lazy val fixture: Map[Int, Seq[(Array[Float], Float)]] = {
+    val src = Source.fromFile("src/test/resources/lstm_fixture.csv")
+    try {
+      src.getLines().drop(1).map { line =>
+        val Array(seqId, t, xs, y) = line.split(",", 4)
+        (seqId.toInt, t.toInt, xs.split(";").map(_.toFloat), y.toFloat)
+      }.toSeq.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.sortBy(_._2).map(r => (r._3, r._4))
+      }
+    } finally src.close()
+  }
+
+  test("forward pass matches the independent NumPy implementation per frame") {
+    assert(fixture.size === 4)
+    fixture.foreach { case (seqId, rows) =>
+      val x = rows.map(_._1).toArray
+      val expected = rows.map(_._2)
+      val got = model.forward(x)
+      expected.indices.foreach { t =>
+        assert(math.abs(got(t) - expected(t)) < 1e-4f,
+          s"seq $seqId frame $t: got ${got(t)}, fixture ${expected(t)}")
+      }
+    }
+  }
+
+  test("Masking(0.0): an all-zero timestep carries state — prediction repeats") {
+    // fixture seq 3 has x[5] zeroed by construction
+    val rows = fixture(3)
+    assert(rows(5)._1.forall(_ == 0f))
+    val got = model.forward(rows.map(_._1).toArray)
+    assert(got(5) === got(4), "masked step must not advance the LSTM state")
+    // and removing the masked step entirely leaves later frames unchanged
+    val without = model.forward(
+      (rows.take(5) ++ rows.drop(6)).map(_._1).toArray)
+    rows.indices.drop(6).foreach { t =>
+      assert(math.abs(got(t) - without(t - 1)) < 1e-7f, s"frame $t")
+    }
+  }
+
+  test("tail zero-padding never changes real-frame predictions") {
+    val x = fixture(1).map(_._1).toArray // 7 real frames
+    val padded = x ++ Array.fill(18)(new Array[Float](model.nFeatures))
+    val a = model.forward(x)
+    val b = model.forward(padded)
+    x.indices.foreach(t => assert(a(t) === b(t)))
+  }
+
+  test("scoreSequences: per-frame rows, 1-based frame_idx, only real frames") {
+    import spark.implicits._
+    val frames = (1 to 3).flatMap { traj =>
+      (1 to (traj * 3)).map { f =>
+        (traj.toLong, traj.toLong, traj.toLong, f.toLong,
+          (0 until model.nFeatures).map(k => (f * 0.1 + k * 0.01)).toArray)
+      }
+    }.toDF("game_id", "play_id", "nfl_id", "frame_id", "feats")
+    val wide = (0 until model.nFeatures).foldLeft(frames) { (d, k) =>
+      d.withColumn(s"f$k", col("feats")(k))
+    }.drop("feats")
+    val seqs = graft.bdb.Sequences.build(
+      wide, (0 until model.nFeatures).map(k => s"f$k"), maxLen = 25)
+    val scored = KerasLstm.scoreSequences(seqs, model,
+      Seq("game_id", "play_id", "nfl_id")).cache()
+    assert(scored.count() === (3 + 6 + 9))
+    val perTraj = scored.groupBy("game_id")
+      .agg(count(lit(1)).as("n"), min("frame_idx").as("lo"), max("frame_idx").as("hi"))
+      .orderBy("game_id").collect()
+    perTraj.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) === (i + 1) * 3L)
+      assert(r.getLong(2) === 1L && r.getLong(3) === (i + 1) * 3L)
+    }
+    assert(scored.filter(col("predicted_converge_rate").isNull).count() === 0)
+  }
+
+  test("LstmModel.predict joins predictions back onto frames positionally") {
+    import spark.implicits._
+    val feats = (0 until model.nFeatures).map(k => s"f$k")
+    // 30 frames: the first 5 fall off the maxLen=25 tail window → null pred
+    val frames0 = (1 to 30).map { f =>
+      (7L, 7L, 7L, f.toLong, f * 0.01)
+    }.toDF("game_id", "play_id", "nfl_id", "frame_id", "base")
+    val frames = feats.zipWithIndex.foldLeft(frames0) { case (d, (c, k)) =>
+      d.withColumn(c, col("base") + k * 0.001)
+    }.drop("base").withColumn("converge_rate", col("f0") * 0.1)
+    val m = new graft.bdb.LstmModel(blind, feats)
+    val out = m.withResidual(frames).cache()
+    assert(out.count() === 30)
+    assert(out.filter(col("predicted_converge_rate").isNull).count() === 5)
+    assert(out.filter(col("frame_id") <= 5 &&
+      col("predicted_converge_rate").isNotNull).count() === 0)
+    assert(out.filter(col("residual").isNotNull).count() === 25)
+  }
+}
