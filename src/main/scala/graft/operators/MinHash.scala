@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable MinHash signature / LSH banding kernel — the operator-layer
+  * counterpart of the oracle-paired queries in
+  * [[graft.queries.DedupQueries]] (same 5-char shingles, same rolling hash
+  * mod 2^31−1, same K=12 permutations `h·(2j+3) + (7j+1)`, same 4 bands of
+  * 3), packaged for pipeline composition: batch dedup, the streaming
+  * near-dup ingest ([[graft.streaming.StreamingNearDedup]]), and any future
+  * consumer share one definition of "signature" so stores stay compatible.
+  *
+  * Everything here is map-side per document except the one `groupBy(doc)`
+  * that folds shingle hashes into the signature — no pair enumeration, no
+  * global state; at 100 TB the signature build parallelizes linearly and
+  * the band keys are what candidate joins shuffle on.
+  */
+object MinHash {
+
+  val K = 12 // permutations
+  val NBands = 4 // bands of K/NBands rows each
+
+  /** Permutation j is h ↦ (h·a(j) + b(j)) mod 2^31−1. The multipliers are
+    * SPREAD (Knuth-constant multiples reduced mod the prime), not small
+    * sequential integers: with tiny multipliers like 3, 5, 7…, one
+    * low-valued shingle hash stays the minimum under most "permutations",
+    * the K draws are heavily correlated, and two documents sharing a few
+    * common shingles (" and ", " the ") estimate Jaccard ≈ 0.7 when the
+    * truth is ≈ 0.01 — false near-dup drops. a(j) < 2^31 keeps h·a within
+    * int64 for both Spark and the DuckDB oracle. */
+  def a(j: Int): Long = (2654435761L * (2L * j + 1)) % 2147483647L
+  def b(j: Int): Long = (2654435761L * 40503L % 2147483647L) * (j + 1) % 2147483647L
+
+  /** (id, sig: array<long> of K minhash components) per document; documents
+    * shorter than one shingle (5 chars) produce NO row — callers must treat
+    * signature-less docs as unique. Uses the native codegen'd rolling_hash
+    * (graft.functions.RollingHash). */
+  def signatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      // sequence(1, n) counts DOWN for n < 1 (Spark semantic): a doc shorter
+      // than one shingle would explode into nonsense substrings, not zero
+      .filter(length(col(textCol)) >= 5)
+      .select(col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, length($textCol) - 4), " +
+            s"i -> substring($textCol, i, 5))"))).as("sh"))
+      .withColumn("h", expr("rolling_hash(sh)"))
+      .groupBy(idCol)
+      .agg(array((0 until K).map(j =>
+        min((col("h") * a(j) + b(j)) % 2147483647L)): _*).as("sig"))
+
+  /** Explode a signature frame into one row per (id, band, bkey, sig):
+    * the LSH candidate key. Map-side. */
+  def bands(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val rowsPerBand = K / NBands
+    sigs.select(col(idCol), col("sig"),
+      explode(array((0 until NBands).map { bd =>
+        struct(lit(bd).as("band"),
+          concat_ws("_", (0 until rowsPerBand)
+            .map(r => col("sig")(bd * rowsPerBand + r)): _*).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"), col("sig"))
+  }
+
+  /** Estimated Jaccard similarity of two K-component signatures: the
+    * fraction of agreeing components (sequential fold, no UDF). */
+  def estSimilarity(s1: Column, s2: Column): Column =
+    expr_sim(s1, s2) / lit(K.toDouble)
+
+  private def expr_sim(s1: Column, s2: Column): Column =
+    aggregate(zip_with(s1, s2,
+      (x, y) => when(x === y, 1.0d).otherwise(0.0d)),
+      lit(0.0d), (acc, p) => acc + p)
+}

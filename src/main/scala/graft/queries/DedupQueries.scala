@@ -74,9 +74,13 @@ object DedupQueries {
     "list_reduce([CAST(0 AS BIGINT)] || list_transform(generate_series(1, length(sh)), " +
       "i -> CAST(ascii(substring(sh, i, 1)) AS BIGINT)), (x, c) -> (x * 31 + c) % 2147483647)"
 
-  private val K = 12 // minhash permutations
-  private def mhA(j: Int): Long = 2L * j + 3
-  private def mhB(j: Int): Long = 7L * j + 1
+  // Permutation constants shared with the operator-layer MinHash kernel
+  // (graft.operators.MinHash) so signature stores are compatible across the
+  // batch queries and the streaming near-dup ingest. The SQL oracle below
+  // interpolates the same values.
+  private val K = graft.operators.MinHash.K
+  private def mhA(j: Int): Long = graft.operators.MinHash.a(j)
+  private def mhB(j: Int): Long = graft.operators.MinHash.b(j)
 
   /** Per-doc MinHash signature columns mh_0..mh_11 over hashed shingles.
     * Uses the NATIVE codegen'd rolling_hash (identical fold to [[shHash]],
@@ -205,8 +209,8 @@ object DedupQueries {
               |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash
               |FROM sig ORDER BY doc_id""".stripMargin)),
 
-    // SimHash near-dup pairs: Hamming distance ≤ 1 on the bounded subset.
-    // At corpus scale the pair search buckets on bit-bands like MinHash LSH.
+    // SimHash near-dup pairs, all-pairs form: the bounded-subset ground-truth
+    // verifier for d_simhash_banded below (which is the corpus-scale path).
     QueryDef(
       "d_simhash_pairs",
       (s, dir) => {
@@ -226,6 +230,55 @@ object DedupQueries {
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
               |ORDER BY d1, d2""".stripMargin)),
 
+
+    // Banded SimHash candidate search — the corpus-scale pair path. The
+    // 24-bit sketch splits into 3 8-bit bands; Hamming distance ≤ 1 flips at
+    // most one band, so every qualifying pair collides in ≥ 2 bands
+    // (pigeonhole) and is found by an equi-join on (band, band value) — no
+    // all-pairs enumeration anywhere. Pairs are generated BUCKET-LOCALLY
+    // (the lshPairs shape: one exchange on the band key, per-bucket i<j
+    // combinations bounded by the 8-bit collision rate), signatures ride
+    // along so the Hamming verification is in place, and `distinct`
+    // collapses multi-band collisions. Must return exactly
+    // d_simhash_pairs' rows.
+    QueryDef(
+      "d_simhash_banded",
+      (s, dir) => {
+        val sig = simhashSigs(s, dir)
+        val banded = sig.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 3).map(b => struct(lit(b).as("band"),
+            shiftright(col("simhash"), 8 * b).bitwiseAND(255L).as("bkey"))): _*))
+            .as("bk"))
+          .select(col("doc_id"), col("simhash"),
+            col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        banded
+          .groupBy("band", "bkey")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+            .as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ds, (x, i) ->
+              |  transform(slice(ds, i + 2, size(ds)),
+              |    y -> struct(x.doc_id AS d1, x.simhash AS h1,
+              |                y.doc_id AS d2, y.simhash AS h2))))""".stripMargin))
+            .as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+            bit_count(col("p.h1").bitwiseXOR(col("p.h2"))).as("hamming"))
+          .filter(col("hamming") <= 1)
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH $sqlSimhashSigs,
+              |banded AS (
+              |${(0 until 3).map(b =>
+                 s"  SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS bkey FROM sig")
+                 .mkString("\n  UNION ALL\n")})
+              |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM banded a JOIN banded b
+              |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+              |ORDER BY d1, d2""".stripMargin)),
 
     // Exact dedup census: total vs content-distinct (md5 is identical cross-engine).
     QueryDef(

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.operators.MinHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming NEAR-duplicate ingest: [[StreamingDedup]]'s exact-hash gate
+  * composed with the MinHash signature path — documents arrive as a stream
+  * and are dropped when they are *approximately* (est. Jaccard ≥ threshold)
+  * similar to anything already ingested, not just byte-identical.
+  *
+  * The persistent store holds one row per (band, bkey, doc_id, sig): the
+  * LSH candidate key plus the full K-component signature. Per micro-batch:
+  *
+  *  1. exact in-batch dedup (md5), as in the exact pipeline;
+  *  2. signatures + band keys for the batch (map-side, [[MinHash]]);
+  *  3. **vs store**: equi-join batch bands against the store ON (band,
+  *     bkey) — the bucket-first shape; candidates Hamming-verify via
+  *     signature agreement, est. similarity ≥ threshold ⇒ drop. Exact
+  *     cross-batch duplicates have identical signatures (similarity 1.0),
+  *     so the exact gate across batches is subsumed;
+  *  4. **in-batch near-dups**: bucket-local i<j pairs per (band, bkey)
+  *     (the lshPairs shape — never all-pairs), greedy keep-lowest-id:
+  *     a doc similar to a smaller-id batch doc is dropped (chains keep
+  *     their non-adjacent tails: A~B, B~C, A≁C keeps A and C — the
+  *     batch-local greedy mirror of the reference's keep-first contract);
+  *  5. append survivors: corpus FIRST, then their band rows to the store —
+  *     the same crash ordering as [[StreamingDedup.ingestBatch]]: a crash
+  *     between the writes leaves recoverable duplicates, never losses, and
+  *     [[StreamingDedup.compactCorpus]] closes the loop because
+  *     crash-window duplicates are exact.
+  *
+  * Documents too short to shingle (< 5 chars) produce no signature and are
+  * treated as unique — the exact md5 gate still applies to them in-batch.
+  *
+  * Scale: the store is keyed by (band, bkey) — at 100 TB write it bucketed
+  * on that key ([[graft.sources.Lake.writeBucketed]]) so step 3 is a
+  * shuffle-free bucket-local join; batch-side work is map-side signature
+  * build plus one exchange on the band key.
+  */
+object StreamingNearDedup {
+
+  final case class Doc(doc_id: Long, text: String)
+
+  def start(docs: DataFrame, storePath: String, corpusPath: String,
+      checkpointLocation: String, simThreshold: Double = 0.5,
+      name: String = "neardup_ingest"): StreamingQuery = {
+    require(checkpointLocation.nonEmpty, "checkpointLocation is required")
+    docs.writeStream.queryName(name)
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        ingestBatch(batch.toDF(), storePath, corpusPath, simThreshold)
+      }
+      .start()
+  }
+
+  /** One batch; also usable directly for batch backfills (same store). */
+  def ingestBatch(batch: DataFrame, storePath: String, corpusPath: String,
+      simThreshold: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    val exactDeduped = batch
+      .withColumn("__h", md5(col("text").cast("binary")))
+      .dropDuplicates("__h").drop("__h")
+
+    val sigs = MinHash.signatures(exactDeduped) // (doc_id, sig); absent if unshingleable
+    val banded = MinHash.bands(sigs)
+
+    val vsStore = knownBands(spark, storePath) match {
+      case Some(store) =>
+        banded.join(store.select(col("band"), col("bkey"),
+          col("sig").as("sig2")), Seq("band", "bkey"))
+          .filter(MinHash.estSimilarity(col("sig"), col("sig2")) >= simThreshold)
+          .select("doc_id")
+      case None => banded.select("doc_id").limit(0)
+    }
+
+    val inBatch = banded
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(x.doc_id AS d1, x.sig AS s1,
+          |                y.doc_id AS d2, y.sig AS s2))))""".stripMargin)).as("p"))
+      .filter(MinHash.estSimilarity(col("p.s1"), col("p.s2")) >= simThreshold)
+      .select(col("p.d2").as("doc_id")) // drop the larger id of each pair
+
+    val dropIds = vsStore.unionByName(inBatch).distinct()
+    val fresh = exactDeduped
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      // eager materialization: the store append below must not poison the
+      // corpus append's lineage (same reasoning as StreamingDedup)
+      .localCheckpoint(true)
+
+    fresh.write.mode("append").parquet(corpusPath)
+    MinHash.bands(MinHash.signatures(fresh))
+      .write.mode("append").parquet(storePath)
+  }
+
+  /** None only when the store genuinely does not exist yet; any other
+    * failure propagates (an "empty store" fallback would re-admit the
+    * corpus). */
+  private def knownBands(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(path))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingNearDedupSpec extends SparkSpec {
+
+  import StreamingNearDedup.Doc
+
+  // long enough to shingle richly; the suffix perturbs only a small fraction
+  private val baseA = "the quick brown fox jumps over the lazy dog while the " +
+    "band plays a slow waltz under bright paper lanterns in the old town square"
+  private val baseD = "seven silver ships sail slowly past the sleeping harbor " +
+    "carrying crates of oranges tea and woven baskets toward the northern delta"
+
+  test("stream drops near-duplicates within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("sneardup").toString
+    val store = s"$base/store"
+    val corpus = s"$base/corpus"
+
+    val input = MemoryStream[Doc]
+    val q = StreamingNearDedup.start(input.toDF(), store, corpus, s"$base/ckpt")
+    input.addData(
+      Doc(1L, baseA),
+      Doc(2L, "completely different text about compilers and parser theory " +
+        "with long chains of tokens that share nothing with the others"))
+    q.processAllAvailable()
+    input.addData(
+      Doc(3L, baseA + " zz11 zz22"), // near-dup of doc 1 (NOT exact) → drop
+      Doc(4L, "fresh document on tidal pools limpets and barnacles clinging " +
+        "to wet granite while gulls wheel overhead in the salt wind"), // keep
+      Doc(5L, baseD), // keep (first of the in-batch pair)
+      Doc(6L, baseD + " yy88 yy99")) // in-batch near-dup of 5 → drop
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(corpus)
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 4L, 5L),
+      s"near-dups 3 (cross-batch) and 6 (in-batch) must be dropped, got $ids")
+    // the store holds one band row per band per survivor
+    assert(spark.read.parquet(store).count() ===
+      4L * graft.operators.MinHash.NBands)
+
+    // batch backfill shares the store: another near-dup of doc 1 is dropped,
+    // a genuinely new doc is kept
+    StreamingNearDedup.ingestBatch(
+      Seq(Doc(7L, baseA + " ww77"),
+        Doc(8L, "unrelated closing chapter where the detective finally " +
+          "names the culprit over lukewarm coffee at the station")).toDF(),
+      store, corpus)
+    val ids2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids2 === Seq(1L, 2L, 4L, 5L, 8L))
+  }
+
+  test("exact duplicates are still dropped (signature similarity 1.0)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sneardup_ex").toString
+    StreamingNearDedup.ingestBatch(
+      Seq(Doc(1L, baseA), Doc(2L, baseA)).toDF(), // in-batch exact
+      s"$base/store", s"$base/corpus")
+    StreamingNearDedup.ingestBatch(
+      Seq(Doc(3L, baseA)).toDF(), // cross-batch exact
+      s"$base/store", s"$base/corpus")
+    assert(spark.read.parquet(s"$base/corpus").count() === 1)
+  }
+
+  test("unshingleable short docs pass the near-dup gate but not the exact one") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sneardup_sh").toString
+    StreamingNearDedup.ingestBatch(
+      Seq(Doc(1L, "ab"), Doc(2L, "ab"), Doc(3L, "cd")).toDF(),
+      s"$base/store", s"$base/corpus")
+    val ids = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 3L))
+    assert(spark.read.parquet(s"$base/store").count() === 0) // no signatures
+  }
+
+  test("crash between corpus and store writes loses nothing on replay") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sneardup_cr").toString
+    val store = s"$base/store"
+    val corpus = s"$base/corpus"
+    val batch = Seq(Doc(1L, baseA)).toDF()
+
+    // corpus append committed, store append lost — the only partial state
+    // the corpus-first ordering allows
+    StreamingNearDedup.ingestBatch(batch, store, corpus)
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    // replay: the doc must re-append (recoverable duplicate), never vanish
+    StreamingNearDedup.ingestBatch(batch, store, corpus)
+    assert(spark.read.parquet(corpus).count() === 2)
+
+    // crash-window duplicates are exact → the exact-hash compaction closes
+    // the loop (store is rebuilt separately; corpus is what matters).
+    // compactCorpus swaps the store via safeReplace, which needs the
+    // target to exist — seed an empty one as a fresh pipeline would have.
+    Seq.empty[String].toDF("h").write.parquet(s"$base/exact_store")
+    val dropped = StreamingDedup.compactCorpus(spark, s"$base/exact_store", corpus)
+    assert(dropped === 1)
+    assert(spark.read.parquet(corpus).count() === 1)
+  }
+}
