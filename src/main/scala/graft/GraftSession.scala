@@ -28,5 +28,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which the Spark reader rejects;
       // read as long nanos and convert (values are µs-aligned, so lossless).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Report write-time sortBy order from bucketed scans, dropping both
+      // sides' sorts in co-bucketed sort-merge joins. Self-guarded: Spark
+      // only reports the ordering when a bucket is a single file, which
+      // Lake.writeBucketed guarantees by aligning write partitioning with
+      // the bucket spec.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
 }

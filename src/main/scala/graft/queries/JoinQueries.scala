@@ -15,6 +15,39 @@ import org.apache.spark.sql.expressions.Window
   */
 object JoinQueries {
 
+  /** Write-once bucketed twins of lineitem/orders for [[j_star_chain]]'s
+    * co-located variant: both sides bucketed AND sorted on the order key, so
+    * the fact-fact join plans with ZERO exchange and ZERO sort on either
+    * side (LakeSpec proves the general property; this makes it a benched,
+    * oracle-checked query). Idempotent per (session, sf dir) — the one-time
+    * write is the amortized cost bucketing always has; every downstream
+    * join/agg on the key then skips the network entirely, which at 100 TB is
+    * the difference between moving the fact table per query and never
+    * moving it.
+    */
+  private def bucketedFacts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tag = (dir.hashCode & 0x7FFFFFFF).toString
+    val (li, or) = (s"li_bk_$tag", s"or_bk_$tag")
+    Seq(li -> "lineitem", or -> "orders").foreach { case (t, _) =>
+      if (!s.catalog.tableExists(t)) {
+        // sweep a stale warehouse dir from a previous process (the in-memory
+        // catalog forgets tables across sessions; the files survive)
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/$t")
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+    }
+    if (!s.catalog.tableExists(li))
+      graft.sources.Lake.writeBucketed(Tables.lineitem(s, dir), li,
+        Seq("l_orderkey"), 32, sortCols = Seq("l_orderkey"))
+    if (!s.catalog.tableExists(or))
+      graft.sources.Lake.writeBucketed(Tables.orders(s, dir), or,
+        Seq("o_orderkey"), 32, sortCols = Seq("o_orderkey"))
+    (s.table(li), s.table(or))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Non-equi RANGE join: facts against a tiny band dimension via BETWEEN —
@@ -217,6 +250,37 @@ object JoinQueries {
             Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .as("revenue"))
           .orderBy("r_name", "n_name"),
+      Some(s"""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+              |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation   ON c_nationkey = n_nationkey
+              |JOIN region   ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      headline = true),
+
+    // The same star chain over CO-BUCKETED fact tables: lineitem and orders
+    // pre-bucketed + pre-sorted on the order key at write time, so the
+    // fact-fact join needs no exchange and no sort — the remaining shuffles
+    // are the (tiny) aggregate and final order. Same oracle as j_star_chain:
+    // bucketing is a physical property, the answer is identical.
+    QueryDef(
+      "j_star_chain_bucketed",
+      (s, dir) => {
+        val (li, or) = bucketedFacts(s, dir)
+        li
+          .join(or, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
       Some(s"""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
               |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
               |FROM lineitem

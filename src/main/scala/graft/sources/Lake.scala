@@ -17,11 +17,23 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Lake {
 
-  /** Write a managed bucketed (and optionally partitioned) table. */
+  /** Write a managed bucketed (and optionally partitioned) table.
+    *
+    * The frame is re-partitioned to ALIGN with the bucket spec before the
+    * write (same hash, same modulus), so each task holds exactly one
+    * bucket's rows and each bucket lands in ONE file. That matters twice:
+    * without it every write task spills a file into every bucket
+    * (tasks×buckets small files), and Spark only exploits the write-time
+    * `sortBy` order — dropping BOTH sides' sorts from a co-bucketed
+    * sort-merge join — when a bucket is a single file. One shuffle at write
+    * time, amortized over every downstream join/agg on the key.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       nBuckets: Int, partitionCols: Seq[String] = Nil,
       sortCols: Seq[String] = Nil): Unit = {
-    var w = df.write.mode("overwrite").format("parquet")
+    import org.apache.spark.sql.functions.col
+    var w = df.repartition(nBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)

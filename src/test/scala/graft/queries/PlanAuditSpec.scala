@@ -98,6 +98,43 @@ class PlanAuditSpec extends SparkSpec {
         hashJoins.map(j => j.leftKeys.mkString("[", ",", "]")).mkString(" "))
   }
 
+  test("j_star_chain_bucketed: the fact-fact join subtree has no exchange " +
+    "and no sort") {
+    // force the fact join to actually join (no auto-broadcast of orders)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executedPlan(run("j_star_chain_bucketed"))
+      def descend(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => descend(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => descend(q.plan)
+        case other => other.children.flatMap(descend)
+      })
+      val nodes = descend(plan)
+      val factJoin = nodes.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("orderkey")) => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("orderkey")) => j
+      }
+      assert(factJoin.nonEmpty, s"no fact join on orderkey found")
+      val subtree = descend(factJoin.get)
+      val exchanges = subtree.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.isEmpty,
+        "co-bucketed fact join must not exchange either side")
+      val sorts = subtree.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.isEmpty,
+        "write-time sortBy must also eliminate both join sorts")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("q1_pricing_summary: scan prunes to the 6 referenced columns") {
     val s = scans(executedPlan(run("q1_pricing_summary")))
     assert(s.head.requiredSchema.fieldNames.toSet ===
