@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Distributed sequence-model inference as a benched query surface: the
+  * committed convergence LSTM (reference: models.py:24-67, artifact saved at
+  * BDB_2026.ipynb cell 107) scoring a corpus of padded trajectories built
+  * from the lineitem table — each order is a trajectory, each line a frame,
+  * 28 deterministic features derived map-side from the numeric columns.
+  *
+  * No DuckDB oracle: a recurrent float32 forward pass is not expressible in
+  * SQL (the driver records the weaker rows-only check, like the approx
+  * sketches); numeric semantics are instead pinned by KerasLstmSpec's
+  * cross-implementation fixture. What this query adds is the SCALE
+  * measurement: signature build + scoring is one groupBy(trajectory)
+  * exchange followed by embarrassingly-parallel per-sequence math over
+  * broadcast weights (~36 k floats), so BENCH tracks model-inference
+  * throughput alongside the relational operators — the reference runs the
+  * same phase as a single-process TensorFlow `model.predict`.
+  */
+object ModelQueries {
+
+  private val modelPath =
+    "/root/reference/models/convergence_lstm_model_BlindPhysics_Completed_Pass.h5"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "m_lstm_infer",
+      (s, dir) => {
+        val model = graft.ml.KerasLstm.load(modelPath)
+        // trajectory = order; frame = line; features: bounded deterministic
+        // transforms of the numerics (magnitudes roughly matching the
+        // notebook's feature scales — positions ~tens, trig ~unit)
+        // all 28 features in ONE select — a withColumn chain would re-run
+        // analysis over a copied plan per column
+        val base = Seq(
+          col("l_quantity") % 100,
+          col("l_extendedprice") % 53,
+          col("l_discount") * 10,
+          col("l_tax") * 10,
+          (col("l_partkey") % 7).cast("double"))
+        val named = base.zipWithIndex.map { case (c, k) => c.as(s"f$k") }
+        val derived = (5 until model.nFeatures).map(k =>
+          sin(base(k % 5) + lit(k)).as(s"f$k"))
+        val wide = Tables.lineitem(s, dir)
+          // bench sizing: every 4th order (~37k trajectories at sf0.1) keeps
+          // the entry representative without dominating the suite total;
+          // throughput is linear in the subset
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(Seq(
+            col("l_orderkey").as("game_id"), lit(0L).as("play_id"),
+            lit(0L).as("nfl_id"), col("l_linenumber").cast("long").as("frame_id"))
+            ++ named ++ derived: _*)
+        val seqs = graft.bdb.Sequences.build(
+          wide, (0 until model.nFeatures).map(k => s"f$k"), maxLen = 7)
+        graft.ml.KerasLstm
+          .scoreSequences(seqs, model, Seq("game_id", "play_id", "nfl_id"))
+          .agg(
+            count(lit(1)).as("n_frames"),
+            countDistinct(col("game_id")).as("n_trajs"),
+            avg("predicted_converge_rate").as("avg_pred"),
+            min("predicted_converge_rate").as("min_pred"),
+            max("predicted_converge_rate").as("max_pred"))
+      },
+      None,
+      headline = true),
+  )
+}

@@ -14,7 +14,8 @@ object Registry {
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
-      SketchQueries.defs
+      SketchQueries.defs ++
+      ModelQueries.defs
 
   require(all.map(_.name).distinct.size == all.size,
     s"duplicate query names: ${all.map(_.name).diff(all.map(_.name).distinct)}")
