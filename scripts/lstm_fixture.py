@@ -147,7 +147,7 @@ def main():
     n_feat = pick(tensors, "lstm_1", "kernel").shape[0]
     rng = np.random.RandomState(42)
     rows = []
-    for seq_id, T in enumerate([25, 7, 1, 12]):
+    for seq_id, T in enumerate([25, 7, 1, 12, 6]):
         # feature-scaled inputs: positions tens, trig features unit-scale —
         # roughly the notebook's feature magnitudes (cell 64 sample)
         scales = np.ones(n_feat, np.float32)
@@ -155,6 +155,8 @@ def main():
         x = (rng.randn(T, n_feat).astype(np.float32) * scales).astype(np.float32)
         if seq_id == 3:   # interior all-zero row: Masking must skip it
             x[5, :] = 0.0
+        if seq_id == 4:   # LEADING all-zero row: output is the zero-state
+            x[0, :] = 0.0 # bias path, not 0.0 (mask carries initial state)
         y = forward(tensors, x)
         for t in range(T):
             rows.append((seq_id, t,

@@ -51,7 +51,10 @@ object KerasLstm {
       val s1 = new State(lstm1)
       val s2 = new State(lstm2)
       val preds = new Array[Float](seq.length)
-      var last = 0f
+      // a LEADING masked step carries the zero initial state, and Keras'
+      // TimeDistributed head still computes over it — the bias path, not 0
+      var last = out.forwardLinear(hidden.forwardRelu(
+        new Array[Float](lstm2.units)))(0)
       var t = 0
       while (t < seq.length) {
         val x = seq(t)

@@ -27,7 +27,9 @@ object JoinQueries {
     */
   private def bucketedFacts(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val tag = (dir.hashCode & 0x7FFFFFFF).toString
+    // the sanitized path IS the tag — a hash could silently collide across
+    // data dirs and serve the wrong dir's rows from the warehouse
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val (li, or) = (s"li_bk_$tag", s"or_bk_$tag")
     Seq(li -> "lineitem", or -> "orders").foreach { case (t, _) =>
       if (!s.catalog.tableExists(t)) {

@@ -99,7 +99,10 @@ object SimilarityQueries {
     e.select(col("vec_id") +: col("embedding") +: dots: _*)
       .select(col("vec_id"), col("embedding"),
         (0 until 8).map(j => when(col(s"dot_$j") >= 0.0, 1L << j).otherwise(0L))
-          .reduce(_ + _).as("bucket"))
+          .reduce(_ + _).as("bucket"),
+        // squared norm computed ONCE per vector here (same fold as the nrm
+        // oracle CTE) — scoring must not re-fold it per candidate pair
+        expr("float_dot(embedding, embedding)").as("nrm2"))
   }
 
   private def buckets(s: SparkSession, dir: String): DataFrame =
@@ -177,15 +180,16 @@ object SimilarityQueries {
       (s, dir) => {
         val eb = withBucket(Tables.embeddings(s, dir).filter(col("vec_id") < CN))
         val q = eb.filter(col("vec_id") < QN)
-          .select(col("vec_id").as("d1"), col("embedding").as("e1"), col("bucket"))
+          .select(col("vec_id").as("d1"), col("embedding").as("e1"),
+            col("bucket"), col("nrm2").as("nrm1"))
         val c = eb
-          .select(col("vec_id").as("d2"), col("embedding").as("e2"), col("bucket"))
+          .select(col("vec_id").as("d2"), col("embedding").as("e2"),
+            col("bucket"), col("nrm2"))
         val scored = broadcast(q).join(c, Seq("bucket"))
           .filter(col("d1") < col("d2"))
           .withColumn("dot", expr(dotExpr))
           .select(col("d1"), col("d2"),
-            (col("dot") / (sqrt(expr("float_dot(e1, e1)")) *
-              sqrt(expr("float_dot(e2, e2)")))).as("cos"))
+            (col("dot") / (sqrt(col("nrm1")) * sqrt(col("nrm2")))).as("cos"))
         val w = Window.partitionBy("d1").orderBy(col("cos").desc, col("d2"))
         scored
           .withColumn("rnk", row_number().over(w))

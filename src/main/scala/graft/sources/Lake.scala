@@ -82,7 +82,12 @@ object Lake {
     // entirely. NULL-predicate rows are conservatively kept untouched.
     val current = where.map(w => current0.filter(coalesce(w, lit(false))))
       .getOrElse(current0)
-    val untouched = where.map(w => current0.filter(coalesce(!w, lit(true))))
+    // `untouched` must ALSO drop rows whose key an update replaces: an
+    // in-scope update may target a row that itself sits outside the scope
+    // (its scope column changed, or is NULL) — keeping that old version
+    // alongside the update would duplicate the key.
+    val untouched = where.map(w => current0.filter(coalesce(!w, lit(true)))
+      .join(updates.select(keys.map(col(_)): _*), keys, "left_anti"))
       .getOrElse(current0.limit(0))
     // `where` is a rewrite-scope prune, not a filter on the updates: an
     // update row outside the scope would duplicate its key (its old version

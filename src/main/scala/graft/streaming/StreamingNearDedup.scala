@@ -76,7 +76,12 @@ object StreamingNearDedup {
       case None => banded.select("doc_id").limit(0)
     }
 
+    // In-batch pairs are generated only among docs that SURVIVE the store
+    // check: a doc similar only to a store-dropped batch-mate (and not to
+    // anything ingested) must itself be kept — dropping it would leave it
+    // with no similar representative in the corpus.
     val inBatch = banded
+      .join(vsStore, Seq("doc_id"), "left_anti")
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -88,16 +93,24 @@ object StreamingNearDedup {
       .filter(MinHash.estSimilarity(col("p.s1"), col("p.s2")) >= simThreshold)
       .select(col("p.d2").as("doc_id")) // drop the larger id of each pair
 
-    val dropIds = vsStore.unionByName(inBatch).distinct()
+    // materialized once: referenced by both outputs below, and its lineage
+    // (two joins against the store) must not re-execute per consumer
+    val dropIds = vsStore.unionByName(inBatch).distinct().localCheckpoint(true)
+    // BOTH outputs are materialized eagerly BEFORE either write: the store
+    // append must not re-read the store it is appending to (dropIds' lineage
+    // scans it), and the corpus append's lineage must not see the new store
+    // rows (same reasoning as StreamingDedup). The band rows are reused from
+    // `banded` — recomputing signatures for the survivors would double the
+    // per-batch shingling cost.
     val fresh = exactDeduped
       .join(dropIds, Seq("doc_id"), "left_anti")
-      // eager materialization: the store append below must not poison the
-      // corpus append's lineage (same reasoning as StreamingDedup)
+      .localCheckpoint(true)
+    val freshBands = banded
+      .join(dropIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
     fresh.write.mode("append").parquet(corpusPath)
-    MinHash.bands(MinHash.signatures(fresh))
-      .write.mode("append").parquet(storePath)
+    freshBands.write.mode("append").parquet(storePath)
   }
 
   /** None only when the store genuinely does not exist yet; any other

@@ -32,7 +32,7 @@ class KerasLstmSpec extends SparkSpec {
   }
 
   test("forward pass matches the independent NumPy implementation per frame") {
-    assert(fixture.size === 4)
+    assert(fixture.size === 5)
     fixture.foreach { case (seqId, rows) =>
       val x = rows.map(_._1).toArray
       val expected = rows.map(_._2)
@@ -56,6 +56,18 @@ class KerasLstmSpec extends SparkSpec {
     rows.indices.drop(6).foreach { t =>
       assert(math.abs(got(t) - without(t - 1)) < 1e-7f, s"frame $t")
     }
+  }
+
+  test("a LEADING masked step emits the zero-state bias path, not 0.0") {
+    // fixture seq 4 has x[0] zeroed: the carried state is the INITIAL zero
+    // state, and Keras' TimeDistributed head still computes over it — the
+    // output is dense(relu(dense(0))) (≈ the output bias), never literal 0
+    val rows = fixture(4)
+    assert(rows.head._1.forall(_ == 0f))
+    val got = model.forward(rows.map(_._1).toArray)
+    assert(got(0) !== 0f)
+    assert(math.abs(got(0) - rows.head._2) < 1e-6f,
+      s"leading masked frame: got ${got(0)}, fixture ${rows.head._2}")
   }
 
   test("tail zero-padding never changes real-frame predictions") {

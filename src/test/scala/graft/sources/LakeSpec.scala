@@ -128,6 +128,24 @@ class LakeSpec extends SparkSpec {
       (3L, None, 3.0)), "NULL-predicate row must survive the upsert")
   }
 
+  test("upsertByKey replaces an out-of-scope old row an in-scope update targets") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_upd").toString + "/t"
+    // row 3's grp is NULL (outside scope grp='a'); the update brings key 3
+    // INTO scope — the old version must be replaced, not kept alongside
+    // (which would duplicate the key). Same for a plain out-of-scope row.
+    Seq((1L, Some("a"), 1.0), (3L, Option.empty[String], 3.0),
+      (4L, Some("b"), 4.0)).toDF("id", "grp", "v").write.parquet(path)
+    Lake.upsertByKey(spark,
+      path, Seq((3L, Some("a"), 30.0), (4L, Some("a"), 40.0))
+        .toDF("id", "grp", "v"),
+      Seq("id"), where = Some(col("grp") === "a"))
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, Option[String], Double)].collect().toSeq
+    assert(out === Seq((1L, Some("a"), 1.0), (3L, Some("a"), 30.0),
+      (4L, Some("a"), 40.0)), "keys 3 and 4 must appear exactly once, updated")
+  }
+
   test("upsertByKey rejects updates outside the `where` scope") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_ups").toString + "/t"

@@ -79,6 +79,32 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/store").count() === 0) // no signatures
   }
 
+  test("a doc similar only to a store-dropped batch-mate is kept") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sneardup_tr").toString
+    val store = s"$base/store"
+    val corpus = s"$base/corpus"
+    val x = "granite cliffs rise over the cold green bay where fishing boats " +
+      "rock gently at anchor beneath wheeling white gulls"
+    val a = x + " and the keeper waits"
+    val b = a + " while the foghorn moans qq77 and nets dry on long racks by the shed"
+    // measured: sim(a,x)=0.75 with 2 shared bands (a drops against the
+    // store); sim(b,a)=0.58 with 1 shared band (b pairs with a in-batch);
+    // sim(b,x)=0.33, 0 shared bands — b is similar ONLY to a, a batch-mate
+    // that was itself dropped, not to anything actually ingested. b must be
+    // kept: dropping it would leave it with no similar representative in
+    // the corpus. (Texts are chosen so the qualifying pairs actually share
+    // a full 3-component band — LSH candidates need a band collision, not
+    // just high component agreement.)
+    StreamingNearDedup.ingestBatch(Seq(Doc(1L, x)).toDF(), store, corpus)
+    StreamingNearDedup.ingestBatch(
+      Seq(Doc(2L, a), Doc(3L, b)).toDF(), store, corpus)
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids === Seq(1L, 3L),
+      s"a (≈ stored x) drops, b (≈ only a) survives; got $ids")
+  }
+
   test("crash between corpus and store writes loses nothing on replay") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("sneardup_cr").toString
