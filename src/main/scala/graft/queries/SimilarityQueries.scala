@@ -207,5 +207,51 @@ object SimilarityQueries {
               |  JOIN buckets b2 ON b2.vec_id = c.d2
               |  WHERE b1.bucket = b2.bucket) WHERE rnk <= 5
               |ORDER BY d1, rnk""".stripMargin)),
+
+    // MULTIPROBE bucketed ANN: the recall dial on the bucket-first plan.
+    // Each query probes its own bucket plus the 8 Hamming-1 neighbors —
+    // a map-side explode on the (broadcast-size) QUERY side only; the
+    // corpus side is untouched and still reached by an equi-join on the
+    // bucket key. A sign-bit near a hyperplane is the dominant LSH miss
+    // mode; flipping one bit at a time recovers those neighbors at 9× the
+    // probe count, not 9× the corpus cost. The oracle states the
+    // plan-agnostic equivalent: candidates are pairs whose bucket codes
+    // differ in at most one bit.
+    QueryDef(
+      "s_lsh_knn_multiprobe",
+      (s, dir) => {
+        val eb = withBucket(Tables.embeddings(s, dir).filter(col("vec_id") < CN))
+        val masks = array((Seq(0L) ++ (0 until 8).map(j => 1L << j)).map(lit): _*)
+        val q = eb.filter(col("vec_id") < QN)
+          .select(col("vec_id").as("d1"), col("embedding").as("e1"),
+            col("nrm2").as("nrm1"), col("bucket").as("qb"),
+            explode(masks).as("mask"))
+          .select(col("d1"), col("e1"), col("nrm1"),
+            col("qb").bitwiseXOR(col("mask")).as("bucket"))
+        val c = eb
+          .select(col("vec_id").as("d2"), col("embedding").as("e2"),
+            col("bucket"), col("nrm2"))
+        val scored = broadcast(q).join(c, Seq("bucket"))
+          .filter(col("d1") < col("d2"))
+          .withColumn("dot", expr(dotExpr))
+          .select(col("d1"), col("d2"),
+            (col("dot") / (sqrt(col("nrm1")) * sqrt(col("nrm2")))).as("cos"))
+        val w = Window.partitionBy("d1").orderBy(col("cos").desc, col("d2"))
+        scored
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select("d1", "rnk", "d2", "cos")
+          .orderBy("d1", "rnk")
+      },
+      Some(s"""WITH $sqlCosines,
+              |$sqlBuckets
+              |SELECT d1, CAST(rnk AS INT) AS rnk, d2, cos FROM (
+              |  SELECT c.d1, c.d2, c.cos,
+              |    ROW_NUMBER() OVER (PARTITION BY c.d1 ORDER BY c.cos DESC, c.d2) AS rnk
+              |  FROM cosines c
+              |  JOIN buckets b1 ON b1.vec_id = c.d1
+              |  JOIN buckets b2 ON b2.vec_id = c.d2
+              |  WHERE bit_count(xor(b1.bucket, b2.bucket)) <= 1) WHERE rnk <= 5
+              |ORDER BY d1, rnk""".stripMargin)),
   )
 }

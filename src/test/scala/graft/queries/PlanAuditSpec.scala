@@ -80,22 +80,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.isEmpty, "mixture sampling must not shuffle")
   }
 
-  test("s_lsh_knn: candidates come from an equi-join on the bucket key, " +
-    "no pairwise enumeration") {
-    val plan = executedPlan(run("s_lsh_knn"))
-    val loops = plan.collectWithSubqueries {
-      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
-      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+  test("bucketed ANN (single + multiprobe): candidates come from an " +
+    "equi-join on the bucket key, no pairwise enumeration") {
+    Seq("s_lsh_knn", "s_lsh_knn_multiprobe").foreach { name =>
+      val plan = executedPlan(run(name))
+      val loops = plan.collectWithSubqueries {
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(loops.isEmpty,
+        s"$name must not enumerate pairs: ${loops.map(_.nodeName)}")
+      val hashJoins = plan.collectWithSubqueries {
+        case h: org.apache.spark.sql.execution.joins.HashJoin => h
+      }
+      assert(hashJoins.nonEmpty, s"$name: expected a hash equi-join on bucket")
+      assert(hashJoins.exists(_.leftKeys.exists(_.toString.contains("bucket"))),
+        s"$name: corpus join must key on bucket, got keys: " +
+          hashJoins.map(j => j.leftKeys.mkString("[", ",", "]")).mkString(" "))
     }
-    assert(loops.isEmpty,
-      s"bucketed ANN must not enumerate pairs: ${loops.map(_.nodeName)}")
-    val hashJoins = plan.collectWithSubqueries {
-      case h: org.apache.spark.sql.execution.joins.HashJoin => h
-    }
-    assert(hashJoins.nonEmpty, "expected a hash equi-join on the bucket key")
-    assert(hashJoins.exists(_.leftKeys.exists(_.toString.contains("bucket"))),
-      s"corpus join must key on bucket, got keys: " +
-        hashJoins.map(j => j.leftKeys.mkString("[", ",", "]")).mkString(" "))
   }
 
   test("j_star_chain_bucketed: the fact-fact join subtree has no exchange " +
