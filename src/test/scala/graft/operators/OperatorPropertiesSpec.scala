@@ -18,6 +18,39 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: MinHash estimate tracks true Jaccard — high for near-dups, " +
+    "low for unrelated docs") {
+    import spark.implicits._
+    // word soup from two disjoint vocabularies: related docs share a base,
+    // unrelated docs share only function words — the regression this guards:
+    // correlated permutation multipliers once estimated ~1% Jaccard pairs at
+    // 0.67 (see MinHash.a scaladoc)
+    val rnd = new scala.util.Random(11)
+    def words(vocab: IndexedSeq[String], n: Int): String =
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val vocabA = (0 until 60).map(i => s"alpha$i")
+    val vocabB = (0 until 60).map(i => s"omega$i")
+    val docs = (0 until 12).flatMap { i =>
+      val base = words(vocabA, 40)
+      Seq((i * 10L, base), // original
+        (i * 10L + 1, base + " " + words(vocabA, 4)), // near-dup (small suffix)
+        (i * 10L + 2, words(vocabB, 40))) // unrelated
+    }
+    val sigs = MinHash.signatures(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toArray).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / MinHash.K
+    val nearDup = (0 until 12).map(i => est(i * 10L, i * 10L + 1))
+    val unrelated = (0 until 12).map(i => est(i * 10L, i * 10L + 2))
+    assert(nearDup.sum / 12 > 0.6,
+      s"near-dup estimates too low: $nearDup")
+    assert(unrelated.sum / 12 < 0.25,
+      s"unrelated estimates too high (correlated permutations?): $unrelated")
+    assert(nearDup.min > unrelated.max,
+      "every near-dup pair must score above every unrelated pair")
+  }
+
   test("property: packing conserves tokens, bounds offsets, and never collides seq_ids") {
     import spark.implicits._
     val genDoc = for {
