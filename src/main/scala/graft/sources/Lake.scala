@@ -69,9 +69,15 @@ object Lake {
     * natively): rows in `updates` replace target rows with the same key;
     * new keys append. Target-anti-join-updates ∪ updates, committed via
     * [[safeReplace]] — the same logic a `foreachBatch` streaming sink runs
-    * per micro-batch (keyed on batchId for idempotence). At 100 TB,
-    * partition the table and restrict the rewrite to the partitions the
-    * updates touch (pass `where` to prune).
+    * per micro-batch (keyed on batchId for idempotence).
+    *
+    * `where` bounds the MERGE logic (updates must fall inside it, enforced
+    * below), but THIS implementation still physically rewrites the whole
+    * table — the out-of-scope side is read and written back unchanged. The
+    * production path at 100 TB replaces safeReplace with partition-wise
+    * directory swaps (rewrite only the partitions `where` selects) or a
+    * table format with a metadata MERGE. Updates are assumed key-unique,
+    * as in SQL MERGE.
     */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], where: Option[Column] = None): Unit = {

@@ -65,7 +65,9 @@ object StreamingNearDedup {
       .dropDuplicates("__h").drop("__h")
 
     val sigs = MinHash.signatures(exactDeduped) // (doc_id, sig); absent if unshingleable
-    val banded = MinHash.bands(sigs)
+    // materialized once: three consumers below (store check, in-batch pairs,
+    // store append) would otherwise each re-run the shingling + signature agg
+    val banded = MinHash.bands(sigs).localCheckpoint(true)
 
     val vsStore = knownBands(spark, storePath) match {
       case Some(store) =>
