@@ -163,6 +163,33 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 2)
   }
 
+  test("upsertByKey works as a foreachBatch streaming sink (the documented " +
+    "MERGE micro-batch shape)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("lake_ups2").toString + "/t"
+    Seq((1L, "init", 1.0), (2L, "init", 2.0)).toDF("id", "name", "v")
+      .write.parquet(path)
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDF().toDF("id", "name", "v").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("lake_ckpt").toString)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Lake.upsertByKey(spark, path, batch.toDF(), Seq("id"))
+      }.start()
+    input.addData((2L, "updated", 20.0), (3L, "new", 3.0))
+    q.processAllAvailable()
+    input.addData((3L, "re-updated", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "init", 1.0), (2L, "updated", 20.0),
+      (3L, "re-updated", 30.0)))
+  }
+
   test("safeReplace swaps contents and sweeps crash leftovers") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_sr").toString + "/t"
