@@ -40,81 +40,100 @@ object KerasLstm {
   /** Dense layer: kernel (nIn×nOut) + bias (nOut). */
   final case class Dense(w: Array[Float], b: Array[Float], nIn: Int, nOut: Int)
 
+  /** The full recurrent state between two timesteps: hidden + cell vectors
+    * of both LSTM layers plus the last emitted prediction (what a masked
+    * step repeats). Immutable — each step returns a new one — so it can
+    * live in a Structured Streaming state store for ONLINE inference
+    * ([[graft.streaming.StreamingInference]]): the recurrence is naturally
+    * incremental, one frame in → one prediction out, no sequence buffering.
+    */
+  final case class StepState(h1: Array[Float], c1: Array[Float],
+      h2: Array[Float], c2: Array[Float], lastPred: Float, nSteps: Int)
+
   final case class Model(lstm1: Cell, lstm2: Cell, hidden: Dense, out: Dense) {
     def nFeatures: Int = lstm1.nIn
 
+    /** Fresh pre-first-frame state. `lastPred` starts at the zero-state
+      * bias path: a LEADING masked step carries the zero initial state, and
+      * Keras' TimeDistributed head still computes over it — not 0. */
+    def initState: StepState = StepState(
+      new Array[Float](lstm1.units), new Array[Float](lstm1.units),
+      new Array[Float](lstm2.units), new Array[Float](lstm2.units),
+      out.forwardLinear(hidden.forwardRelu(new Array[Float](lstm2.units)))(0),
+      0)
+
+    /** Advance one timestep. An entirely-zero frame is masked: the state
+      * carries through unchanged and the previous prediction repeats
+      * (Keras Masking semantics, propagated through both layers). */
+    def step(s: StepState, x: Array[Float]): StepState = {
+      var allZero = true
+      var k = 0
+      while (allZero && k < x.length) { if (x(k) != 0f) allZero = false; k += 1 }
+      if (allZero) s.copy(nSteps = s.nSteps + 1)
+      else {
+        val (h1, c1) = stepCell(lstm1, s.h1, s.c1, x)
+        val (h2, c2) = stepCell(lstm2, s.h2, s.c2, h1)
+        val pred = out.forwardLinear(hidden.forwardRelu(h2))(0)
+        StepState(h1, c1, h2, c2, pred, s.nSteps + 1)
+      }
+    }
+
     /** Per-timestep predictions for one padded sequence; `seq` is
-      * (T × nFeatures) and entirely-zero timesteps are masked (skipped —
-      * their emitted prediction repeats the carried state's output, which
-      * callers drop via seq_len). */
+      * (T × nFeatures). Batch form of [[step]] — bit-identical. */
     def forward(seq: Array[Array[Float]]): Array[Float] = {
-      val s1 = new State(lstm1)
-      val s2 = new State(lstm2)
       val preds = new Array[Float](seq.length)
-      // a LEADING masked step carries the zero initial state, and Keras'
-      // TimeDistributed head still computes over it — the bias path, not 0
-      var last = out.forwardLinear(hidden.forwardRelu(
-        new Array[Float](lstm2.units)))(0)
+      var s = initState
       var t = 0
       while (t < seq.length) {
-        val x = seq(t)
-        var allZero = true
-        var k = 0
-        while (allZero && k < x.length) { if (x(k) != 0f) allZero = false; k += 1 }
-        if (!allZero) {
-          val h1 = s1.step(x)
-          val h2 = s2.step(h1)
-          last = out.forwardLinear(hidden.forwardRelu(h2))(0)
-        }
-        preds(t) = last
+        s = step(s, seq(t))
+        preds(t) = s.lastPred
         t += 1
       }
       preds
     }
   }
 
-  private final class State(cell: Cell) {
-    private val u = cell.units
-    private val h = new Array[Float](u)
-    private val c = new Array[Float](u)
-    private val z = new Array[Float](4 * u)
+  private def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x))).toFloat
 
-    private def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x))).toFloat
-
-    def step(x: Array[Float]): Array[Float] = {
-      System.arraycopy(cell.b, 0, z, 0, 4 * u)
-      var k = 0
-      while (k < cell.nIn) {
-        val xv = x(k)
-        if (xv != 0f) {
-          val row = k * 4 * u
-          var j = 0
-          while (j < 4 * u) { z(j) += xv * cell.w(row + j); j += 1 }
-        }
-        k += 1
+  /** One Keras LSTM cell update: returns the new (h, c). Inputs untouched. */
+  private def stepCell(cell: Cell, hPrev: Array[Float], cPrev: Array[Float],
+      x: Array[Float]): (Array[Float], Array[Float]) = {
+    val u = cell.units
+    val z = new Array[Float](4 * u)
+    System.arraycopy(cell.b, 0, z, 0, 4 * u)
+    var k = 0
+    while (k < cell.nIn) {
+      val xv = x(k)
+      if (xv != 0f) {
+        val row = k * 4 * u
+        var j = 0
+        while (j < 4 * u) { z(j) += xv * cell.w(row + j); j += 1 }
       }
-      k = 0
-      while (k < u) {
-        val hv = h(k)
-        if (hv != 0f) {
-          val row = k * 4 * u
-          var j = 0
-          while (j < 4 * u) { z(j) += hv * cell.r(row + j); j += 1 }
-        }
-        k += 1
-      }
-      var j = 0
-      while (j < u) {
-        val i = sigmoid(z(j))
-        val f = sigmoid(z(u + j))
-        val g = math.tanh(z(2 * u + j)).toFloat
-        val o = sigmoid(z(3 * u + j))
-        c(j) = f * c(j) + i * g
-        h(j) = o * math.tanh(c(j)).toFloat
-        j += 1
-      }
-      h.clone()
+      k += 1
     }
+    k = 0
+    while (k < u) {
+      val hv = hPrev(k)
+      if (hv != 0f) {
+        val row = k * 4 * u
+        var j = 0
+        while (j < 4 * u) { z(j) += hv * cell.r(row + j); j += 1 }
+      }
+      k += 1
+    }
+    val h = new Array[Float](u)
+    val c = new Array[Float](u)
+    var j = 0
+    while (j < u) {
+      val i = sigmoid(z(j))
+      val f = sigmoid(z(u + j))
+      val g = math.tanh(z(2 * u + j)).toFloat
+      val o = sigmoid(z(3 * u + j))
+      c(j) = f * cPrev(j) + i * g
+      h(j) = o * math.tanh(c(j)).toFloat
+      j += 1
+    }
+    (h, c)
   }
 
   implicit private class DenseOps(val d: Dense) extends AnyVal {
