@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Reusable MinHash signature / LSH banding kernel — the operator-layer
   * counterpart of the oracle-paired queries in
   * [[graft.queries.DedupQueries]] (same 5-char shingles, same rolling hash
-  * mod 2^31−1, same K=12 permutations `h·(2j+3) + (7j+1)`, same 4 bands of
+  * mod 2^31−1, same K=12 permutations from [[a]]/[[b]], same 4 bands of
   * 3), packaged for pipeline composition: batch dedup, the streaming
   * near-dup ingest ([[graft.streaming.StreamingNearDedup]]), and any future
   * consumer share one definition of "signature" so stores stay compatible.
@@ -68,10 +68,7 @@ object MinHash {
   /** Estimated Jaccard similarity of two K-component signatures: the
     * fraction of agreeing components (sequential fold, no UDF). */
   def estSimilarity(s1: Column, s2: Column): Column =
-    expr_sim(s1, s2) / lit(K.toDouble)
-
-  private def expr_sim(s1: Column, s2: Column): Column =
     aggregate(zip_with(s1, s2,
       (x, y) => when(x === y, 1.0d).otherwise(0.0d)),
-      lit(0.0d), (acc, p) => acc + p)
+      lit(0.0d), (acc, p) => acc + p) / K.toDouble
 }

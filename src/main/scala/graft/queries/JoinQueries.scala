@@ -30,8 +30,10 @@ object JoinQueries {
     // the sanitized path IS the tag — a hash could silently collide across
     // data dirs and serve the wrong dir's rows from the warehouse
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val (li, or) = (s"li_bk_$tag", s"or_bk_$tag")
-    Seq(li -> "lineitem", or -> "orders").foreach { case (t, _) =>
+    val tables = Seq(
+      (s"li_bk_$tag", () => Tables.lineitem(s, dir), "l_orderkey"),
+      (s"or_bk_$tag", () => Tables.orders(s, dir), "o_orderkey"))
+    tables.foreach { case (t, df, key) =>
       if (!s.catalog.tableExists(t)) {
         // sweep a stale warehouse dir from a previous process (the in-memory
         // catalog forgets tables across sessions; the files survive)
@@ -39,16 +41,41 @@ object JoinQueries {
           s.conf.get("spark.sql.warehouse.dir") + s"/$t")
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
+        graft.sources.Lake.writeBucketed(df(), t, Seq(key), 32,
+          sortCols = Seq(key))
       }
     }
-    if (!s.catalog.tableExists(li))
-      graft.sources.Lake.writeBucketed(Tables.lineitem(s, dir), li,
-        Seq("l_orderkey"), 32, sortCols = Seq("l_orderkey"))
-    if (!s.catalog.tableExists(or))
-      graft.sources.Lake.writeBucketed(Tables.orders(s, dir), or,
-        Seq("o_orderkey"), 32, sortCols = Seq("o_orderkey"))
-    (s.table(li), s.table(or))
+    (s.table(tables.head._1), s.table(tables(1)._1))
   }
+
+  /** The star-chain aggregation shared by [[j_star_chain]] (plain scans,
+    * SHUFFLE_HASH fact join) and [[j_star_chain_bucketed]] (co-bucketed
+    * facts, exchange- and sort-free join): dims broadcast, decimal-exact
+    * revenue. The oracle is identical — bucketing is a physical property. */
+  private def starChain(s: org.apache.spark.sql.SparkSession, dir: String,
+      lineitem: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  private val starChainSql =
+    s"""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -236,61 +263,26 @@ object JoinQueries {
     QueryDef(
       "j_star_chain",
       (s, dir) =>
-        Tables.lineitem(s, dir)
-          // SHUFFLE_HASH on the smaller fact side: same single exchange per
-          // side as sort-merge but skips BOTH sorts; valid at 100 TB because
-          // only one orderkey partition of orders must fit an executor (AQE
-          // splits skewed partitions), and orders is ~1/4 of lineitem.
-          .join(Tables.orders(s, dir).hint("SHUFFLE_HASH"),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-          .groupBy("r_name", "n_name")
-          .agg(
-            count(lit(1)).as("n_items"),
-            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .as("revenue"))
-          .orderBy("r_name", "n_name"),
-      Some(s"""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
-              |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
-              |FROM lineitem
-              |JOIN orders   ON l_orderkey = o_orderkey
-              |JOIN customer ON o_custkey = c_custkey
-              |JOIN nation   ON c_nationkey = n_nationkey
-              |JOIN region   ON n_regionkey = r_regionkey
-              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+        // SHUFFLE_HASH on the smaller fact side: same single exchange per
+        // side as sort-merge but skips BOTH sorts; valid at 100 TB because
+        // only one orderkey partition of orders must fit an executor (AQE
+        // splits skewed partitions), and orders is ~1/4 of lineitem.
+        starChain(s, dir, Tables.lineitem(s, dir),
+          Tables.orders(s, dir).hint("SHUFFLE_HASH")),
+      Some(starChainSql),
       headline = true),
 
     // The same star chain over CO-BUCKETED fact tables: lineitem and orders
     // pre-bucketed + pre-sorted on the order key at write time, so the
     // fact-fact join needs no exchange and no sort — the remaining shuffles
-    // are the (tiny) aggregate and final order. Same oracle as j_star_chain:
-    // bucketing is a physical property, the answer is identical.
+    // are the (tiny) aggregate and final order.
     QueryDef(
       "j_star_chain_bucketed",
       (s, dir) => {
         val (li, or) = bucketedFacts(s, dir)
-        li
-          .join(or, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-          .groupBy("r_name", "n_name")
-          .agg(
-            count(lit(1)).as("n_items"),
-            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .as("revenue"))
-          .orderBy("r_name", "n_name")
+        starChain(s, dir, li, or)
       },
-      Some(s"""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
-              |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
-              |FROM lineitem
-              |JOIN orders   ON l_orderkey = o_orderkey
-              |JOIN customer ON o_custkey = c_custkey
-              |JOIN nation   ON c_nationkey = n_nationkey
-              |JOIN region   ON n_regionkey = r_regionkey
-              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      Some(starChainSql),
       headline = true),
   )
 }

@@ -109,6 +109,29 @@ object SimilarityQueries {
     withBucket(Tables.embeddings(s, dir).filter(col("vec_id") < CN))
       .select("vec_id", "bucket")
 
+  /** Shared bucket-first ANN body: equi-join a (broadcast-size) probe frame
+    * (d1, e1, nrm1, bucket) against the bucketed corpus ON `bucket`, score
+    * in-bucket candidates, rank top-k per query. Single-probe and
+    * multiprobe differ ONLY in how many probe rows each query contributes.
+    */
+  private def bucketTopK(s: SparkSession, dir: String,
+      probes: DataFrame => DataFrame, k: Int): DataFrame = {
+    val eb = withBucket(Tables.embeddings(s, dir).filter(col("vec_id") < CN))
+    val q = probes(eb.filter(col("vec_id") < QN))
+    val c = eb.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+      col("bucket"), col("nrm2"))
+    val w = Window.partitionBy("d1").orderBy(col("cos").desc, col("d2"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("dot", expr(dotExpr))
+      .select(col("d1"), col("d2"),
+        (col("dot") / (sqrt(col("nrm1")) * sqrt(col("nrm2")))).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("d1", "rnk", "d2", "cos")
+      .orderBy("d1", "rnk")
+  }
+
   private val sqlBuckets =
     s"""pd AS (
        |  SELECT vec_id,
@@ -177,26 +200,9 @@ object SimilarityQueries {
     // PlanAuditSpec asserts the equi-join-on-bucket / no-nested-loop shape.
     QueryDef(
       "s_lsh_knn",
-      (s, dir) => {
-        val eb = withBucket(Tables.embeddings(s, dir).filter(col("vec_id") < CN))
-        val q = eb.filter(col("vec_id") < QN)
-          .select(col("vec_id").as("d1"), col("embedding").as("e1"),
-            col("bucket"), col("nrm2").as("nrm1"))
-        val c = eb
-          .select(col("vec_id").as("d2"), col("embedding").as("e2"),
-            col("bucket"), col("nrm2"))
-        val scored = broadcast(q).join(c, Seq("bucket"))
-          .filter(col("d1") < col("d2"))
-          .withColumn("dot", expr(dotExpr))
-          .select(col("d1"), col("d2"),
-            (col("dot") / (sqrt(col("nrm1")) * sqrt(col("nrm2")))).as("cos"))
-        val w = Window.partitionBy("d1").orderBy(col("cos").desc, col("d2"))
-        scored
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select("d1", "rnk", "d2", "cos")
-          .orderBy("d1", "rnk")
-      },
+      (s, dir) => bucketTopK(s, dir, q => q.select(
+        col("vec_id").as("d1"), col("embedding").as("e1"),
+        col("nrm2").as("nrm1"), col("bucket")), k = 5),
       Some(s"""WITH $sqlCosines,
               |$sqlBuckets
               |SELECT d1, CAST(rnk AS INT) AS rnk, d2, cos FROM (
@@ -220,28 +226,13 @@ object SimilarityQueries {
     QueryDef(
       "s_lsh_knn_multiprobe",
       (s, dir) => {
-        val eb = withBucket(Tables.embeddings(s, dir).filter(col("vec_id") < CN))
         val masks = array((Seq(0L) ++ (0 until 8).map(j => 1L << j)).map(lit): _*)
-        val q = eb.filter(col("vec_id") < QN)
-          .select(col("vec_id").as("d1"), col("embedding").as("e1"),
-            col("nrm2").as("nrm1"), col("bucket").as("qb"),
-            explode(masks).as("mask"))
+        bucketTopK(s, dir, q => q.select(
+          col("vec_id").as("d1"), col("embedding").as("e1"),
+          col("nrm2").as("nrm1"), col("bucket").as("qb"),
+          explode(masks).as("mask"))
           .select(col("d1"), col("e1"), col("nrm1"),
-            col("qb").bitwiseXOR(col("mask")).as("bucket"))
-        val c = eb
-          .select(col("vec_id").as("d2"), col("embedding").as("e2"),
-            col("bucket"), col("nrm2"))
-        val scored = broadcast(q).join(c, Seq("bucket"))
-          .filter(col("d1") < col("d2"))
-          .withColumn("dot", expr(dotExpr))
-          .select(col("d1"), col("d2"),
-            (col("dot") / (sqrt(col("nrm1")) * sqrt(col("nrm2")))).as("cos"))
-        val w = Window.partitionBy("d1").orderBy(col("cos").desc, col("d2"))
-        scored
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select("d1", "rnk", "d2", "cos")
-          .orderBy("d1", "rnk")
+            col("qb").bitwiseXOR(col("mask")).as("bucket")), k = 5)
       },
       Some(s"""WITH $sqlCosines,
               |$sqlBuckets
