@@ -252,6 +252,117 @@ object TextQueries {
               |FROM ranked WHERE rn <= 10
               |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // PII redaction — the scrub pass every training corpus runs before the
+    // tokenizer. The source table carries no PII, so the query PLANTS a
+    // deterministic email + phone per doc (same construction in the oracle)
+    // and must replace every occurrence with typed placeholders. Pure
+    // regexp_replace (Spark replaces all matches by default; DuckDB needs
+    // the 'g' flag — stated explicitly). Map-side at any scale.
+    QueryDef(
+      "t_redact_pii",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).filter(col("doc_id") < 25)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" reach user"), col("doc_id"),
+              lit("@example.com or call 555-"), col("doc_id") + 1000,
+              lit(" today")).as("text"))
+        planted
+          .withColumn("redacted",
+            regexp_replace(
+              regexp_replace(col("text"),
+                "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+              "555-[0-9]+", "<PHONE>"))
+          .select(col("doc_id"), col("redacted"),
+            expr("CAST((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7 AS BIGINT)")
+              .as("n_emails"),
+            expr("CAST((length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7 AS BIGINT)")
+              .as("n_phones"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id,
+             |    text || ' reach user' || doc_id || '@example.com or call 555-'
+             |         || (doc_id + 1000) || ' today' AS text
+             |  FROM documents WHERE doc_id < 25),
+             |red AS (
+             |  SELECT doc_id,
+             |    regexp_replace(
+             |      regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+             |      '555-[0-9]+', '<PHONE>', 'g') AS redacted
+             |  FROM planted)
+             |SELECT doc_id, redacted,
+             |  CAST((length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_emails,
+             |  CAST((length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phones
+             |FROM red ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination — flag corpus docs sharing any 8-token
+    // span with a benchmark set (docs 0-19 here), the standard test-set
+    // leakage gate. Contamination is PLANTED: docs 100-119 re-appear at
+    // +300000 with the first 8 tokens of benchmark doc (id % 20) appended;
+    // exactly those 20 must be flagged. The check is an EQUI-join on the
+    // token-8-gram (at 100 TB: join on rolling_hash(shingle) and bucket the
+    // benchmark side — the shape is identical), never a pairwise scan.
+    QueryDef(
+      "d_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = "filter(split(text, ' '), x -> x != '')"
+        val bench = docs.filter(col("doc_id") < 20)
+        val benchHead8 = bench
+          .select(col("doc_id").as("b_src"),
+            expr(s"array_join(slice($toks, 1, 8), ' ')").as("head8"))
+        val corpus = docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), col("text"))
+          .unionByName(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+              .withColumn("b_src", col("doc_id") % 20)
+              .join(benchHead8, Seq("b_src"))
+              .select((col("doc_id") + 300000).as("doc_id"),
+                concat(col("text"), lit(" "), col("head8")).as("text")))
+        val grams = (df: org.apache.spark.sql.DataFrame, id: String) =>
+          df
+            // guard: sequence(1, n) counts DOWN for n < 1 — sub-8-token
+            // docs must contribute zero grams, not garbage slices
+            .filter(expr(s"size($toks) >= 8"))
+            .select(col("doc_id").as(id),
+              explode(expr(s"transform(sequence(1, size($toks) - 7), " +
+                s"i -> array_join(slice($toks, i, 8), ' '))")).as("g"))
+        grams(corpus, "doc_id")
+          .join(grams(bench, "bench_id").distinct(), Seq("g"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_shared"),
+            min("bench_id").as("first_bench_hit"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t, text
+             |  FROM documents),
+             |bench8 AS (
+             |  SELECT doc_id AS b_src,
+             |    array_to_string(list_slice(t, 1, 8), ' ') AS head8
+             |  FROM toks WHERE doc_id < 20),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+             |  UNION ALL
+             |  SELECT d.doc_id + 300000 AS doc_id, d.text || ' ' || b.head8 AS text
+             |  FROM documents d JOIN bench8 b ON b.b_src = d.doc_id % 20
+             |  WHERE d.doc_id >= 100 AND d.doc_id < 120),
+             |cg AS (
+             |  SELECT c.doc_id,
+             |    unnest(list_transform(
+             |      generate_series(1, greatest(len(list_filter(string_split(c.text, ' '), x -> x <> '')) - 7, 0)),
+             |      i -> array_to_string(list_slice(list_filter(string_split(c.text, ' '), x -> x <> ''), i, i + 7), ' '))) AS g
+             |  FROM corpus c),
+             |bg AS (
+             |  SELECT DISTINCT doc_id AS bench_id,
+             |    unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+             |      i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+             |  FROM toks WHERE doc_id < 20)
+             |SELECT cg.doc_id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_shared,
+             |       min(bg.bench_id) AS first_bench_hit
+             |FROM cg JOIN bg ON bg.g = cg.g
+             |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin)),
+
     // Distribution-drift gate (quality.Checks.psi): PSI of the doc-length
     // distribution, src0 as baseline vs src1 as current, fixed bin edges.
     // Integer bin counts, identical double division, ln rounded via the
