@@ -363,6 +363,46 @@ object TextQueries {
              |FROM cg JOIN bg ON bg.g = cg.g
              |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin)),
 
+    // Repetition quality signal (the Gopher-style duplicate-n-gram gate):
+    // per doc, the fraction of token bigrams that are repeats and the share
+    // of the single most frequent bigram — high values mark degenerate /
+    // boilerplate text a corpus filter drops. Two co-partitioned
+    // aggregations (doc_id,gram) → (doc_id): the second groupBy reuses the
+    // first's hash partitioning, so one real exchange at any scale.
+    QueryDef(
+      "t_repetition",
+      (s, dir) => {
+        val toks = "filter(split(text, ' '), x -> x != '')"
+        Tables.documents(s, dir)
+          .filter(expr(s"size($toks) >= 2"))
+          .select(col("doc_id"),
+            explode(expr(s"transform(sequence(1, size($toks) - 1), " +
+              s"i -> array_join(slice($toks, i, 2), ' '))")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_bigrams"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup"),
+            max("c").as("max_c"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("n_dup") / col("n_bigrams"), 6).as("dup_frac"),
+            round(col("max_c") / col("n_bigrams"), 6).as("top_share"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(t) - 1),
+             |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+             |  FROM t WHERE len(t) >= 2),
+             |c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+             |      FROM g GROUP BY doc_id, g)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |  round(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac,
+             |  round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Distribution-drift gate (quality.Checks.psi): PSI of the doc-length
     // distribution, src0 as baseline vs src1 as current, fixed bin edges.
     // Integer bin counts, identical double division, ln rounded via the
