@@ -21,39 +21,50 @@ import org.apache.spark.sql.functions._
   */
 object ModelQueries {
 
-  private val modelPath =
+  private[graft] val modelPath =
     "/root/reference/models/convergence_lstm_model_BlindPhysics_Completed_Pass.h5"
+
+  /** The feature + padded-sequence pipeline behind m_lstm_infer, shared with
+    * the stage-timing probe (tools/LstmProbe) so the probe always times THIS
+    * pipeline, not a drifted copy. Returns (frames, sequences).
+    *
+    * Trajectory = order; frame = line; features: bounded deterministic
+    * transforms of the numerics (magnitudes roughly matching the notebook's
+    * feature scales — positions ~tens, trig ~unit), all 28 built in ONE
+    * select (a withColumn chain would re-run analysis over a copied plan
+    * per column). Bench sizing: every 4th order (~37k trajectories at
+    * sf0.1) keeps the entry representative without dominating the suite
+    * total; throughput is linear in the subset.
+    */
+  private[graft] def inferInput(s: org.apache.spark.sql.SparkSession,
+      dir: String, nFeatures: Int): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val base = Seq(
+      col("l_quantity") % 100,
+      col("l_extendedprice") % 53,
+      col("l_discount") * 10,
+      col("l_tax") * 10,
+      (col("l_partkey") % 7).cast("double"))
+    val named = base.zipWithIndex.map { case (c, k) => c.as(s"f$k") }
+    val derived = (5 until nFeatures).map(k =>
+      sin(base(k % 5) + lit(k)).as(s"f$k"))
+    val wide = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(Seq(
+        col("l_orderkey").as("game_id"), lit(0L).as("play_id"),
+        lit(0L).as("nfl_id"), col("l_linenumber").cast("long").as("frame_id"))
+        ++ named ++ derived: _*)
+    val seqs = graft.bdb.Sequences.build(
+      wide, (0 until nFeatures).map(k => s"f$k"), maxLen = 7)
+    (wide, seqs)
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "m_lstm_infer",
       (s, dir) => {
         val model = graft.ml.KerasLstm.load(modelPath)
-        // trajectory = order; frame = line; features: bounded deterministic
-        // transforms of the numerics (magnitudes roughly matching the
-        // notebook's feature scales — positions ~tens, trig ~unit)
-        // all 28 features in ONE select — a withColumn chain would re-run
-        // analysis over a copied plan per column
-        val base = Seq(
-          col("l_quantity") % 100,
-          col("l_extendedprice") % 53,
-          col("l_discount") * 10,
-          col("l_tax") * 10,
-          (col("l_partkey") % 7).cast("double"))
-        val named = base.zipWithIndex.map { case (c, k) => c.as(s"f$k") }
-        val derived = (5 until model.nFeatures).map(k =>
-          sin(base(k % 5) + lit(k)).as(s"f$k"))
-        val wide = Tables.lineitem(s, dir)
-          // bench sizing: every 4th order (~37k trajectories at sf0.1) keeps
-          // the entry representative without dominating the suite total;
-          // throughput is linear in the subset
-          .filter(col("l_orderkey") % 4 === 0)
-          .select(Seq(
-            col("l_orderkey").as("game_id"), lit(0L).as("play_id"),
-            lit(0L).as("nfl_id"), col("l_linenumber").cast("long").as("frame_id"))
-            ++ named ++ derived: _*)
-        val seqs = graft.bdb.Sequences.build(
-          wide, (0 until model.nFeatures).map(k => s"f$k"), maxLen = 7)
+        val (_, seqs) = inferInput(s, dir, model.nFeatures)
         graft.ml.KerasLstm
           .scoreSequences(seqs, model, Seq("game_id", "play_id", "nfl_id"))
           .agg(

@@ -27,10 +27,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * StreamingInferenceSpec: streamed predictions equal
   * [[KerasLstm.Model.forward]] on the same frames exactly.
   *
-  * Scale shape: state is O(1) per live trajectory (~800 bytes), weights are
-  * a broadcast-sized closure constant, and each micro-batch shuffles only
-  * its own frames on the trajectory key — the same exchange the batch
-  * scorer pays once.
+  * Scale shape: state is O(1) per LIVE trajectory (~800 bytes) — finished
+  * trajectories are evicted via the idle timeout (see `score`); weights are
+  * broadcast once, and each micro-batch shuffles only its own frames on the
+  * trajectory key — the same exchange the batch scorer pays once.
   */
 object StreamingInference {
 
@@ -52,23 +52,47 @@ object StreamingInference {
     KerasLstm.StepState(s.h1.toArray, s.c1.toArray, s.h2.toArray,
       s.c2.toArray, s.lastPred, s.nSteps)
 
-  /** Score a (possibly streaming) frame Dataset. Emits one [[Scored] ] row
-    * per input frame, in Update mode. */
-  def score(frames: Dataset[Frame], model: KerasLstm.Model): Dataset[Scored] = {
+  /** Score a (possibly streaming) frame Dataset. Emits one [[Scored]] row
+    * per input frame, in Update mode.
+    *
+    * `idleTimeoutMs`: evict a trajectory's state after this long without
+    * new frames — REQUIRED for unbounded production streams (trajectories
+    * finish, their ~800 B of state must not accumulate forever). None uses
+    * NoTimeout: state lives for the query's lifetime, fine for bounded
+    * tests/demos (and the only mode under which `processAllAvailable`
+    * quiesces deterministically).
+    */
+  def score(frames: Dataset[Frame], model: KerasLstm.Model,
+      idleTimeoutMs: Option[Long] = None): Dataset[Scored] = {
     val spark = frames.sparkSession
     import spark.implicits._
+    // broadcast once, like the batch scorer — a plain closure capture would
+    // reserialize the ~145 KB of weights into every task of every batch
+    val bc = spark.sparkContext.broadcast(model)
+    val timeout = idleTimeoutMs.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
     frames
       .groupByKey(f => (f.game_id, f.play_id, f.nfl_id))
       .flatMapGroupsWithState[StoredState, Scored](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
         case ((g, p, n), newFrames, state: GroupState[StoredState]) =>
-          var st = state.getOption.map(fromStored).getOrElse(model.initState)
-          val out = newFrames.toSeq.sortBy(_.frame_id).map { f =>
-            st = model.step(st, f.features.iterator.map(_.toFloat).toArray)
-            Scored(g, p, n, f.frame_id, st.lastPred.toDouble)
+          if (state.hasTimedOut) {
+            state.remove() // trajectory went idle: evict, emit nothing
+            Iterator.empty
+          } else {
+            val m = bc.value
+            var st = state.getOption.map(fromStored).getOrElse(m.initState)
+            val out = newFrames.toSeq.sortBy(_.frame_id).map { f =>
+              require(f.features.size == m.nFeatures,
+                s"frame ($g,$p,$n,${f.frame_id}): ${f.features.size} features, " +
+                  s"model expects ${m.nFeatures}")
+              st = m.step(st, f.features.iterator.map(_.toFloat).toArray)
+              Scored(g, p, n, f.frame_id, st.lastPred.toDouble)
+            }
+            state.update(toStored(st))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(toStored(st))
-          out.iterator
       }
   }
 

@@ -11,23 +11,11 @@ object LstmProbe {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val model = graft.ml.KerasLstm.load(
-      "/root/reference/models/convergence_lstm_model_BlindPhysics_Completed_Pass.h5")
-
-    val base = Seq(
-      col("l_quantity") % 100, col("l_extendedprice") % 53,
-      col("l_discount") * 10, col("l_tax") * 10,
-      (col("l_partkey") % 7).cast("double"))
-    val named = base.zipWithIndex.map { case (c, k) => c.as(s"f$k") }
-    val derived = (5 until model.nFeatures).map(k =>
-      sin(base(k % 5) + lit(k)).as(s"f$k"))
-    def wide = graft.sources.Tables.lineitem(spark, dir)
-      .filter(col("l_orderkey") % 4 === 0)
-      .select(Seq(col("l_orderkey").as("game_id"), lit(0L).as("play_id"),
-        lit(0L).as("nfl_id"), col("l_linenumber").cast("long").as("frame_id"))
-        ++ named ++ derived: _*)
-    def seqs = graft.bdb.Sequences.build(
-      wide, (0 until model.nFeatures).map(k => s"f$k"), maxLen = 7)
+    // the SAME pipeline the query runs — shared builder, no drifted copy
+    val model = graft.ml.KerasLstm.load(graft.queries.ModelQueries.modelPath)
+    def stages = graft.queries.ModelQueries.inferInput(spark, dir, model.nFeatures)
+    def wide = stages._1
+    def seqs = stages._2
 
     def timed(name: String)(f: => Long): Unit = {
       f // warmup

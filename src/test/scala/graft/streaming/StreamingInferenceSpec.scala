@@ -54,6 +54,18 @@ class StreamingInferenceSpec extends SparkSpec {
     }
   }
 
+  test("malformed frames fail fast with row context, not deep in the matmul") {
+    import spark.implicits._
+    val bad = Seq(StreamingInference.Frame(1L, 1L, 1L, 1L, Seq(1.0, 2.0))).toDS()
+    val ex = intercept[Exception] {
+      StreamingInference.score(bad, model).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("2 features") && m.contains("expects 28")), messages(ex))
+  }
+
   test("masked (all-zero) frames repeat the previous prediction online") {
     val frames = mkFrames(7L, 4)
     val withZero = frames.take(2) ++
