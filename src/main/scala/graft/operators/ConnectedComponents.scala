@@ -73,6 +73,62 @@ object ConnectedComponents {
     labels
   }
 
+  /** Greedy keep-first over a similar-pair graph: process nodes in
+    * ascending id order; a node is DROPPED iff it is similar to a
+    * previously **kept** node, else kept. Returns the dropped ids (one
+    * column `id`). This is the lexicographically-first maximal independent
+    * set — the dedup contract where every dropped doc has a *kept* similar
+    * representative: for a chain A~B, B~C, A≁C it keeps A and C and drops
+    * only B (cluster-style keep-one-per-component would drop C too, leaving
+    * it with no similar doc in the corpus).
+    *
+    * Greedy-by-id is inherently sequential along similarity chains, so it
+    * cannot be a single relational pass. The distributed shape: label the
+    * pair graph with [[run]] (components are independent), then scan each
+    * component sequentially inside one `flatMapGroups` task. Near-dup
+    * components are small dense clusters (band collisions), so per-group
+    * memory is cluster-sized; a pathological mega-component is the same
+    * skew case the CC scaladoc flags and surfaces in
+    * [[Skew.hotKeys]]-style diagnostics upstream.
+    */
+  def greedyKeepFirstDrops(pairs: DataFrame, src: String = "d1",
+      dst: String = "d2"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(least(col(src), col(dst)).cast("long").as("lo"),
+        greatest(col(src), col(dst)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    if (edges.isEmpty) edges.select(col("lo").as("id"))
+    else {
+      val labels = run(edges, "lo", "hi")
+      edges.join(labels.withColumnRenamed("id", "lo"), Seq("lo"))
+        .select(col("comp"), col("lo"), col("hi"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val es = it.map(t => (t._2, t._3)).toArray
+          val smaller = collection.mutable.Map
+            .empty[Long, collection.mutable.ArrayBuffer[Long]]
+          es.foreach { case (lo, hi) =>
+            smaller.getOrElseUpdate(hi, collection.mutable.ArrayBuffer.empty) += lo
+          }
+          val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2))
+            .toArray.distinct.sorted
+          val kept = collection.mutable.Set.empty[Long]
+          val dropped = collection.mutable.ArrayBuffer.empty[Long]
+          nodes.foreach { n =>
+            if (smaller.get(n).exists(_.exists(kept.contains))) dropped += n
+            else kept += n
+          }
+          dropped.iterator
+        }
+        .toDF("id")
+    }
+  }
+
   /** Components via alternating large-star / small-star contraction (Kiveris
     * et al., "Connected Components in MapReduce and Beyond") — O(log² n)
     * rounds regardless of graph DIAMETER, where [[run]]'s label propagation

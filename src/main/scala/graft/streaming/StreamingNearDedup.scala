@@ -21,10 +21,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     cross-batch duplicates have identical signatures (similarity 1.0),
   *     so the exact gate across batches is subsumed;
   *  4. **in-batch near-dups**: bucket-local i<j pairs per (band, bkey)
-  *     (the lshPairs shape — never all-pairs), greedy keep-lowest-id:
-  *     a doc similar to a smaller-id batch doc is dropped (chains keep
-  *     their non-adjacent tails: A~B, B~C, A≁C keeps A and C — the
-  *     batch-local greedy mirror of the reference's keep-first contract);
+  *     (the lshPairs shape — never all-pairs), then TRUE greedy keep-first
+  *     over the verified pair graph
+  *     ([[graft.operators.ConnectedComponents.greedyKeepFirstDrops]]): docs
+  *     in id order, dropped only when similar to a previously *kept* doc,
+  *     so chains keep their non-adjacent tails (A~B, B~C, A≁C keeps A and
+  *     C — B's drop cannot cascade to C) and every dropped doc has a kept
+  *     similar representative;
   *  5. append survivors: corpus FIRST, then their band rows to the store —
   *     the same crash ordering as [[StreamingDedup.ingestBatch]]: a crash
   *     between the writes leaves recoverable duplicates, never losses, and
@@ -82,7 +85,7 @@ object StreamingNearDedup {
     // check: a doc similar only to a store-dropped batch-mate (and not to
     // anything ingested) must itself be kept — dropping it would leave it
     // with no similar representative in the corpus.
-    val inBatch = banded
+    val inBatchPairs = banded
       .join(vsStore, Seq("doc_id"), "left_anti")
       .groupBy("band", "bkey")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
@@ -93,7 +96,14 @@ object StreamingNearDedup {
           |    y -> struct(x.doc_id AS d1, x.sig AS s1,
           |                y.doc_id AS d2, y.sig AS s2))))""".stripMargin)).as("p"))
       .filter(MinHash.estSimilarity(col("p.s1"), col("p.s2")) >= simThreshold)
-      .select(col("p.d2").as("doc_id")) // drop the larger id of each pair
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    // Greedy keep-first, not drop-d2-of-every-pair: the latter cascades
+    // along chains (pair (B,C) would drop C even when B itself dropped via
+    // (A,B)), violating the kept-representative invariant motivating the
+    // left_anti above.
+    val inBatch = graft.operators.ConnectedComponents
+      .greedyKeepFirstDrops(inBatchPairs)
+      .select(col("id").as("doc_id"))
 
     // materialized once: referenced by both outputs below, and its lineage
     // (two joins against the store) must not re-execute per consumer

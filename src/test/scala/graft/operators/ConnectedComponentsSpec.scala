@@ -103,6 +103,51 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  /** Driver-side greedy-by-id MIS ground truth: drop a node iff it has an
+    * edge to a previously KEPT node (ascending id order). */
+  private def greedyDrops(edges: Seq[(Long, Long)]): Set[Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val kept = scala.collection.mutable.Set[Long]()
+    val dropped = scala.collection.mutable.Set[Long]()
+    nodes.foreach { n =>
+      if (adj(n).exists(kept.contains)) dropped += n else kept += n
+    }
+    dropped.toSet
+  }
+
+  test("greedy keep-first: chain A~B~C drops only B") {
+    import spark.implicits._
+    val drops = ConnectedComponents
+      .greedyKeepFirstDrops(Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(drops === Set(2L), "C is similar only to dropped B and must survive")
+  }
+
+  test("greedy keep-first matches driver-side greedy on a random graph") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val edges = (1 to 80).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (a min b, a max b) }.distinct
+    val expected = greedyDrops(edges)
+    val got = ConnectedComponents.greedyKeepFirstDrops(edges.toDF("d1", "d2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("greedy keep-first: empty pair set and clique") {
+    import spark.implicits._
+    assert(ConnectedComponents.greedyKeepFirstDrops(
+      Seq.empty[(Long, Long)].toDF("d1", "d2")).count() === 0)
+    // clique keeps exactly the min id
+    val clique = for (i <- 5L to 8L; j <- i + 1 to 8L) yield (i, j)
+    val drops = ConnectedComponents.greedyKeepFirstDrops(clique.toDF("d1", "d2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(drops === Set(6L, 7L, 8L))
+  }
+
   test("disjoint cliques stay separate") {
     import spark.implicits._
     val cliqueA = for (i <- 0 to 3; j <- i + 1 to 3) yield (i.toLong, j.toLong)

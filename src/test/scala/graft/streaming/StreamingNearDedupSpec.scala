@@ -105,6 +105,28 @@ class StreamingNearDedupSpec extends SparkSpec {
       s"a (≈ stored x) drops, b (≈ only a) survives; got $ids")
   }
 
+  test("in-batch transitive chain: A~B, B~C, A≁C keeps A and C (greedy keep-first)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sneardup_ch").toString
+    val x = "granite cliffs rise over the cold green bay where fishing boats " +
+      "rock gently at anchor beneath wheeling white gulls"
+    val a = x + " and the keeper waits"
+    val b = a + " while the foghorn moans qq77 and nets dry on long racks by the shed"
+    // same measured similarities as the store-drop test: sim(x,a)=0.75,
+    // sim(a,b)=0.58, sim(x,b)=0.33 — but here all three arrive in ONE batch
+    // with an empty store. Greedy keep-first: 1 kept; 2 similar to kept 1 →
+    // dropped; 3 similar only to DROPPED 2 → kept. Drop-d2-of-every-pair
+    // would cascade pair (2,3) into dropping 3 despite 3 having no kept
+    // similar representative.
+    StreamingNearDedup.ingestBatch(
+      Seq(Doc(1L, x), Doc(2L, a), Doc(3L, b)).toDF(),
+      s"$base/store", s"$base/corpus")
+    val ids = spark.read.parquet(s"$base/corpus").select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids === Seq(1L, 3L),
+      s"chain must keep non-adjacent tail 3, drop only 2; got $ids")
+  }
+
   test("crash between corpus and store writes loses nothing on replay") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("sneardup_cr").toString
