@@ -71,16 +71,42 @@ object Lake {
     * [[safeReplace]] — the same logic a `foreachBatch` streaming sink runs
     * per micro-batch (keyed on batchId for idempotence).
     *
-    * `where` bounds the MERGE logic (updates must fall inside it, enforced
-    * below), but THIS implementation still physically rewrites the whole
-    * table — the out-of-scope side is read and written back unchanged. The
-    * production path at 100 TB replaces safeReplace with partition-wise
-    * directory swaps (rewrite only the partitions `where` selects) or a
-    * table format with a metadata MERGE. Updates are assumed key-unique,
-    * as in SQL MERGE.
+    * Two physical paths:
+    *  - **`partitionCol = None`** (unpartitioned table): the whole table is
+    *    read and rewritten — `where` bounds the merge *logic* only. Fine for
+    *    dimension-sized tables; wrong unit of work at 100 TB.
+    *  - **`partitionCol = Some(p)`** (table hive-partitioned on `p`): the
+    *    partition-pruned path. Rows only ever live in the directory their
+    *    `p` value names, so the minimal rewrite set is exactly the
+    *    partitions PRESENT IN `updates`; each touched `p=v` directory is
+    *    merged and swapped individually ([[safeReplace]] semantics, hidden
+    *    dot-prefixed staging dirs so a crash leftover can never parse as a
+    *    phantom partition value). Every other directory is untouched ON
+    *    DISK — same files, same timestamps — not read-and-rewritten: a
+    *    micro-batch touching one day rewrites one directory, not the
+    *    corpus. In-scope partitions with no updates need no rewrite (MERGE
+    *    leaves unmatched rows as-is).
+    *
+    * Pruned-path contract (the `replaceWhere` shape of lakehouse formats):
+    * `where` still bounds scope (out-of-scope updates rejected loudly), and
+    * because out-of-scope directories are never opened, a key whose
+    * partition value CHANGES leaves its old version in the old directory —
+    * include `p` in `keys` to make key-moves impossible by construction
+    * (with `keys == Seq(p)` the touched partitions are replaced wholesale).
+    * NULL partition values are rejected (the Hive default-partition dir is
+    * not modeled). Touched partition values are enumerated driver-side:
+    * that is the swap list itself, inherently small. Updates are assumed
+    * key-unique, as in SQL MERGE.
     */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String], where: Option[Column] = None): Unit = {
+      keys: Seq[String], where: Option[Column] = None,
+      partitionCol: Option[String] = None): Unit = partitionCol match {
+    case Some(p) => upsertPruned(spark, path, updates, keys, p, where)
+    case None => upsertFullRewrite(spark, path, updates, keys, where)
+  }
+
+  private def upsertFullRewrite(spark: SparkSession, path: String,
+      updates: DataFrame, keys: Seq[String], where: Option[Column]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val current0 = spark.read.parquet(path)
     // Three-valued logic guard: a row where `where` evaluates NULL is false
@@ -107,6 +133,74 @@ object Lake {
       .unionByName(updates)
       .unionByName(untouched)
     safeReplace(spark, path, merged)
+  }
+
+  /** The partition-pruned merge behind [[upsertByKey]]. One merge + swap
+    * per partition value present in `updates`; directories the updates
+    * don't name are never opened. New partition values create their
+    * directory (staged + renamed, same crash discipline).
+    */
+  private def upsertPruned(spark: SparkSession, path: String,
+      updates: DataFrame, keys: Seq[String], p: String,
+      where: Option[Column]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    where.foreach { w =>
+      require(updates.filter(!coalesce(w, lit(false))).isEmpty,
+        s"upsertByKey: updates contain rows outside the `where` scope $w; " +
+          "widen the predicate or pre-filter the updates")
+    }
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Layout sanity: writing `p=v` dirs under a root holding plain parquet
+    // files would corrupt partition discovery — fail before touching disk.
+    val visible = fs.listStatus(rootP).filterNot { s =>
+      val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+    }
+    require(visible.forall(s => s.isDirectory && s.getPath.getName.startsWith(s"$p=")),
+      s"upsertByKey: $path is not hive-partitioned on '$p'")
+    val vals = updates.select(p).distinct().collect().map(_.get(0))
+    require(!vals.contains(null),
+      "upsertByKey: NULL partition values are not supported on the pruned path")
+    // Within one directory the partition column is constant, so the merge
+    // key inside it is `keys` minus `p`; empty ⇒ whole-partition replace.
+    val dataKeys = keys.filterNot(_ == p)
+    vals.foreach { v =>
+      val dirName = s"$p=${ExternalCatalogUtils.escapePathName(v.toString)}"
+      val target = new org.apache.hadoop.fs.Path(rootP, dirName)
+      val upd = updates.filter(col(p) === lit(v)).drop(p)
+      val merged =
+        if (fs.exists(target) && dataKeys.nonEmpty)
+          spark.read.parquet(target.toString)
+            .join(upd.select(dataKeys.map(col(_)): _*), dataKeys, "left_anti")
+            .unionByName(upd)
+        else upd
+      swapPartitionDir(spark, rootP, dirName, merged)
+    }
+  }
+
+  /** [[safeReplace]] for one partition directory, staged under HIDDEN
+    * (dot-prefixed) siblings: partition discovery skips hidden paths, so a
+    * crash leftover can never be parsed as a phantom partition value the
+    * way a visible `p=v__tmp` sibling would. Crash anywhere leaves the old
+    * directory, or the new one, plus at worst ignorable hidden leftovers
+    * swept on the next run.
+    */
+  private def swapPartitionDir(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, dirName: String,
+      newData: DataFrame): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(root, dirName)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".upsert_tmp/$dirName")
+    val old = new org.apache.hadoop.fs.Path(root, s".upsert_old/$dirName")
+    fs.delete(tmp, true); fs.delete(old, true) // sweep prior crash leftovers
+    newData.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) {
+      fs.mkdirs(old.getParent)
+      require(fs.rename(target, old), s"could not stage $target aside")
+    }
+    require(fs.rename(tmp, target), s"could not promote $tmp")
+    fs.delete(old, true)
   }
 
   /** Small-file compaction: rewrite a parquet directory into ~`rowsPerFile`

@@ -190,6 +190,85 @@ class LakeSpec extends SparkSpec {
       (3L, "re-updated", 30.0)))
   }
 
+  test("partition-pruned upsert leaves other partitions byte-identical on disk") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_pp").toString + "/t"
+    Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c"), (4L, 2, "d"), (5L, 3, "e"))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+
+    // (path, length, mtime) of every file in the partitions the upsert must NOT touch
+    def fileStates(days: Int*): Seq[(String, Long, Long)] = days.flatMap { d =>
+      val dir = new java.io.File(s"$path/day=$d")
+      dir.listFiles().toSeq.map(f => (f.getPath, f.length(), f.lastModified()))
+    }.sorted
+    val before = fileStates(1, 3)
+
+    Lake.upsertByKey(spark, path,
+      Seq((3L, 2, "c2"), (9L, 2, "new")).toDF("id", "day", "v"),
+      Seq("id"), where = Some(col("day") === 2), partitionCol = Some("day"))
+
+    assert(fileStates(1, 3) === before,
+      "files outside the updated partition must be physically untouched")
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out === Seq((1L, "a", 1), (2L, "b", 1), (3L, "c2", 2),
+      (4L, "d", 2), (5L, "e", 3), (9L, "new", 2)))
+
+    // a brand-new partition value creates its directory; others still untouched
+    val before2 = fileStates(1, 2, 3)
+    Lake.upsertByKey(spark, path, Seq((10L, 7, "x")).toDF("id", "day", "v"),
+      Seq("id"), partitionCol = Some("day"))
+    assert(fileStates(1, 2, 3) === before2)
+    assert(spark.read.parquet(path).filter(col("day") === 7).count() === 1)
+    // no visible staging leftovers for partition discovery to misparse
+    assert(!new java.io.File(s"$path/.upsert_tmp").exists() ||
+      new java.io.File(s"$path/.upsert_tmp").listFiles().isEmpty)
+  }
+
+  test("partition-pruned upsert: keys including the partition column replace " +
+    "touched partitions wholesale") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_ppw").toString + "/t"
+    Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 2, "c"))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+    // keys == Seq(day): no within-partition key → wholesale replaceWhere
+    Lake.upsertByKey(spark, path, Seq((8L, 2, "only")).toDF("id", "day", "v"),
+      Seq("day"), partitionCol = Some("day"))
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out === Seq((1L, "a", 1), (8L, "only", 2)))
+  }
+
+  test("partition-pruned upsert rejects bad layouts, NULL partitions, and " +
+    "out-of-scope updates") {
+    import spark.implicits._
+    // not hive-partitioned → loud failure before any disk mutation
+    val flat = java.nio.file.Files.createTempDirectory("lake_ppf").toString + "/t"
+    Seq((1L, 1, "a")).toDF("id", "day", "v").write.parquet(flat)
+    val e1 = intercept[IllegalArgumentException] {
+      Lake.upsertByKey(spark, flat, Seq((1L, 1, "x")).toDF("id", "day", "v"),
+        Seq("id"), partitionCol = Some("day"))
+    }
+    assert(e1.getMessage.contains("not hive-partitioned"))
+
+    val path = java.nio.file.Files.createTempDirectory("lake_ppn").toString + "/t"
+    Seq((1L, Some(1), "a")).toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(path)
+    val e2 = intercept[IllegalArgumentException] {
+      Lake.upsertByKey(spark, path,
+        Seq((2L, Option.empty[Int], "x")).toDF("id", "day", "v"),
+        Seq("id"), partitionCol = Some("day"))
+    }
+    assert(e2.getMessage.contains("NULL partition values"))
+
+    val e3 = intercept[IllegalArgumentException] {
+      Lake.upsertByKey(spark, path,
+        Seq((2L, Some(9), "x")).toDF("id", "day", "v"),
+        Seq("id"), where = Some(col("day") === 1), partitionCol = Some("day"))
+    }
+    assert(e3.getMessage.contains("outside the `where` scope"))
+  }
+
   test("safeReplace swaps contents and sweeps crash leftovers") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_sr").toString + "/t"
