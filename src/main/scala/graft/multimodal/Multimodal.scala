@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
-  * with typed metadata, plus a decode→feature-extract stage whose Spark-side
-  * plumbing (schema, batching, partitioning) is real while the codec itself is
-  * a deterministic stub (no image/audio libraries in this container — the stub
-  * derives pseudo-features from the bytes so the pipeline is testable
-  * end-to-end; swap `StubCodec.decode` for a real decoder binding).
+  * with typed metadata, plus a decode→feature-extract stage. IMAGE decode is
+  * REAL — JDK `javax.imageio` (PNG/JPEG/GIF/BMP, zero extra dependencies)
+  * via [[ImageCodec]]: true dimensions, per-channel means, a luminance
+  * histogram, and pixel-scaled resize with PNG re-encode. Audio/video remain
+  * a deterministic stub ([[StubCodec]] — the JDK ships no audio/video
+  * codecs; the stub derives pseudo-features from the bytes so that pipeline
+  * stays testable end-to-end until a codec binding lands).
   *
   * Scale notes: media blobs ride in the same parquet row group as their
   * metadata (self-describing shards, no sidecar fetch); feature extraction is
@@ -27,7 +29,8 @@ object Multimodal {
 
   final case class MediaFeatures(
       asset_id: Long, kind: String, n_bytes: Long, sha_prefix: String,
-      mean_byte: Double, feature_vec: Array[Float])
+      mean_byte: Double, decoded_w: Int, decoded_h: Int,
+      feature_vec: Array[Float])
 
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -38,9 +41,107 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("content", BinaryType)))
 
-  /** Deterministic stand-in for the real decode step (STUB — see class doc).
-    * A real implementation decodes pixels/samples here; everything around it
-    * (batching, schema, shuffle shape) is unchanged when it lands. */
+  /** Real image decode via JDK `javax.imageio` — no external dependencies.
+    * Deterministic: PNG/GIF/BMP decode is lossless and bit-exact;
+    * feature math is fixed-order integer/double arithmetic.
+    */
+  object ImageCodec {
+
+    /** Packed ARGB pixels row-major, as `BufferedImage.getRGB` returns. */
+    final case class Decoded(width: Int, height: Int, hasAlpha: Boolean,
+        argb: Array[Int])
+
+    /** None when the bytes are not a decodable image (no reader, truncated,
+      * or empty) — callers fall back to the stub path. */
+    def decode(content: Array[Byte]): Option[Decoded] = {
+      if (content == null || content.isEmpty) None
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          Some(Decoded(w, h, img.getColorModel.hasAlpha,
+            img.getRGB(0, 0, w, h, null, 0, w)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Mean R, G, B in [0, 255]. */
+    def channelMeans(d: Decoded): (Double, Double, Double) = {
+      var (r, g, b) = (0L, 0L, 0L)
+      var i = 0
+      while (i < d.argb.length) {
+        val p = d.argb(i)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        i += 1
+      }
+      val n = d.argb.length.toDouble
+      (r / n, g / n, b / n)
+    }
+
+    /** `dims`-length feature vector (dims ≥ 4): [meanR, meanG, meanB] / 255
+      * followed by a (dims−3)-bin luminance histogram (pixel fractions;
+      * integer Rec.601 luma `(299r + 587g + 114b) / 1000`). Resolution- and
+      * byte-layout-independent, so near-identical images at different
+      * encodings land near each other in feature space. */
+    def features(d: Decoded, dims: Int): Array[Float] = {
+      require(dims >= 4, s"image features need ≥ 4 dims, got $dims")
+      val out = new Array[Float](dims)
+      val (mr, mg, mb) = channelMeans(d)
+      out(0) = (mr / 255.0).toFloat
+      out(1) = (mg / 255.0).toFloat
+      out(2) = (mb / 255.0).toFloat
+      val nb = dims - 3
+      val hist = new Array[Long](nb)
+      var i = 0
+      while (i < d.argb.length) {
+        val p = d.argb(i)
+        val l = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        hist(math.min(nb - 1, l * nb / 256)) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < nb) {
+        out(3 + j) = (hist(j).toDouble / d.argb.length).toFloat
+        j += 1
+      }
+      out
+    }
+
+    /** Aspect-preserving pixel scale to fit (maxW, maxH), re-encoded as PNG
+      * (lossless). None when the input is not a decodable image. */
+    def resizeEncode(content: Array[Byte], maxW: Int,
+        maxH: Int): Option[(Array[Byte], Int, Int)] =
+      decode(content).map { d =>
+        val scale = math.min(maxW.toDouble / d.width, maxH.toDouble / d.height)
+        if (scale >= 1.0) (content, d.width, d.height)
+        else {
+          val (w, h) = (math.max(1, (d.width * scale).toInt),
+            math.max(1, (d.height * scale).toInt))
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(content))
+          val typ = if (d.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val dst = new java.awt.image.BufferedImage(w, h, typ)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          (bos.toByteArray, w, h)
+        }
+      }
+  }
+
+  /** Deterministic stand-in for the AUDIO/VIDEO decode step (STUB — the JDK
+    * ships no audio/video codecs; see class doc). Images do NOT go through
+    * this anymore ([[ImageCodec]] is the real path). A real media binding
+    * decodes samples/frames here; everything around it (batching, schema,
+    * shuffle shape) is unchanged when it lands. */
   object StubCodec {
     def decode(content: Array[Byte], dims: Int = 8): Array[Float] = {
       val out = new Array[Float](dims)
@@ -54,19 +155,27 @@ object Multimodal {
   }
 
   /** Decode + feature-extract via mapPartitions (codec init once per
-    * partition, not per row). */
+    * partition, not per row). Assets declaring `kind == "image"` decode for
+    * real ([[ImageCodec]]): `decoded_w`/`decoded_h` are the true pixel
+    * dimensions and `feature_vec` is pixel-derived. Undecodable images and
+    * all audio/video take the stub path with `decoded_w = decoded_h = -1`.
+    */
   def extractFeatures(assets: Dataset[Asset], dims: Int = 8): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { rows =>
       // real codecs initialize here (per-partition), e.g. decoder contexts
       rows.map { a =>
         val bytes = if (a.content == null) Array.empty[Byte] else a.content
+        val decoded = if (a.kind == "image") ImageCodec.decode(bytes) else None
         MediaFeatures(
           a.asset_id, a.kind, bytes.length.toLong,
           java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).take(4).map("%02x".format(_)).mkString,
           if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length,
-          StubCodec.decode(bytes, dims))
+          decoded.map(_.width).getOrElse(-1),
+          decoded.map(_.height).getOrElse(-1),
+          decoded.map(d => ImageCodec.features(d, dims))
+            .getOrElse(StubCodec.decode(bytes, dims)))
       }
     }
   }
@@ -78,22 +187,31 @@ object Multimodal {
       .withColumn("content_md5", md5(col(blobCol)))
       .withColumn("head_hex", hex(expr(s"substring($blobCol, 1, 8)")))
 
-  /** Resize: metadata transforms are real (new dims, aspect-preserving
-    * option); the pixel work is the stub (a real impl decodes, scales, and
-    * re-encodes `content` here — same row shape in, same out). */
+  /** Resize to fit (maxW, maxH), aspect-preserving. Decodable images take
+    * the REAL pixel path ([[ImageCodec.resizeEncode]]: bilinear scale, PNG
+    * re-encode, metadata set from the actual output raster). Audio/video
+    * and undecodable payloads keep the stub path (metadata transform is
+    * real; bytes truncated proportionally as a stand-in). */
   def resize(assets: Dataset[Asset], maxW: Int, maxH: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { rows =>
       rows.map { a =>
         if (a.width <= maxW && a.height <= maxH) a
         else {
-          val scale = math.min(maxW.toDouble / a.width, maxH.toDouble / a.height)
-          val (w, h) = (math.max(1, (a.width * scale).toInt),
-            math.max(1, (a.height * scale).toInt))
-          // STUB pixel path: truncate bytes proportionally to the area ratio
-          val keep = math.max(1,
-            (a.content.length * (w.toLong * h) / (a.width.toLong * a.height)).toInt)
-          a.copy(width = w, height = h, content = a.content.take(keep))
+          val real = if (a.kind == "image")
+            ImageCodec.resizeEncode(a.content, maxW, maxH) else None
+          real match {
+            case Some((bytes, w, h)) =>
+              a.copy(width = w, height = h, content = bytes, mime = "image/png")
+            case None =>
+              val scale = math.min(maxW.toDouble / a.width, maxH.toDouble / a.height)
+              val (w, h) = (math.max(1, (a.width * scale).toInt),
+                math.max(1, (a.height * scale).toInt))
+              // STUB pixel path: truncate bytes proportionally to the area ratio
+              val keep = math.max(1,
+                (a.content.length * (w.toLong * h) / (a.width.toLong * a.height)).toInt)
+              a.copy(width = w, height = h, content = a.content.take(keep))
+          }
         }
       }
     }

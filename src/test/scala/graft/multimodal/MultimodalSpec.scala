@@ -5,6 +5,95 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  /** Committed 4x2 RGB PNG fixture. Pixels, row-major:
+    * row 0: (255,0,0) (0,255,0) (0,0,255) (255,255,255)
+    * row 1: (0,0,0) (128,128,128) (255,255,0) (0,255,255)
+    */
+  private def fixturePng: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/rgb_4x2.png")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private val fixturePixels: Seq[(Int, Int, Int)] = Seq(
+    (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255),
+    (0, 0, 0), (128, 128, 128), (255, 255, 0), (0, 255, 255))
+
+  test("ImageCodec.decode: exact pixels from a committed PNG") {
+    val d = Multimodal.ImageCodec.decode(fixturePng).get
+    assert(d.width === 4 && d.height === 2)
+    val expectedArgb = fixturePixels.map { case (r, g, b) =>
+      0xff000000 | (r << 16) | (g << 8) | b
+    }
+    assert(d.argb.toSeq === expectedArgb)
+
+    val (mr, mg, mb) = Multimodal.ImageCodec.channelMeans(d)
+    assert(mr === 111.625) // (255+0+0+255+0+128+255+0)/8
+    assert(mg === 143.5)   // (0+255+0+255+0+128+255+255)/8
+    assert(mb === 111.625)
+
+    // dims=7 → 3 channel means + 4-bin luma histogram.
+    // Integer Rec.601 lumas: 76,149,29,255,0,128,225,178 → bins 1,2,0,3,0,2,3,2
+    val f = Multimodal.ImageCodec.features(d, 7)
+    assert(f(0) === (111.625 / 255.0).toFloat)
+    assert(f(1) === (143.5 / 255.0).toFloat)
+    assert(f(2) === (111.625 / 255.0).toFloat)
+    assert(f.slice(3, 7).toSeq === Seq(0.25f, 0.125f, 0.375f, 0.25f))
+    assert(math.abs(f.slice(3, 7).map(_.toDouble).sum - 1.0) < 1e-9)
+  }
+
+  test("ImageCodec.decode: non-image and empty bytes return None") {
+    assert(Multimodal.ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.ImageCodec.decode(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.ImageCodec.decode(null).isEmpty)
+  }
+
+  test("extractFeatures: real pixel features for decodable images, stub fallback otherwise") {
+    import spark.implicits._
+    val png = fixturePng
+    val junk = "definitely-not-a-png".getBytes("UTF-8")
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", "image/png", 4, 2, 0L, png),
+      Multimodal.Asset(2L, "image", "image/png", 8, 8, 0L, junk),
+      Multimodal.Asset(3L, "audio", "audio/wav", 0, 0, 1000L, Array[Byte](1, 2, 3))
+    ).toDS()
+    val feats = Multimodal.extractFeatures(assets, dims = 7)
+      .collect().sortBy(_.asset_id)
+
+    // real decode: true pixel dimensions + pixel-derived features
+    assert(feats(0).decoded_w === 4 && feats(0).decoded_h === 2)
+    val d = Multimodal.ImageCodec.decode(png).get
+    assert(feats(0).feature_vec.toSeq ===
+      Multimodal.ImageCodec.features(d, 7).toSeq)
+
+    // undecodable image → stub path, sentinel dims
+    assert(feats(1).decoded_w === -1 && feats(1).decoded_h === -1)
+    assert(feats(1).feature_vec.toSeq === Multimodal.StubCodec.decode(junk, 7).toSeq)
+
+    // audio never hits the image codec
+    assert(feats(2).decoded_w === -1 && feats(2).decoded_h === -1)
+  }
+
+  test("resize: real pixel path scales, re-encodes PNG, stays decodable") {
+    import spark.implicits._
+    val png = fixturePng
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", "image/png", 4, 2, 0L, png)).toDS()
+    val out = Multimodal.resize(assets, maxW = 2, maxH = 2).collect().head
+    // scale = min(2/4, 2/2) = 0.5 → 2x1
+    assert(out.width === 2 && out.height === 1)
+    assert(out.mime === "image/png")
+    val redec = Multimodal.ImageCodec.decode(out.content).get
+    assert(redec.width === 2 && redec.height === 1)
+
+    // below-bounds: byte-identical no-op
+    val same = Multimodal.resize(assets, maxW = 4, maxH = 2).collect().head
+    assert(same.content.toSeq === png.toSeq)
+
+    // direct resizeEncode no-op keeps the original encoding when scale >= 1
+    val noop = Multimodal.ImageCodec.resizeEncode(png, 100, 100).get
+    assert(noop._1.toSeq === png.toSeq && noop._2 === 4 && noop._3 === 2)
+  }
+
   test("extractFeatures: schema, determinism, per-partition batching") {
     val assets = Multimodal.synthAssets(spark, 30)
     val feats = Multimodal.extractFeatures(assets, dims = 4)
