@@ -21,6 +21,21 @@ object MinHash {
   val K = 12 // permutations
   val NBands = 4 // bands of K/NBands rows each
 
+  /** Signature-compatibility version: any change to the permutation
+    * constants, K, banding, shingle width, or modulus changes this string.
+    * Persistent band stores record it ([[graft.streaming.StreamingNearDedup]]
+    * writes a `_graft_sig_version` marker) so that signatures written under
+    * old constants fail LOUDLY instead of silently never matching new ones
+    * (which would re-admit every near-duplicate). The round-4 constant
+    * change (small sequential multipliers → spread Knuth multiples) is
+    * exactly the migration this guards. */
+  val version: String = {
+    val perm = (0 until K).map(j => s"${a(j)}:${b(j)}").mkString(",")
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(perm.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"minhash/1 K=$K nbands=$NBands shingle=5 mod=2147483647 perm=$dig"
+  }
+
   /** Permutation j is h ↦ (h·a(j) + b(j)) mod 2^31−1. The multipliers are
     * SPREAD (Knuth-constant multiples reduced mod the prime), not small
     * sequential integers: with tiny multipliers like 3, 5, 7…, one

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object ModelQueries {
 
-  private[graft] val modelPath =
-    "/root/reference/models/convergence_lstm_model_BlindPhysics_Completed_Pass.h5"
+  /** Overridable like SPARK_GRAFT_SF_DIR — the default is the public
+    * reference checkout's committed artifact, but the query registry must
+    * not hard-couple to that location on a real deployment. */
+  private[graft] val modelPath = sys.env.getOrElse("SPARK_GRAFT_MODEL_PATH",
+    "/root/reference/models/convergence_lstm_model_BlindPhysics_Completed_Pass.h5")
 
   /** The feature + padded-sequence pipeline behind m_lstm_infer, shared with
     * the stage-timing probe (tools/LstmProbe) so the probe always times THIS

@@ -97,12 +97,16 @@ object StreamingInference {
   }
 
   /** Start the streaming scorer writing to an in-memory sink (for demos /
-    * tests); production sinks swap the format. */
+    * tests); production sinks swap the format. `idleTimeoutMs` is threaded
+    * to [[score]] — set it on unbounded production streams (state eviction);
+    * the None default keeps the memory-sink/test path deterministic under
+    * `processAllAvailable`. */
   def start(frames: DataFrame, model: KerasLstm.Model, queryName: String,
-      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointLocation: String,
+      idleTimeoutMs: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = frames.sparkSession
     import spark.implicits._
-    score(frames.as[Frame], model)
+    score(frames.as[Frame], model, idleTimeoutMs)
       .writeStream.queryName(queryName)
       .outputMode("update")
       .option("checkpointLocation", checkpointLocation)

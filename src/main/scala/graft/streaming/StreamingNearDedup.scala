@@ -123,15 +123,66 @@ object StreamingNearDedup {
 
     fresh.write.mode("append").parquet(corpusPath)
     freshBands.write.mode("append").parquet(storePath)
+    ensureVersionMarker(spark, storePath)
   }
 
-  /** None only when the store genuinely does not exist yet; any other
-    * failure propagates (an "empty store" fallback would re-admit the
-    * corpus). */
+  /** Underscore-prefixed so parquet readers skip it (like `_SUCCESS`). */
+  private val VersionFile = "_graft_sig_version"
+
+  /** Record [[MinHash.version]] beside the band rows (idempotent). Written
+    * AFTER the first band append: a crash before it leaves the store
+    * unmarked, which the next batch rejects loudly — fail-closed, never
+    * fail-open onto possibly-incompatible signatures. */
+  private def ensureVersionMarker(spark: SparkSession, path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, VersionFile)
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, true)
+      try out.write(MinHash.version.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def readVersionMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(dir, VersionFile)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+    }
+  }
+
+  /** None only when the store genuinely does not exist yet (no data files);
+    * any other failure propagates (an "empty store" fallback would re-admit
+    * the corpus). A store whose `_graft_sig_version` marker is missing or
+    * differs from [[MinHash.version]] throws: its signatures were written
+    * under different permutation constants and would NEVER match freshly
+    * computed ones, so every stored near-duplicate would be silently
+    * re-admitted — the one failure mode this module exists to prevent. */
   private def knownBands(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(path))
+    else {
+      val hasData = fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (!hasData) None
+      else readVersionMarker(fs, p) match {
+        case Some(v) if v == MinHash.version => Some(spark.read.parquet(path))
+        case Some(v) => throw new IllegalStateException(
+          s"band store at $path was written with signature constants [$v] " +
+            s"but this build uses [${MinHash.version}]; stored signatures " +
+            "can never match new ones (near-dups would be silently " +
+            "re-admitted) — rebuild the store from the corpus")
+        case None => throw new IllegalStateException(
+          s"band store at $path has no $VersionFile marker (predates " +
+            "signature versioning, or an incomplete first append); its " +
+            s"constants are unknown vs [${MinHash.version}] — rebuild the " +
+            "store from the corpus")
+      }
+    }
   }
 }

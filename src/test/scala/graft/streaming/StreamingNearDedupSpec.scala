@@ -153,4 +153,44 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(dropped === 1)
     assert(spark.read.parquet(corpus).count() === 1)
   }
+
+  test("band store records signature version; mismatch and absence fail loudly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sneardup_ver").toString
+    val store = s"$base/store"
+    val corpus = s"$base/corpus"
+    StreamingNearDedup.ingestBatch(Seq(Doc(1L, baseA)).toDF(), store, corpus)
+
+    // marker written beside the band rows, holding the current constants
+    val markerPath = new org.apache.hadoop.fs.Path(store, "_graft_sig_version")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(markerPath))
+    val in = fs.open(markerPath)
+    val recorded = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    assert(recorded === graft.operators.MinHash.version)
+
+    // same-version re-ingest works (the normal path)
+    StreamingNearDedup.ingestBatch(Seq(Doc(2L, baseD)).toDF(), store, corpus)
+    assert(spark.read.parquet(corpus).count() === 2)
+
+    // a store written under OTHER constants must be rejected, not silently
+    // mismatched (old signatures never equal new ones → near-dups re-admitted)
+    val out = fs.create(markerPath, true)
+    out.write("minhash/0 K=12 nbands=4 shingle=5 mod=2147483647 perm=deadbeef0000"
+      .getBytes("UTF-8")); out.close()
+    val eMismatch = intercept[IllegalStateException] {
+      StreamingNearDedup.ingestBatch(Seq(Doc(3L, baseA + " xx")).toDF(), store, corpus)
+    }
+    assert(eMismatch.getMessage.contains("rebuild the store"))
+
+    // an unmarked store (pre-versioning, or torn first append) is also fatal
+    fs.delete(markerPath, false)
+    val eMissing = intercept[IllegalStateException] {
+      StreamingNearDedup.ingestBatch(Seq(Doc(4L, baseD + " yy")).toDF(), store, corpus)
+    }
+    assert(eMissing.getMessage.contains("_graft_sig_version"))
+
+    // neither failed attempt may have touched the corpus
+    assert(spark.read.parquet(corpus).count() === 2)
+  }
 }
