@@ -80,6 +80,19 @@ object MinHash {
         col("bk.bkey").as("bkey"), col("sig"))
   }
 
+  /** Band-bucket skew diagnostic: [[Skew.hotKeys]] over the (band, bkey)
+    * candidate keys — the keys every LSH pair join and the streaming store
+    * check shuffle on. Bucket sizes are bounded by band collision rate for
+    * organic corpora, but a mega-bucket (boilerplate shared by millions of
+    * docs — license headers, templated pages) makes the bucket-local
+    * quadratic explode; run this on a sample first and route offenders to
+    * [[Skew.saltedJoin]] or a bucket-size cap. Returns (band, bkey, cnt)
+    * descending. */
+  def bandHotKeys(docs: DataFrame, topK: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Skew.hotKeys(bands(signatures(docs, idCol, textCol), idCol),
+      Seq("band", "bkey"), topK)
+
   /** Estimated Jaccard similarity of two K-component signatures: the
     * fraction of agreeing components (sequential fold, no UDF). */
   def estSimilarity(s1: Column, s2: Column): Column =

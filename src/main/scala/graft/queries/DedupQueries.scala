@@ -165,8 +165,10 @@ object DedupQueries {
     * compute the whole signature subplan twice (no ReusedExchange across
     * differently-aliased sides) and shuffle both copies. Bucket sizes are
     * bounded by design (band collision rate), so the per-bucket quadratic is
-    * constant work; a pathological mega-bucket would surface in `hotKeys`
-    * diagnostics long before it mattered here.
+    * constant work; a pathological mega-bucket surfaces in
+    * [[graft.operators.MinHash.bandHotKeys]] (Skew.hotKeys over these same
+    * band keys — spec'd on a deliberately skewed corpus in SkewSpec) long
+    * before it mattered here.
     */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)

@@ -43,4 +43,31 @@ class SkewSpec extends SparkSpec {
     assert(top.getLong(0) === 1L)
     assert(top.getLong(1) === 900L)
   }
+
+  test("bandHotKeys surfaces an LSH mega-bucket in a skewed corpus") {
+    import spark.implicits._
+    // 200 docs that are the SAME boilerplate (a license-header mega-bucket:
+    // identical text → identical signature → all 4 band buckets hold all
+    // 200 ids) + 50 distinct organic docs that should not dominate
+    val boiler = "copyright notice all rights reserved permission is hereby " +
+      "granted free of charge to any person obtaining a copy of this software"
+    val docs = ((1 to 200).map(i => (i.toLong, boiler)) ++
+      (1 to 50).map { i =>
+        // mostly-unique token soup per doc: low pairwise Jaccard by design
+        (200L + i, (1 to 15)
+          .map(j => s"tok${(i * 131 + j * 7919) % 99991}z${i * 31 + j}")
+          .mkString(" "))
+      }).toDF("doc_id", "text")
+
+    val hot = MinHash.bandHotKeys(docs, topK = MinHash.NBands + 2).collect()
+    // the mega-bucket fills the top NBands slots — one per band, 200 each
+    val top = hot.take(MinHash.NBands)
+    assert(top.forall(_.getAs[Long]("cnt") === 200L),
+      s"expected the boilerplate bucket (200 docs) in every band, got " +
+        hot.map(r => (r.getAs[Int]("band"), r.getAs[Long]("cnt"))).toSeq)
+    assert(top.map(_.getAs[Int]("band")).toSet === (0 until MinHash.NBands).toSet)
+    // organic collisions stay an order of magnitude below the mega-bucket
+    // (a handful of docs can share a band bucket — that's LSH working)
+    assert(hot.drop(MinHash.NBands).forall(_.getAs[Long]("cnt") <= 10L))
+  }
 }
