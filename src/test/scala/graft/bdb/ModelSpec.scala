@@ -29,6 +29,25 @@ class ModelSpec extends SparkSpec {
     assert(metrics.getAs[Double]("r2") > 0.95)
   }
 
+  test("GBT acceptance: held-out R² on synthetic convergence data (vs reference LSTM 0.9466)") {
+    // The reference accepts its LSTM at R² = 0.9466 (BDB_2026.ipynb cell
+    // 102). The engine's distributed in-engine trainer is the GBT baseline
+    // (no sequence memory — the documented tradeoff); this pins its number
+    // on the same synthetic convergence data the pipeline specs use, with
+    // the same leakage-safe game split the pipeline itself applies.
+    // Deterministic: Synth is hash-generated, GBT seed fixed.
+    val t = Synth.tracking(spark, nGames = 8, playsPerGame = 25)
+    val metrics = Pipeline.run(t, Synth.output(t), Synth.supplementary(t))
+      .modelMetrics.head()
+    val r2 = metrics.getAs[Double]("r2")
+    // measured 2026-08-12: r2 = 0.785 held-out (recorded in README); the
+    // band is wide enough for Spark/MLlib patch-level drift but tight
+    // enough that a broken feature or leaky split fails the test
+    assert(r2 > 0.70 && r2 <= 1.0,
+      s"GBT held-out R² drifted out of the accepted band: $r2")
+    assert(metrics.getAs[Double]("rmse") < 0.25, s"rmse ${metrics.getAs[Double]("rmse")}")
+  }
+
   test("splitByGame is disjoint and exhaustive on game_id") {
     import spark.implicits._
     val df = (1 to 500).map(g => (g.toLong, g * 2.0)).toDF("game_id", "v")
