@@ -25,7 +25,9 @@ object Registry {
     val picks = Set("q1_pricing_summary", "j_star_chain", "j7_nearest_in_group",
       "a2_residual_stats", "a_rollup", "w10_ordered_collect", "w_range_rolling",
       "e_sessionize", "t_fingerprint", "d_minhash_sig", "d_minhash_lsh_pairs",
-      "s_knn_brute", "t_pack", "e_interval_join")
+      "s_knn_brute", "t_pack", "e_interval_join",
+      // round-4 scale-path operators: timing trend, not just correctness rows
+      "d_simhash_banded", "d_contamination", "s_lsh_knn_multiprobe")
     val known = all.map(_.name).toSet
     val missing = picks.diff(known)
     require(missing.isEmpty, s"headline picks not in registry: $missing")
