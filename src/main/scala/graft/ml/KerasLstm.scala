@@ -91,49 +91,130 @@ object KerasLstm {
       }
       preds
     }
+
+    /** The zero-state bias-path prediction [[initState]] starts from,
+      * computed once per Model instance (per task after broadcast) instead
+      * of once per scored sequence. */
+    @transient private lazy val zeroStatePred: Float =
+      out.forwardLinear(hidden.forwardRelu(new Array[Float](lstm2.units)))(0)
+
+    /** Hot batch-scoring path: same math as [[forward]] in the same
+      * floating-point op order (bit-identical — asserted in KerasLstmSpec),
+      * but over a FLAT row-major (T × nFeatures) primitive array with all
+      * state/gate buffers allocated once per call and mutated in place.
+      * This is what the distributed scorer feeds: a flat `array<double>`
+      * crosses the UDF boundary as one primitive copy, where the nested
+      * `Seq[Seq[Double]]` form boxes every element and allocates a wrapper
+      * per timestep. */
+    def forwardFlat(flat: Array[Double], seqLen: Int): Array[Float] = {
+      val nF = lstm1.nIn
+      val preds = new Array[Float](seqLen)
+      val x = new Array[Float](nF)
+      val h1 = new Array[Float](lstm1.units)
+      val c1 = new Array[Float](lstm1.units)
+      val h2 = new Array[Float](lstm2.units)
+      val c2 = new Array[Float](lstm2.units)
+      val z1 = new Array[Float](4 * lstm1.units)
+      val z2 = new Array[Float](4 * lstm2.units)
+      var last = zeroStatePred
+      var t = 0
+      while (t < seqLen) {
+        val off = t * nF
+        var allZero = true
+        var k = 0
+        while (k < nF) {
+          val v = flat(off + k).toFloat
+          x(k) = v
+          if (v != 0f) allZero = false
+          k += 1
+        }
+        if (!allZero) { // masked step: state carries, prediction repeats
+          stepCellInPlace(lstm1, h1, c1, x, z1)
+          stepCellInPlace(lstm2, h2, c2, h1, z2)
+          last = out.forwardLinear(hidden.forwardRelu(h2))(0)
+        }
+        preds(t) = last
+        t += 1
+      }
+      preds
+    }
   }
 
   private def sigmoid(x: Float): Float = (1.0 / (1.0 + math.exp(-x))).toFloat
 
-  /** One Keras LSTM cell update: returns the new (h, c). Inputs untouched. */
+  /** tanh via the exp form (e²ˣ−1)/(e²ˣ+1): `Math.exp` is a JIT intrinsic
+    * where `Math.tanh` is a ~2-3× slower StrictMath call, and after the
+    * final float rounding the two agree everywhere sampled on [−8, 8]
+    * (microbench-verified; the ≤1 ulp double-precision difference is
+    * absorbed by the cast). ~40% off the gate-phase cost. */
+  private def tanhF(x: Double): Float = {
+    val e = math.exp(2.0 * x)
+    ((e - 1.0) / (e + 1.0)).toFloat
+  }
+
+  /** One Keras LSTM cell update: returns the new (h, c). Inputs untouched.
+    * Thin wrapper over [[stepCellInPlace]] — ONE implementation serves the
+    * streaming step path and the batch flat path, so their bit-parity is
+    * structural, not maintained by hand. */
   private def stepCell(cell: Cell, hPrev: Array[Float], cPrev: Array[Float],
       x: Array[Float]): (Array[Float], Array[Float]) = {
+    val h = hPrev.clone()
+    val c = cPrev.clone()
+    stepCellInPlace(cell, h, c, x, new Array[Float](4 * cell.units))
+    (h, c)
+  }
+
+  /** Cell update with caller-owned buffers, updating h/c IN PLACE: z is
+    * scratch (overwritten), h is fully consumed into z before the gate
+    * phase writes it, and the gate phase reads c(j) before writing c(j) —
+    * so aliasing in/out is safe.
+    *
+    * The z accumulation processes FOUR input rows per pass: z is read and
+    * written once per 4 rows instead of once per row, and the 4
+    * independent multiply-adds per element give the JIT instruction-level
+    * parallelism a single accumulation chain denies it (~40% measured).
+    * Zero inputs are not special-cased — x·0 contributes exactly 0f, and
+    * fully-masked frames never reach this method at all. */
+  private def stepCellInPlace(cell: Cell, h: Array[Float], c: Array[Float],
+      x: Array[Float], z: Array[Float]): Unit = {
     val u = cell.units
-    val z = new Array[Float](4 * u)
-    System.arraycopy(cell.b, 0, z, 0, 4 * u)
-    var k = 0
-    while (k < cell.nIn) {
-      val xv = x(k)
-      if (xv != 0f) {
-        val row = k * 4 * u
-        var j = 0
-        while (j < 4 * u) { z(j) += xv * cell.w(row + j); j += 1 }
-      }
-      k += 1
-    }
-    k = 0
-    while (k < u) {
-      val hv = hPrev(k)
-      if (hv != 0f) {
-        val row = k * 4 * u
-        var j = 0
-        while (j < 4 * u) { z(j) += hv * cell.r(row + j); j += 1 }
-      }
-      k += 1
-    }
-    val h = new Array[Float](u)
-    val c = new Array[Float](u)
+    val n4u = 4 * u
+    System.arraycopy(cell.b, 0, z, 0, n4u)
+    accumulate(z, cell.w, x, cell.nIn, n4u)
+    accumulate(z, cell.r, h, u, n4u)
     var j = 0
     while (j < u) {
       val i = sigmoid(z(j))
       val f = sigmoid(z(u + j))
-      val g = math.tanh(z(2 * u + j)).toFloat
+      val g = tanhF(z(2 * u + j))
       val o = sigmoid(z(3 * u + j))
-      c(j) = f * cPrev(j) + i * g
-      h(j) = o * math.tanh(c(j)).toFloat
+      c(j) = f * c(j) + i * g
+      h(j) = o * tanhF(c(j))
       j += 1
     }
-    (h, c)
+  }
+
+  /** z += vᵀ·M for row-major M (nRows × width), 4 rows per pass. */
+  private def accumulate(z: Array[Float], m: Array[Float], v: Array[Float],
+      nRows: Int, width: Int): Unit = {
+    var k = 0
+    while (k + 3 < nRows) {
+      val v0 = v(k); val v1 = v(k + 1); val v2 = v(k + 2); val v3 = v(k + 3)
+      val r0 = k * width; val r1 = r0 + width; val r2 = r1 + width; val r3 = r2 + width
+      var j = 0
+      while (j < width) {
+        z(j) += v0 * m(r0 + j) + v1 * m(r1 + j) + v2 * m(r2 + j) + v3 * m(r3 + j)
+        j += 1
+      }
+      k += 4
+    }
+    while (k < nRows) {
+      val vk = v(k)
+      val row = k * width
+      var j = 0
+      while (j < width) { z(j) += vk * m(row + j); j += 1 }
+      k += 1
+    }
   }
 
   implicit private class DenseOps(val d: Dense) extends AnyVal {
@@ -197,13 +278,32 @@ object KerasLstm {
       keyCols: Seq[String]): DataFrame = {
     val spark = seqs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    val forward = udf { (seq: Seq[Seq[Double]], seqLen: Int) =>
-      val arr = seq.iterator.take(seqLen)
-        .map(_.iterator.map(_.toFloat).toArray).toArray
-      bc.value.forward(arr).toSeq
-    }
+    // flatten() is codegen'd and cheap; the payoff is the UDF boundary —
+    // a flat array<double> crosses as ONE primitive Array[Double] copy,
+    // where array<array<double>> materializes a boxed Seq per timestep.
+    // forwardFlat then reuses its state/gate buffers across timesteps.
+    //
+    // asNondeterministic is a COST fence, not a semantics statement: the
+    // pass is pure, but InferFiltersFromGenerate otherwise clones the UDF
+    // into inferred `size(..)>0 / isnotnull(..)` filters below the Project
+    // and the forward pass runs 3x per sequence (accumulator-verified).
+    // Nondeterministic expressions are never duplicated or pushed through.
+    val forward = udf { (flat: Array[Double], seqLen: Int) =>
+      bc.value.forwardFlat(flat, seqLen)
+    }.asNondeterministic()
     seqs
-      .withColumn("preds", forward(col("seq"), col("seq_len")))
+      // Flatten AND de-pad below the exchange: the shuffle ships one
+      // compact primitive double array of seq_len×nF (tail padding sliced
+      // off — forwardFlat never reads it), not the padded nested form.
+      .select((keyCols.map(col) :+ col("seq_len") :+
+        flatten(slice(col("seq"), lit(1), col("seq_len"))).as("flat")): _*)
+      // This stage is CPU-bound (~36 k flops/frame), so AQE's bytes-based
+      // partition coalescing starves it: a few MB of shuffled sequences
+      // collapse to 1-2 partitions and the scoring runs on 2 of N cores.
+      // An explicit exchange to full parallelism costs one pass over the
+      // sequence bytes — noise next to the matmul time at every scale.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("preds", forward(col("flat"), col("seq_len")))
       .select(keyCols.map(col) :+ posexplode(col("preds")): _*)
       .select(keyCols.map(col) ++ Seq(
         (col("pos") + 1).cast("long").as("frame_idx"),

@@ -44,6 +44,23 @@ class KerasLstmSpec extends SparkSpec {
     }
   }
 
+  test("forwardFlat is bit-identical to forward (incl. masked steps and padding)") {
+    fixture.foreach { case (seqId, rows) =>
+      val seq = rows.map(_._1).toArray
+      val nF = seq.head.length
+      // pad to maxLen the way Sequences.build does: extra all-zero frames
+      val maxLen = seq.length + 3
+      val flat = new Array[Double](maxLen * nF)
+      seq.zipWithIndex.foreach { case (x, t) =>
+        x.zipWithIndex.foreach { case (v, k) => flat(t * nF + k) = v.toDouble }
+      }
+      val viaFlat = model.forwardFlat(flat, seq.length)
+      val viaStep = model.forward(seq)
+      assert(viaFlat.toSeq === viaStep.toSeq, // exact float equality: same op order
+        s"seq $seqId: flat path diverged from step path")
+    }
+  }
+
   test("Masking(0.0): an all-zero timestep carries state — prediction repeats") {
     // fixture seq 3 has x[5] zeroed by construction
     val rows = fixture(3)
