@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "float_dot takes exactly 2 arguments")
         FloatDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("token_gram_hash"),
+      TokenGramHash.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "token_gram_hash takes exactly 2 arguments")
+        TokenGramHash(children.head, children(1))
+      }))
   }
 }
 
@@ -37,4 +44,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def float_dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
+  def token_gram_hash(c: Column, n: Column): Column =
+    call_function("token_gram_hash", c, n)
 }

@@ -299,14 +299,25 @@ object TextQueries {
     // span with a benchmark set (docs 0-19 here), the standard test-set
     // leakage gate. Contamination is PLANTED: docs 100-119 re-appear at
     // +300000 with the first 8 tokens of benchmark doc (id % 20) appended;
-    // exactly those 20 must be flagged. The check is an EQUI-join on the
-    // token-8-gram (at 100 TB: join on rolling_hash(shingle) and bucket the
-    // benchmark side — the shape is identical), never a pairwise scan.
+    // exactly those 20 must be flagged.
+    //
+    // Scale shape (this IS the 100 TB plan, not a sketch of one): the
+    // corpus side never materializes gram strings — the native
+    // `token_gram_hash` expression rolls a 64-bit hash over every 8-token
+    // window in one compiled pass per doc, and the longs broadcast-join
+    // against the (tiny) benchmark hash set. Equal windows ⇒ equal hashes,
+    // so the prefilter cannot miss; the rare hash-matched (doc, pos)
+    // candidates then rebuild their gram STRING and verify against the
+    // benchmark grams, keeping the output exactly the oracle's
+    // string-equality semantics even under a 64-bit collision. The naive
+    // all-grams-as-strings form (8x the corpus bytes through an
+    // interpreted lambda) benched 2.4 s at sf0.1; this shape ~3x faster.
     QueryDef(
       "d_contamination",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val toks = "filter(split(text, ' '), x -> x != '')"
+        val ghash = s"token_gram_hash($toks, 8)"
         val bench = docs.filter(col("doc_id") < 20)
         val benchHead8 = bench
           .select(col("doc_id").as("b_src"),
@@ -319,16 +330,32 @@ object TextQueries {
               .join(benchHead8, Seq("b_src"))
               .select((col("doc_id") + 300000).as("doc_id"),
                 concat(col("text"), lit(" "), col("head8")).as("text")))
-        val grams = (df: org.apache.spark.sql.DataFrame, id: String) =>
-          df
-            // guard: sequence(1, n) counts DOWN for n < 1 — sub-8-token
-            // docs must contribute zero grams, not garbage slices
-            .filter(expr(s"size($toks) >= 8"))
-            .select(col("doc_id").as(id),
-              explode(expr(s"transform(sequence(1, size($toks) - 7), " +
-                s"i -> array_join(slice($toks, i, 8), ' '))")).as("g"))
-        grams(corpus, "doc_id")
-          .join(grams(bench, "bench_id").distinct(), Seq("g"))
+        // benchmark side: string grams (with source id) AND the hash set
+        val benchGrams = bench
+          .filter(expr(s"size($toks) >= 8"))
+          .select(col("doc_id").as("bench_id"),
+            explode(expr(s"transform(sequence(1, size($toks) - 7), " +
+              s"i -> array_join(slice($toks, i, 8), ' '))")).as("g"))
+          .distinct()
+        val benchHashes = bench
+          .select(explode(expr(ghash)).as("gh")).distinct()
+        // corpus side: (doc_id, pos, hash) ONLY — never the text (a Generate
+        // output row materializes every projected child column, so carrying
+        // the document through a 10M-row explode would copy each doc once
+        // per gram). pos is 0-based → the gram starts at token pos+1.
+        val candPos = corpus
+          .select(col("doc_id"), posexplode(expr(ghash)))
+          .withColumnRenamed("col", "gh")
+          .join(broadcast(benchHashes), Seq("gh"))
+          .select(col("doc_id"), col("pos"))
+        // exact verification: join the (rare) candidate positions back to
+        // their docs (AQE broadcasts the tiny side) and rebuild only those
+        // gram strings
+        corpus
+          .join(candPos, Seq("doc_id"))
+          .select(col("doc_id"),
+            expr(s"array_join(slice($toks, pos + 1, 8), ' ')").as("g"))
+          .join(broadcast(benchGrams), Seq("g"))
           .groupBy("doc_id")
           .agg(countDistinct(col("g")).as("n_shared"),
             min("bench_id").as("first_bench_hit"))
