@@ -41,6 +41,29 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.slice(3, 7).map(_.toDouble).sum - 1.0) < 1e-9)
   }
 
+  test("ImageCodec decodes JPEG too (lossy: exact dims, close features)") {
+    // encode the fixture pixels as JPEG via the same JDK codec stack a real
+    // ingest would produce, then decode through the production path
+    val d = Multimodal.ImageCodec.decode(fixturePng).get
+    val img = new java.awt.image.BufferedImage(
+      d.width, d.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, d.width, d.height, d.argb, 0, d.width)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+
+    val jd = Multimodal.ImageCodec.decode(jpeg).get
+    assert(jd.width === 4 && jd.height === 2)
+    val fPng = Multimodal.ImageCodec.features(d, 7)
+    val fJpg = Multimodal.ImageCodec.features(jd, 7)
+    // channel means survive JPEG quantization to within a few percent
+    (0 until 3).foreach { k =>
+      assert(math.abs(fPng(k) - fJpg(k)) < 0.1,
+        s"channel $k: png ${fPng(k)} vs jpeg ${fJpg(k)}")
+    }
+    assert(math.abs(fJpg.slice(3, 7).map(_.toDouble).sum - 1.0) < 1e-6)
+  }
+
   test("ImageCodec.decode: non-image and empty bytes return None") {
     assert(Multimodal.ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.ImageCodec.decode(Array.empty[Byte]).isEmpty)
