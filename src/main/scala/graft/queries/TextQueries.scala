@@ -464,5 +464,95 @@ object TextQueries {
              |SELECT round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
              |  (SELECT tb FROM t) AS n_base, (SELECT tc FROM t) AS n_cur
              |FROM p""".stripMargin)),
+
+    // Keyword extraction: top-3 terms per doc by tf-idf (smoothed idf =
+    // ln((N+1)/(df+1)) + 1, the scikit-style formula). Cross-engine exact by
+    // computing ln ONCE PER TERM and rounding idf to 6 dp BEFORE the tf
+    // multiply + ranking, so both engines rank identical doubles (ties break
+    // on the term). Scale: two hash aggs + a broadcast of the per-term idf
+    // table; the per-doc window partitions on doc_id (never global).
+    QueryDef(
+      "t_tfidf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = "filter(split(text, ' '), x -> x != '')"
+        val terms = docs.select(col("doc_id"), explode(expr(toks)).as("t"))
+        val tf = terms.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy("t").agg(count(lit(1)).as("df"))
+          .crossJoin(docs.agg(count(lit(1)).as("n_docs"))) // 1-row broadcast
+          .select(col("t"),
+            expr("round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6)").as("idf_r"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tfidf").desc, col("t"))
+        tf.join(idf, Seq("t"))
+          .select(col("doc_id"), col("t"),
+            expr("round(tf * idf_r, 6)").as("tfidf"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk").cast("int").as("rk"),
+            col("t"), col("tfidf"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+             |  FROM documents),
+             |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM terms GROUP BY doc_id, t),
+             |idf AS (
+             |  SELECT t, round(ln(((SELECT COUNT(*) FROM documents) + 1.0)
+             |    / (COUNT(*) + 1.0)) + 1.0, 6) AS idf_r
+             |  FROM tf GROUP BY t),
+             |ranked AS (
+             |  SELECT tf.doc_id, tf.t, round(tf.tf * idf.idf_r, 6) AS tfidf,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY round(tf.tf * idf.idf_r, 6) DESC, tf.t) AS rk
+             |  FROM tf JOIN idf USING (t))
+             |SELECT doc_id, CAST(rk AS INT) AS rk, t, tfidf
+             |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // Unigram language-model quality score: mean token log-probability under
+    // the corpus unigram distribution with add-1 smoothing — low scores mark
+    // gibberish / OOV-heavy text, the classic cheap LM quality gate.
+    // Cross-engine exact: ln(p) is DECOMPOSED as ln(c+1) − ln(T+V) so every
+    // transcendental input is a small integer — the distinct-input count
+    // (and with it the libm-vs-JVM last-ulp straddle exposure of the 6-dp
+    // round) drops from |vocab| ratios to a few hundred count values; the
+    // ln(c+1) terms then sum order-independently in DECIMAL (Exact.dsum12
+    // discipline). Scale: term-count agg + broadcast of the per-term
+    // logprob table; one exchange per agg.
+    QueryDef(
+      "t_unigram_lm",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = "filter(split(text, ' '), x -> x != '')"
+        val terms = docs.select(col("doc_id"), explode(expr(toks)).as("t"))
+        val tc = terms.groupBy("t").agg(count(lit(1)).as("c"))
+        val lp = tc
+          .crossJoin(tc.agg(sum("c").as("tot"), count(lit(1)).as("vocab")))
+          .select(col("t"), expr("round(ln(c + 1.0), 6)").as("lc_r"),
+            expr("round(ln(CAST(tot + vocab AS DOUBLE)), 6)").as("norm_r"))
+        terms.join(lp, Seq("t"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(Exact.dsum12(col("lc_r")) / count(lit(1))
+              - first(col("norm_r")), 6).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+             |  FROM documents),
+             |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY t),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot,
+             |               CAST(COUNT(*) AS BIGINT) AS vocab FROM tc),
+             |lp AS (SELECT t, round(ln(c + 1.0), 6) AS lc_r,
+             |              round(ln(CAST(tot + vocab AS DOUBLE)), 6) AS norm_r
+             |       FROM tc, tot)
+             |SELECT terms.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  round(CAST(SUM(CAST(lc_r AS DECIMAL(38,12))) AS DOUBLE)
+             |    / COUNT(*) - first(norm_r), 6) AS avg_logprob
+             |FROM terms JOIN lp USING (t)
+             |GROUP BY terms.doc_id ORDER BY terms.doc_id""".stripMargin)),
   )
 }

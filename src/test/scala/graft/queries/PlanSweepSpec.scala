@@ -22,7 +22,9 @@ class PlanSweepSpec extends SparkSpec {
     "s_knn_brute", // brute-force baseline: query set is broadcast-size
     "s_embedding_neardup", // all-pairs cosine on a bounded id range
     "t_drift_psi", // few-bin frame × 1-row totals (c, t in the oracle too)
-    "a12_having_global" // scalar global agg × per-group rollup (1-row side)
+    "a12_having_global", // scalar global agg × per-group rollup (1-row side)
+    "t_tfidf", // per-term df frame × 1-row corpus doc count (idf input)
+    "t_unigram_lm" // per-term counts × 1-row (total, vocab) stats frame
   )
 
   /** Global-threshold / global-rank semantics: the unpartitioned window IS
