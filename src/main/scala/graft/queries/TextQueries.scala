@@ -349,10 +349,12 @@ object TextQueries {
           .join(broadcast(benchHashes), Seq("gh"))
           .select(col("doc_id"), col("pos"))
         // exact verification: join the (rare) candidate positions back to
-        // their docs (AQE broadcasts the tiny side) and rebuild only those
-        // gram strings
+        // their docs and rebuild only those gram strings. Explicit broadcast:
+        // candidates are hash matches against the benchmark — a tiny set by
+        // design (a corpus where they are NOT tiny is wholesale test-set
+        // leakage, and this query's output is the alarm)
         corpus
-          .join(candPos, Seq("doc_id"))
+          .join(broadcast(candPos), Seq("doc_id"))
           .select(col("doc_id"),
             expr(s"array_join(slice($toks, pos + 1, 8), ' ')").as("g"))
           .join(broadcast(benchGrams), Seq("g"))

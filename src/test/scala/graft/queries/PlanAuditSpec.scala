@@ -143,4 +143,22 @@ class PlanAuditSpec extends SparkSpec {
       Set("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
         "l_discount", "l_tax"))
   }
+
+  test("d_contamination: hash prefilter broadcasts; no sort-merge or cartesian") {
+    val plan = executedPlan(run("d_contamination"))
+    // the corpus gram-hash stream must probe BROADCAST bench sides (both the
+    // hash set and the verify grams) — a sort-merge would shuffle every
+    // corpus gram, a nested loop would be the all-pairs shape this query
+    // exists to avoid
+    val bhj = plan.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2, s"expected >=2 broadcast hash joins, got ${bhj.size}")
+    val bad = plan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"scale-hostile join in the plan: ${bad.map(_.nodeName)}")
+  }
 }

@@ -105,6 +105,45 @@ class StreamingInferenceSpec extends SparkSpec {
     assert(streamed.size === 15)
   }
 
+  test("reorder buffer property: random cross-batch arrival orders (3 seeds) " +
+    "all bit-equal the batch pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val trajs = (1 to 3).map(i => (100L * seed + i) -> mkFrames(100L * seed + i,
+        3 + rnd.nextInt(6)).map(timed)).toMap
+      val all = rnd.shuffle(trajs.values.flatten.toSeq)
+      val batches = all.grouped(math.max(1, all.size / 4)).toSeq
+
+      val input = MemoryStream[StreamingInference.TimedFrame]
+      val q = StreamingInference
+        .scoreWithReorder(input.toDS(), model, maxDelay = "60 seconds")
+        .writeStream.queryName(s"prop_preds_$seed").outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"sip_ckpt_$seed").toString)
+        .format("memory").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(StreamingInference.TimedFrame(999L, 999L, 999L, 1L,
+        new java.sql.Timestamp(1_700_000_900_000L),
+        (0 until model.nFeatures).map(_.toDouble))) // drain watermark
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table(s"prop_preds_$seed")
+        .as[StreamingInference.Scored].collect()
+        .map(s => (s.game_id, s.frame_id) -> s.predicted_converge_rate).toMap
+      trajs.foreach { case (traj, frames) =>
+        val batch = model.forward(
+          frames.map(_.features.iterator.map(_.toFloat).toArray).toArray)
+        frames.zipWithIndex.foreach { case (f, i) =>
+          assert(streamed((traj, f.frame_id)) === batch(i).toDouble,
+            s"seed $seed traj $traj frame ${f.frame_id}")
+        }
+      }
+    }
+  }
+
   test("reorder buffer: a frame later than maxDelay is dropped, not scored " +
     "out of order") {
     import spark.implicits._
