@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus a decode→feature-extract stage. IMAGE decode is
   * REAL — JDK `javax.imageio` (PNG/JPEG/GIF/BMP, zero extra dependencies)
   * via [[ImageCodec]]: true dimensions, per-channel means, a luminance
-  * histogram, and pixel-scaled resize with PNG re-encode. Audio/video remain
-  * a deterministic stub ([[StubCodec]] — the JDK ships no audio/video
-  * codecs; the stub derives pseudo-features from the bytes so that pipeline
-  * stays testable end-to-end until a codec binding lands).
+  * histogram, and pixel-scaled resize with PNG re-encode. AUDIO decode is
+  * REAL for PCM — JDK `javax.sound.sampled` (WAV/AIFF) via [[AudioCodec]]:
+  * mono-mixed samples, RMS / zero-crossing / peak + energy-envelope
+  * features. Only VIDEO (and compressed audio) remains a deterministic stub
+  * ([[StubCodec]] — the JDK ships no video or MP3/AAC codec; the stub
+  * derives pseudo-features from the bytes so that pipeline stays testable
+  * end-to-end until a codec binding lands).
   *
   * Scale notes: media blobs ride in the same parquet row group as their
   * metadata (self-describing shards, no sidecar fetch); feature extraction is
@@ -137,11 +140,110 @@ object Multimodal {
       }
   }
 
-  /** Deterministic stand-in for the AUDIO/VIDEO decode step (STUB — the JDK
-    * ships no audio/video codecs; see class doc). Images do NOT go through
-    * this anymore ([[ImageCodec]] is the real path). A real media binding
-    * decodes samples/frames here; everything around it (batching, schema,
-    * shuffle shape) is unchanged when it lands. */
+  /** Real audio decode via JDK `javax.sound.sampled` — WAV/AIFF PCM, no
+    * external dependencies. Compressed formats (MP3/OGG/AAC) have no JDK
+    * codec and fall back to the stub. Deterministic: PCM decode is exact
+    * integer → float scaling, feature math is fixed-order. */
+  object AudioCodec {
+
+    /** Mono-mixed normalized samples in [−1, 1]. */
+    final case class DecodedAudio(sampleRate: Float, channels: Int,
+        samples: Array[Float])
+
+    /** None when the bytes are not a decodable PCM stream. */
+    def decode(content: Array[Byte]): Option[DecodedAudio] = {
+      if (content == null || content.isEmpty) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = ais.getFormat
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1) None
+          else {
+            val raw = ais.readAllBytes()
+            val bytesPerSample = bits / 8
+            val frameBytes = bytesPerSample * ch
+            val nFrames = raw.length / frameBytes
+            val out = new Array[Float](nFrames)
+            val big = fmt.isBigEndian
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0.0f
+              var c = 0
+              while (c < ch) {
+                val off = f * frameBytes + c * bytesPerSample
+                val v =
+                  if (bits == 8) {
+                    if (signed) raw(off) / 128.0f
+                    else ((raw(off) & 0xff) - 128) / 128.0f
+                  } else {
+                    val (b0, b1) = if (big) (raw(off), raw(off + 1))
+                      else (raw(off + 1), raw(off))
+                    val s = ((b0 << 8) | (b1 & 0xff)).toShort
+                    val u = if (signed) s.toInt else ((s & 0xffff) - 32768)
+                    u / 32768.0f
+                  }
+                acc += v
+                c += 1
+              }
+              out(f) = acc / ch
+              f += 1
+            }
+            Some(DecodedAudio(fmt.getSampleRate, ch, out))
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** `dims`-length features (dims ≥ 4): [RMS, zero-crossing rate,
+      * peak |amplitude|] followed by a (dims−3)-segment RMS energy
+      * envelope. Duration-independent shape, so clips of the same material
+      * at different lengths land near each other. */
+    def features(d: DecodedAudio, dims: Int): Array[Float] = {
+      require(dims >= 4, s"audio features need ≥ 4 dims, got $dims")
+      val out = new Array[Float](dims)
+      val n = d.samples.length
+      if (n == 0) return out
+      var sumSq = 0.0
+      var peak = 0.0f
+      var zc = 0
+      var i = 0
+      while (i < n) {
+        val v = d.samples(i)
+        sumSq += v.toDouble * v
+        val av = math.abs(v)
+        if (av > peak) peak = av
+        if (i > 0 && (v > 0f) != (d.samples(i - 1) > 0f)) zc += 1
+        i += 1
+      }
+      out(0) = math.sqrt(sumSq / n).toFloat
+      out(1) = zc.toFloat / n
+      out(2) = peak
+      val nSeg = dims - 3
+      var s = 0
+      while (s < nSeg) {
+        val lo = (s.toLong * n / nSeg).toInt
+        val hi = ((s + 1).toLong * n / nSeg).toInt
+        var acc = 0.0
+        var j = lo
+        while (j < hi) { acc += d.samples(j).toDouble * d.samples(j); j += 1 }
+        out(3 + s) = if (hi > lo) math.sqrt(acc / (hi - lo)).toFloat else 0f
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic stand-in for the VIDEO decode step (STUB — the JDK ships
+    * no video codec; see class doc). Images ([[ImageCodec]]) and PCM audio
+    * ([[AudioCodec]]) do NOT go through this anymore. A real media binding
+    * decodes frames here; everything around it (batching, schema, shuffle
+    * shape) is unchanged when it lands. */
   object StubCodec {
     def decode(content: Array[Byte], dims: Int = 8): Array[Float] = {
       val out = new Array[Float](dims)
@@ -156,9 +258,12 @@ object Multimodal {
 
   /** Decode + feature-extract via mapPartitions (codec init once per
     * partition, not per row). Assets declaring `kind == "image"` decode for
-    * real ([[ImageCodec]]): `decoded_w`/`decoded_h` are the true pixel
-    * dimensions and `feature_vec` is pixel-derived. Undecodable images and
-    * all audio/video take the stub path with `decoded_w = decoded_h = -1`.
+    * real ([[ImageCodec]]: `decoded_w`/`decoded_h` are the true pixel
+    * dimensions, `feature_vec` pixel-derived); `kind == "audio"` decodes
+    * PCM for real ([[AudioCodec]]: `decoded_w` = sample count, `decoded_h`
+    * = sample rate, `feature_vec` = RMS/ZCR/peak + energy envelope).
+    * Undecodable payloads and video take the stub path with
+    * `decoded_w = decoded_h = -1`.
     */
   def extractFeatures(assets: Dataset[Asset], dims: Int = 8): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
@@ -166,15 +271,19 @@ object Multimodal {
       // real codecs initialize here (per-partition), e.g. decoder contexts
       rows.map { a =>
         val bytes = if (a.content == null) Array.empty[Byte] else a.content
-        val decoded = if (a.kind == "image") ImageCodec.decode(bytes) else None
+        val img = if (a.kind == "image") ImageCodec.decode(bytes) else None
+        val aud = if (a.kind == "audio") AudioCodec.decode(bytes) else None
+        val (w, h) = img.map(d => (d.width, d.height))
+          .orElse(aud.map(d => (d.samples.length, d.sampleRate.toInt)))
+          .getOrElse((-1, -1))
         MediaFeatures(
           a.asset_id, a.kind, bytes.length.toLong,
           java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).take(4).map("%02x".format(_)).mkString,
           if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length,
-          decoded.map(_.width).getOrElse(-1),
-          decoded.map(_.height).getOrElse(-1),
-          decoded.map(d => ImageCodec.features(d, dims))
+          w, h,
+          img.map(d => ImageCodec.features(d, dims))
+            .orElse(aud.map(d => AudioCodec.features(d, dims)))
             .getOrElse(StubCodec.decode(bytes, dims)))
       }
     }

@@ -64,6 +64,60 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(fJpg.slice(3, 7).map(_.toDouble).sum - 1.0) < 1e-6)
   }
 
+  /** 16-bit mono PCM WAV of a 1 kHz sine at amplitude 0.5, 8000 Hz, 0.1 s. */
+  private def sineWav(freqHz: Double = 1000.0, amp: Double = 0.5,
+      rate: Float = 8000f, n: Int = 800): Array[Byte] = {
+    val samples = (0 until n).map(i =>
+      (amp * math.sin(2 * math.Pi * freqHz * i / rate) * 32767).toInt.toShort)
+    val bytes = new Array[Byte](n * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte; bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioCodec decodes PCM WAV: sample count, rate, and sine-wave features") {
+    val wav = sineWav()
+    val d = Multimodal.AudioCodec.decode(wav).get
+    assert(d.sampleRate === 8000f && d.channels === 1)
+    assert(d.samples.length === 800)
+    val f = Multimodal.AudioCodec.features(d, 8)
+    // sine RMS = A/sqrt(2) ≈ 0.3536; ZCR ≈ 2·f/rate = 0.25; peak ≈ A
+    assert(math.abs(f(0) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f(0)}")
+    assert(math.abs(f(1) - 0.25) < 0.01, s"zcr ${f(1)}")
+    assert(math.abs(f(2) - 0.5) < 0.01, s"peak ${f(2)}")
+    // constant-amplitude sine → flat 5-segment energy envelope
+    val env = f.slice(3, 8)
+    assert(env.forall(e => math.abs(e - f(0)) < 0.02), env.toSeq.toString)
+
+    // non-audio bytes fall through
+    assert(Multimodal.AudioCodec.decode("not audio".getBytes).isEmpty)
+  }
+
+  test("extractFeatures: audio assets take the real PCM path") {
+    import spark.implicits._
+    val wav = sineWav()
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio", "audio/wav", 0, 0, 100L, wav),
+      Multimodal.Asset(2L, "audio", "audio/mp3", 0, 0, 100L,
+        Array[Byte](1, 2, 3)) // no JDK codec → stub
+    ).toDS()
+    val feats = Multimodal.extractFeatures(assets, dims = 8)
+      .collect().sortBy(_.asset_id)
+    // decoded_w carries the sample count, decoded_h the sample rate
+    assert(feats(0).decoded_w === 800 && feats(0).decoded_h === 8000)
+    val d = Multimodal.AudioCodec.decode(wav).get
+    assert(feats(0).feature_vec.toSeq ===
+      Multimodal.AudioCodec.features(d, 8).toSeq)
+    assert(feats(1).decoded_w === -1 && feats(1).decoded_h === -1)
+  }
+
   test("ImageCodec.decode: non-image and empty bytes return None") {
     assert(Multimodal.ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.ImageCodec.decode(Array.empty[Byte]).isEmpty)
