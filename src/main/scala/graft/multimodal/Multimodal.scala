@@ -239,11 +239,87 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in for the VIDEO decode step (STUB — the JDK ships
-    * no video codec; see class doc). Images ([[ImageCodec]]) and PCM audio
-    * ([[AudioCodec]]) do NOT go through this anymore. A real media binding
-    * decodes frames here; everything around it (batching, schema, shuffle
-    * shape) is unchanged when it lands. */
+  /** REAL container-level video metadata: an ISO-BMFF (MP4/MOV) box parser
+    * — plain [size][type] records, zero dependencies. Extracts the major
+    * brand (`ftyp`), movie timescale + duration (`moov/mvhd`, v0 and v1),
+    * and track count (`moov/trak`). Frame PIXELS remain the stub (the JDK
+    * ships no video codec), but duration/track metadata no longer has to be
+    * trusted from the ingest row — it is parsed from the bytes, so
+    * [[sampleFrames]]-style planning can cross-check declared durations. */
+  object VideoMeta {
+
+    final case class Mp4Info(brand: String, timescale: Long, duration: Long,
+        nTracks: Int) {
+      def durationMs: Long =
+        if (timescale <= 0) 0L else duration * 1000L / timescale
+    }
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+
+    private def boxType(b: Array[Byte], o: Int): String =
+      new String(b, o + 4, 4, "ISO-8859-1")
+
+    /** Iterate top-level (or child) boxes in [lo, hi): (type, payloadLo,
+      * payloadHi) triples. Malformed sizes end the scan (None upstream). */
+    private def boxes(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var pos = lo
+        def hasNext: Boolean = pos + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size = be32(b, pos)
+          val t = boxType(b, pos)
+          val (payloadLo, end) =
+            if (size == 1 && pos + 16 <= hi) (pos + 16, pos + be64(b, pos + 8))
+            else if (size == 0) (pos + 8, hi.toLong)
+            else (pos + 8, pos + size)
+          val clampedEnd = math.min(end, hi.toLong).toInt
+          val r = (t, payloadLo, math.max(clampedEnd, payloadLo))
+          pos = if (clampedEnd > pos) clampedEnd else hi // no progress → stop
+          r
+        }
+      }
+
+    /** None when the bytes are not a parsable MP4/MOV container. */
+    def parse(content: Array[Byte]): Option[Mp4Info] = {
+      if (content == null || content.length < 16) return None
+      try {
+        val top = boxes(content, 0, content.length).toSeq
+        val brand = top.collectFirst { case ("ftyp", lo, hi) if hi >= lo + 4 =>
+          new String(content, lo, 4, "ISO-8859-1")
+        }
+        val moov = top.collectFirst { case ("moov", lo, hi) => (lo, hi) }
+        moov.flatMap { case (mLo, mHi) =>
+          val children = boxes(content, mLo, mHi).toSeq
+          val mvhd = children.collectFirst { case ("mvhd", lo, hi) if hi > lo =>
+            val version = content(lo) & 0xff
+            // v1: version/flags(4) + creation(8) + modification(8) +
+            // timescale(4, still 32-bit) + duration(8)
+            if (version == 1 && hi >= lo + 32)
+              (be32(content, lo + 20), be64(content, lo + 24))
+            else if (version == 0 && hi >= lo + 20)
+              (be32(content, lo + 12), be32(content, lo + 16))
+            else (0L, 0L)
+          }
+          val nTracks = children.count(_._1 == "trak")
+          mvhd.collect { case (ts, dur) if ts > 0 =>
+            Mp4Info(brand.getOrElse("????"), ts, dur, nTracks)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Deterministic stand-in for the VIDEO pixel-decode step (STUB — the JDK
+    * ships no video codec; see class doc). Images ([[ImageCodec]]), PCM
+    * audio ([[AudioCodec]]), and MP4 container metadata ([[VideoMeta]]) do
+    * NOT go through this anymore. A real media binding decodes frames here;
+    * everything around it (batching, schema, shuffle shape) is unchanged
+    * when it lands. */
   object StubCodec {
     def decode(content: Array[Byte], dims: Int = 8): Array[Float] = {
       val out = new Array[Float](dims)

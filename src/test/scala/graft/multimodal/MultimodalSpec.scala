@@ -118,6 +118,39 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).decoded_w === -1 && feats(1).decoded_h === -1)
   }
 
+  /** Minimal valid ISO-BMFF: ftyp(isom) + moov[mvhd v0 (timescale 1000,
+    * duration 7500) + 2 empty trak boxes]. */
+  private def miniMp4(v1: Boolean = false): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes("ISO-8859-1") ++ payload
+    val mvhd =
+      if (v1) box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(1000) ++ be64(7500) ++ new Array[Byte](80))
+      else box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32(7500) ++ new Array[Byte](76))
+    val trak = box("trak", Array.empty[Byte])
+    box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(512)) ++
+      box("moov", mvhd ++ trak ++ trak)
+  }
+
+  test("VideoMeta parses MP4 container metadata (mvhd v0 and v1)") {
+    for (v1 <- Seq(false, true)) {
+      val info = Multimodal.VideoMeta.parse(miniMp4(v1)).get
+      assert(info.brand === "isom")
+      assert(info.timescale === 1000L && info.duration === 7500L, s"v1=$v1")
+      assert(info.durationMs === 7500L)
+      assert(info.nTracks === 2)
+    }
+    // non-container bytes and truncated boxes return None
+    assert(Multimodal.VideoMeta.parse("mpeg stream?".getBytes).isEmpty)
+    assert(Multimodal.VideoMeta.parse(miniMp4().take(20)).isEmpty)
+    assert(Multimodal.VideoMeta.parse(Array.empty[Byte]).isEmpty)
+  }
+
   test("ImageCodec.decode: non-image and empty bytes return None") {
     assert(Multimodal.ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.ImageCodec.decode(Array.empty[Byte]).isEmpty)
