@@ -236,6 +236,29 @@ object AggQueries {
              |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST"""
         .stripMargin)),
 
+    // Explicit GROUPING SETS — the general form behind ROLLUP/CUBE (here:
+    // per-flag totals, per-status totals, and the grand total — but NOT the
+    // flag×status cross, which neither rollup nor cube can express alone).
+    QueryDef(
+      "a_grouping_sets",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            Exact.dsum(col("l_quantity")).as("sum_qty"),
+            grouping_id().cast("int").as("gid"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(COUNT(*) AS BIGINT) AS cnt,
+              |  ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+              |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST"""
+        .stripMargin)),
+
     // A12 — HAVING against a global agg (reference: Total_Targets > max*0.5 volume
     // filter, metrics.py:327-330). Scalar threshold via cross join of the 1-row agg.
     QueryDef(

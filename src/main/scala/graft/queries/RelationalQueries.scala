@@ -364,6 +364,38 @@ object RelationalQueries {
              |  CAST(bit_count(l_partkey) AS INT) AS popcount
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // JSON scalar family: build a JSON document from row values (identical
+    // '||' concat text on both engines, integer/string fields only — double
+    // rendering differs cross-engine) and extract scalars back out: top
+    // level, nested path, and a missing path (NULL). Spark get_json_object
+    // ≡ DuckDB json_extract_string for scalar string results.
+    QueryDef(
+      "f_json",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") <= 1000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("""'{"k": ' || l_orderkey || ', "f": "' || l_returnflag ||
+                   |'", "nest": {"q": ' || CAST(l_linenumber AS STRING) || '}}'"""
+              .stripMargin.replace("\n", "")).as("j"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("CAST(get_json_object(j, '$.k') AS BIGINT)").as("jk"),
+            expr("get_json_object(j, '$.f')").as("jf"),
+            expr("CAST(get_json_object(j, '$.nest.q') AS INT)").as("jq"),
+            expr("get_json_object(j, '$.missing')").as("jm"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""WITH built AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    '{"k": ' || l_orderkey || ', "f": "' || l_returnflag ||
+             |    '", "nest": {"q": ' || CAST(l_linenumber AS VARCHAR) || '}}' AS j
+             |  FROM lineitem WHERE l_orderkey <= 1000)
+             |SELECT l_orderkey, l_linenumber,
+             |  CAST(json_extract_string(j, '$.k') AS BIGINT) AS jk,
+             |  json_extract_string(j, '$.f') AS jf,
+             |  CAST(json_extract_string(j, '$.nest.q') AS INT) AS jq,
+             |  json_extract_string(j, '$.missing') AS jm
+             |FROM built ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // LIMIT/OFFSET pagination under a total order (page 3 of 20): OFFSET is
     // a real relational operator in Spark 4 (Dataset.offset), not a
     // driver-side skip.
