@@ -37,10 +37,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Documents too short to shingle (< 5 chars) produce no signature and are
   * treated as unique — the exact md5 gate still applies to them in-batch.
   *
-  * Scale: the store is keyed by (band, bkey) — at 100 TB write it bucketed
-  * on that key ([[graft.sources.Lake.writeBucketed]]) so step 3 is a
-  * shuffle-free bucket-local join; batch-side work is map-side signature
-  * build plus one exchange on the band key.
+  * Scale: the store-check join has two regimes, both handled by AQE's
+  * runtime strategy choice. Normal micro-batches are small → the BATCH band
+  * rows broadcast and the store is scanned but never shuffled (the scan is
+  * the irreducible cost; nothing prunes it because every band is probed).
+  * Catch-up batches too large to broadcast → a shuffle join where only one
+  * exchange is batch-sized; pre-bucketing the store on (band, bkey)
+  * ([[graft.sources.Lake.writeBucketed]]) removes the store-side exchange
+  * in that regime only — it does not reduce the scan, which is why the
+  * plain-parquet store is the default. Batch-side work is map-side
+  * signature build plus one exchange on the band key.
   */
 object StreamingNearDedup {
 
