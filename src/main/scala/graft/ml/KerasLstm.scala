@@ -146,10 +146,21 @@ object KerasLstm {
     * where `Math.tanh` is a ~2-3× slower StrictMath call, and after the
     * final float rounding the two agree everywhere sampled on [−8, 8]
     * (microbench-verified; the ≤1 ulp double-precision difference is
-    * absorbed by the cast). ~40% off the gate-phase cost. */
+    * absorbed by the cast). ~40% off the gate-phase cost.
+    *
+    * Saturation guard: exp(2x) overflows to Inf at x ≈ 355 and Inf/Inf is
+    * NaN where Math.tanh correctly returns ±1 — reachable when a cell
+    * state accumulates over hundreds of unmasked steps, and one NaN
+    * poisons every later prediction of the sequence. tanh(|x| > 20) is
+    * already exactly ±1.0f after float rounding, so the guard is
+    * bit-identical to Math.tanh. */
   private def tanhF(x: Double): Float = {
-    val e = math.exp(2.0 * x)
-    ((e - 1.0) / (e + 1.0)).toFloat
+    if (x > 20.0) 1.0f
+    else if (x < -20.0) -1.0f
+    else {
+      val e = math.exp(2.0 * x)
+      ((e - 1.0) / (e + 1.0)).toFloat
+    }
   }
 
   /** One Keras LSTM cell update: returns the new (h, c). Inputs untouched.

@@ -114,7 +114,9 @@ object Multimodal {
     }
 
     /** Aspect-preserving pixel scale to fit (maxW, maxH), re-encoded as PNG
-      * (lossless). None when the input is not a decodable image. */
+      * (lossless). When the image already fits, returns the ORIGINAL bytes
+      * (same array reference — callers can detect the no-op and keep the
+      * original mime). None when the input is not a decodable image. */
     def resizeEncode(content: Array[Byte], maxW: Int,
         maxH: Int): Option[(Array[Byte], Int, Int)] =
       decode(content).map { d =>
@@ -123,10 +125,12 @@ object Multimodal {
         else {
           val (w, h) = (math.max(1, (d.width * scale).toInt),
             math.max(1, (d.height * scale).toInt))
-          val src = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(content))
           val typ = if (d.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
             else java.awt.image.BufferedImage.TYPE_INT_RGB
+          // rebuild the source raster from the pixels decode() already
+          // produced — a second ImageIO.read would double the dominant cost
+          val src = new java.awt.image.BufferedImage(d.width, d.height, typ)
+          src.setRGB(0, 0, d.width, d.height, d.argb, 0, d.width)
           val dst = new java.awt.image.BufferedImage(w, h, typ)
           val g = dst.createGraphics()
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
@@ -381,25 +385,48 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { rows =>
       rows.map { a =>
+        val bytes = if (a.content == null) Array.empty[Byte] else a.content
         if (a.width <= maxW && a.height <= maxH) a
         else {
           val real = if (a.kind == "image")
-            ImageCodec.resizeEncode(a.content, maxW, maxH) else None
+            ImageCodec.resizeEncode(bytes, maxW, maxH) else None
           real match {
-            case Some((bytes, w, h)) =>
-              a.copy(width = w, height = h, content = bytes, mime = "image/png")
+            case Some((out, w, h)) if out eq bytes =>
+              // declared dims were stale — the actual raster already fits:
+              // bytes untouched, so the ORIGINAL mime stays correct
+              a.copy(width = w, height = h)
+            case Some((out, w, h)) =>
+              a.copy(width = w, height = h, content = out, mime = "image/png")
             case None =>
               val scale = math.min(maxW.toDouble / a.width, maxH.toDouble / a.height)
               val (w, h) = (math.max(1, (a.width * scale).toInt),
                 math.max(1, (a.height * scale).toInt))
               // STUB pixel path: truncate bytes proportionally to the area ratio
               val keep = math.max(1,
-                (a.content.length * (w.toLong * h) / (a.width.toLong * a.height)).toInt)
-              a.copy(width = w, height = h, content = a.content.take(keep))
+                (bytes.length * (w.toLong * h) / (a.width.toLong * a.height)).toInt)
+              a.copy(width = w, height = h, content = bytes.take(keep))
           }
         }
       }
     }
+  }
+
+  /** Parsed-vs-declared video metadata: one row per `kind == "video"`
+    * asset with the [[VideoMeta]] container parse beside the ingest row's
+    * declared duration — `duration_mismatch` flags rows whose declared
+    * metadata disagrees with the bytes (the cross-check the parser exists
+    * for; unparsable containers yield nulls and no mismatch claim). */
+  def videoMetadata(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").mapPartitions { rows =>
+      rows.map { a =>
+        val info = VideoMeta.parse(a.content)
+        (a.asset_id, info.map(_.brand), info.map(_.durationMs),
+          info.map(_.nTracks), a.duration_ms,
+          info.exists(_.durationMs != a.duration_ms))
+      }
+    }.toDF("asset_id", "brand", "parsed_duration_ms", "n_tracks",
+      "declared_duration_ms", "duration_mismatch")
   }
 
   final case class Frame(asset_id: Long, frame_no: Int, ts_ms: Long,

@@ -20,20 +20,31 @@ object MinHash {
 
   val K = 12 // permutations
   val NBands = 4 // bands of K/NBands rows each
+  val ShingleLen = 5 // character shingle width (used by signatures())
 
   /** Signature-compatibility version: any change to the permutation
-    * constants, K, banding, shingle width, or modulus changes this string.
+    * constants, K, banding, shingle width, or the rolling token hash
+    * changes this string. EVERY constant here is DERIVED from the code
+    * that computes signatures ([[a]]/[[b]]/[[K]]/[[NBands]]/[[ShingleLen]]
+    * and [[graft.functions.RollingHash]]'s sample behavior) — a hardcoded
+    * copy would let a future constant change slip past the guard, exactly
+    * the silent-re-admission failure this versioning exists to prevent.
     * Persistent band stores record it ([[graft.streaming.StreamingNearDedup]]
-    * writes a `_graft_sig_version` marker) so that signatures written under
-    * old constants fail LOUDLY instead of silently never matching new ones
-    * (which would re-admit every near-duplicate). The round-4 constant
-    * change (small sequential multipliers → spread Knuth multiples) is
-    * exactly the migration this guards. */
+    * writes a `_graft_sig_version` marker) and fail LOUDLY on mismatch.
+    * The round-4 constant change (small sequential multipliers → spread
+    * Knuth multiples) is exactly the migration this guards. */
   val version: String = {
     val perm = (0 until K).map(j => s"${a(j)}:${b(j)}").mkString(",")
+    // fingerprint the rolling hash by behavior, not by copying its
+    // constants: any change to its fold (multiplier, modulus, iteration)
+    // changes these sample values
+    val rh = Seq("a", "abcde", "shingle 中")
+      .map(s => graft.functions.RollingHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))).mkString(",")
     val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(perm.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"minhash/1 K=$K nbands=$NBands shingle=5 mod=2147483647 perm=$dig"
+      .digest(s"$perm|$rh".getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(12)
+    s"minhash/1 K=$K nbands=$NBands shingle=$ShingleLen fp=$dig"
   }
 
   /** Permutation j is h ↦ (h·a(j) + b(j)) mod 2^31−1. The multipliers are
@@ -56,11 +67,11 @@ object MinHash {
     docs
       // sequence(1, n) counts DOWN for n < 1 (Spark semantic): a doc shorter
       // than one shingle would explode into nonsense substrings, not zero
-      .filter(length(col(textCol)) >= 5)
+      .filter(length(col(textCol)) >= ShingleLen)
       .select(col(idCol),
         explode(array_distinct(expr(
-          s"transform(sequence(1, length($textCol) - 4), " +
-            s"i -> substring($textCol, i, 5))"))).as("sh"))
+          s"transform(sequence(1, length($textCol) - ${ShingleLen - 1}), " +
+            s"i -> substring($textCol, i, $ShingleLen))"))).as("sh"))
       .withColumn("h", expr("rolling_hash(sh)"))
       .groupBy(idCol)
       .agg(array((0 until K).map(j =>

@@ -154,12 +154,18 @@ object Lake {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Layout sanity: writing `p=v` dirs under a root holding plain parquet
     // files would corrupt partition discovery — fail before touching disk.
-    val visible = fs.listStatus(rootP).filterNot { s =>
-      val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
-    }
+    // A missing root is the bootstrap case (first-ever upsert creates it).
+    val visible =
+      if (!fs.exists(rootP)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(rootP).filterNot { s =>
+        val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+      }
     require(visible.forall(s => s.isDirectory && s.getPath.getName.startsWith(s"$p=")),
       s"upsertByKey: $path is not hive-partitioned on '$p'")
-    val vals = updates.select(p).distinct().collect().map(_.get(0))
+    // materialize once: the updates lineage is otherwise re-executed for the
+    // distinct() below plus once per touched partition value
+    val u = updates.localCheckpoint(true)
+    val vals = u.select(p).distinct().collect().map(_.get(0))
     require(!vals.contains(null),
       "upsertByKey: NULL partition values are not supported on the pruned path")
     // Within one directory the partition column is constant, so the merge
@@ -168,7 +174,12 @@ object Lake {
     vals.foreach { v =>
       val dirName = s"$p=${ExternalCatalogUtils.escapePathName(v.toString)}"
       val target = new org.apache.hadoop.fs.Path(rootP, dirName)
-      val upd = updates.filter(col(p) === lit(v)).drop(p)
+      // Recover a prior crash mid-swap BEFORE reading: old staged aside but
+      // never replaced means `.upsert_old/p=v` holds the ONLY copy of the
+      // partition — merging without it would take the updates-only branch
+      // and the later sweep would destroy the last copy.
+      restoreCrashedSwap(fs, rootP, dirName)
+      val upd = u.filter(col(p) === lit(v)).drop(p)
       val merged =
         if (fs.exists(target) && dataKeys.nonEmpty)
           spark.read.parquet(target.toString)
@@ -179,12 +190,25 @@ object Lake {
     }
   }
 
+  /** If a prior run crashed between swapPartitionDir's two renames, the
+    * partition lives only under `.upsert_old/` — promote it back. */
+  private def restoreCrashedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, dirName: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(root, dirName)
+    val old = new org.apache.hadoop.fs.Path(root, s".upsert_old/$dirName")
+    if (fs.exists(old) && !fs.exists(target))
+      require(fs.rename(old, target),
+        s"could not restore $old left by a crashed swap")
+  }
+
   /** [[safeReplace]] for one partition directory, staged under HIDDEN
     * (dot-prefixed) siblings: partition discovery skips hidden paths, so a
     * crash leftover can never be parsed as a phantom partition value the
     * way a visible `p=v__tmp` sibling would. Crash anywhere leaves the old
-    * directory, or the new one, plus at worst ignorable hidden leftovers
-    * swept on the next run.
+    * directory, the new one, or (crash between the renames) the old copy
+    * under `.upsert_old/` — which [[restoreCrashedSwap]] promotes back
+    * before the next merge reads; the sweep here only deletes `old` when
+    * `target` is present, so the last copy is never destroyed.
     */
   private def swapPartitionDir(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, dirName: String,
@@ -193,6 +217,7 @@ object Lake {
     val target = new org.apache.hadoop.fs.Path(root, dirName)
     val tmp = new org.apache.hadoop.fs.Path(root, s".upsert_tmp/$dirName")
     val old = new org.apache.hadoop.fs.Path(root, s".upsert_old/$dirName")
+    restoreCrashedSwap(fs, root, dirName) // direct callers get recovery too
     fs.delete(tmp, true); fs.delete(old, true) // sweep prior crash leftovers
     newData.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(target)) {

@@ -61,6 +61,18 @@ class KerasLstmSpec extends SparkSpec {
     }
   }
 
+  test("extreme activations saturate to ±1, never NaN (exp-form tanh overflow guard)") {
+    // features large enough to push gate pre-activations far past the
+    // exp(2x) overflow point (x ≈ 355): Math.tanh returns ±1 there and the
+    // exp form must too — one NaN would poison every later prediction
+    val extreme = Array.fill(3)(Array.fill(model.nFeatures)(1e9f))
+    val preds = model.forward(extreme)
+    assert(preds.forall(p => !p.isNaN && !p.isInfinite), preds.toSeq.toString)
+    // and the flat path agrees bit-for-bit under the same extremes
+    val flat = extreme.flatten.map(_.toDouble)
+    assert(model.forwardFlat(flat, 3).toSeq === preds.toSeq)
+  }
+
   test("Masking(0.0): an all-zero timestep carries state — prediction repeats") {
     // fixture seq 3 has x[5] zeroed by construction
     val rows = fixture(3)

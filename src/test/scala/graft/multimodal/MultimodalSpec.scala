@@ -151,6 +151,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.VideoMeta.parse(Array.empty[Byte]).isEmpty)
   }
 
+  test("videoMetadata cross-checks parsed container duration vs declared") {
+    import spark.implicits._
+    val mp4 = miniMp4() // mvhd duration 7500 ms
+    val assets = Seq(
+      Multimodal.Asset(1L, "video", "video/mp4", 640, 480, 7500L, mp4),
+      Multimodal.Asset(2L, "video", "video/mp4", 640, 480, 9999L, mp4),
+      Multimodal.Asset(3L, "video", "video/mp4", 640, 480, 1000L,
+        "not a container".getBytes),
+      Multimodal.Asset(4L, "image", "image/png", 4, 2, 0L, fixturePng)
+    ).toDS()
+    val meta = Multimodal.videoMetadata(assets).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(meta.keySet === Set(1L, 2L, 3L), "videos only")
+    assert(meta(1L).getAs[String]("brand") === "isom")
+    assert(meta(1L).getAs[Long]("parsed_duration_ms") === 7500L)
+    assert(meta(1L).getAs[Int]("n_tracks") === 2)
+    assert(!meta(1L).getAs[Boolean]("duration_mismatch"))
+    assert(meta(2L).getAs[Boolean]("duration_mismatch"),
+      "declared 9999 vs parsed 7500 must flag")
+    assert(meta(3L).isNullAt(meta(3L).fieldIndex("parsed_duration_ms")))
+    assert(!meta(3L).getAs[Boolean]("duration_mismatch"),
+      "unparsable container makes no mismatch claim")
+  }
+
+  test("resize: stale declared dims with an already-fitting raster keep the " +
+    "original bytes AND mime; null content survives the stub path") {
+    import spark.implicits._
+    val png = fixturePng // actual raster 4x2
+    val assets = Seq(
+      // declared 100x100 (stale) but the real pixels already fit 8x8
+      Multimodal.Asset(1L, "image", "image/gif", 100, 100, 0L, png),
+      Multimodal.Asset(2L, "video", "video/mp4", 100, 100, 0L, null)
+    ).toDS()
+    val out = Multimodal.resize(assets, maxW = 8, maxH = 8)
+      .collect().sortBy(_.asset_id)
+    assert(out(0).width === 4 && out(0).height === 2)
+    assert(out(0).mime === "image/gif", "no re-encode happened: mime must not lie")
+    assert(out(0).content.toSeq === png.toSeq)
+    // null content: no NPE, stub metadata transform still applies
+    assert(out(1).width <= 8 && out(1).height <= 8)
+    assert(out(1).content.isEmpty)
+  }
+
   test("ImageCodec.decode: non-image and empty bytes return None") {
     assert(Multimodal.ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.ImageCodec.decode(Array.empty[Byte]).isEmpty)

@@ -225,6 +225,40 @@ class LakeSpec extends SparkSpec {
       new java.io.File(s"$path/.upsert_tmp").listFiles().isEmpty)
   }
 
+  test("partition-pruned upsert recovers a crash between the swap renames " +
+    "without losing the partition") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_crash").toString + "/t"
+    Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c"))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+
+    // simulate the crash window: target staged aside to .upsert_old but the
+    // promote rename never happened — day=1 exists ONLY under the hidden dir
+    val root = new java.io.File(path)
+    new java.io.File(root, ".upsert_old").mkdirs()
+    assert(new java.io.File(root, "day=1")
+      .renameTo(new java.io.File(root, ".upsert_old/day=1")))
+
+    // the next upsert touching day=1 must restore the old rows and merge,
+    // NOT treat the partition as empty and then sweep the only copy
+    Lake.upsertByKey(spark, path, Seq((2L, 1, "b2"), (9L, 1, "new")).toDF("id", "day", "v"),
+      Seq("id"), partitionCol = Some("day"))
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out === Seq((1L, "a", 1), (2L, "b2", 1), (3L, "c", 2), (9L, "new", 1)),
+      "pre-crash row 1 must survive the recovered merge")
+  }
+
+  test("partition-pruned upsert bootstraps a table root that does not exist yet") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_boot").toString + "/t"
+    Lake.upsertByKey(spark, path, Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "day", "v"),
+      Seq("id"), partitionCol = Some("day"))
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out === Seq((1L, "a", 1), (2L, "b", 2)))
+  }
+
   test("partition-pruned upsert: keys including the partition column replace " +
     "touched partitions wholesale") {
     import spark.implicits._
