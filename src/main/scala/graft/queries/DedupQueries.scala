@@ -444,5 +444,35 @@ object DedupQueries {
               |  CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
               |  MIN(doc_id) AS min_keep_id, MAX(doc_id) AS max_keep_id
               |FROM ranked WHERE rn = 1""".stripMargin)),
+
+    // Edit-distance verification of the LSH candidates — the standard fuzzy-dedup
+    // pipeline tail: cheap sketch proposes, exact Levenshtein confirms. The
+    // quadratic-cost distance runs ONLY on candidate pairs (|pairs| ~ corpus ·
+    // collision rate), never all-pairs; the text join-back broadcasts the small
+    // pair set against the corpus scan. Match = distance within 10% of the longer
+    // text (integer arithmetic, so both engines agree exactly).
+    QueryDef(
+      "d_fuzzy_verify",
+      (s, dir) => {
+        val pairs = lshPairs(s, dir)
+        val txt = corpus(s, dir)
+        pairs
+          .join(txt.select(col("doc_id").as("d1"), col("text").as("t1")), Seq("d1"))
+          .join(txt.select(col("doc_id").as("d2"), col("text").as("t2")), Seq("d2"))
+          .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("long"))
+          .filter(col("lev") * 10 <= greatest(length(col("t1")), length(col("t2"))))
+          .select("d1", "d2", "lev")
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH $sqlLshPairs,
+              |verified AS (
+              |  SELECT p.d1, p.d2,
+              |         CAST(levenshtein(c1.text, c2.text) AS BIGINT) AS lev,
+              |         greatest(length(c1.text), length(c2.text)) AS mx
+              |  FROM pairs p
+              |  JOIN corpus c1 ON c1.doc_id = p.d1
+              |  JOIN corpus c2 ON c2.doc_id = p.d2)
+              |SELECT d1, d2, lev FROM verified
+              |WHERE lev * 10 <= mx ORDER BY d1, d2""".stripMargin)),
   )
 }

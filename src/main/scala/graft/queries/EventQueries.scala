@@ -217,5 +217,39 @@ object EventQueries {
              |FROM days d JOIN cohorts c ON d.user_id = c.user_id
              |GROUP BY c.cohort_day, d.day - c.cohort_day
              |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // Backward as-of join: each purchase picks up the most recent click at or
+    // before it, per user ("last touch attribution"). Oracled against DuckDB's
+    // native ASOF LEFT JOIN; the Spark side is graft.operators.AsofJoin —
+    // union-tag + one windowed pass, a single key exchange, no range blow-up.
+    // The click side is pre-aggregated to one row per (user, µs) because both
+    // engines are tie-arbitrary under duplicate right timestamps.
+    QueryDef(
+      "e_asof_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy("user_id", "tus")
+          .agg(max("event_id").as("click_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "tus")
+        graft.operators.AsofJoin
+          .backward(purchases, clicks, Seq("user_id"), "tus", "tus",
+            Seq("click_id"), matchedTimeCol = "click_tus")
+          .select(col("event_id"), col("user_id"), col("tus"), col("click_id"),
+            (col("tus") - col("click_tus")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, epoch_us(ts) AS ctus, MAX(event_id) AS click_id
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |purchases AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tus
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, p.tus, c.click_id,
+             |       p.tus - c.ctus AS gap_us
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.tus >= c.ctus
+             |ORDER BY p.event_id""".stripMargin)),
   )
 }

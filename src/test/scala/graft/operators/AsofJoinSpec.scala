@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quotes: DataFrame =
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "qt", "v")
+
+  private def trades: DataFrame =
+    Seq((1L, 9L, 100L), (1L, 10L, 101L), (1L, 25L, 102L),
+        (2L, 4L, 103L), (3L, 50L, 104L))
+      .toDF("k", "tt", "trade_id")
+
+  private def run(tol: Option[Long] = None): Map[Long, (Option[String], Option[Long])] =
+    AsofJoin.backward(trades, quotes, Seq("k"), "tt", "qt", Seq("v"),
+        matchedTimeCol = "mt", tolerance = tol)
+      .collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        (Option(r.getAs[String]("v")),
+         if (r.isNullAt(r.fieldIndex("mt"))) None else Some(r.getAs[Long]("mt"))))
+      .toMap
+
+  test("backward match, inclusive ties, null when nothing precedes") {
+    val m = run()
+    assert(m(100L) === ((None, None)))             // 9 < first quote at 10
+    assert(m(101L) === ((Some("a"), Some(10L))))   // equal timestamps match
+    assert(m(102L) === ((Some("b"), Some(20L))))   // latest at-or-before wins
+    assert(m(103L) === ((None, None)))             // 4 < 5
+    assert(m(104L) === ((None, None)))             // key 3 has no quotes at all
+  }
+
+  test("tolerance nulls out stale matches but keeps the left row") {
+    val m = run(tol = Some(3L))
+    assert(m.size === 5, "left join: every trade survives")
+    assert(m(101L) === ((Some("a"), Some(10L))))   // gap 0 <= 3
+    assert(m(102L) === ((None, None)))             // gap 5 > 3 -> nulled
+  }
+
+  test("matches a brute-force oracle on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(300)(i => (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val rRaw = Seq.tabulate(200)(i => (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, i.toLong))
+    // unique right rows per (k, t): keep max payload, as the contract requires
+    val r = rRaw.groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+
+    val got = AsofJoin.backward(
+        l.toDF("k", "lt", "lid"), r.toDF("k", "rt", "pay"),
+        Seq("k"), "lt", "rt", Seq("pay"))
+      .collect()
+      .map(row => row.getAs[Long]("lid") ->
+        (if (row.isNullAt(row.fieldIndex("pay"))) None
+         else Some(row.getAs[Long]("pay"))))
+      .toMap
+
+    val expected = l.map { case (k, t, lid) =>
+      val cands = r.filter(x => x._1 == k && x._2 <= t)
+      lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("plan: one key exchange, no join blow-up") {
+    val df = AsofJoin.backward(trades, quotes, Seq("k"), "tt", "qt", Seq("v"))
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collectWithSubqueries { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size === 1,
+      s"as-of join must cost exactly one exchange, got ${shuffles.size}")
+    val joins = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.isEmpty, "no theta/cartesian join may appear in the as-of plan")
+  }
+}
