@@ -244,5 +244,24 @@ object SimilarityQueries {
               |  JOIN buckets b2 ON b2.vec_id = c.d2
               |  WHERE bit_count(xor(b1.bucket, b2.bucket)) <= 1) WHERE rnk <= 5
               |ORDER BY d1, rnk""".stripMargin)),
+
+    // Product-quantized ANN (graft.operators.Pq): codebook-compressed codes,
+    // ADC shortlist, exact re-rank. No oracle — KMeans codebooks are not
+    // SQL-expressible; correctness (recall vs brute force, exact re-ranked
+    // distances, nearest-centroid assignment) is pinned by PqSpec. Registered
+    // rows-only so the driver sees it and Bench can trend its cost.
+    QueryDef(
+      "s_pq_knn",
+      (s, dir) => {
+        val vecs = graft.sources.Tables.embeddings(s, dir)
+          .select("vec_id", "embedding")
+        val cb = graft.operators.Pq.train(vecs, dim = 64, m = 16, k = 16,
+          sampleFraction = 0.5)
+        val enc = graft.operators.Pq.encode(vecs, cb)
+        val queries = vecs.filter(col("vec_id") < 20)
+        graft.operators.Pq.search(enc, queries, cb, k = 5, shortlist = 64)
+          .orderBy("q_id", "rank")
+      },
+      None),
   )
 }
