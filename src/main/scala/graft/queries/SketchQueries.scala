@@ -124,6 +124,29 @@ object SketchQueries {
           .orderBy("l_returnflag"),
       None),
 
+    // Mergeable HLL sketches — the 100 TB distinct-count architecture: sketch
+    // ONCE per partition (here: per day), persist the ~KB sketches, and answer
+    // "distinct users over any day range" by merging sketches instead of
+    // rescanning raw data. HLL merge is a register-wise max — associative,
+    // commutative, order-independent — so the merged estimate is bit-identical
+    // to sketching the union directly (asserted in SketchSpec, with the exact
+    // count alongside for accuracy audit).
+    QueryDef(
+      "a_hll_mergeable",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.agg(
+          count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+        val direct = ev.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        merged.crossJoin(direct)
+      },
+      None),
+
     // The SQL front-end: the engine accepts raw ANSI SQL over registered
     // views; the oracle is the identical query text run by DuckDB.
     QueryDef(
