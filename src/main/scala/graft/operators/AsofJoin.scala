@@ -51,6 +51,9 @@ object AsofJoin {
       matchedTimeCol: String = "matched_time",
       tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
+    require(!payload.exists(left.columns.contains),
+      s"payload columns ${payload.filter(left.columns.contains).mkString(",")} " +
+        "collide with left columns — alias one side first")
     val leftCols =
       left.columns.filterNot(c => keys.contains(c) || c == leftTime).toSeq
 

@@ -27,7 +27,11 @@ object Registry {
       "e_sessionize", "t_fingerprint", "d_minhash_sig", "d_minhash_lsh_pairs",
       "s_knn_brute", "t_pack", "e_interval_join",
       // round-4 scale-path operators: timing trend, not just correctness rows
-      "d_simhash_banded", "d_contamination", "s_lsh_knn_multiprobe")
+      "d_simhash_banded", "d_contamination", "s_lsh_knn_multiprobe",
+      // round-5 operators. s_pq_knn is deliberately NOT benched: its cost is
+      // 16 MLlib KMeans fits (index build), which would swamp the engine
+      // signal the bench exists to trend.
+      "e_asof_join", "d_fuzzy_verify", "a_hll_mergeable")
     val known = all.map(_.name).toSet
     val missing = picks.diff(known)
     require(missing.isEmpty, s"headline picks not in registry: $missing")
