@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.AsofJoin
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingAsofSpec extends SparkSpec {
+  import StreamingAsof._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+  private val base = 1_700_000_000_000L
+
+  // two keys, quotes and probes interleaved; includes an exact-tie (probe at
+  // the same ms as a quote must match it — inclusive semantics) and probes
+  // with no preceding quote
+  private val quotes = Seq(
+    Quote(1L, ts(base + 1000), 10.0), Quote(1L, ts(base + 5000), 11.0),
+    Quote(1L, ts(base + 9000), 12.0), Quote(2L, ts(base + 2000), 20.0))
+  private val probes = Seq(
+    Probe(1L, ts(base + 500), 100L),  // before any quote -> no match
+    Probe(1L, ts(base + 1000), 101L), // tie -> 10.0
+    Probe(1L, ts(base + 7000), 102L), // -> 11.0
+    Probe(1L, ts(base + 9500), 103L), // -> 12.0
+    Probe(2L, ts(base + 8000), 104L), // -> 20.0
+    Probe(3L, ts(base + 4000), 105L)) // key with no quotes -> no match
+
+  private def batchExpected: Map[Long, (Option[Double], Option[Long])] = {
+    import spark.implicits._
+    AsofJoin.backward(
+      probes.map(p => (p.k, p.ts.getTime, p.probe_id)).toDF("k", "t", "probe_id"),
+      quotes.map(q => (q.k, q.ts.getTime, q.value)).toDF("k", "t", "value"),
+      Seq("k"), "t", "t", Seq("value"), matchedTimeCol = "qt")
+      .collect()
+      .map(r => r.getAs[Long]("probe_id") -> ((
+        if (r.isNullAt(r.fieldIndex("value"))) None else Some(r.getAs[Double]("value")),
+        if (r.isNullAt(r.fieldIndex("qt"))) None else Some(r.getAs[Long]("qt")))))
+      .toMap
+  }
+
+  private def streamed(maxDelay: String)(
+      feed: (MemoryStream[Probe], MemoryStream[Quote],
+             () => Unit) => Unit): Map[Long, (Option[Double], Option[Long])] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[Probe]
+    val qIn = MemoryStream[Quote]
+    val name = s"asof_out_${System.nanoTime()}"
+    val q = StreamingAsof.join(pIn.toDS(), qIn.toDS(), maxDelay)
+      .writeStream.queryName(name).outputMode("append")
+      .format("memory").start()
+    try {
+      feed(pIn, qIn, () => q.processAllAvailable())
+      // sentinel far in the future on a throwaway key drains every buffer
+      pIn.addData(Probe(99L, ts(base + 100_000_000L), 999L))
+      qIn.addData(Quote(99L, ts(base + 100_000_000L), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("k") < 99).collect()
+      .map(r => r.getAs[Long]("probe_id") -> ((
+        Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Long]("quote_tsMs")).map(_.longValue))))
+      .toMap
+  }
+
+  test("in-order arrival matches the batch as-of join exactly") {
+    val got = streamed("1 minute") { (p, q, tick) =>
+      q.addData(quotes: _*); p.addData(probes: _*); tick()
+    }
+    assert(got === batchExpected)
+  }
+
+  test("shuffled cross-batch arrival still matches batch exactly") {
+    // quotes arrive AFTER the probes that need them, across batches; the
+    // whole 9.5 s event span sits inside the 1-minute reorder window, so
+    // nothing is late — only reordered
+    val got = streamed("1 minute") { (p, q, tick) =>
+      p.addData(probes(2), probes(0)); q.addData(quotes(1)); tick()
+      p.addData(probes(4), probes(1)); q.addData(quotes(0), quotes(3)); tick()
+      p.addData(probes(5), probes(3)); q.addData(quotes(2)); tick()
+    }
+    assert(got === batchExpected)
+  }
+
+  test("quote buffer evicts dominated quotes but keeps the reigning one") {
+    // after the watermark passes every quote, a later probe must still match
+    // the latest quote (kept), while older quotes are gone from state
+    val got = streamed("2 seconds") { (p, q, tick) =>
+      q.addData(quotes: _*); tick()
+      // push watermark way past the quotes with a sentinel, THEN probe
+      q.addData(Quote(98L, ts(base + 60_000L), 0.0)); tick()
+      p.addData(Probe(1L, ts(base + 70_000L), 300L)); tick()
+    }
+    assert(got(300L) === ((Some(12.0), Some(base + 9000))))
+  }
+
+  test("arrivals behind the watermark are dropped, not mis-matched") {
+    val got = streamed("2 seconds") { (p, q, tick) =>
+      q.addData(quotes: _*); tick()
+      q.addData(Quote(98L, ts(base + 60_000L), 0.0)); tick() // wm ~ +58 s
+      // probe with ts far behind the watermark: its quote neighborhood may
+      // already be evicted -> contract says drop
+      p.addData(Probe(1L, ts(base + 3000), 400L)); tick()
+    }
+    assert(!got.contains(400L))
+  }
+}
