@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Backward as-of join (pandas `merge_asof` / DuckDB `ASOF JOIN` semantics):
   * for each left row, attach the payload of the right row with the greatest
@@ -16,13 +17,15 @@ import org.apache.spark.sql.functions._
   *     blow-up, not the inputs.
   *
   * This implementation is the union-tag form: tag both sides, union them, and
-  * run ONE window over (key, time, side) taking `last(payload, ignoreNulls)` —
-  * each left row picks up the latest right payload seen at-or-before its
-  * timestamp. Cost is a single hash exchange on the key plus an in-partition
-  * sort of |L|+|R| rows — identical to the shuffle a sort-merge equi-join of
-  * the two inputs would pay, with zero intermediate blow-up. At 100 TB this is
-  * the only shape that survives: the exchange partitions by key only, so skewed
-  * keys can be salted upstream, and AQE can coalesce the post-union partitions.
+  * run ONE window over (key, time, side) taking the last right ROW seen
+  * at-or-before each left timestamp (a single struct-valued `last(...,
+  * ignoreNulls)` — per-column lasts would splice values from DIFFERENT right
+  * rows whenever a payload field is legitimately NULL). Cost is a single hash
+  * exchange on the key plus an in-partition sort of |L|+|R| rows — identical
+  * to the shuffle a sort-merge equi-join of the two inputs would pay, with
+  * zero intermediate blow-up. At 100 TB this is the only shape that survives:
+  * the exchange partitions by key only, so skewed keys can be salted
+  * upstream, and AQE can coalesce the post-union partitions.
   *
   * Right-side rows must be unique per (keys, rightTime): the window's
   * tie-break among equal timestamps is otherwise arbitrary. Pre-aggregate the
@@ -33,13 +36,26 @@ object AsofJoin {
 
   private val T = "__asof_t"
   private val SIDE = "__asof_side" // 0 = right (quote), 1 = left (probe)
+  private val Q = "__asof_q" // struct(right time, right payloads)
+
+  /** Time column → orderable long. TIMESTAMP becomes epoch MICROSECONDS
+    * (a bare `cast("long")` would truncate to whole seconds and let a
+    * future sub-second right row match "at-or-before"); numeric columns
+    * pass through. `tolerance` is therefore µs for timestamp inputs. */
+  private def timeAsLong(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
 
   /** Left as-of join: every left row survives; unmatched rows carry null
-    * payloads. Output = all left columns, then `payload` columns, then
-    * `matchedTimeCol` (the right timestamp that matched, null if none).
+    * payloads. Output = all left columns (timestamp time columns come back
+    * as epoch-µs longs), then `payload` columns, then `matchedTimeCol` (the
+    * right timestamp that matched, null if none).
     *
-    * @param tolerance max allowed `leftTime - rightTime` (same unit as the
-    *                  time columns); matches farther back are nulled out.
+    * @param tolerance max allowed `leftTime - rightTime` (µs for timestamp
+    *                  columns, else the columns' own unit); matches farther
+    *                  back are nulled out.
     */
   def backward(
       left: DataFrame,
@@ -51,24 +67,29 @@ object AsofJoin {
       matchedTimeCol: String = "matched_time",
       tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
-    require(!payload.exists(left.columns.contains),
-      s"payload columns ${payload.filter(left.columns.contains).mkString(",")} " +
-        "collide with left columns — alias one side first")
+    val outNames = payload :+ matchedTimeCol
+    val clashes = outNames.filter(left.columns.contains) ++
+      (if (payload.contains(matchedTimeCol)) Seq(matchedTimeCol) else Nil)
+    require(clashes.isEmpty,
+      s"output columns ${clashes.distinct.mkString(",")} collide with left " +
+        "columns (or each other) — alias or rename first")
     val leftCols =
       left.columns.filterNot(c => keys.contains(c) || c == leftTime).toSeq
 
-    // Shared union schema: keys ++ T ++ left-only cols ++ payload cols ++ SIDE.
+    // Shared union schema: keys ++ T ++ left-only cols ++ Q(right row) ++ SIDE.
+    val qType = struct(
+      (timeAsLong(right, rightTime).as(T) +: payload.map(col)): _*)
     val l = left.select(
       keys.map(col) ++
-        Seq(col(leftTime).cast("long").as(T)) ++
+        Seq(timeAsLong(left, leftTime).as(T)) ++
         leftCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)) ++
+        Seq(lit(null).cast(right.select(qType).schema.head.dataType).as(Q)) ++
         Seq(lit(1).as(SIDE)): _*)
     val r = right.select(
       keys.map(col) ++
-        Seq(col(rightTime).cast("long").as(T)) ++
+        Seq(timeAsLong(right, rightTime).as(T)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col) ++
+        Seq(qType.as(Q)) ++
         Seq(lit(0).as(SIDE)): _*)
 
     // At equal timestamps the right row sorts first (SIDE 0 < 1), making the
@@ -77,22 +98,23 @@ object AsofJoin {
       .orderBy(col(T), col(SIDE))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // ONE struct-valued last: time and every payload field come from the SAME
+    // matched right row (never null for a right row, even if its payload
+    // fields are).
     val matched = l.unionByName(r)
-      .withColumn(matchedTimeCol,
-        last(when(col(SIDE) === 0, col(T)), ignoreNulls = true).over(w))
-      .withColumns(payload.map(p =>
-        p -> last(when(col(SIDE) === 0, col(p)), ignoreNulls = true).over(w)).toMap)
+      .withColumn(Q, last(col(Q), ignoreNulls = true).over(w))
       .filter(col(SIDE) === 1)
 
+    val mt = col(Q).getField(T)
     val gapOk: Column = tolerance match {
-      case Some(tol) => col(T) - col(matchedTimeCol) <= tol
+      case Some(tol) => col(T) - mt <= tol
       case None => lit(true)
     }
     matched.select(
       keys.map(col) ++
         Seq(col(T).as(leftTime)) ++
         leftCols.map(col) ++
-        payload.map(p => when(gapOk, col(p)).as(p)) ++
-        Seq(when(gapOk, col(matchedTimeCol)).as(matchedTimeCol)): _*)
+        payload.map(p => when(gapOk, col(Q).getField(p)).as(p)) ++
+        Seq(when(gapOk, mt).as(matchedTimeCol)): _*)
   }
 }

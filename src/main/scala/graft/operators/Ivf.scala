@@ -42,7 +42,9 @@ object Ivf {
     "aggregate(zip_with(embedding, centroid, (x, c) -> " +
       "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0.0D, (a, p) -> a + p)")
 
-  private val l2Pair = expr(
+  /** Exact L2² between `q_emb` and `embedding` — shared with [[Pq]]'s
+    * re-rank so the two ANN paths score bit-identically. */
+  private[operators] val l2Pair = expr(
     "aggregate(zip_with(q_emb, embedding, (x, y) -> " +
       "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
       "0.0D, (a, p) -> a + p)")

@@ -43,9 +43,11 @@ object Pq {
       seed: Long = 42L, sampleFraction: Double = 1.0): Codebooks = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
+    // cache only a sample WE created — never (un)persist the caller's frame
+    val ownSample = sampleFraction < 1.0
     val sample =
-      (if (sampleFraction < 1.0) vecs.sample(withReplacement = false, sampleFraction, seed)
-       else vecs).cache()
+      if (ownSample) vecs.sample(withReplacement = false, sampleFraction, seed).cache()
+      else vecs
     val cents = (0 until m).map { j =>
       val sub = sample.select(array_to_vector(
         slice(col("embedding").cast("array<double>"), j * subDim + 1, subDim))
@@ -54,7 +56,7 @@ object Pq {
         .setFeaturesCol("features").setPredictionCol("c").fit(sub)
       km.clusterCenters.toSeq.map(_.toArray.toSeq)
     }
-    sample.unpersist()
+    if (ownSample) sample.unpersist()
     Codebooks(m, k, subDim, cents)
   }
 
@@ -116,13 +118,11 @@ object Pq {
       .filter(col("sr") <= shortlist)
       .select("q_id", "q_emb", "vec_id")
 
-    // Exact re-rank of the shortlist only.
-    val exact = expr(
-      """aggregate(zip_with(CAST(q_emb AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>),
-        |  (x, y) -> (x - y) * (x - y)), 0.0D, (a, p) -> a + p)""".stripMargin)
+    // Exact re-rank of the shortlist only (same scorer as Ivf — bit-identical
+    // distances across the ANN paths).
     val rankW = Window.partitionBy("q_id").orderBy(col("l2_dist"), col("vec_id"))
     cands.join(encoded.select("vec_id", "embedding"), Seq("vec_id"))
-      .withColumn("l2_dist", exact)
+      .withColumn("l2_dist", Ivf.l2Pair)
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "l2_dist")

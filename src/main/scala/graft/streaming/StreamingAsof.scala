@@ -17,6 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * time) and emitted, in event-time order. Append mode: each probe is emitted
   * exactly once, final.
   *
+  * Emission boundary, precisely: a probe is releasable once the watermark
+  * reaches its timestamp, and it is emitted in the first invocation of its
+  * key after that — new data for the key, or the event-time timeout, which
+  * Spark fires only when the watermark STRICTLY exceeds the registered
+  * timestamp. A watermark that advances to exactly a probe's timestamp and
+  * then never moves again (a stream going permanently silent) would leave
+  * that one probe buffered; any further watermark movement flushes it.
+  *
   * Bounded state, the part that matters at scale: once the watermark is at
   * `wm`, every future releasable probe has time > `wm`, so among quotes at or
   * before `wm` only the LATEST can ever match again — the rest are evicted

@@ -43,6 +43,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(m(102L) === ((None, None)))             // gap 5 > 3 -> nulled
   }
 
+  test("a matching right row with NULL payload yields NULL, not an older value") {
+    // regression: per-column last(ignoreNulls) would splice v='a' from t=10
+    // into the match at t=20; the struct-valued form must not
+    val q = Seq((1L, 10L, Some("a")), (1L, 20L, None))
+      .toDF("k", "qt", "v")
+    val t = Seq((1L, 25L, 1L)).toDF("k", "tt", "trade_id")
+    val r = AsofJoin.backward(t, q, Seq("k"), "tt", "qt", Seq("v"),
+      matchedTimeCol = "mt").head()
+    assert(r.isNullAt(r.fieldIndex("v")), "payload must be the matched row's NULL")
+    assert(r.getAs[Long]("mt") === 20L, "matched time must still be the latest row")
+  }
+
+  test("timestamp time columns keep sub-second ordering (µs, not seconds)") {
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val q = Seq((1L, ts(10_700), "late")) // 10.7 s — AFTER the trade
+      .toDF("k", "qt", "v")
+    val t = Seq((1L, ts(10_200), 1L)).toDF("k", "tt", "trade_id")
+    val r = AsofJoin.backward(t, q, Seq("k"), "tt", "qt", Seq("v")).head()
+    // a seconds-truncating cast would see both at t=10 and match the future quote
+    assert(r.isNullAt(r.fieldIndex("v")),
+      "a sub-second-future quote must not match at-or-before")
+  }
+
   test("matches a brute-force oracle on random data") {
     val rnd = new scala.util.Random(7)
     val l = Seq.tabulate(300)(i => (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, i.toLong))

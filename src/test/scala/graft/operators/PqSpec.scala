@@ -63,13 +63,29 @@ class PqSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
-  test("search plan has no per-corpus-row full-vector math before the shortlist") {
-    // the ADC scan projects only (vec_id, codes) from the corpus side; full
-    // embeddings enter via the shortlist join. Assert the candidate stage's
-    // corpus scan schema is code-only.
+  test("search plan: ADC scan sees codes only, full vectors enter post-shortlist") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val enc = Pq.encode(vecs, cb).cache()
     enc.count()
     val df = Pq.search(enc, vecs.filter(col("vec_id") < 3), cb, k = 5, shortlist = 16)
     assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the only theta-shaped join is the ADC scan (broadcast queries × codes);
+    // its corpus (streamed) side must project exactly (vec_id, codes) — a
+    // full `embedding` column here would reintroduce per-corpus-row D-float
+    // work, the regression this operator exists to avoid
+    val bnl = plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size === 1, s"expected exactly the ADC join, got ${bnl.size}")
+    val j = bnl.head
+    val streamedSide = (j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+    }).output.map(_.name).toSet
+    assert(streamedSide === Set("vec_id", "codes"),
+      s"ADC corpus side must be code-only, saw $streamedSide")
   }
 }

@@ -14,9 +14,13 @@ class SketchSpec extends SparkSpec {
     val direct = row.getAs[Long]("direct_users")
     val exact = row.getAs[Long]("exact_users")
     assert(nDays > 1, "needs multiple partitions for the merge to mean anything")
-    // register-wise max merge is order-independent: merging per-day sketches
-    // must give the identical estimate to sketching the whole stream
-    assert(merged === direct)
+    // register-wise max merge is order-independent, so merged-of-parts and
+    // direct sketching see identical registers. The ESTIMATES can still
+    // differ slightly at higher cardinalities (the union result estimates via
+    // a different path than a stream-built sketch in dense HLL mode), so pin
+    // near-agreement, not bit-equality.
+    assert(math.abs(merged - direct).toDouble / math.max(direct, 1L) < 0.01,
+      s"merged $merged vs direct $direct disagree beyond 1%")
     // default lgConfigK=12 -> ~1.6% standard error; 5% is a safe gate
     assert(math.abs(merged - exact).toDouble / exact < 0.05,
       s"estimate $merged vs exact $exact drifted past 5%")
