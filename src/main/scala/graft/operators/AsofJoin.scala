@@ -3,12 +3,13 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
 
 /** Backward as-of join (pandas `merge_asof` / DuckDB `ASOF JOIN` semantics):
   * for each left row, attach the payload of the right row with the greatest
   * `rightTime <= leftTime` within the same key group — "the most recent quote
-  * at or before this trade".
+  * at or before this trade". [[Joins.asOfJoin]] is the thin convenience form
+  * of this operator (all right value columns, no tolerance/matched-time).
   *
   * Spark has no as-of join operator; the naive encodings are both scale-wrong:
   *   - a range theta-join (`l.t >= r.t`) explodes to O(|L|·|R|) per key before
@@ -38,24 +39,29 @@ object AsofJoin {
   private val SIDE = "__asof_side" // 0 = right (quote), 1 = left (probe)
   private val Q = "__asof_q" // struct(right time, right payloads)
 
-  /** Time column → orderable long. TIMESTAMP becomes epoch MICROSECONDS
-    * (a bare `cast("long")` would truncate to whole seconds and let a
-    * future sub-second right row match "at-or-before"); numeric columns
-    * pass through. `tolerance` is therefore µs for timestamp inputs. */
-  private def timeAsLong(df: DataFrame, c: String): Column =
+  /** Order-preserving long form of a time column. Timestamps become
+    * microsecond longs (a bare `cast("long")` would truncate to whole
+    * seconds and let a sub-second-FUTURE right row match "at-or-before"),
+    * dates become epoch days, numerics cast losslessly. `tolerance` and
+    * `matchedTimeCol` are therefore in µs / days / the column's own unit
+    * respectively. */
+  private[operators] def orderKey(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case TimestampType => unix_micros(col(c))
-      case _ => col(c).cast("long")
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case DateType => unix_date(col(c)).cast("long")
+      case _: NumericType => col(c).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"as-of time column $c has unsupported type $dt")
     }
 
   /** Left as-of join: every left row survives; unmatched rows carry null
-    * payloads. Output = all left columns (timestamp time columns come back
-    * as epoch-µs longs), then `payload` columns, then `matchedTimeCol` (the
-    * right timestamp that matched, null if none).
+    * payloads. Output = the left columns unchanged (original types and
+    * order), then `payload` columns, then `matchedTimeCol` (the matched
+    * right timestamp in [[orderKey]] units, null if none).
     *
-    * @param tolerance max allowed `leftTime - rightTime` (µs for timestamp
-    *                  columns, else the columns' own unit); matches farther
-    *                  back are nulled out.
+    * @param tolerance max allowed `leftTime - rightTime` in [[orderKey]]
+    *                  units; matches farther back are nulled out.
     */
   def backward(
       left: DataFrame,
@@ -73,24 +79,22 @@ object AsofJoin {
     require(clashes.isEmpty,
       s"output columns ${clashes.distinct.mkString(",")} collide with left " +
         "columns (or each other) — alias or rename first")
-    val leftCols =
-      left.columns.filterNot(c => keys.contains(c) || c == leftTime).toSeq
+    val leftOnly = left.columns.filterNot(keys.contains).toSeq
 
     // Shared union schema: keys ++ T ++ left-only cols ++ Q(right row) ++ SIDE.
-    val qType = struct(
-      (timeAsLong(right, rightTime).as(T) +: payload.map(col)): _*)
+    val qStruct = struct(
+      (orderKey(right, rightTime).as(T) +: payload.map(col)): _*)
+    val qType = right.select(qStruct).schema.head.dataType
     val l = left.select(
       keys.map(col) ++
-        Seq(timeAsLong(left, leftTime).as(T)) ++
-        leftCols.map(col) ++
-        Seq(lit(null).cast(right.select(qType).schema.head.dataType).as(Q)) ++
-        Seq(lit(1).as(SIDE)): _*)
+        Seq(orderKey(left, leftTime).as(T)) ++
+        leftOnly.map(col) ++
+        Seq(lit(null).cast(qType).as(Q), lit(1).as(SIDE)): _*)
     val r = right.select(
       keys.map(col) ++
-        Seq(timeAsLong(right, rightTime).as(T)) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(qType.as(Q)) ++
-        Seq(lit(0).as(SIDE)): _*)
+        Seq(orderKey(right, rightTime).as(T)) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(qStruct.as(Q), lit(0).as(SIDE)): _*)
 
     // At equal timestamps the right row sorts first (SIDE 0 < 1), making the
     // match inclusive (rightTime <= leftTime), like DuckDB's `ON l.t >= r.t`.
@@ -111,9 +115,7 @@ object AsofJoin {
       case None => lit(true)
     }
     matched.select(
-      keys.map(col) ++
-        Seq(col(T).as(leftTime)) ++
-        leftCols.map(col) ++
+      left.columns.toSeq.map(col) ++
         payload.map(p => when(gapOk, col(Q).getField(p)).as(p)) ++
         Seq(when(gapOk, mt).as(matchedTimeCol)): _*)
   }

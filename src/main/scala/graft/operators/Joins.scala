@@ -9,17 +9,10 @@ import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, Time
 object Joins {
 
   /** **As-of join** (pandas `merge_asof` semantics, backward direction): for
-    * each left row, attach the most recent right row with
-    * `rightTime <= leftTime` within the same key group.
-    *
-    * Spark has no native as-of join; per the survey's preference order this is
-    * path (a) — composition of built-ins: tag both sides, UNION them, one
-    * window sort per key group with `last(_, ignoreNulls)` carry-forward, then
-    * keep the left rows. Cost: a single hash exchange + sort on
-    * (keys, time) — the same price as one sort-merge join, with no range
-    * explosion and no skew beyond the key distribution itself (AQE handles
-    * that). This is the 100 TB-safe shape; a per-key `mapPartitions` merge
-    * would need the same shuffle anyway.
+    * each left row, attach ALL value columns of the most recent right row
+    * with `rightTime <= leftTime` within the same key group. Convenience
+    * form of [[AsofJoin.backward]] (which adds tolerance and the matched
+    * timestamp) — see there for the union-tag plan shape and its cost.
     *
     * Right value columns must not collide with left columns (rename first).
     * Ties (`rightTime == leftTime`): the right row wins (<=, backward join).
@@ -28,41 +21,10 @@ object Joins {
       leftTime: String, rightTime: String): DataFrame = {
     val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     require(valueCols.nonEmpty, "right side carries no value columns")
-    val collide = valueCols.filter(left.columns.contains)
-    require(collide.isEmpty, s"rename right columns before asOfJoin: ${collide.mkString(",")}")
-
-    val leftTagged = left.withColumn("__t", orderKey(left, leftTime))
-      .withColumn("__is_left", lit(1))
-    val rightTagged = right.withColumn("__t", orderKey(right, rightTime))
-      .withColumn("__is_left", lit(0))
-    val unioned = leftTagged.unionByName(
-      rightTagged.drop(rightTime), allowMissingColumns = true)
-
-    // Order within key by (time, right-before-left) so a right row at the
-    // exact left timestamp is visible to that left row.
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__is_left"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__is_left") === 1)
-      .drop("__t", "__is_left")
+    AsofJoin.backward(left, right, keys, leftTime, rightTime, valueCols.toSeq,
+        matchedTimeCol = "__asof_matched_t")
+      .drop("__asof_matched_t")
   }
-
-  /** Order-preserving sort key for the as-of union. Timestamps become
-    * microsecond longs (`cast("long")` would truncate to whole seconds and
-    * silently attach right rows up to 999 ms in the future); numerics pass
-    * through untouched so long keys keep full precision. */
-  private def orderKey(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
-      case TimestampType => unix_micros(col(c))
-      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
-      case DateType => unix_date(col(c)).cast("long")
-      case _: NumericType => col(c)
-      case dt => throw new IllegalArgumentException(
-        s"asOfJoin time column $c has unsupported type $dt")
-    }
 
   /** J9 — join on the intersection of available key columns, resolved at
     * plan-build time (reference: bdb2026/preprocess.py:244-248 merges on
