@@ -24,7 +24,9 @@ class PlanSweepSpec extends SparkSpec {
     "t_drift_psi", // few-bin frame × 1-row totals (c, t in the oracle too)
     "a12_having_global", // scalar global agg × per-group rollup (1-row side)
     "t_tfidf", // per-term df frame × 1-row corpus doc count (idf input)
-    "t_unigram_lm" // per-term counts × 1-row (total, vocab) stats frame
+    "t_unigram_lm", // per-term counts × 1-row (total, vocab) stats frame
+    "s_pq_knn", // ADC scan: broadcast-size query set × compressed code table
+    "a_hll_mergeable" // 1-row merged-sketch frame × 1-row direct/exact frame
   )
 
   /** Global-threshold / global-rank semantics: the unpartitioned window IS
