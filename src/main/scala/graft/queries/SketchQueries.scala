@@ -147,6 +147,45 @@ object SketchQueries {
       },
       None),
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE): the classic date-spine
+    // gap-fill — generate every day offset of 1995 recursively, left-join
+    // daily order counts, emit zeros for silent days. Cross-engine text
+    // differences: the datediff spelling (Spark 2-arg end/start vs DuckDB
+    // 3-arg part/start/end) and Spark's MAX RECURSION LEVEL clause (its
+    // default limit is 100 levels; the 365-day spine needs more). The
+    // recursion itself is identical.
+    QueryDef(
+      "sql_recursive_cte",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""WITH RECURSIVE spine(d) MAX RECURSION LEVEL 400 AS (
+                |  SELECT 0 UNION ALL SELECT d + 1 FROM spine WHERE d < 364),
+                |daily AS (
+                |  SELECT CAST(datediff(CAST(o_orderdate AS DATE),
+                |                       DATE '1995-01-01') AS INT) AS d,
+                |         CAST(COUNT(*) AS BIGINT) AS n
+                |  FROM orders
+                |  WHERE o_orderdate >= DATE '1995-01-01'
+                |    AND o_orderdate <  DATE '1996-01-01'
+                |  GROUP BY 1)
+                |SELECT s.d, COALESCE(dy.n, CAST(0 AS BIGINT)) AS n
+                |FROM spine s LEFT JOIN daily dy ON s.d = dy.d
+                |ORDER BY s.d""".stripMargin)
+      },
+      Some("""WITH RECURSIVE spine(d) AS (
+             |  SELECT 0 UNION ALL SELECT d + 1 FROM spine WHERE d < 364),
+             |daily AS (
+             |  SELECT CAST(datediff('day', DATE '1995-01-01',
+             |                       CAST(o_orderdate AS DATE)) AS INT) AS d,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM orders
+             |  WHERE o_orderdate >= DATE '1995-01-01'
+             |    AND o_orderdate <  DATE '1996-01-01'
+             |  GROUP BY 1)
+             |SELECT s.d, COALESCE(dy.n, CAST(0 AS BIGINT)) AS n
+             |FROM spine s LEFT JOIN daily dy ON s.d = dy.d
+             |ORDER BY s.d""".stripMargin)),
+
     // The SQL front-end: the engine accepts raw ANSI SQL over registered
     // views; the oracle is the identical query text run by DuckDB.
     QueryDef(
