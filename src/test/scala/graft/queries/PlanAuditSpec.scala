@@ -161,4 +161,43 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"scale-hostile join in the plan: ${bad.map(_.nodeName)}")
   }
+
+  test("runtime bloom-filter pruning reaches the fact scan on shuffle joins") {
+    // When a fact-dim join is too big to broadcast, Spark's runtime row-level
+    // filtering builds a bloom filter from the SELECTIVE dim side and probes
+    // it on the fact side BEFORE the shuffle — at 100 TB this prunes most
+    // fact rows pre-exchange. Assert the engine's session config leaves this
+    // path reachable: with broadcast disabled, the selective-dim join must
+    // show might_contain on the fact side.
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      // test-scale thresholds: the sf0.001 fact side is far below the 10 GB
+      // production default, so lower the application-side gate to zero and
+      // force the shuffle-join regime broadcast would otherwise pre-empt
+      spark.conf.set(keys(0), "0")
+      spark.conf.set(keys(1), "-1")
+      spark.conf.set(keys(2), "-1")
+      val part = Tables.part(spark, dir).filter(col("p_brand") === "Brand#13")
+      val li = Tables.lineitem(spark, dir)
+      val j = li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand").agg(sum("l_quantity").as("qty"))
+      j.collect()
+      val plan = executedPlan(j)
+      val pruned = plan.toString.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_partkey"))
+      assert(pruned,
+        "expected a bloom-filter might_contain probe on the fact join key")
+    } finally saved.foreach { case (k, v) =>
+      v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
 }
