@@ -73,6 +73,62 @@ object AggQueries {
               |  sqrt(${Exact.sqlDavg("(l_quantity - 25.0) * (l_quantity - 25.0)")}) AS rmse
               |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
+    // Higher moments in ONE pass: population skewness and excess kurtosis from
+    // exact-decimal raw-moment sums (Σx..Σx⁴ are order-independent decimals;
+    // the central-moment algebra is then pure deterministic double arithmetic
+    // written with identical association on both engines — sqrt instead of
+    // pow(·,1.5) because sqrt is IEEE-exact while pow may differ in the last
+    // ulp across libm implementations). Built-in skewness/kurtosis are NOT
+    // comparable cross-engine (population vs bias-corrected sample); the
+    // explicit form is, and is what a distributed profiler computes anyway.
+    QueryDef(
+      "a_moments",
+      (s, dir) => {
+        val q = col("l_quantity")
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.dsum(q).as("s1"),
+            Exact.dsum(q * q).as("s2"),
+            Exact.dsum(q * q * q).as("s3"),
+            Exact.dsum(q * q * q * q).as("s4"))
+          .select(col("l_returnflag"), col("n"),
+            (col("s1") / col("n")).as("mu"),
+            col("s2"), col("s3"), col("s4"))
+          .select(col("l_returnflag"), col("n"), col("mu"),
+            (col("s2") / col("n") - col("mu") * col("mu")).as("m2"),
+            (col("s3") / col("n") - lit(3.0) * col("mu") * (col("s2") / col("n"))
+              + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+            (col("s4") / col("n") - lit(4.0) * col("mu") * (col("s3") / col("n"))
+              + lit(6.0) * col("mu") * col("mu") * (col("s2") / col("n"))
+              - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")).as("m4"))
+          .select(col("l_returnflag"), col("n"), col("mu"),
+            (col("m3") / (col("m2") * sqrt(col("m2")))).as("skew"),
+            (col("m4") / (col("m2") * col("m2")) - lit(3.0)).as("kurt"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH sums AS (
+              |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+              |    ${Exact.sqlDsum("l_quantity")} AS s1,
+              |    ${Exact.sqlDsum("l_quantity * l_quantity")} AS s2,
+              |    ${Exact.sqlDsum("l_quantity * l_quantity * l_quantity")} AS s3,
+              |    ${Exact.sqlDsum("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+              |  FROM lineitem GROUP BY l_returnflag),
+              |mus AS (
+              |  SELECT l_returnflag, n, s1 / n AS mu, s2, s3, s4 FROM sums),
+              |cms AS (
+              |  SELECT l_returnflag, n, mu,
+              |    s2 / n - mu * mu AS m2,
+              |    s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu AS m3,
+              |    s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n)
+              |      - 3.0 * mu * mu * mu * mu AS m4
+              |  FROM mus)
+              |SELECT l_returnflag, n, mu,
+              |  m3 / (m2 * sqrt(m2)) AS skew,
+              |  m4 / (m2 * m2) - 3.0 AS kurt
+              |FROM cms ORDER BY l_returnflag""".stripMargin)),
+
     // A4 — named production aggs per entity (reference: Total_Targets/Total_Yards/
     // Catch_Rate per player, metrics.py:296-322)
     QueryDef(
