@@ -251,5 +251,40 @@ object EventQueries {
              |FROM purchases p ASOF LEFT JOIN clicks c
              |  ON p.user_id = c.user_id AND p.tus >= c.ctus
              |ORDER BY p.event_id""".stripMargin)),
+
+    // As-of join with a tolerance (pandas merge_asof's `tolerance=`): a click
+    // counts only within the last 30 minutes; staler matches are nulled but
+    // the purchase row survives. Oracled as the plain ASOF join with a gap
+    // CASE — the operator applies the bound inside the same windowed pass.
+    QueryDef(
+      "e_asof_tolerance",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val tolUs = 1800L * 1000000L // 30 min in µs
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy("user_id", "tus")
+          .agg(max("event_id").as("click_id"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "tus")
+        graft.operators.AsofJoin
+          .backward(purchases, clicks, Seq("user_id"), "tus", "tus",
+            Seq("click_id"), matchedTimeCol = "click_tus",
+            tolerance = Some(tolUs))
+          .select(col("event_id"), col("user_id"), col("tus"), col("click_id"),
+            (col("tus") - col("click_tus")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, epoch_us(ts) AS ctus, MAX(event_id) AS click_id
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |purchases AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tus
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, p.tus,
+             |  CASE WHEN p.tus - c.ctus <= 1800000000 THEN c.click_id END AS click_id,
+             |  CASE WHEN p.tus - c.ctus <= 1800000000 THEN p.tus - c.ctus END AS gap_us
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.tus >= c.ctus
+             |ORDER BY p.event_id""".stripMargin)),
   )
 }
