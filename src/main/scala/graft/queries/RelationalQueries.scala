@@ -410,5 +410,34 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
              |FROM orders ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 20 OFFSET 40""".stripMargin)),
+
+    // MAP-typed column family: construct, extract (present + missing key),
+    // cardinality, sorted key list. DuckDB's `m['k']` yields a LIST, so the
+    // oracle unwraps with [1]; values are kept BIGINT on both sides (a
+    // double→long cast would differ: Spark truncates, DuckDB rounds).
+    QueryDef(
+      "f_map",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(col("p_partkey"),
+            map(lit("size"), col("p_size").cast("long"),
+              lit("namelen"), length(col("p_name")).cast("long")).as("m"))
+          .select(col("p_partkey"),
+            element_at(col("m"), "size").as("v_size"),
+            element_at(col("m"), "missing").as("v_missing"),
+            size(col("m")).cast("long").as("n_keys"),
+            concat_ws(",", sort_array(map_keys(col("m")))).as("keys"))
+          .orderBy("p_partkey"),
+      Some("""WITH built AS (
+             |  SELECT p_partkey,
+             |    MAP(['size', 'namelen'],
+             |        [CAST(p_size AS BIGINT), CAST(length(p_name) AS BIGINT)]) AS m
+             |  FROM part)
+             |SELECT p_partkey,
+             |  (m['size'])[1] AS v_size,
+             |  (m['missing'])[1] AS v_missing,
+             |  CAST(cardinality(m) AS BIGINT) AS n_keys,
+             |  array_to_string(list_sort(map_keys(m)), ',') AS keys
+             |FROM built ORDER BY p_partkey""".stripMargin)),
   )
 }

@@ -66,6 +66,19 @@ class AsofJoinSpec extends SparkSpec {
       "a sub-second-future quote must not match at-or-before")
   }
 
+  test("date-typed time columns join on epoch days") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val q = Seq((1L, d("2024-01-10"), "jan"), (1L, d("2024-02-10"), "feb"))
+      .toDF("k", "qt", "v")
+    val t = Seq((1L, d("2024-01-15"), 1L), (1L, d("2024-02-10"), 2L),
+        (1L, d("2024-01-01"), 3L))
+      .toDF("k", "tt", "trade_id")
+    val got = AsofJoin.backward(t, q, Seq("k"), "tt", "qt", Seq("v"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[String]("v"))).toMap
+    assert(got === Map(1L -> Some("jan"), 2L -> Some("feb"), 3L -> None))
+  }
+
   test("matches a brute-force oracle on random data") {
     val rnd = new scala.util.Random(7)
     val l = Seq.tabulate(300)(i => (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, i.toLong))
