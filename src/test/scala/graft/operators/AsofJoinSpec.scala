@@ -102,6 +102,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("composite keys partition matches independently") {
+    val q = Seq((1L, "x", 10L, "k1x"), (1L, "y", 10L, "k1y"), (2L, "x", 10L, "k2x"))
+      .toDF("k1", "k2", "qt", "v")
+    val t = Seq((1L, "x", 15L, 1L), (1L, "y", 15L, 2L),
+        (2L, "x", 15L, 3L), (2L, "y", 15L, 4L))
+      .toDF("k1", "k2", "tt", "trade_id")
+    val got = AsofJoin.backward(t, q, Seq("k1", "k2"), "tt", "qt", Seq("v"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[String]("v"))).toMap
+    assert(got === Map(1L -> Some("k1x"), 2L -> Some("k1y"),
+      3L -> Some("k2x"), 4L -> None))
+  }
+
   test("plan: one key exchange, no join blow-up") {
     val df = AsofJoin.backward(trades, quotes, Seq("k"), "tt", "qt", Seq("v"))
     df.count()
