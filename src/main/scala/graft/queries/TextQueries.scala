@@ -556,5 +556,40 @@ object TextQueries {
              |    / COUNT(*) - first(norm_r), 6) AS avg_logprob
              |FROM terms JOIN lp USING (t)
              |GROUP BY terms.doc_id ORDER BY terms.doc_id""".stripMargin)),
+
+    // RAG-style chunking: overlapping 64-token windows at stride 48 per
+    // document (16-token overlap keeps retrieval context across boundaries).
+    // Entirely map-side HOFs — tokenize once, generate window starts with a
+    // strided sequence, slice — so at corpus scale this is a single pass with
+    // zero exchanges before the sink.
+    QueryDef(
+      "t_chunk",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("n"),
+            posexplode(expr(
+              "transform(sequence(0, n - 1, 48), s -> struct(" +
+                "least(64, n - s) AS n_tok, " +
+                "array_join(slice(toks, s + 1, 64), ' ') AS chunk_text))"))
+              .as(Seq("chunk_idx", "ch")))
+          .select(col("doc_id"), col("chunk_idx"),
+            col("ch.n_tok").cast("long").as("n_tok"),
+            col("ch.chunk_text").as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |ex AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(0, len(toks) - 1, 48)) AS s
+             |  FROM toks WHERE len(toks) > 0)
+             |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx,
+             |  CAST(least(64, len(toks) - s) AS BIGINT) AS n_tok,
+             |  array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
+             |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin)),
   )
 }
