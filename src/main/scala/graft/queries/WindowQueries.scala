@@ -202,6 +202,36 @@ object WindowQueries {
              |      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS first5
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // EWMA (exponentially weighted moving average) per user — a RECURSIVE
+    // smoothing no window frame can express (y_t = αx_t + (1-α)y_{t-1}
+    // needs the previous OUTPUT). Encoded as an ordered fold: collect the
+    // user's values in event order, seed with the first, fold the rest.
+    // Both engines fold sequentially in IEEE doubles with identical
+    // association and exact binary constants (α = 0.125), so the result
+    // hash-matches WITHOUT rounding. Bounded state: per-user streams here;
+    // at scale, segment first (sessionize) or use the streaming state-store
+    // form — the fold shape is the same.
+    QueryDef(
+      "w_ewma",
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            expr("array_sort(collect_list(struct(tus, event_id, value)))").as("vals"))
+          .select(col("user_id"), col("n_events"),
+            expr("""aggregate(slice(vals, 2, size(vals)),
+                   |  element_at(vals, 1).value,
+                   |  (acc, x) -> 0.125D * x.value + 0.875D * acc)""".stripMargin)
+              .as("ewma"))
+          .orderBy("user_id"),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |    list(value ORDER BY epoch_us(ts), event_id) AS vals
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, n_events,
+             |  list_reduce(vals, (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma
+             |FROM ordered ORDER BY user_id""".stripMargin)),
+
     // Value window functions: first/last/nth within the user's stream —
     // completes the window family (frame-sensitive last_value needs the
     // explicit unbounded-following frame in BOTH engines).
