@@ -52,7 +52,7 @@ object EventStreams {
   final case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
-      max_value: Double)
+      max_value: Double, ewma: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user aggregate
     * that survives across micro-batches (the KeyValueGroupedDataset path the
@@ -67,14 +67,26 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, Double.MinValue))
-          val batch = rows.toSeq
+          val prev = state.getOption.getOrElse(
+            UserStats(userId, 0L, 0.0, Double.MinValue, Double.NaN))
+          val batch = rows.toSeq.sortBy(_.ts.getTime)
+          // EWMA: the same seed-with-first, α=0.125 sequential fold as the
+          // batch w_ewma query — the recurrent state IS the one double, the
+          // state-store form of that fold. In-batch disorder is sorted here;
+          // arrival is assumed per-user time-ordered ACROSS batches (the
+          // reorder-tolerant variant composes the same watermark buffer as
+          // StreamingInference.scoreWithReorder).
+          var e = prev.ewma
+          batch.foreach { ev =>
+            e = if (e.isNaN) ev.value else 0.125 * ev.value + 0.875 * e
+          }
           val next = UserStats(
             userId,
             prev.n_events + batch.size,
             prev.total_value + batch.map(_.value).sum,
             math.max(prev.max_value, if (batch.isEmpty) prev.max_value
-            else batch.map(_.value).max))
+            else batch.map(_.value).max),
+            e)
           state.update(next)
           next
       }

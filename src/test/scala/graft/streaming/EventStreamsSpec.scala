@@ -177,6 +177,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n") === 1L)
   }
 
+  test("runningUserStats ewma is bit-equal to the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vals = Seq(2.0, 3.5, 1.25, 7.0, 4.75, 0.5)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      EventStreams.Event(ts(i + 1), 7L, "click", v) }
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("ewma_stats")
+      .outputMode(OutputMode.Update()).start()
+    // split across three micro-batches, shuffled INSIDE each batch (the
+    // operator sorts in-batch; cross-batch order is the documented contract)
+    input.addData(evs(1), evs(0)); q.processAllAvailable()
+    input.addData(evs(3), evs(2)); q.processAllAvailable()
+    input.addData(evs(5), evs(4)); q.processAllAvailable()
+    val got = spark.table("ewma_stats").orderBy(col("n_events").desc)
+      .select("ewma").head().getDouble(0)
+    q.stop()
+    val expected = vals.tail.foldLeft(vals.head)((acc, x) => 0.125 * x + 0.875 * acc)
+    assert(got === expected) // exact double equality: identical fold
+  }
+
   test("attributeWithin: stream-stream interval join matches within the window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
