@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, NumericType, ShortType, TimestampNTZType, TimestampType}
 
 /** Backward as-of join (pandas `merge_asof` / DuckDB `ASOF JOIN` semantics):
   * for each left row, attach the payload of the right row with the greatest
@@ -39,18 +39,20 @@ object AsofJoin {
   private val SIDE = "__asof_side" // 0 = right (quote), 1 = left (probe)
   private val Q = "__asof_q" // struct(right time, right payloads)
 
-  /** Order-preserving long form of a time column. Timestamps become
-    * microsecond longs (a bare `cast("long")` would truncate to whole
-    * seconds and let a sub-second-FUTURE right row match "at-or-before"),
-    * dates become epoch days, numerics cast losslessly. `tolerance` and
-    * `matchedTimeCol` are therefore in µs / days / the column's own unit
-    * respectively. */
+  /** Order-preserving form of a time column. Timestamps become microsecond
+    * longs (a bare `cast("long")` would truncate to whole seconds and let a
+    * sub-second-FUTURE right row match "at-or-before"), dates become epoch
+    * days, integrals widen to long, and FRACTIONAL numerics pass through
+    * untouched — truncating them would reintroduce the same future-match
+    * bug at sub-integer distances. `tolerance` and `matchedTimeCol` are
+    * therefore in µs / days / the column's own unit respectively. */
   private[operators] def orderKey(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case TimestampType => unix_micros(col(c))
       case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
       case DateType => unix_date(col(c)).cast("long")
-      case _: NumericType => col(c).cast("long")
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case _: NumericType => col(c) // double/float/decimal: exact order kept
       case dt => throw new IllegalArgumentException(
         s"as-of time column $c has unsupported type $dt")
     }

@@ -1,9 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.DataFrame
 
 /** Join helpers (SURVEY §2.3 J9) and composed operators Spark lacks natively. */
 object Joins {

@@ -51,6 +51,10 @@ object EventStreams {
 
   final case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+  /** NOTE: adding `ewma` changed this state schema — a checkpoint written by
+    * the 4-field version fails the state-store compatibility check on
+    * restart; resuming requires a fresh checkpoint (running state is
+    * recomputed from the source, not migrated). */
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
       max_value: Double, ewma: Double)
 
@@ -69,16 +73,24 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[UserStats]) =>
           val prev = state.getOption.getOrElse(
             UserStats(userId, 0L, 0.0, Double.MinValue, Double.NaN))
-          val batch = rows.toSeq.sortBy(_.ts.getTime)
+          // full-precision sort: getTime alone truncates to ms and would
+          // fold sub-ms neighbors in arrival order, breaking batch parity.
+          // Ties on IDENTICAL timestamps remain arbitrary (Event carries no
+          // id); the parity contract assumes unique per-user event times.
+          val batch = rows.toSeq.sortBy(ev => (ev.ts.getTime, ev.ts.getNanos))
           // EWMA: the same seed-with-first, α=0.125 sequential fold as the
           // batch w_ewma query — the recurrent state IS the one double, the
           // state-store form of that fold. In-batch disorder is sorted here;
           // arrival is assumed per-user time-ordered ACROSS batches (the
           // reorder-tolerant variant composes the same watermark buffer as
-          // StreamingInference.scoreWithReorder).
+          // StreamingInference.scoreWithReorder). Seeding is keyed on
+          // n_events, NOT on NaN — a NaN data value must poison the average
+          // exactly like the batch fold, not silently re-seed it.
+          var seeded = prev.n_events > 0L
           var e = prev.ewma
           batch.foreach { ev =>
-            e = if (e.isNaN) ev.value else 0.125 * ev.value + 0.875 * e
+            if (!seeded) { e = ev.value; seeded = true }
+            else e = 0.125 * ev.value + 0.875 * e
           }
           val next = UserStats(
             userId,

@@ -66,6 +66,16 @@ class AsofJoinSpec extends SparkSpec {
       "a sub-second-future quote must not match at-or-before")
   }
 
+  test("fractional time columns keep sub-integer ordering") {
+    // regression: a cast("long") would see 1.2 and 1.9 both as 1 and attach
+    // the FUTURE quote via the side tie-break
+    val q = Seq((1L, 1.9, "future")).toDF("k", "qt", "v")
+    val t = Seq((1L, 1.2, 1L)).toDF("k", "tt", "trade_id")
+    val r = AsofJoin.backward(t, q, Seq("k"), "tt", "qt", Seq("v")).head()
+    assert(r.isNullAt(r.fieldIndex("v")),
+      "a fractionally-future quote must not match at-or-before")
+  }
+
   test("date-typed time columns join on epoch days") {
     val d = (s: String) => java.sql.Date.valueOf(s)
     val q = Seq((1L, d("2024-01-10"), "jan"), (1L, d("2024-02-10"), "feb"))

@@ -187,8 +187,7 @@ class PlanAuditSpec extends SparkSpec {
       val li = Tables.lineitem(spark, dir)
       val j = li.join(part, li("l_partkey") === part("p_partkey"))
         .groupBy("p_brand").agg(sum("l_quantity").as("qty"))
-      j.collect()
-      val plan = executedPlan(j)
+      val plan = executedPlan(j) // executes once (count inside)
       val pruned = plan.toString.linesIterator.exists(l =>
         l.contains("might_contain") && l.contains("l_partkey"))
       assert(pruned,
