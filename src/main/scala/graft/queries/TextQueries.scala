@@ -557,6 +557,68 @@ object TextQueries {
              |FROM terms JOIN lp USING (t)
              |GROUP BY terms.doc_id ORDER BY terms.doc_id""".stripMargin)),
 
+    // Vocabulary induction: rank tokens by corpus frequency and assign dense
+    // ids — the tokenizer-vocab build step. One explode + one hash agg +
+    // a global rank over the (small) distinct-token table; at scale the
+    // global window runs over the aggregated vocab, never the corpus.
+    QueryDef(
+      "t_vocab",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("t"))
+        Tables.documents(s, dir)
+          .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+          .withColumn("vocab_id", row_number().over(w).cast("long"))
+          .filter(col("vocab_id") <= 200)
+          .orderBy("vocab_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS BIGINT)
+             |      AS vocab_id
+             |  FROM toks GROUP BY t)
+             |SELECT t, c, vocab_id FROM vocab
+             |WHERE vocab_id <= 200 ORDER BY vocab_id""".stripMargin)),
+
+    // OOV rate per document against the top-50 vocabulary — the coverage
+    // check run before committing to a tokenizer. The vocab is broadcast
+    // (it is by construction tiny); the corpus is scanned once.
+    QueryDef(
+      "t_oov",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("t"))
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), x -> x <> '')")).as("t"))
+        val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= 50)
+          .select("t")
+        toks.join(broadcast(vocab.withColumn("iv", lit(1L))), Seq("t"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            (count(lit(1)) - sum(coalesce(col("iv"), lit(0L)))).as("n_oov"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT t FROM (
+             |    SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS r
+             |    FROM toks GROUP BY t) WHERE r <= 50)
+             |SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             |  CAST(COUNT(*) - SUM(CASE WHEN v.t IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oov
+             |FROM toks LEFT JOIN vocab v ON toks.t = v.t
+             |GROUP BY toks.doc_id ORDER BY toks.doc_id""".stripMargin)),
+
     // RAG-style chunking: overlapping 64-token windows at stride 48 per
     // document (16-token overlap keeps retrieval context across boundaries).
     // Entirely map-side HOFs — tokenize once, generate window starts with a

@@ -39,7 +39,9 @@ class PlanSweepSpec extends SparkSpec {
     "w6_minmax_scale", // global min-max scale (whole-population contract)
     "w5_zscore", // global z-score (same)
     "o2_topk", // global top-k rank before limit
-    "t_drift_psi" // bin-proportion totals over a few-bin frame (Checks.psi)
+    "t_drift_psi", // bin-proportion totals over a few-bin frame (Checks.psi)
+    "t_vocab", // global rank over the AGGREGATED vocab table, not the corpus
+    "t_oov" // same vocab rank feeding the broadcast membership join
   )
 
   private def logical(name: String): LogicalPlan =
