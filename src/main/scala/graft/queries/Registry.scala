@@ -31,7 +31,7 @@ object Registry {
       // round-5 operators. s_pq_knn is deliberately NOT benched: its cost is
       // 16 MLlib KMeans fits (index build), which would swamp the engine
       // signal the bench exists to trend.
-      "e_asof_join", "d_fuzzy_verify", "a_hll_mergeable")
+      "e_asof_join", "d_fuzzy_verify", "a_hll_mergeable", "t_chunk")
     val known = all.map(_.name).toSet
     val missing = picks.diff(known)
     require(missing.isEmpty, s"headline picks not in registry: $missing")
