@@ -94,6 +94,40 @@ class StreamingAsofSpec extends SparkSpec {
     assert(got(300L) === ((Some(12.0), Some(base + 9000))))
   }
 
+  test("randomized volume: 300 probes / 200 quotes / 8 keys across 6 shuffled batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // all event times inside one hour, delay = 1 hour -> reordered, never late
+    val qRaw = Seq.tabulate(200)(i =>
+      Quote(rnd.nextInt(8).toLong, ts(base + rnd.nextInt(3_600_000)), i.toDouble))
+    // unique per (k, ts) as the contract requires: keep max value
+    val qs = qRaw.groupBy(q => (q.k, q.ts.getTime)).map(_._2.maxBy(_.value)).toSeq
+    val ps = Seq.tabulate(300)(i =>
+      Probe(rnd.nextInt(9).toLong, ts(base + rnd.nextInt(3_600_000)), 1000L + i))
+
+    val expected = AsofJoin.backward(
+      ps.map(p => (p.k, p.ts.getTime, p.probe_id)).toDF("k", "t", "probe_id"),
+      qs.map(q => (q.k, q.ts.getTime, q.value)).toDF("k", "t", "value"),
+      Seq("k"), "t", "t", Seq("value"), matchedTimeCol = "qt")
+      .collect()
+      .map(r => r.getAs[Long]("probe_id") -> ((
+        if (r.isNullAt(r.fieldIndex("value"))) None else Some(r.getAs[Double]("value")),
+        if (r.isNullAt(r.fieldIndex("qt"))) None else Some(r.getAs[Long]("qt")))))
+      .toMap
+
+    val mixedP = rnd.shuffle(ps).grouped(50).toSeq
+    val mixedQ = rnd.shuffle(qs).grouped(34).toSeq
+    val got = streamed("1 hour") { (p, q, tick) =>
+      (0 until 6).foreach { i =>
+        if (i < mixedP.size) p.addData(mixedP(i): _*)
+        if (i < mixedQ.size) q.addData(mixedQ(i): _*)
+        tick()
+      }
+    }
+    assert(got.size === expected.size)
+    assert(got === expected)
+  }
+
   test("arrivals behind the watermark are dropped, not mis-matched") {
     val got = streamed("2 seconds") { (p, q, tick) =>
       q.addData(quotes: _*); tick()
