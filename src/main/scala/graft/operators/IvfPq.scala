@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composed billion-scale ANN index (the FAISS `IVFxx,PQyy`
+  * architecture) — [[Ivf]]'s coarse quantizer prunes WHICH vectors are
+  * scored, [[Pq]]'s product codes shrink WHAT is scored.
+  *
+  * Build: KMeans cells (coarse), then PQ codebooks trained on RESIDUALS
+  * (vector − its cell centroid) — residuals concentrate near zero, so the
+  * same number of codes quantizes them much more finely than raw vectors.
+  *
+  * Search, per query: pick the `nProbe` nearest cells; for each probed cell
+  * form the query residual against THAT cell's centroid and its m×k ADC
+  * table; score only that cell's codes via an EQUI-JOIN on `cell`. This is
+  * the key scale advantage over flat [[Pq.search]]: the corpus side is
+  * reached by a hash join on the cell key (at 100 TB: cells are the physical
+  * partition key, so probes prune whole directories — see
+  * [[graft.sources.Lake]]), never a broadcast-×-everything scan. Exact
+  * re-rank on original vectors touches only the shortlist.
+  */
+object IvfPq {
+
+  /** `encoded`: (vec_id, cell, codes, embedding) — codes are PQ codes of the
+    * residual; embedding retained for the re-rank. */
+  final case class Index(ivf: Ivf.Index, cb: Pq.Codebooks, encoded: DataFrame)
+
+  private def residualCol = expr(
+    "zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid, (x, c) -> x - c)")
+
+  /** Build the composed index. `vecs`: (vec_id, embedding array<float>). */
+  def build(vecs: DataFrame, dim: Int, nLists: Int = 16, m: Int = 16,
+      k: Int = 16, seed: Long = 42L): Index = {
+    val ivf = Ivf.build(vecs, nLists, seed)
+    val resid = ivf.assigned
+      .join(broadcast(ivf.centroids), Seq("cell"))
+      .withColumn("residual", residualCol)
+    // PQ over residuals: Pq.encode/train read a column named `embedding`
+    val cb = Pq.train(
+      resid.select(col("vec_id"), col("residual").as("embedding")),
+      dim, m, k, seed)
+    val encoded = Pq.encode(
+        resid.select(col("vec_id"), col("cell"),
+          col("embedding").as("orig_emb"), col("residual").as("embedding")),
+        cb)
+      .select(col("vec_id"), col("cell"), col("codes"),
+        col("orig_emb").as("embedding"))
+    Index(ivf, cb, encoded)
+  }
+
+  /** Top-k per query. Plan: broadcast(query × nProbe cells with per-cell ADC
+    * tables) ⨝cell codes → shortlist → exact re-rank. */
+  def search(idx: Index, queries: DataFrame, kNN: Int, nProbe: Int = 4,
+      shortlist: Int = 64): DataFrame = {
+    require(shortlist >= kNN, "shortlist must cover k")
+    val cb = idx.cb
+    // nProbe nearest cells per query, with the query residual per cell
+    val cellW = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(idx.ivf.centroids))
+      .withColumn("cdist", expr(
+        """aggregate(zip_with(CAST(q_emb AS ARRAY<DOUBLE>), centroid,
+          |  (x, c) -> (x - c) * (x - c)), 0.0D, (a, p) -> a + p)""".stripMargin))
+      .withColumn("pr", row_number().over(cellW))
+      .filter(col("pr") <= nProbe)
+      .withColumn("q_resid", expr(
+        "zip_with(CAST(q_emb AS ARRAY<DOUBLE>), centroid, (x, c) -> x - c)"))
+      // per-(query, cell) ADC table over the RESIDUAL codebooks
+      .withColumn("__cb", Pq.cbCol(cb))
+      .withColumn("tbl", expr(
+        s"""transform(sequence(0, ${cb.m - 1}), j ->
+           |  transform(element_at(__cb, j + 1), c -> ${Pq.subL2("q_resid", "j", cb.subDim, "c")}))"""
+          .stripMargin))
+      .select("q_id", "q_emb", "cell", "tbl")
+
+    // cell EQUI-join: each probed (query, cell) pair scans only that cell
+    val adcW = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    val cands = broadcast(probes)
+      .join(idx.encoded.select("vec_id", "cell", "codes"), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", expr(
+        """aggregate(sequence(0, size(codes) - 1), 0.0D, (acc, j) ->
+          |  acc + element_at(element_at(tbl, j + 1), element_at(codes, j + 1) + 1))"""
+          .stripMargin))
+      .withColumn("sr", row_number().over(adcW))
+      .filter(col("sr") <= shortlist)
+      .select("q_id", "q_emb", "vec_id")
+
+    // exact re-rank on the original vectors (same scorer as Ivf/Pq)
+    val rankW = Window.partitionBy("q_id").orderBy(col("l2_dist"), col("vec_id"))
+    cands.join(idx.encoded.select("vec_id", "embedding"), Seq("vec_id"))
+      .withColumn("l2_dist", Ivf.l2Pair)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= kNN)
+      .select("q_id", "rank", "vec_id", "l2_dist")
+  }
+}

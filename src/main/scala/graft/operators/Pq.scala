@@ -61,11 +61,11 @@ object Pq {
   }
 
   /** Codebooks as a literal Catalyst value: array[m][k][subDim] of double. */
-  private def cbCol(cb: Codebooks): Column = typedlit(cb.cents)
+  private[operators] def cbCol(cb: Codebooks): Column = typedlit(cb.cents)
 
   /** L2² between a subvector slice of `vecCol` (subspace j, 1-based slicing)
     * and a centroid array expression — pure HOFs, whole-stage codegen. */
-  private def subL2(vecCol: String, j: String, subDim: Int, cent: String): String =
+  private[operators] def subL2(vecCol: String, j: String, subDim: Int, cent: String): String =
     s"""aggregate(zip_with(slice(CAST($vecCol AS ARRAY<DOUBLE>), $j * $subDim + 1, $subDim),
        |  $cent, (x, c) -> (x - c) * (x - c)), 0.0D, (a, p) -> a + p)""".stripMargin
 

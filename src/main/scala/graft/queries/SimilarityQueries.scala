@@ -263,5 +263,22 @@ object SimilarityQueries {
           .orderBy("q_id", "rank")
       },
       None),
+
+    // IVF-PQ composed ANN (graft.operators.IvfPq): coarse cells prune WHICH
+    // vectors are scored (equi-join on cell), residual product codes shrink
+    // WHAT is scored. No oracle (KMeans); IvfPqSpec pins exact degradation
+    // (probe-all ≡ brute force), pruned recall, exact re-rank, and the
+    // equi-join plan shape.
+    QueryDef(
+      "s_ivfpq_knn",
+      (s, dir) => {
+        val vecs = graft.sources.Tables.embeddings(s, dir)
+          .select("vec_id", "embedding")
+        val idx = graft.operators.IvfPq.build(vecs, dim = 64)
+        graft.operators.IvfPq.search(idx,
+            vecs.filter(col("vec_id") < 20), kNN = 5, nProbe = 4)
+          .orderBy("q_id", "rank")
+      },
+      None),
   )
 }

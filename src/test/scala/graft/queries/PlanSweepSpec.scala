@@ -26,7 +26,8 @@ class PlanSweepSpec extends SparkSpec {
     "t_tfidf", // per-term df frame × 1-row corpus doc count (idf input)
     "t_unigram_lm", // per-term counts × 1-row (total, vocab) stats frame
     "s_pq_knn", // ADC scan: broadcast-size query set × compressed code table
-    "a_hll_mergeable" // 1-row merged-sketch frame × 1-row direct/exact frame
+    "a_hll_mergeable", // 1-row merged-sketch frame × 1-row direct/exact frame
+    "s_ivfpq_knn" // bounded query×centroid probe pick; the CODE scan itself is an equi-join on cell (plan-asserted in IvfPqSpec)
   )
 
   /** Global-threshold / global-rank semantics: the unpartitioned window IS
