@@ -73,13 +73,20 @@ object Pq {
     * Map-side only; the codebook rides along as a broadcast literal.
     */
   def encode(vecs: DataFrame, cb: Codebooks): DataFrame = {
+    val dim = cb.m * cb.subDim
     val dists = // per subspace j: distances to that subspace's k centroids
       s"""transform(sequence(0, ${cb.m - 1}), j ->
          |  transform(element_at(__cb, j + 1), c -> ${subL2("embedding", "j", cb.subDim, "c")}))"""
         .stripMargin
+    // dim guard INSIDE the codes expression (an unused assert column would
+    // be pruned away): a short vector would otherwise slice short and encode
+    // silently-wrong codes
     vecs.withColumn("__cb", cbCol(cb))
       .withColumn("codes", expr(
-        s"transform($dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"))
+        s"""CASE WHEN size(embedding) = $dim
+           |  THEN transform($dists, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))
+           |  ELSE raise_error(concat('PQ encode: embedding dim ', size(embedding), ', codebook expects $dim'))
+           |END""".stripMargin))
       .drop("__cb")
   }
 

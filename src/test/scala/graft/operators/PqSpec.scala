@@ -40,6 +40,18 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("encode fails loudly on a dim-mismatched vector") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pq.encode(bad, cb).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("PQ encode")),
+      s"expected the dim-mismatch error, got: ${ex.getMessage}")
+  }
+
   test("ADC + exact re-rank reaches high recall vs brute force") {
     val queries = vecs.filter(col("vec_id") < 10)
     val enc = Pq.encode(vecs, cb)
