@@ -30,13 +30,19 @@ object IvfPq {
   private def residualCol = expr(
     "zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid, (x, c) -> x - c)")
 
-  /** Build the composed index. `vecs`: (vec_id, embedding array<float>). */
+  /** Build the composed index. `vecs`: (vec_id, embedding array<float>).
+    *
+    * The returned `encoded` frame is CACHED and materialized — it IS the
+    * index; without it the residual lineage (KMeans assign + centroid join
+    * + subtraction over the corpus) would re-execute for each of the m
+    * codebook fits and on every later search. Unpersist it when done. */
   def build(vecs: DataFrame, dim: Int, nLists: Int = 16, m: Int = 16,
       k: Int = 16, seed: Long = 42L): Index = {
     val ivf = Ivf.build(vecs, nLists, seed)
     val resid = ivf.assigned
       .join(broadcast(ivf.centroids), Seq("cell"))
       .withColumn("residual", residualCol)
+      .cache()
     // PQ over residuals: Pq.encode/train read a column named `embedding`
     val cb = Pq.train(
       resid.select(col("vec_id"), col("residual").as("embedding")),
@@ -47,6 +53,9 @@ object IvfPq {
         cb)
       .select(col("vec_id"), col("cell"), col("codes"),
         col("orig_emb").as("embedding"))
+      .cache()
+    encoded.count() // materialize before dropping the residual lineage
+    resid.unpersist()
     Index(ivf, cb, encoded)
   }
 
@@ -68,12 +77,10 @@ object IvfPq {
       .filter(col("pr") <= nProbe)
       .withColumn("q_resid", expr(
         "zip_with(CAST(q_emb AS ARRAY<DOUBLE>), centroid, (x, c) -> x - c)"))
-      // per-(query, cell) ADC table over the RESIDUAL codebooks
+      // per-(query, cell) ADC table over the RESIDUAL codebooks — the same
+      // shared expressions Pq.search scores with, fed residuals
       .withColumn("__cb", Pq.cbCol(cb))
-      .withColumn("tbl", expr(
-        s"""transform(sequence(0, ${cb.m - 1}), j ->
-           |  transform(element_at(__cb, j + 1), c -> ${Pq.subL2("q_resid", "j", cb.subDim, "c")}))"""
-          .stripMargin))
+      .withColumn("tbl", expr(Pq.adcTableExpr(cb, "q_resid")))
       .select("q_id", "q_emb", "cell", "tbl")
 
     // cell EQUI-join: each probed (query, cell) pair scans only that cell
@@ -81,10 +88,7 @@ object IvfPq {
     val cands = broadcast(probes)
       .join(idx.encoded.select("vec_id", "cell", "codes"), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("adc", expr(
-        """aggregate(sequence(0, size(codes) - 1), 0.0D, (acc, j) ->
-          |  acc + element_at(element_at(tbl, j + 1), element_at(codes, j + 1) + 1))"""
-          .stripMargin))
+      .withColumn("adc", expr(Pq.adcScoreExpr))
       .withColumn("sr", row_number().over(adcW))
       .filter(col("sr") <= shortlist)
       .select("q_id", "q_emb", "vec_id")

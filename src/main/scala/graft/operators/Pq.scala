@@ -90,6 +90,20 @@ object Pq {
       .drop("__cb")
   }
 
+  /** Per-query ADC table over `vecCol`: m×k distances, query subvector →
+    * centroid. Shared with [[IvfPq]] (which feeds residuals). Expects the
+    * codebook literal bound as `__cb`. */
+  private[operators] def adcTableExpr(cb: Codebooks, vecCol: String): String =
+    s"""transform(sequence(0, ${cb.m - 1}), j ->
+       |  transform(element_at(__cb, j + 1), c -> ${subL2(vecCol, "j", cb.subDim, "c")}))"""
+      .stripMargin
+
+  /** ADC score: m table lookups against a `codes` column, `tbl` bound. */
+  private[operators] val adcScoreExpr: String =
+    """aggregate(sequence(0, size(codes) - 1), 0.0D, (acc, j) ->
+      |  acc + element_at(element_at(tbl, j + 1), element_at(codes, j + 1) + 1))"""
+      .stripMargin
+
   /** ANN search over an encoded corpus.
     *
     * @param encoded  (vec_id, embedding, codes) — embedding kept for re-rank
@@ -101,15 +115,10 @@ object Pq {
   def search(encoded: DataFrame, queries: DataFrame, cb: Codebooks, k: Int,
       shortlist: Int = 64): DataFrame = {
     require(shortlist >= k, "shortlist must cover k")
-    // Per-query ADC table: m×k distances, query subvector -> centroid.
-    val table =
-      s"""transform(sequence(0, ${cb.m - 1}), j ->
-         |  transform(element_at(__cb, j + 1), c -> ${subL2("q_emb", "j", cb.subDim, "c")}))"""
-        .stripMargin
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("__cb", cbCol(cb))
-      .withColumn("tbl", expr(table))
+      .withColumn("tbl", expr(adcTableExpr(cb, "q_emb")))
       .drop("__cb")
 
     // ADC scan: m integer lookups per corpus row; shortlist per query.
@@ -117,10 +126,7 @@ object Pq {
     val cands = broadcast(q)
       .crossJoin(encoded.select(col("vec_id"), col("codes")))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("adc", expr(
-        """aggregate(sequence(0, size(codes) - 1), 0.0D, (acc, j) ->
-          |  acc + element_at(element_at(tbl, j + 1), element_at(codes, j + 1) + 1))"""
-          .stripMargin))
+      .withColumn("adc", expr(adcScoreExpr))
       .withColumn("sr", row_number().over(adcW))
       .filter(col("sr") <= shortlist)
       .select("q_id", "q_emb", "vec_id")

@@ -586,7 +586,9 @@ object TextQueries {
 
     // OOV rate per document against the top-50 vocabulary — the coverage
     // check run before committing to a tokenizer. The vocab is broadcast
-    // (it is by construction tiny); the corpus is scanned once.
+    // (it is by construction tiny). The tokenized corpus is consumed twice
+    // (vocab build + membership join) — inherent to a global vocab; a real
+    // pipeline persists the vocab table from the t_vocab step instead.
     QueryDef(
       "t_oov",
       (s, dir) => {

@@ -94,10 +94,12 @@ class StreamingAsofSpec extends SparkSpec {
     assert(got(300L) === ((Some(12.0), Some(base + 9000))))
   }
 
-  test("randomized volume: 300 probes / 200 quotes / 8 keys across 6 shuffled batches") {
+  test("randomized volume: 300 probes / 200 quotes across 6 shuffled batches") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    // all event times inside one hour, delay = 1 hour -> reordered, never late
+    // all event times inside one hour, delay = 1 hour -> reordered, never
+    // late. Quotes live on keys 0-7; probes draw from 0-8 so key 8 also
+    // exercises the no-quotes-ever path at volume.
     val qRaw = Seq.tabulate(200)(i =>
       Quote(rnd.nextInt(8).toLong, ts(base + rnd.nextInt(3_600_000)), i.toDouble))
     // unique per (k, ts) as the contract requires: keep max value
