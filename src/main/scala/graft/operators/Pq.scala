@@ -92,11 +92,14 @@ object Pq {
 
   /** Per-query ADC table over `vecCol`: m×k distances, query subvector →
     * centroid. Shared with [[IvfPq]] (which feeds residuals). Expects the
-    * codebook literal bound as `__cb`. */
+    * codebook literal bound as `__cb`. Same dim guard as [[encode]]: a
+    * short query vector would silently score truncated subspaces. */
   private[operators] def adcTableExpr(cb: Codebooks, vecCol: String): String =
-    s"""transform(sequence(0, ${cb.m - 1}), j ->
-       |  transform(element_at(__cb, j + 1), c -> ${subL2(vecCol, "j", cb.subDim, "c")}))"""
-      .stripMargin
+    s"""CASE WHEN size($vecCol) = ${cb.m * cb.subDim}
+       |  THEN transform(sequence(0, ${cb.m - 1}), j ->
+       |    transform(element_at(__cb, j + 1), c -> ${subL2(vecCol, "j", cb.subDim, "c")}))
+       |  ELSE raise_error(concat('PQ query: vector dim ', size($vecCol), ', codebook expects ${cb.m * cb.subDim}'))
+       |END""".stripMargin
 
   /** ADC score: m table lookups against a `codes` column, `tbl` bound. */
   private[operators] val adcScoreExpr: String =

@@ -52,6 +52,19 @@ class PqSpec extends SparkSpec {
       s"expected the dim-mismatch error, got: ${ex.getMessage}")
   }
 
+  test("search fails loudly on a dim-mismatched query vector") {
+    import spark.implicits._
+    val enc = Pq.encode(vecs, cb)
+    val badQ = Seq((9999L, Seq.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pq.search(enc, badQ, cb, k = 3, shortlist = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("PQ query")),
+      s"expected the query-dim error, got: ${ex.getMessage}")
+  }
+
   test("ADC + exact re-rank reaches high recall vs brute force") {
     val queries = vecs.filter(col("vec_id") < 10)
     val enc = Pq.encode(vecs, cb)
