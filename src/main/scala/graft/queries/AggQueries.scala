@@ -129,6 +129,25 @@ object AggQueries {
               |  m4 / (m2 * m2) - 3.0 AS kurt
               |FROM cms ORDER BY l_returnflag""".stripMargin)),
 
+    // One-pass column profiling (quality.Profiler): every column's null /
+    // distinct / min / max statistics from a single scan — the ingest-time
+    // "what is in this table" query. Oracled column-by-column in SQL.
+    QueryDef(
+      "a_profile",
+      (s, dir) =>
+        graft.quality.Profiler
+          .profile(Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"))
+          .orderBy("col_name"),
+      Some(Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus").map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
     // A4 — named production aggs per entity (reference: Total_Targets/Total_Yards/
     // Catch_Rate per player, metrics.py:296-322)
     QueryDef(

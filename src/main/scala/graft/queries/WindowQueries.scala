@@ -202,6 +202,27 @@ object WindowQueries {
              |      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS first5
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Rolling median over a trailing 10-row frame per user: rank-based
+    // window statistics, not just the algebraic ones (sum/avg). Exact
+    // percentile inside a moving frame; both engines interpolate the even
+    // case as the mean of the two middle values of IDENTICAL doubles, so
+    // the result hash-matches unrounded.
+    QueryDef(
+      "w_rolling_median",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(-9, Window.currentRow)
+        ev(s, dir)
+          .select(col("event_id"),
+            expr("percentile(value, 0.5)").over(w).as("roll_med"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  median(value) OVER (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll_med
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // EWMA (exponentially weighted moving average) per user — a RECURSIVE
     // smoothing no window frame can express (y_t = αx_t + (1-α)y_{t-1}
     // needs the previous OUTPUT). Encoded as an ordered fold: collect the
