@@ -218,6 +218,26 @@ object EventQueries {
              |GROUP BY c.cohort_day, d.day - c.cohort_day
              |ORDER BY cohort_day, day_offset""".stripMargin)),
 
+    // Spark 4 VARIANT ingestion: parse the JSON props column once into the
+    // binary semi-structured type, then extract typed fields with
+    // variant_get (missing paths -> NULL via try_variant_get). VARIANT keeps
+    // the parse cost at ingestion instead of per-extraction — the modern
+    // replacement for repeated get_json_object string parsing. The oracle
+    // states the plain-JSON equivalent.
+    QueryDef(
+      "f_variant",
+      (s, dir) =>
+        ev(s, dir)
+          .withColumn("v", expr("parse_json(props)"))
+          .select(col("event_id"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+            expr("try_variant_get(v, '$.missing', 'bigint')").as("k_missing"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             |  CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Backward as-of join: each purchase picks up the most recent click at or
     // before it, per user ("last touch attribution"). Oracled against DuckDB's
     // native ASOF LEFT JOIN; the Spark side is graft.operators.AsofJoin —
