@@ -411,6 +411,36 @@ object RelationalQueries {
              |FROM orders ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 20 OFFSET 40""".stripMargin)),
 
+    // Winsorization: clip values to their group's [p05, p95] — the standard
+    // outlier-robust feature transform. Per-group percentiles from ONE agg,
+    // broadcast back onto the scan (3 groups → broadcast is free); the clip
+    // itself is map-side. Thresholds rounded to 6 dp on both engines: the
+    // general-fraction interpolation may differ in the last ulp, and an
+    // ulp-different threshold could flip a borderline row.
+    QueryDef(
+      "p_winsorize",
+      (s, dir) => {
+        val pct = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(pct), Seq("l_returnflag"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+              .as("price_w"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH pct AS (
+             |  SELECT l_returnflag,
+             |    round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+             |    round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+             |  least(greatest(l.l_extendedprice, p.p05), p.p95) AS price_w
+             |FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // MAP-typed column family: construct, extract (present + missing key),
     // cardinality, sorted key list. DuckDB's `m['k']` yields a LIST, so the
     // oracle unwraps with [1]; values are kept BIGINT on both sides (a
