@@ -65,10 +65,18 @@ object IvfPq {
       shortlist: Int = 64): DataFrame = {
     require(shortlist >= kNN, "shortlist must cover k")
     val cb = idx.cb
-    // nProbe nearest cells per query, with the query residual per cell
+    val dim = cb.m * cb.subDim
+    // nProbe nearest cells per query, with the query residual per cell.
+    // Dim guard HERE, on the raw query vector: zip_with pads a short vector
+    // with nulls up to the centroid length, so the residual would pass the
+    // downstream size check and silently score all-NULL distances.
     val cellW = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
     val probes = queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), expr(
+        s"""CASE WHEN size(embedding) = $dim THEN embedding
+           |ELSE raise_error(concat('PQ query: vector dim ', size(embedding),
+           |                        ', index expects $dim')) END""".stripMargin)
+        .as("q_emb"))
       .crossJoin(broadcast(idx.ivf.centroids))
       .withColumn("cdist", expr(
         """aggregate(zip_with(CAST(q_emb AS ARRAY<DOUBLE>), centroid,

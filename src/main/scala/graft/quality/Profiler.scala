@@ -17,19 +17,24 @@ object Profiler {
 
   def profile(df: DataFrame): DataFrame = {
     require(df.columns.nonEmpty, "profile of a zero-column frame")
-    val aggs = df.columns.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+    // positional rename first: every later reference uses safe generated
+    // names, so column names containing quotes/backticks/dots never reach
+    // an attribute parser (col("a`b") would throw)
+    val names = df.columns.toSeq
+    val safe = df.toDF(names.indices.map(i => s"__c$i"): _*)
+    val aggs = names.indices.flatMap { i =>
+      Seq(count(col(s"__c$i")).as(s"__nn_$i"),
+        countDistinct(col(s"__c$i")).as(s"__nd_$i"),
+        min(col(s"__c$i")).cast("string").as(s"__mn_$i"),
+        max(col(s"__c$i")).cast("string").as(s"__mx_$i"))
     }
-    val row = df.agg(count(lit(1)).as("__n"), aggs.toSeq: _*)
-    val perCol = df.columns.map(c =>
-      s"""struct('$c' AS col_name, __n AS n_rows,
-         |  __n - `__nn_$c` AS n_nulls,
-         |  `__nd_$c` AS n_distinct,
-         |  `__mn_$c` AS min_s, `__mx_$c` AS max_s)""".stripMargin)
-    row.select(explode(expr(s"array(${perCol.mkString(",")})")).as("p"))
-      .select("p.*")
+    val row = safe.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perCol = names.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__mn_$i").as("min_s"), col(s"__mx_$i").as("max_s"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
 }

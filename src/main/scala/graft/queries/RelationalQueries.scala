@@ -414,16 +414,21 @@ object RelationalQueries {
     // Winsorization: clip values to their group's [p05, p95] — the standard
     // outlier-robust feature transform. Per-group percentiles from ONE agg,
     // broadcast back onto the scan (3 groups → broadcast is free); the clip
-    // itself is map-side. Thresholds rounded to 6 dp on both engines: the
-    // general-fraction interpolation may differ in the last ulp, and an
-    // ulp-different threshold could flip a borderline row.
+    // itself is map-side. Thresholds snap to the 1e-6 grid through the
+    // Exact DECIMAL convention (round(double, n) is a DIFFERENT algorithm
+    // per engine — BigDecimal shortest-repr vs scaled std::round — while
+    // the decimal cast is identical): the general-fraction interpolation
+    // may differ in the last ulp, and an ulp-different threshold could flip
+    // a borderline row.
     QueryDef(
       "p_winsorize",
       (s, dir) => {
         val pct = Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
-          .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
-            round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+          .agg(expr("percentile(l_extendedprice, 0.05)")
+            .cast(Exact.dt).cast("double").as("p05"),
+            expr("percentile(l_extendedprice, 0.95)")
+              .cast(Exact.dt).cast("double").as("p95"))
         Tables.lineitem(s, dir)
           .join(broadcast(pct), Seq("l_returnflag"))
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
@@ -433,8 +438,8 @@ object RelationalQueries {
       },
       Some("""WITH pct AS (
              |  SELECT l_returnflag,
-             |    round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
-             |    round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+             |    CAST(CAST(quantile_cont(l_extendedprice, 0.05) AS DECIMAL(38,6)) AS DOUBLE) AS p05,
+             |    CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(38,6)) AS DOUBLE) AS p95
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
              |  least(greatest(l.l_extendedprice, p.p05), p.p95) AS price_w

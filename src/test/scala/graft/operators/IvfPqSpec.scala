@@ -59,6 +59,18 @@ class IvfPqSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("search fails loudly on a dim-mismatched query (zip_with pads, guard must not)") {
+    import spark.implicits._
+    val badQ = Seq((9999L, Seq.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      IvfPq.search(idx, badQ, kNN = 3, nProbe = 2, shortlist = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("PQ query")),
+      s"expected the query-dim error, got: ${ex.getMessage}")
+  }
+
   test("plan: corpus codes reached by an equi-join on cell, never a cross join") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = IvfPq.search(idx, vecs.filter(col("vec_id") < 3), kNN = 5,

@@ -22,10 +22,18 @@ class ProfilerSpec extends SparkSpec {
     assert(p("str").getAs[String]("max_s") === "b")
   }
 
+  test("column names with quotes and backticks survive the pivot") {
+    val df = Seq((1L, "x")).toDF("it's", "a`b")
+    val names = Profiler.profile(df).collect()
+      .map(_.getAs[String]("col_name")).toSet
+    assert(names === Set("it's", "a`b"))
+  }
+
   test("single-scan plan: one aggregate job, no per-column scans") {
     val df = spark.range(100).selectExpr("id", "id % 7 AS m", "CAST(id AS STRING) AS s")
+    // assert on the COMPILED plan: post-execution AQE replaces leaves with
+    // opaque query stages, hiding the scan nodes from collect
     val prof = Profiler.profile(df)
-    prof.count()
     val plan = prof.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
