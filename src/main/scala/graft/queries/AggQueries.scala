@@ -129,6 +129,35 @@ object AggQueries {
               |  m4 / (m2 * m2) - 3.0 AS kurt
               |FROM cms ORDER BY l_returnflag""".stripMargin)),
 
+    // Shannon entropy of each user's event-type distribution — the
+    // concentration profile (0 = one type only, ln(5) ≈ 1.609 = uniform).
+    // Decomposed as ln(n) - (Σ c·ln(c))/n with the transcendentals rounded
+    // to 6 dp BEFORE the exact-decimal sum (the t_unigram_lm recipe), so
+    // both engines agree bit-for-bit.
+    QueryDef(
+      "a_entropy",
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy("user_id")
+          .agg(sum("c").as("n"),
+            Exact.dsum12(expr("c * round(ln(c), 6)")).as("clnc"))
+          .select(col("user_id"), col("n"),
+            round(round(log(col("n")), 6) - col("clnc") / col("n"), 6)
+              .as("entropy"))
+          .orderBy("user_id")
+      },
+      Some("""WITH counts AS (
+             |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY user_id, event_type),
+             |agg AS (
+             |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(c * round(ln(c), 6) AS DECIMAL(38,12))) AS DOUBLE) AS clnc
+             |  FROM counts GROUP BY user_id)
+             |SELECT user_id, n, round(round(ln(n), 6) - clnc / n, 6) AS entropy
+             |FROM agg ORDER BY user_id""".stripMargin)),
+
     // One-pass column profiling (quality.Profiler): every column's null /
     // distinct / min / max statistics from a single scan — the ingest-time
     // "what is in this table" query. Oracled column-by-column in SQL.

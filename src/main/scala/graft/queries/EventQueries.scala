@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -217,6 +217,42 @@ object EventQueries {
              |FROM days d JOIN cohorts c ON d.user_id = c.user_id
              |GROUP BY c.cohort_day, d.day - c.cohort_day
              |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // RFM segmentation: per-user Recency (last purchase time) / Frequency
+    // (purchase count) / Monetary (exact-decimal spend), each cut into
+    // quartiles with ntile over a total order (metric, user_id — the unique
+    // tie-break makes ntile deterministic on both engines), combined into
+    // the classic 3-digit RFM code.
+    QueryDef(
+      "e_rfm",
+      (s, dir) => {
+        val w = (c: Column) => Window.orderBy(c.desc, col("user_id"))
+        ev(s, dir).filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(max("tus").as("last_tus"),
+            count(lit(1)).as("freq"),
+            Exact.dsum(col("value")).as("monetary"))
+          .select(col("user_id"), col("last_tus"), col("freq"), col("monetary"),
+            ntile(4).over(w(col("last_tus"))).as("r_q"),
+            ntile(4).over(w(col("freq"))).as("f_q"),
+            ntile(4).over(w(col("monetary"))).as("m_q"))
+          .withColumn("rfm", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT user_id, MAX(epoch_us(ts)) AS last_tus,
+              |    CAST(COUNT(*) AS BIGINT) AS freq,
+              |    ${Exact.sqlDsum("value")} AS monetary
+              |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+              |cut AS (
+              |  SELECT user_id, last_tus, freq, monetary,
+              |    CAST(NTILE(4) OVER (ORDER BY last_tus DESC, user_id) AS INT) AS r_q,
+              |    CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id) AS INT) AS f_q,
+              |    CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_q
+              |  FROM base)
+              |SELECT user_id, last_tus, freq, monetary, r_q, f_q, m_q,
+              |  r_q * 100 + f_q * 10 + m_q AS rfm
+              |FROM cut ORDER BY user_id""".stripMargin)),
 
     // Spark 4 VARIANT ingestion: parse the JSON props column once into the
     // binary semi-structured type, then extract typed fields with

@@ -202,6 +202,32 @@ object WindowQueries {
              |      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS first5
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Median absolute deviation per user — the robust scale estimate
+    // (stddev's outlier-immune sibling): med = median(value), mad =
+    // median(|value - med|). Two grouped exact medians; deterministic
+    // cross-engine because both interpolate even counts as the mean of two
+    // IDENTICAL doubles (2-decimal inputs), and |x - med| reproduces
+    // exactly on both sides.
+    QueryDef(
+      "w_mad",
+      (s, dir) => {
+        val med = ev(s, dir).groupBy("user_id")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        ev(s, dir).join(med, Seq("user_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            first(col("med")).as("med"),
+            expr("percentile(abs(value - med), 0.5)").as("mad"))
+          .orderBy("user_id")
+      },
+      Some("""WITH med AS (
+             |  SELECT user_id, median(value) AS med FROM events GROUP BY user_id)
+             |SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  first(m.med) AS med,
+             |  median(abs(e.value - m.med)) AS mad
+             |FROM events e JOIN med m ON e.user_id = m.user_id
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+
     // Rolling median over a trailing 10-row frame per user: rank-based
     // window statistics, not just the algebraic ones (sum/avg). Exact
     // percentile inside a moving frame; both engines interpolate the even

@@ -42,7 +42,8 @@ class PlanSweepSpec extends SparkSpec {
     "o2_topk", // global top-k rank before limit
     "t_drift_psi", // bin-proportion totals over a few-bin frame (Checks.psi)
     "t_vocab", // global rank over the AGGREGATED vocab table, not the corpus
-    "t_oov" // same vocab rank feeding the broadcast membership join
+    "t_oov", // same vocab rank feeding the broadcast membership join
+    "e_rfm" // quartile ntile over the AGGREGATED per-user frame (|users| rows)
   )
 
   private def logical(name: String): LogicalPlan =
