@@ -129,6 +129,43 @@ object AggQueries {
               |  m4 / (m2 * m2) - 3.0 AS kurt
               |FROM cms ORDER BY l_returnflag""".stripMargin)),
 
+    // Gini coefficient of quantity concentration per return flag — the
+    // standard inequality metric, via the sorted-rank identity
+    // G = 2·Σ(r·x) / (n·Σx) − (n+1)/n. Ties in x permute ranks among equal
+    // values, leaving Σ(r·x) unchanged, so any total order gives the same
+    // answer; both sums are exact decimals and the final arithmetic is
+    // identically-associated doubles — bit-exact cross-engine, no rounding.
+    QueryDef(
+      "a_gini",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity"),
+            row_number().over(w).as("r"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Exact.dsum(col("l_quantity")).as("sumx"),
+            Exact.dsum(col("l_quantity") * col("r")).as("sumrx"))
+          .select(col("l_returnflag"), col("n"),
+            (lit(2.0) * col("sumrx") / (col("n") * col("sumx"))
+              - (col("n") + lit(1)).cast("double") / col("n")).as("gini"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH ranked AS (
+              |  SELECT l_returnflag, l_quantity,
+              |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS r
+              |  FROM lineitem),
+              |agg AS (
+              |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+              |    ${Exact.sqlDsum("l_quantity")} AS sumx,
+              |    ${Exact.sqlDsum("l_quantity * r")} AS sumrx
+              |  FROM ranked GROUP BY l_returnflag)
+              |SELECT l_returnflag, n,
+              |  2.0 * sumrx / (n * sumx) - CAST(n + 1 AS DOUBLE) / n AS gini
+              |FROM agg ORDER BY l_returnflag""".stripMargin)),
+
     // Shannon entropy of each user's event-type distribution — the
     // concentration profile (0 = one type only, ln(5) ≈ 1.609 = uniform).
     // Decomposed as ln(n) - (Σ c·ln(c))/n with the transcendentals rounded
