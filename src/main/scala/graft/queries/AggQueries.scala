@@ -185,12 +185,12 @@ object AggQueries {
               .as("entropy"))
           .orderBy("user_id")
       },
-      Some("""WITH counts AS (
-             |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
-             |  FROM events GROUP BY user_id, event_type),
+      Some(s"""WITH counts AS (
+              |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM events GROUP BY user_id, event_type),
              |agg AS (
              |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
-             |    CAST(SUM(CAST(c * round(ln(c), 6) AS DECIMAL(38,12))) AS DOUBLE) AS clnc
+             |    ${Exact.sqlDsum12("c * round(ln(c), 6)")} AS clnc
              |  FROM counts GROUP BY user_id)
              |SELECT user_id, n, round(round(ln(n), 6) - clnc / n, 6) AS entropy
              |FROM agg ORDER BY user_id""".stripMargin)),
