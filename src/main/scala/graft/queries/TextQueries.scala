@@ -557,6 +557,32 @@ object TextQueries {
              |FROM terms JOIN lp USING (t)
              |GROUP BY terms.doc_id ORDER BY terms.doc_id""".stripMargin)),
 
+    // URL parsing (web-corpus metadata extraction): host / path / query-param
+    // decomposition with Spark's native parse_url over URLs constructed from
+    // document columns; the oracle states the equivalent regex extractions.
+    QueryDef(
+      "t_url_parse",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("url", concat(lit("https://"), col("source"),
+            lit(".example.com/docs/"), col("doc_id"),
+            lit("?lang="), col("lang")))
+          .select(col("doc_id"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+             |  regexp_extract(url, 'lang=([a-z]+)', 1) AS q_lang
+             |FROM (
+             |  SELECT doc_id,
+             |    'https://' || source || '.example.com/docs/' || doc_id
+             |      || '?lang=' || lang AS url
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Vocabulary induction: rank tokens by corpus frequency and assign dense
     // ids — the tokenizer-vocab build step. One explode + one hash agg +
     // a global rank over the (small) distinct-token table; at scale the
