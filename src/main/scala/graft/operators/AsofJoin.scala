@@ -32,6 +32,14 @@ import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, Nu
   * tie-break among equal timestamps is otherwise arbitrary. Pre-aggregate the
   * right side (the query layer does) — this mirrors DuckDB's ASOF JOIN, which
   * is nondeterministic under right-side timestamp ties too.
+  *
+  * NULL time semantics (matches DuckDB ASOF and pandas `merge_asof`, which
+  * never match NULL times): right rows with a NULL `rightTime` are dropped
+  * before the union — left in, they would sort first (NULLS FIRST) and their
+  * non-null payload struct would be carried as a phantom match into left
+  * rows that have no real preceding quote. Left rows with a NULL `leftTime`
+  * are KEPT (it is a left join) but likewise sort ahead of every surviving
+  * quote, so they emit null payload / null matched time naturally.
   */
 object AsofJoin {
 
@@ -77,10 +85,19 @@ object AsofJoin {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
     val outNames = payload :+ matchedTimeCol
     val clashes = outNames.filter(left.columns.contains) ++
-      (if (payload.contains(matchedTimeCol)) Seq(matchedTimeCol) else Nil)
+      (if (payload.contains(matchedTimeCol)) Seq(matchedTimeCol) else Nil) ++
+      payload.diff(payload.distinct)
     require(clashes.isEmpty,
       s"output columns ${clashes.distinct.mkString(",")} collide with left " +
         "columns (or each other) — alias or rename first")
+    // The union schema owns these names; inputs (or outputs) reusing them
+    // would fail later with an opaque ambiguous-attribute AnalysisException.
+    val reserved = Seq(T, SIDE, Q)
+    val reservedHits =
+      (left.columns ++ right.columns ++ outNames).filter(reserved.contains)
+    require(reservedHits.isEmpty,
+      s"columns ${reservedHits.distinct.mkString(",")} use reserved __asof_* " +
+        "names — rename first")
     val leftOnly = left.columns.filterNot(keys.contains).toSeq
 
     // Shared union schema: keys ++ T ++ left-only cols ++ Q(right row) ++ SIDE.
@@ -92,7 +109,9 @@ object AsofJoin {
         Seq(orderKey(left, leftTime).as(T)) ++
         leftOnly.map(col) ++
         Seq(lit(null).cast(qType).as(Q), lit(1).as(SIDE)): _*)
-    val r = right.select(
+    // NULL-time quotes can never match anything — and would phantom-match
+    // (see scaladoc) if left to sort NULLS FIRST with a non-null Q struct.
+    val r = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++
         Seq(orderKey(right, rightTime).as(T)) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++

@@ -25,7 +25,11 @@ object IvfPq {
 
   /** `encoded`: (vec_id, cell, codes, embedding) — codes are PQ codes of the
     * residual; embedding retained for the re-rank. */
-  final case class Index(ivf: Ivf.Index, cb: Pq.Codebooks, encoded: DataFrame)
+  final case class Index(ivf: Ivf.Index, cb: Pq.Codebooks, encoded: DataFrame) {
+    /** Release the cached code table (the index's executor-storage footprint).
+      * Searches after this recompute the encode lineage per action. */
+    def unpersist(): Unit = { encoded.unpersist(); () }
+  }
 
   private def residualCol = expr(
     "zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid, (x, c) -> x - c)")

@@ -18,9 +18,12 @@ object Joins {
       leftTime: String, rightTime: String): DataFrame = {
     val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime)
     require(valueCols.nonEmpty, "right side carries no value columns")
+    // internal matched-time name chosen to not collide with either input
+    val mt = LazyList.from(0).map(i => s"__asof_matched_t$i")
+      .filterNot(n => left.columns.contains(n) || valueCols.contains(n)).head
     AsofJoin.backward(left, right, keys, leftTime, rightTime, valueCols.toSeq,
-        matchedTimeCol = "__asof_matched_t")
-      .drop("__asof_matched_t")
+        matchedTimeCol = mt)
+      .drop(mt)
   }
 
   /** J9 — join on the intersection of available key columns, resolved at

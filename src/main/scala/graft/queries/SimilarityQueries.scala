@@ -275,9 +275,16 @@ object SimilarityQueries {
         val vecs = graft.sources.Tables.embeddings(s, dir)
           .select("vec_id", "embedding")
         val idx = graft.operators.IvfPq.build(vecs, dim = 64)
-        graft.operators.IvfPq.search(idx,
+        // One-shot query: pin the tiny (queries × k rows) result eagerly,
+        // then free the cached code table build() left in executor storage
+        // (round-5 ADVICE). localCheckpoint blocks are ContextCleaner-managed
+        // — unlike a cache, they vanish when the frame is GC'd.
+        val res = graft.operators.IvfPq.search(idx,
             vecs.filter(col("vec_id") < 20), kNN = 5, nProbe = 4)
           .orderBy("q_id", "rank")
+          .localCheckpoint(true)
+        idx.unpersist()
+        res
       },
       None),
   )

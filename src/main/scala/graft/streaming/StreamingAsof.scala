@@ -32,10 +32,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * younger than the watermark delay (∝ arrival rate × `maxDelay`).
   *
   * Contract mirrors the watermark rules everywhere else in this package:
-  * arrivals (either side) older than the current watermark are dropped —
-  * a late quote cannot retract an already-emitted match (emission is final),
-  * and a late probe might need an already-evicted quote, so silently
-  * best-effort matching it would be wrong rather than just late.
+  * arrivals (either side) STRICTLY older than the operator's current
+  * (eviction) watermark are dropped — a late quote cannot retract an
+  * already-emitted match (emission is final), and a late probe might need an
+  * already-evicted quote, so silently best-effort matching it would be wrong
+  * rather than just late. A row exactly ON the watermark is kept: a probe is
+  * released immediately, a quote becomes the dominating quote. (Spark's own
+  * late-event filter upstream additionally drops rows at-or-before the
+  * PREVIOUS batch's watermark — `WatermarkSupport` builds LessThanOrEqual —
+  * so the rows this operator adjudicates are those landing between the
+  * late-events and eviction watermarks.)
   * Bit-parity with the batch [[graft.operators.AsofJoin.backward]] under
   * shuffled cross-batch arrival is asserted in StreamingAsofSpec.
   */
@@ -73,39 +79,49 @@ object StreamingAsof {
       .withWatermark("ts", maxDelay)
       .groupByKey(_.k)
       .flatMapGroupsWithState[AsofState, Matched](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (k, rows, state: GroupState[AsofState]) =>
-          val wm = state.getCurrentWatermarkMs()
-          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
-          // split arrivals; drop anything already behind the watermark
-          var quotesBuf = prev.quotes
-          var pending = prev.pending
-          rows.foreach { r =>
-            val ms = r.ts.getTime
-            if (ms > wm) {
-              if (r.side == 0) quotesBuf :+= ((ms, r.value))
-              else pending :+= ((ms, r.probe_id))
-            } // else: late past the watermark — dropped by contract
-          }
-          // release probes the watermark has passed, in event-time order
-          val (rel, keep) = pending.partition(_._1 <= wm)
-          val out = rel.sortBy(p => (p._1, p._2)).map { case (pts, pid) =>
-            val m = quotesBuf.filter(_._1 <= pts)
-              .sortBy(_._1).lastOption
-            Matched(k, pid, pts, m.map(_._2), m.map(_._1))
-          }
-          // evict dominated quotes: of those at-or-before the watermark only
-          // the latest can ever match a future (> wm) probe
-          val (old, young) = quotesBuf.partition(_._1 <= wm)
-          val kept = (old.sortBy(_._1).takeRight(1) ++ young).sortBy(_._1)
-          if (keep.isEmpty && kept.isEmpty) state.remove()
-          else {
-            state.update(AsofState(kept, keep))
-            // wake when the watermark passes the oldest buffered probe
-            keep.map(_._1).filter(_ > wm).minOption
-              .foreach(state.setTimeoutTimestamp)
-          }
-          out.iterator
-      }
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(transition)
+  }
+
+  /** Per-key state transition — extracted so the watermark-boundary contract
+    * is unit-testable with `TestGroupState` (the end-to-end harness cannot
+    * reach it: extra micro-batches equalize the late-events and eviction
+    * watermarks, so Spark's own `<=` pre-filter swallows boundary rows first).
+    */
+  private[streaming] def transition(k: Long, rows: Iterator[Tagged],
+      state: GroupState[AsofState]): Iterator[Matched] = {
+    val wm = state.getCurrentWatermarkMs()
+    val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+    // split arrivals; drop anything already strictly behind the watermark
+    var quotesBuf = prev.quotes
+    var pending = prev.pending
+    rows.foreach { r =>
+      val ms = r.ts.getTime
+      // >= : only rows strictly OLDER than the watermark are late. An
+      // exact-boundary probe is releasable immediately below; an
+      // exact-boundary quote survives eviction as the dominating quote.
+      if (ms >= wm) {
+        if (r.side == 0) quotesBuf :+= ((ms, r.value))
+        else pending :+= ((ms, r.probe_id))
+      } // else: late past the watermark — dropped by contract
+    }
+    // release probes the watermark has passed, in event-time order
+    val (rel, keep) = pending.partition(_._1 <= wm)
+    val out = rel.sortBy(p => (p._1, p._2)).map { case (pts, pid) =>
+      val m = quotesBuf.filter(_._1 <= pts)
+        .sortBy(_._1).lastOption
+      Matched(k, pid, pts, m.map(_._2), m.map(_._1))
+    }
+    // evict dominated quotes: of those at-or-before the watermark only
+    // the latest can ever match a future (> wm) probe
+    val (old, young) = quotesBuf.partition(_._1 <= wm)
+    val kept = (old.sortBy(_._1).takeRight(1) ++ young).sortBy(_._1)
+    if (keep.isEmpty && kept.isEmpty) state.remove()
+    else {
+      state.update(AsofState(kept, keep))
+      // wake when the watermark passes the oldest buffered probe
+      keep.map(_._1).filter(_ > wm).minOption
+        .foreach(state.setTimeoutTimestamp)
+    }
+    out.iterator
   }
 }

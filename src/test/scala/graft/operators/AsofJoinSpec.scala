@@ -125,6 +125,42 @@ class AsofJoinSpec extends SparkSpec {
       3L -> Some("k2x"), 4L -> None))
   }
 
+  test("NULL time rows never match: no phantom quotes, left nulls kept") {
+    // regression (round-5 ADVICE): a NULL-time quote sorts NULLS FIRST with a
+    // non-null Q struct, so last(ignoreNulls) carried it into left rows that
+    // have no real preceding quote — DuckDB ASOF / merge_asof never match
+    // NULL times
+    val q = Seq((1L, None, "phantom"), (1L, Some(10L), "real"))
+      .toDF("k", "qt", "v")
+    val t = Seq((1L, Some(5L), 1L), (1L, Some(15L), 2L), (1L, None, 3L))
+      .toDF("k", "tt", "trade_id")
+    val got = AsofJoin.backward(t, q, Seq("k"), "tt", "qt", Seq("v"),
+        matchedTimeCol = "mt")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[String]("v"))).toMap
+    assert(got === Map(
+      1L -> None,          // 5 < 10 and the NULL-time quote must not fill in
+      2L -> Some("real"),  // normal match unaffected
+      3L -> None))         // NULL-time left row: kept (left join), no match
+  }
+
+  test("reserved __asof_* names and duplicate payloads are rejected up front") {
+    val bad = trades.withColumn("__asof_t", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(bad, quotes, Seq("k"), "tt", "qt", Seq("v"))
+    }
+    assert(e1.getMessage.contains("__asof_t"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(trades, quotes, Seq("k"), "tt", "qt", Seq("v", "v"))
+    }
+    assert(e2.getMessage.contains("v"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoin.backward(trades, quotes, Seq("k"), "tt", "qt", Seq("v"),
+        matchedTimeCol = "__asof_q")
+    }
+    assert(e3.getMessage.contains("__asof_q"))
+  }
+
   test("plan: one key exchange, no join blow-up") {
     val df = AsofJoin.backward(trades, quotes, Seq("k"), "tt", "qt", Seq("v"))
     df.count()

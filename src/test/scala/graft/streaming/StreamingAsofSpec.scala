@@ -130,6 +130,31 @@ class StreamingAsofSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("exact-boundary arrivals (ts == eviction watermark) are kept, not dropped") {
+    // regression (round-5 ADVICE): `ms > wm` silently lost arrivals landing
+    // exactly ON the operator's (eviction) watermark. Reachable in production
+    // only for rows between the late-events and eviction watermarks (Spark's
+    // upstream late filter is `ts <= previous watermark`), which the memory
+    // harness can't stage — extra micro-batches equalize the two — so pin
+    // the transition function directly with TestGroupState.
+    import org.apache.spark.sql.streaming.TestGroupState
+    val wm = base + 58_000L
+    val state = TestGroupState.create[AsofState](
+      org.apache.spark.api.java.Optional.empty[AsofState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(wm),
+      hasTimedOut = false)
+    val rows = Iterator(
+      Tagged(1L, ts(wm), 0, -1L, 55.0),      // quote AT the watermark: kept
+      Tagged(1L, ts(wm), 1, 500L, Double.NaN), // probe AT the wm: released now
+      Tagged(1L, ts(wm - 1), 1, 501L, Double.NaN)) // strictly older: dropped
+    val out = StreamingAsof.transition(1L, rows, state).toList
+    assert(out === List(Matched(1L, 500L, wm, Some(55.0), Some(wm))))
+    // the boundary quote must survive eviction as the dominating quote
+    assert(state.get.quotes === Seq((wm, 55.0)))
+  }
+
   test("arrivals behind the watermark are dropped, not mis-matched") {
     val got = streamed("2 seconds") { (p, q, tick) =>
       q.addData(quotes: _*); tick()
