@@ -48,14 +48,24 @@ object Pq {
     val sample =
       if (ownSample) vecs.sample(withReplacement = false, sampleFraction, seed).cache()
       else vecs
-    val cents = (0 until m).map { j =>
-      val sub = sample.select(array_to_vector(
-        slice(col("embedding").cast("array<double>"), j * subDim + 1, subDim))
-        .as("features"))
-      val km = new KMeans().setK(k).setSeed(seed + j)
-        .setFeaturesCol("features").setPredictionCol("c").fit(sub)
-      km.clusterCenters.toSeq.map(_.toArray.toSeq)
-    }
+    if (ownSample) sample.count() // materialize BEFORE the concurrent fits
+    // The m subspace fits are independent models over the same (cached)
+    // sample — run them as concurrent Spark jobs instead of a serial driver
+    // loop: at scale the serial form multiplies wall-clock passes by m
+    // (round-5 VERDICT #3). Results keep subspace order via the indexed map.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val cents = Await.result(
+      Future.sequence((0 until m).map { j => Future {
+        val sub = sample.select(array_to_vector(
+          slice(col("embedding").cast("array<double>"), j * subDim + 1, subDim))
+          .as("features"))
+        val km = new KMeans().setK(k).setSeed(seed + j)
+          .setFeaturesCol("features").setPredictionCol("c").fit(sub)
+        km.clusterCenters.toSeq.map(_.toArray.toSeq)
+      }}.toSeq),
+      Duration.Inf)
     if (ownSample) sample.unpersist()
     Codebooks(m, k, subDim, cents)
   }
