@@ -163,31 +163,83 @@ object Lake {
     require(visible.forall(s => s.isDirectory && s.getPath.getName.startsWith(s"$p=")),
       s"upsertByKey: $path is not hive-partitioned on '$p'")
     // materialize once: the updates lineage is otherwise re-executed for the
-    // distinct() below plus once per touched partition value
+    // distinct() below plus the merge write
     val u = updates.localCheckpoint(true)
     val vals = u.select(p).distinct().collect().map(_.get(0))
     require(!vals.contains(null),
       "upsertByKey: NULL partition values are not supported on the pruned path")
     // Within one directory the partition column is constant, so the merge
     // key inside it is `keys` minus `p`; empty ⇒ whole-partition replace.
+    // Joining on dataKeys :+ p expresses both cases at once across ALL
+    // touched partitions: an update only ever displaces rows in its own
+    // directory, and with no dataKeys it displaces the whole directory.
     val dataKeys = keys.filterNot(_ == p)
-    vals.foreach { v =>
-      val dirName = s"$p=${ExternalCatalogUtils.escapePathName(v.toString)}"
-      val target = new org.apache.hadoop.fs.Path(rootP, dirName)
-      // Recover a prior crash mid-swap BEFORE reading: old staged aside but
-      // never replaced means `.upsert_old/p=v` holds the ONLY copy of the
-      // partition — merging without it would take the updates-only branch
-      // and the later sweep would destroy the last copy.
-      restoreCrashedSwap(fs, rootP, dirName)
-      val upd = u.filter(col(p) === lit(v)).drop(p)
-      val merged =
-        if (fs.exists(target) && dataKeys.nonEmpty)
-          spark.read.parquet(target.toString)
-            .join(upd.select(dataKeys.map(col(_)): _*), dataKeys, "left_anti")
-            .unionByName(upd)
-        else upd
-      swapPartitionDir(spark, rootP, dirName, merged)
+    val dirNames = vals.map(v =>
+      s"$p=${ExternalCatalogUtils.escapePathName(v.toString)}").toSeq
+    // Recover any prior crash mid-swap BEFORE reading: old staged aside but
+    // never replaced means `.upsert_old/p=v` holds the ONLY copy of the
+    // partition — merging without it would take the updates-only branch
+    // and the later sweep would destroy the last copy.
+    dirNames.foreach(restoreCrashedSwap(fs, rootP, _))
+
+    // ONE merge job across all touched partitions (round-5 VERDICT #3 —
+    // the per-partition loop paid job-launch latency per directory): read
+    // every touched partition that exists in a single partition-discovering
+    // scan, anti-join the updates once, and stage the union with ONE
+    // partitionBy(p) write. Untouched directories are still never opened.
+    val existingDirs = dirNames
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(rootP, d)))
+      .map(d => new org.apache.hadoop.fs.Path(rootP, d).toString)
+    val merged =
+      if (existingDirs.isEmpty) u
+      else {
+        // basePath keeps `p` as a column; partition discovery INFERS its
+        // type, so cast back to the updates' type before joining/unioning
+        val current = spark.read.option("basePath", path)
+          .parquet(existingDirs: _*)
+          .withColumn(p, col(p).cast(u.schema(p).dataType))
+        current
+          .join(u.select((dataKeys :+ p).map(col(_)): _*), dataKeys :+ p, "left_anti")
+          .unionByName(u)
+      }
+    stageAndSwapPartitions(spark, rootP, p, dirNames, merged)
+  }
+
+  /** Stage `newData` (which must cover exactly the partition values named by
+    * `dirNames`) under the hidden `.upsert_tmp` root with ONE
+    * `partitionBy` write, then swap each directory with the same two-rename
+    * crash discipline as [[swapPartitionDir]]: crash anywhere leaves every
+    * individual partition either old, new, or recoverable from
+    * `.upsert_old/` by [[restoreCrashedSwap]].
+    */
+  private def stageAndSwapPartitions(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, p: String, dirNames: Seq[String],
+      newData: DataFrame): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stageRoot = new org.apache.hadoop.fs.Path(root, ".upsert_tmp")
+    val oldRoot = new org.apache.hadoop.fs.Path(root, ".upsert_old")
+    // Restore EVERY crash leftover before sweeping the roots — a crashed
+    // swap from a prior upsert of a DIFFERENT partition value may hold the
+    // only copy of that partition under `.upsert_old/`.
+    if (fs.exists(oldRoot))
+      fs.listStatus(oldRoot).foreach(s => restoreCrashedSwap(fs, root, s.getPath.getName))
+    fs.delete(stageRoot, true); fs.delete(oldRoot, true) // sweep crash leftovers
+    newData.write.mode("overwrite").partitionBy(p).parquet(stageRoot.toString)
+    dirNames.foreach { dirName =>
+      val target = new org.apache.hadoop.fs.Path(root, dirName)
+      val tmp = new org.apache.hadoop.fs.Path(stageRoot, dirName)
+      val old = new org.apache.hadoop.fs.Path(oldRoot, dirName)
+      require(fs.exists(tmp),
+        s"upsertByKey: staging write produced no $dirName — partition value " +
+          "formatting diverged from the directory naming")
+      if (fs.exists(target)) {
+        fs.mkdirs(old.getParent)
+        require(fs.rename(target, old), s"could not stage $target aside")
+      }
+      require(fs.rename(tmp, target), s"could not promote $tmp")
+      fs.delete(old, true)
     }
+    fs.delete(stageRoot, true)
   }
 
   /** If a prior run crashed between swapPartitionDir's two renames, the

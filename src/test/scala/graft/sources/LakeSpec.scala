@@ -225,6 +225,49 @@ class LakeSpec extends SparkSpec {
       new java.io.File(s"$path/.upsert_tmp").listFiles().isEmpty)
   }
 
+  test("partition-pruned upsert merges 12 touched partitions as one job wave, " +
+    "reading the updates lineage once") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_many").toString + "/t"
+    val base = (0 until 15).flatMap(d => Seq((d * 10L, d, "a"), (d * 10L + 1, d, "b")))
+    base.toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+
+    def fileStates(days: Seq[Int]): Seq[(String, Long, Long)] = days.flatMap { d =>
+      new java.io.File(s"$path/day=$d").listFiles().toSeq
+        .map(f => (f.getPath, f.length(), f.lastModified()))
+    }.sorted
+    val before = fileStates(Seq(12, 13, 14))
+
+    // instrument the updates lineage: a per-partition merge loop that
+    // re-executed it once per touched directory would overcount
+    val acc = spark.sparkContext.longAccumulator("updates_lineage_rows")
+    val upd = (0 until 12).map(d => (d * 10L, d, "upd")).toDS()
+      .map { r => acc.add(1); r }.toDF("id", "day", "v")
+
+    spark.sparkContext.setJobGroup("upsert_many", "single-wave upsert")
+    try Lake.upsertByKey(spark, path, upd, Seq("id"), partitionCol = Some("day"))
+    finally spark.sparkContext.clearJobGroup()
+
+    assert(acc.value === 12L, "updates lineage must execute exactly once")
+    // the round-5 loop launched a read-merge-swap job pair PER touched
+    // directory (≥24 jobs here); the single-wave merge is checkpoint +
+    // distinct + one merge write (a handful with AQE), independent of the
+    // touched-partition count
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("upsert_many")
+    assert(jobs.length <= 10,
+      s"merge must not scale jobs with touched partitions, got ${jobs.length}")
+
+    assert(fileStates(Seq(12, 13, 14)) === before,
+      "untouched partitions must stay byte-identical")
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    val expected = ((0 until 12).flatMap(d =>
+      Seq((d * 10L, "upd", d), (d * 10L + 1, "b", d))) ++
+      (12 until 15).flatMap(d =>
+        Seq((d * 10L, "a", d), (d * 10L + 1, "b", d)))).sortBy(_._1)
+    assert(out === expected)
+  }
+
   test("partition-pruned upsert recovers a crash between the swap renames " +
     "without losing the partition") {
     import spark.implicits._
