@@ -161,6 +161,70 @@ class AsofJoinSpec extends SparkSpec {
     assert(e3.getMessage.contains("__asof_q"))
   }
 
+  private def asMap(df: DataFrame): Map[Long, (Option[Long], Option[Long])] =
+    df.collect().map(row => row.getAs[Long]("lid") -> ((
+      if (row.isNullAt(row.fieldIndex("pay"))) None else Some(row.getAs[Long]("pay")),
+      if (row.isNullAt(row.fieldIndex("mt"))) None else Some(row.getAs[Long]("mt")))))
+      .toMap
+
+  test("backwardSalted: exact parity with backward on a deliberately hot key") {
+    val rnd = new scala.util.Random(13)
+    // key 0 owns ~85% of both sides and spans the whole time range — the
+    // shape whose single-task sort the salted variant exists to split
+    def hotKey(): Long = if (rnd.nextInt(100) < 85) 0L else 1L + rnd.nextInt(4)
+    val l = Seq.tabulate(600)(i => (hotKey(), rnd.nextInt(10_000).toLong, i.toLong))
+    val rRaw = Seq.tabulate(400)(i => (hotKey(), rnd.nextInt(10_000).toLong, i.toLong))
+    val r = rRaw.groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+    val lDf = l.toDF("k", "lt", "lid")
+    val rDf = r.toDF("k", "rt", "pay")
+
+    for (tol <- Seq(None, Some(500L)); nSplits <- Seq(1, 3, 8)) {
+      val plain = asMap(AsofJoin.backward(lDf, rDf, Seq("k"), "lt", "rt",
+        Seq("pay"), matchedTimeCol = "mt", tolerance = tol))
+      val salted = asMap(AsofJoin.backwardSalted(lDf, rDf, Seq("k"), "lt", "rt",
+        Seq("pay"), matchedTimeCol = "mt", tolerance = tol, nSplits = nSplits))
+      assert(salted === plain, s"tol=$tol nSplits=$nSplits")
+    }
+  }
+
+  test("backwardSalted: reigning quote crosses empty buckets; NULL times safe") {
+    // one early quote, probes much later: with 8 splits the probes' buckets
+    // have no native quote and must see the carried one, at its ORIGINAL
+    // time (so tolerance still measures the true gap)
+    val q = Seq((1L, Some(10L), 7L), (1L, None, 666L)).toDF("k", "qt", "pay")
+    val t = Seq((1L, Some(9_000L), 1L), (1L, Some(9_500L), 2L),
+        (1L, None, 3L))
+      .toDF("k", "lt", "lid")
+    val got = asMap(AsofJoin.backwardSalted(t, q, Seq("k"), "lt", "qt",
+      Seq("pay"), matchedTimeCol = "mt", nSplits = 8))
+    assert(got === Map(
+      1L -> ((Some(7L), Some(10L))),
+      2L -> ((Some(7L), Some(10L))),
+      3L -> ((None, None)))) // NULL-time probe: kept, unmatched
+    // tolerance measured from the ORIGINAL quote time nulls the stale carry
+    val gotTol = asMap(AsofJoin.backwardSalted(t, q, Seq("k"), "lt", "qt",
+      Seq("pay"), matchedTimeCol = "mt", tolerance = Some(100L), nSplits = 8))
+    assert(gotTol(1L) === ((None, None)) && gotTol(2L) === ((None, None)))
+  }
+
+  test("backwardSalted plan: the main exchange keys on (key, bucket)") {
+    val rnd = new scala.util.Random(5)
+    val l = Seq.tabulate(400)(i => (0L, rnd.nextInt(10_000).toLong, i.toLong))
+    val df = AsofJoin.backwardSalted(l.toDF("k", "lt", "lid"),
+      quotes.withColumnRenamed("k", "kk").withColumn("k", lit(0L)).drop("kk"),
+      Seq("k"), "lt", "qt", Seq("v"), nSplits = 8)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val parts = plan.collectWithSubqueries {
+      case s: ShuffleExchangeLike => s.outputPartitioning.toString
+    }
+    assert(parts.exists(p => p.contains("__asof_b")),
+      s"hot key must spread over (key, bucket) partitions, got: $parts")
+  }
+
   test("plan: one key exchange, no join blow-up") {
     val df = AsofJoin.backward(trades, quotes, Seq("k"), "tt", "qt", Seq("v"))
     df.count()
