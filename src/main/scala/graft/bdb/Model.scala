@@ -99,10 +99,13 @@ object GbtModel {
 
   def train(train: DataFrame, features: Seq[String],
       labelCol: String = "converge_rate",
-      maxIter: Int = 20, maxDepth: Int = 5, seed: Long = 42L): GbtModel = {
+      maxIter: Int = 20, maxDepth: Int = 5, seed: Long = 42L,
+      minInstancesPerNode: Int = 1, subsamplingRate: Double = 1.0): GbtModel = {
     val fitted = new GBTRegressor()
       .setFeaturesCol("gbt_features").setLabelCol(labelCol)
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      .setMinInstancesPerNode(minInstancesPerNode)
+      .setSubsamplingRate(subsamplingRate)
       .fit(assemble(train, features))
     new GbtModel(fitted, features)
   }

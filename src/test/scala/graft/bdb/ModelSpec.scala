@@ -40,12 +40,18 @@ class ModelSpec extends SparkSpec {
     val metrics = Pipeline.run(t, Synth.output(t), Synth.supplementary(t))
       .modelMetrics.head()
     val r2 = metrics.getAs[Double]("r2")
-    // measured 2026-08-12: r2 = 0.785 held-out (recorded in README); the
-    // band is wide enough for Spark/MLlib patch-level drift but tight
-    // enough that a broken feature or leaky split fails the test
-    assert(r2 > 0.70 && r2 <= 1.0,
+    info(s"held-out r2 = $r2, rmse = ${metrics.getAs[Double]("rmse")}")
+    // measured 2026-08-12: r2 = 0.785 held-out on per-frame features alone;
+    // measured 2026-08-13: r2 = 0.912 with SequenceFeatures lags/EWMA/rolling
+    // windows (the relational stand-in for the LSTM's memory) + the
+    // regularized 100×3 config (recorded in README). Most of the remaining
+    // gap to 1.0 is the label's forced last-frame zero (lead(dist) is null →
+    // 0.0), which no causal model can see coming. The band allows
+    // Spark/MLlib patch-level drift but fails on a broken feature, a leaky
+    // split, or a regression back to memory-free quality.
+    assert(r2 > 0.88 && r2 <= 1.0,
       s"GBT held-out R² drifted out of the accepted band: $r2")
-    assert(metrics.getAs[Double]("rmse") < 0.25, s"rmse ${metrics.getAs[Double]("rmse")}")
+    assert(metrics.getAs[Double]("rmse") < 0.2, s"rmse ${metrics.getAs[Double]("rmse")}")
   }
 
   test("splitByGame is disjoint and exhaustive on game_id") {
