@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * histogram, and pixel-scaled resize with PNG re-encode. AUDIO decode is
   * REAL for PCM — JDK `javax.sound.sampled` (WAV/AIFF) via [[AudioCodec]]:
   * mono-mixed samples, RMS / zero-crossing / peak + energy-envelope
-  * features. Only VIDEO (and compressed audio) remains a deterministic stub
-  * ([[StubCodec]] — the JDK ships no video or MP3/AAC codec; the stub
-  * derives pseudo-features from the bytes so that pipeline stays testable
-  * end-to-end until a codec binding lands).
+  * features. VIDEO frame decode is REAL for animated GIF and MJPEG-in-AVI
+  * ([[VideoFrames]]: multi-frame `javax.imageio` compositing + RIFF walk);
+  * only codec-compressed video/audio (H.264/HEVC, MP3/AAC) remains a
+  * deterministic stub ([[StubCodec]] — the JDK ships no such codec; the
+  * stub derives pseudo-features from the bytes so that pipeline stays
+  * testable end-to-end until a codec binding lands).
   *
   * Scale notes: media blobs ride in the same parquet row group as their
   * metadata (self-describing shards, no sidecar fetch); feature extraction is
@@ -432,23 +434,42 @@ object Multimodal {
   final case class Frame(asset_id: Long, frame_no: Int, ts_ms: Long,
       frame: Array[Byte])
 
-  /** Frame sampling: one output row per sampled timestamp — the UDTF-shaped
-    * (1 → N rows) expansion done relationally: `sequence` + `explode` build
-    * the timestamp grid, so Catalyst controls the expansion and the only
-    * per-frame custom work is the (stubbed) frame grab. Partitioning follows
-    * the parent rows; a real decoder seeks per `ts_ms` inside mapPartitions.
+  /** Frame sampling: one output row per sampled timestamp on the asset's
+    * `[0, duration_ms]` grid. Animated GIF and MJPEG-in-AVI decode for REAL
+    * ([[VideoFrames]]): the container is decoded ONCE per asset, each grid
+    * timestamp picks the presentation frame at-or-before it, and the frame
+    * ships as lossless PNG bytes (each distinct picked frame encoded once).
+    * Other containers (H.264 etc. — no JDK codec) keep the deterministic
+    * stub byte-slice grab.
+    *
+    * The expansion is a flatMap rather than a relational explode because a
+    * real container decode is inherently once-per-asset sequential — the
+    * parallel unit is the asset (same shape as a Pandas-UDF video stage);
+    * partitioning follows the parent rows.
     */
   def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L): Dataset[Frame] = {
     import assets.sparkSession.implicits._
-    val exploded = assets.filter(col("kind") === "video")
-      .filter(col("duration_ms") >= 0)
-      .select(col("asset_id"), col("content"),
-        posexplode(sequence(lit(0L), col("duration_ms"), lit(everyMs)))
-          .as(Seq("frame_no", "ts_ms")))
-    exploded.as[(Long, Array[Byte], Int, Long)].map { case (id, content, no, ts) =>
-      // STUB frame grab: a real codec seeks to ts and decodes one frame
-      val start = if (content.isEmpty) 0 else (no * 7) % content.length
-      Frame(id, no, ts, content.slice(start, math.min(start + 16, content.length)))
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    assets.filter(a => a.kind == "video" && a.duration_ms >= 0).flatMap { a =>
+      val content = if (a.content == null) Array.empty[Byte] else a.content
+      val grid = 0L.to(a.duration_ms, everyMs).zipWithIndex
+      VideoFrames.decode(content) match {
+        case Some(frames) =>
+          val pngCache = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+          grid.map { case (ts, no) =>
+            // presentation frame at-or-before ts (first frame starts at 0)
+            val f = frames.takeWhile(_.tsMs <= ts).lastOption.getOrElse(frames.head)
+            Frame(a.asset_id, no, ts,
+              pngCache.getOrElseUpdate(f.index, VideoFrames.encodePng(f)))
+          }
+        case None =>
+          grid.map { case (ts, no) =>
+            // STUB frame grab: a real codec would seek to ts and decode
+            val start = if (content.isEmpty) 0 else (no * 7) % content.length
+            Frame(a.asset_id, no, ts,
+              content.slice(start, math.min(start + 16, content.length)))
+          }
+      }
     }
   }
 

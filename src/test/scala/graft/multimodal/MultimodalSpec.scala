@@ -309,6 +309,117 @@ class MultimodalSpec extends SparkSpec {
     assert(f0.forall(r => r.ts_ms === r.frame_no * 5000L))
   }
 
+  /** Committed animated GIF fixture: three solid 4x2 frames (red, green,
+    * blue), 100 ms delay each, no disposal. */
+  private def fixtureGif: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/anim_4x2.gif")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("VideoFrames.decodeGif: committed animated GIF, exact per-frame pixels") {
+    val frames = VideoFrames.decodeGif(fixtureGif).get
+    assert(frames.map(f => (f.index, f.tsMs, f.width, f.height)) ===
+      Seq((0, 0L, 4, 2), (1, 100L, 4, 2), (2, 200L, 4, 2)))
+    val solids = Seq(0xffff0000, 0xff00ff00, 0xff0000ff)
+    frames.zip(solids).foreach { case (f, argb) =>
+      assert(f.argb.toSeq === Seq.fill(8)(argb), s"frame ${f.index}")
+    }
+    // non-GIF bytes refuse
+    assert(VideoFrames.decodeGif(fixturePng).isEmpty)
+    assert(VideoFrames.decodeGif("plain text".getBytes).isEmpty)
+  }
+
+  /** Minimal RIFF AVI wrapping the given frame payloads as MJPEG chunks:
+    * LIST(hdrl){avih(usPerFrame, totalFrames)} + LIST(movi){00dc...}. */
+  private def miniAvi(frames: Seq[Array[Byte]], usPerFrame: Long): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++ pad
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("ISO-8859-1") ++ children)
+    val avih = chunk("avih",
+      le32(usPerFrame) ++ new Array[Byte](12) ++ le32(frames.size) ++
+        new Array[Byte](36))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ list("hdrl", avih) ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  private def jpegOf(argbSolid: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 2).foreach(y => (0 until 4).foreach(x => img.setRGB(x, y, argbSolid)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("VideoFrames.decodeMjpegAvi: frame clock from avih, pixels from the JPEG codec") {
+    val jpegs = Seq(jpegOf(0x804020), jpegOf(0x2060a0))
+    val avi = miniAvi(jpegs, usPerFrame = 40000L) // 25 fps
+    val frames = VideoFrames.decodeMjpegAvi(avi).get
+    assert(frames.map(f => (f.index, f.tsMs, f.width, f.height)) ===
+      Seq((0, 0L, 4, 2), (1, 40L, 4, 2)))
+    // pixel-exact vs the same JPEG through the image codec (deterministic
+    // decoder-to-decoder equality; JPEG itself is lossy vs the source)
+    frames.zip(jpegs).foreach { case (f, j) =>
+      assert(f.argb.toSeq === Multimodal.ImageCodec.decode(j).get.argb.toSeq)
+    }
+    // one non-JPEG frame chunk fails the WHOLE container (no partial pixels)
+    val bad = miniAvi(Seq(jpegs.head, "junk frame".getBytes), 40000L)
+    assert(VideoFrames.decodeMjpegAvi(bad).isEmpty)
+    assert(VideoFrames.decodeMjpegAvi(fixtureGif).isEmpty)
+    // decode() dispatches both containers
+    assert(VideoFrames.decode(avi).get.size === 2)
+    assert(VideoFrames.decode(fixtureGif).get.size === 3)
+  }
+
+  test("sampleFrames: GIF assets decode for REAL — exact pixels per sampled ts") {
+    import spark.implicits._
+    val gif = fixtureGif // frames at ts 0/100/200
+    val assets = Seq(
+      Multimodal.Asset(1L, "video", "image/gif", 4, 2, 300L, gif)).toDS()
+    val frames = Multimodal.sampleFrames(assets, everyMs = 100L)
+      .orderBy("frame_no").collect()
+    assert(frames.map(f => (f.frame_no, f.ts_ms)).toSeq ===
+      Seq((0, 0L), (1, 100L), (2, 200L), (3, 300L)))
+    // ts 300 is past the last presentation start → still the blue frame
+    val expect = Seq(0xffff0000, 0xff00ff00, 0xff0000ff, 0xff0000ff)
+    frames.zip(expect).foreach { case (f, argb) =>
+      val d = Multimodal.ImageCodec.decode(f.frame).get // PNG bytes, lossless
+      assert(d.width === 4 && d.height === 2)
+      assert(d.argb.toSeq === Seq.fill(8)(argb), s"frame_no ${f.frame_no}")
+    }
+    // the two identical blue frames share one PNG encode → identical bytes
+    assert(frames(2).frame.toSeq === frames(3).frame.toSeq)
+  }
+
+  test("sampleFrames: MJPEG-AVI assets decode for real; junk falls back to stub") {
+    import spark.implicits._
+    val jpegs = Seq(jpegOf(0x804020), jpegOf(0x2060a0))
+    val avi = miniAvi(jpegs, usPerFrame = 100000L) // frames at ts 0/100
+    val junk = "not media at all, definitely not RIFF".getBytes
+    val assets = Seq(
+      Multimodal.Asset(1L, "video", "video/avi", 4, 2, 200L, avi),
+      Multimodal.Asset(2L, "video", "video/mp4", 4, 2, 200L, junk)).toDS()
+    val byAsset = Multimodal.sampleFrames(assets, everyMs = 100L).collect()
+      .groupBy(_.asset_id)
+    val real = byAsset(1L).sortBy(_.frame_no)
+    assert(real.map(_.ts_ms).toSeq === Seq(0L, 100L, 200L))
+    assert(Multimodal.ImageCodec.decode(real(0).frame).get.argb.toSeq ===
+      Multimodal.ImageCodec.decode(jpegs(0)).get.argb.toSeq)
+    assert(Multimodal.ImageCodec.decode(real(1).frame).get.argb.toSeq ===
+      Multimodal.ImageCodec.decode(jpegs(1)).get.argb.toSeq)
+    // undecodable container: stub byte-slice path, same row-count contract
+    val stub = byAsset(2L).sortBy(_.frame_no)
+    assert(stub.map(_.ts_ms).toSeq === Seq(0L, 100L, 200L))
+    assert(stub.forall(f => Multimodal.ImageCodec.decode(f.frame).isEmpty))
+  }
+
   test("blob tables round-trip parquet with binary columns intact") {
     val path = java.nio.file.Files.createTempDirectory("mmtest").toString + "/assets"
     Multimodal.synthAssets(spark, 10).write.parquet(path)
