@@ -54,13 +54,21 @@ object Bench {
     }
     // Median of 3 timed runs per query: single-shot numbers on a shared box
     // swing 2× with background load; the median is the steady-state figure.
-    // The min rides along as the contention-resistant statistic.
+    // The min rides along as the contention-resistant statistic. A run that
+    // THROWS contributes no timing (an elapsed-until-exception number is not
+    // a measurement) — it lands in the machine-readable "errors" map instead
+    // of masquerading as a fast query.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def recordErr(name: String, e: Throwable): Unit = {
+      System.err.println(s"[bench] $name: $e")
+      errors.getOrElseUpdate(name,
+        e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+    }
     val results = Registry.headline.map { q =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => recordErr(q.name, e); None }
       }.sorted
       q.name -> times
     }
@@ -90,21 +98,29 @@ object Bench {
       idx.unpersist(); pqEnc.unpersist()
       out
     } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] ann_search: $e"); Seq.empty
+      case e: Throwable => recordErr("ann_search", e); Seq.empty
     }
 
     val calLast = calibrate()
 
-    val all = results ++ annResults
-    val qs = all.map { case (k, t) => "\"" + k + "\":" + t(1) }
+    // "total" stays the ROUND-COMPARABLE sum over the headline registry
+    // only — the ANN search timings (new in round 6) ride in the per-query
+    // maps and their own total, so cross-round total comparisons never see
+    // a phantom regression from a grown query set.
+    def median(t: Seq[Double]): Double = t((t.size - 1) / 2)
+    val all = (results ++ annResults).filter(_._2.nonEmpty)
+    val qs = all.map { case (k, t) => "\"" + k + "\":" + median(t) }
       .mkString("{", ",", "}")
     val qsMin = all.map { case (k, t) => "\"" + k + "\":" + t.head }
       .mkString("{", ",", "}")
-    val total = all.map(_._2(1)).sum
+    val total = results.filter(_._2.nonEmpty).map(r => median(r._2)).sum
+    val annTotal = annResults.filter(_._2.nonEmpty).map(r => median(r._2)).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3",""" +
+      s""""ann_search_total":$annTotal,""" +
       s""""calibration":{"first":$calFirst,"last":$calLast},""" +
-      s""""queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+      s""""queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

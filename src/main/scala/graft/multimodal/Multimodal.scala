@@ -450,7 +450,9 @@ object Multimodal {
   def sampleFrames(assets: Dataset[Asset], everyMs: Long = 1000L): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     require(everyMs > 0, s"everyMs must be positive, got $everyMs")
-    assets.filter(a => a.kind == "video" && a.duration_ms >= 0).flatMap { a =>
+    // Column (not lambda) filter: evaluated on the scan side, before any
+    // Asset deserialization — non-video rows never pay the blob decode.
+    assets.filter(col("kind") === "video" && col("duration_ms") >= 0).flatMap { a =>
       val content = if (a.content == null) Array.empty[Byte] else a.content
       val grid = 0L.to(a.duration_ms, everyMs).zipWithIndex
       VideoFrames.decode(content) match {

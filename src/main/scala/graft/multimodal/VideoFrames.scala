@@ -160,8 +160,17 @@ object VideoFrames {
         }
       }.filter(_ > 0).getOrElse(33333L)
       list("movi").flatMap { case (lo, hi) =>
-        val frames = chunks(content, lo, hi).zipWithIndex.collect {
-          case ((id, flo, fhi), _) if id.endsWith("dc") || id.endsWith("db") =>
+        // interleaved AVIs group frame chunks inside 'LIST rec ' sublists —
+        // flatten those transparently (one level is the spec'd shape, but
+        // recurse defensively)
+        def walk(clo: Int, chi: Int): Iterator[(String, Int, Int)] =
+          chunks(content, clo, chi).flatMap {
+            case ("LIST", llo, lhi) if lhi >= llo + 4 &&
+                fourcc(content, llo) == "rec " => walk(llo + 4, lhi)
+            case other => Iterator.single(other)
+          }
+        val frames = walk(lo, hi).collect {
+          case (id, flo, fhi) if id.endsWith("dc") || id.endsWith("db") =>
             java.util.Arrays.copyOfRange(content, flo, fhi)
         }.toSeq
         val decoded = frames.map(Multimodal.ImageCodec.decode)

@@ -49,6 +49,8 @@ object AsofJoin {
   private val SIDE = "__asof_side" // 0 = right (quote), 1 = left (probe)
   private val Q = "__asof_q" // struct(right time, right payloads)
   private val B = "__asof_b" // time-range bucket (salted variant only)
+  private val MN = "__asof_mn" // global span min (salted variant only)
+  private val MX = "__asof_mx" // global span max (salted variant only)
 
   private def requireSane(left: DataFrame, right: DataFrame, keys: Seq[String],
       payload: Seq[String], matchedTimeCol: String): Unit = {
@@ -62,7 +64,7 @@ object AsofJoin {
         "columns (or each other) — alias or rename first")
     // The union schema owns these names; inputs (or outputs) reusing them
     // would fail later with an opaque ambiguous-attribute AnalysisException.
-    val reserved = Seq(T, SIDE, Q, B)
+    val reserved = Seq(T, SIDE, Q, B, MN, MX)
     val reservedHits =
       (left.columns ++ right.columns ++ outNames).filter(reserved.contains)
     require(reservedHits.isEmpty,
@@ -202,15 +204,15 @@ object AsofJoin {
     // (µs epochs ≈ 1.7e15 < 2^53); a NULL left time gets a NULL bucket and
     // forms its own quote-free partition — null payload, same as backward.
     val span = l.select(col(T)).unionByName(r.select(col(T)))
-      .agg(min(col(T)).cast("double").as("__mn"), max(col(T)).cast("double").as("__mx"))
+      .agg(min(col(T)).cast("double").as(MN), max(col(T)).cast("double").as(MX))
     def bucketOf(t: Column): Column =
-      when(col("__mx") === col("__mn"), lit(0)).otherwise(
-        least(floor((t.cast("double") - col("__mn")) /
-          (col("__mx") - col("__mn")) * nSplits).cast("int"), lit(nSplits - 1)))
+      when(col(MX) === col(MN), lit(0)).otherwise(
+        least(floor((t.cast("double") - col(MN)) /
+          (col(MX) - col(MN)) * nSplits).cast("int"), lit(nSplits - 1)))
     val lb = l.crossJoin(broadcast(span))
-      .withColumn(B, bucketOf(col(T))).drop("__mn", "__mx")
+      .withColumn(B, bucketOf(col(T))).drop(MN, MX)
     val rb = r.crossJoin(broadcast(span))
-      .withColumn(B, bucketOf(col(T))).drop("__mn", "__mx")
+      .withColumn(B, bucketOf(col(T))).drop(MN, MX)
 
     // Closing quote of each (key, bucket), replicated into every LATER
     // bucket. Replication beats a per-key bucket-spine join: no distinct

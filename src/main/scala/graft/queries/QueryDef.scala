@@ -25,6 +25,16 @@ final case class QueryDef(
   * summing exactly in decimal. Derived stats (avg, stddev, corr, rmse) are then pure
   * deterministic double arithmetic over exact sums, written with identical association
   * order in the Spark expression and the oracle SQL.
+  *
+  * The decimal→double cast itself has a precision cliff the sf1 sweep exposed (round
+  * 6): once a sum carries more significant digits than a double holds (~16, e.g. a
+  * 5e10 money sum at scale 6), the conversion must round — Java's
+  * `BigDecimal.doubleValue` is correctly rounded (single-power-of-ten fast path or
+  * `parseDouble`), but DuckDB casts int128→double and THEN divides by 10^scale, a
+  * double rounding that can land 1 ulp away. The oracle side therefore bridges
+  * through VARCHAR (`CAST(CAST(sum AS VARCHAR) AS DOUBLE)`): decimal→string is exact
+  * and string→double is correctly rounded, so both engines produce the bit-identical
+  * correctly-rounded double at ANY magnitude. Identity where no cliff exists.
   */
 object Exact {
   val dt = DecimalType(38, 6)
@@ -35,8 +45,11 @@ object Exact {
   /** Exact-sum mean: CAST(SUM(DECIMAL)/1 AS DOUBLE) / COUNT. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Correctly-rounded decimal→double for DuckDB SQL (see class doc). */
+  def sqlDec2Dbl(dec: String): String = s"CAST(CAST(($dec) AS VARCHAR) AS DOUBLE)"
+
   /** SQL mirror of [[dsum]]. */
-  def sqlDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
+  def sqlDsum(e: String): String = sqlDec2Dbl(s"SUM(CAST(($e) AS DECIMAL(38,6)))")
 
   /** SQL mirror of [[davg]]. */
   def sqlDavg(e: String): String = s"(${sqlDsum(e)} / COUNT($e))"
@@ -47,5 +60,5 @@ object Exact {
   def dsum12(c: Column): Column = sum(c.cast(dt12)).cast("double")
 
   /** SQL mirror of [[dsum12]]. */
-  def sqlDsum12(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(38,12))) AS DOUBLE)"
+  def sqlDsum12(e: String): String = sqlDec2Dbl(s"SUM(CAST(($e) AS DECIMAL(38,12)))")
 }

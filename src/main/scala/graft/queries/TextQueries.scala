@@ -519,10 +519,16 @@ object TextQueries {
     // Cross-engine exact: ln(p) is DECOMPOSED as ln(c+1) − ln(T+V) so every
     // transcendental input is a small integer — the distinct-input count
     // (and with it the libm-vs-JVM last-ulp straddle exposure of the 6-dp
-    // round) drops from |vocab| ratios to a few hundred count values; the
-    // ln(c+1) terms then sum order-independently in DECIMAL (Exact.dsum12
-    // discipline). Scale: term-count agg + broadcast of the per-term
-    // logprob table; one exchange per agg.
+    // round) drops from |vocab| ratios to a few hundred count values. The
+    // 6-dp per-term values then become exact BIGINT micro-units, and the
+    // per-doc mean is an INTEGER division rounded in micro-space: a true
+    // tie (the sf1 sweep hit Σ/n ending exactly in …5 — Spark's
+    // decimal-string HALF_UP and DuckDB's multiply-then-std::round disagreed
+    // on the same double) is a small-denominator rational, hence an EXACT
+    // dyadic .5 double that both engines round away from zero identically;
+    // non-ties sit ≥1/(2n) micro-units from any boundary, dwarfing double
+    // error. Scale: term-count agg + broadcast of the per-term table; one
+    // exchange per agg.
     QueryDef(
       "t_unigram_lm",
       (s, dir) => {
@@ -532,13 +538,15 @@ object TextQueries {
         val tc = terms.groupBy("t").agg(count(lit(1)).as("c"))
         val lp = tc
           .crossJoin(tc.agg(sum("c").as("tot"), count(lit(1)).as("vocab")))
-          .select(col("t"), expr("round(ln(c + 1.0), 6)").as("lc_r"),
-            expr("round(ln(CAST(tot + vocab AS DOUBLE)), 6)").as("norm_r"))
+          .select(col("t"),
+            expr("CAST(round(round(ln(c + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
+            expr("CAST(round(round(ln(CAST(tot + vocab AS DOUBLE)), 6) * 1e6) AS BIGINT)")
+              .as("norm_mc"))
         terms.join(lp, Seq("t"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
-            round(Exact.dsum12(col("lc_r")) / count(lit(1))
-              - first(col("norm_r")), 6).as("avg_logprob"))
+            (round((sum(col("lc_mc")) - count(lit(1)) * first(col("norm_mc")))
+              .cast("double") / count(lit(1))) / lit(1e6)).as("avg_logprob"))
           .orderBy("doc_id")
       },
       Some("""WITH terms AS (
@@ -548,12 +556,14 @@ object TextQueries {
              |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY t),
              |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot,
              |               CAST(COUNT(*) AS BIGINT) AS vocab FROM tc),
-             |lp AS (SELECT t, round(ln(c + 1.0), 6) AS lc_r,
-             |              round(ln(CAST(tot + vocab AS DOUBLE)), 6) AS norm_r
+             |lp AS (SELECT t,
+             |         CAST(round(round(ln(c + 1.0), 6) * 1e6) AS BIGINT) AS lc_mc,
+             |         CAST(round(round(ln(CAST(tot + vocab AS DOUBLE)), 6) * 1e6) AS BIGINT)
+             |           AS norm_mc
              |       FROM tc, tot)
              |SELECT terms.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             |  round(CAST(SUM(CAST(lc_r AS DECIMAL(38,12))) AS DOUBLE)
-             |    / COUNT(*) - first(norm_r), 6) AS avg_logprob
+             |  round(CAST(SUM(lc_mc) - COUNT(*) * first(norm_mc) AS DOUBLE)
+             |    / COUNT(*)) / 1e6 AS avg_logprob
              |FROM terms JOIN lp USING (t)
              |GROUP BY terms.doc_id ORDER BY terms.doc_id""".stripMargin)),
 

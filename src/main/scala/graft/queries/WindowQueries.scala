@@ -101,9 +101,9 @@ object WindowQueries {
       },
       Some("""WITH t AS (
              |  SELECT event_id, value,
-             |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE)
              |      / CAST(COUNT(*) OVER w AS DOUBLE) AS mean_v,
-             |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |    CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE)
              |      / CAST(COUNT(*) OVER w AS DOUBLE) AS mean_sq
              |  FROM events WINDOW w AS (PARTITION BY event_type))
              |SELECT event_id, (value - mean_v) / sqrt(mean_sq - mean_v * mean_v) AS z
@@ -319,7 +319,7 @@ object WindowQueries {
           .orderBy("event_id")
       },
       Some("""SELECT event_id,
-             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS rolling_sum_30m,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE) AS rolling_sum_30m,
              |  CAST(COUNT(*) OVER w AS BIGINT) AS rolling_cnt_30m
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -368,7 +368,7 @@ object WindowQueries {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id,
-             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE)
              |    / CAST(COUNT(*) OVER w AS DOUBLE) AS ma5
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id

@@ -183,22 +183,37 @@ object Lake {
     dirNames.foreach(restoreCrashedSwap(fs, rootP, _))
 
     // ONE merge job across all touched partitions (round-5 VERDICT #3 —
-    // the per-partition loop paid job-launch latency per directory): read
-    // every touched partition that exists in a single partition-discovering
-    // scan, anti-join the updates once, and stage the union with ONE
-    // partitionBy(p) write. Untouched directories are still never opened.
+    // the per-partition loop paid job-launch latency per directory): union
+    // the touched directories that exist, anti-join the updates once, and
+    // stage with ONE partitionBy(p) write (one Spark job; the union is scan
+    // nodes, not jobs). Untouched directories are still never opened.
+    //
+    // Each directory is read WITHOUT partition-value inference (leaf files
+    // don't store `p`) and gets the EXACT update-side value attached: the
+    // dirname→inference→cast round trip is not identity for values like
+    // "01" (inferred int 1 → cast "1"), and a mismatched `p` would both
+    // skip the displacement join and stage old rows under a directory the
+    // swap loop never promotes — silent data loss (round-6 self-review).
     val existingDirs = dirNames
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(rootP, d)))
       .map(d => new org.apache.hadoop.fs.Path(rootP, d).toString)
     val merged =
-      if (existingDirs.isEmpty) u
+      if (dataKeys.isEmpty || existingDirs.isEmpty) u // wholesale replace /
+        // brand-new partitions: nothing old survives or exists
       else {
-        // basePath keeps `p` as a column; partition discovery INFERS its
-        // type, so cast back to the updates' type before joining/unioning
-        val current = spark.read.option("basePath", path)
+        // ONE scan relation (one AQE leaf stage — per-directory reads would
+        // re-scale job count with the touched-partition count) with the
+        // updates' schema DECLARED, partition column included: a declared
+        // schema makes discovery parse `p` from the dirname AS THAT TYPE
+        // instead of inferring one. Inference is the data-loss trap this
+        // replaced (round-6 self-review): over touched dirs like day=01 it
+        // yields int 1, a cast back to string gives "1" ≠ "01", the
+        // displacement join displaces nothing, and the old rows stage under
+        // a directory the swap loop never promotes. A declared StringType
+        // keeps the raw "01"; numeric/date declared types reparse the exact
+        // string their own toString wrote.
+        spark.read.schema(u.schema).option("basePath", path)
           .parquet(existingDirs: _*)
-          .withColumn(p, col(p).cast(u.schema(p).dataType))
-        current
           .join(u.select((dataKeys :+ p).map(col(_)): _*), dataKeys :+ p, "left_anti")
           .unionByName(u)
       }

@@ -378,6 +378,33 @@ class MultimodalSpec extends SparkSpec {
     assert(VideoFrames.decode(fixtureGif).get.size === 3)
   }
 
+  test("VideoFrames.decodeMjpegAvi: frames inside interleaved 'LIST rec ' sublists decode") {
+    // the interleaved AVI form many muxers emit: movi wraps each frame
+    // chunk in a 'rec ' LIST instead of holding 00dc chunks directly
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++ pad
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("ISO-8859-1") ++ children)
+    val jpegs = Seq(jpegOf(0x804020), jpegOf(0x2060a0))
+    val avih = chunk("avih", le32(40000L) ++ new Array[Byte](12) ++ le32(2) ++
+      new Array[Byte](36))
+    val movi = list("movi",
+      jpegs.map(j => list("rec ", chunk("00dc", j))).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ list("hdrl", avih) ++ movi
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+
+    val frames = VideoFrames.decodeMjpegAvi(avi).get
+    assert(frames.map(f => (f.index, f.tsMs)) === Seq((0, 0L), (1, 40L)))
+    frames.zip(jpegs).foreach { case (f, j) =>
+      assert(f.argb.toSeq === Multimodal.ImageCodec.decode(j).get.argb.toSeq)
+    }
+  }
+
   test("sampleFrames: GIF assets decode for REAL — exact pixels per sampled ts") {
     import spark.implicits._
     val gif = fixtureGif // frames at ts 0/100/200

@@ -159,6 +159,14 @@ class AsofJoinSpec extends SparkSpec {
         matchedTimeCol = "__asof_q")
     }
     assert(e3.getMessage.contains("__asof_q"))
+    // the salted variant's internal span/bucket columns are reserved too —
+    // an input carrying one would otherwise hit an ambiguous-attribute
+    // AnalysisException mid-plan after the broadcast span cross join
+    val e4 = intercept[IllegalArgumentException] {
+      AsofJoin.backwardSalted(trades.withColumn("__asof_mn", lit(0)),
+        quotes, Seq("k"), "tt", "qt", Seq("v"))
+    }
+    assert(e4.getMessage.contains("__asof_mn"))
   }
 
   private def asMap(df: DataFrame): Map[Long, (Option[Long], Option[Long])] =

@@ -268,6 +268,45 @@ class LakeSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("partition-pruned upsert: string partition values with a lossy " +
+    "dirname parse round trip (\"01\", \"1e3\") keep non-updated rows") {
+    import spark.implicits._
+    // partition discovery over ONLY the touched dirs would infer day=01 as
+    // int 1 and day=1e3 as double 1000.0; a cast back to string then never
+    // matches the updates' raw values — the displacement join displaces
+    // nothing and old rows stage under directories the swap loop never
+    // promotes. Round-6 self-review: this silently dropped every
+    // pre-existing non-updated row of the touched partitions.
+    val path = java.nio.file.Files.createTempDirectory("lake_str").toString + "/t"
+    Seq((1L, "01", "a"), (2L, "01", "b"), (3L, "1e3", "c"), (4L, "+1", "d"),
+      (5L, "abc", "e"))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+    // untouched = every day= dir except the two the updates name (dir names
+    // for values like "+1" depend on the escaping scheme — don't guess it)
+    def untouchedStates(): Seq[(String, Long, Long)] =
+      new java.io.File(path).listFiles().toSeq
+        .filter(d => d.getName.startsWith("day=") &&
+          d.getName != "day=01" && d.getName != "day=1e3")
+        .flatMap(_.listFiles().toSeq.map(f => (f.getPath, f.length(), f.lastModified())))
+        .sorted
+    val before = untouchedStates()
+    assert(before.nonEmpty)
+
+    Lake.upsertByKey(spark, path,
+      Seq((2L, "01", "b2"), (3L, "1e3", "c2"), (9L, "01", "new"))
+        .toDF("id", "day", "v"),
+      Seq("id"), partitionCol = Some("day"))
+
+    assert(untouchedStates() === before, "untouched dirs stay put")
+    // the "abc" dir pins discovery to string for this assertion read, so
+    // values come back raw
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out === Seq((1L, "a", "01"), (2L, "b2", "01"), (3L, "c2", "1e3"),
+      (4L, "d", "+1"), (5L, "e", "abc"), (9L, "new", "01")),
+      "non-updated rows of touched partitions must survive")
+  }
+
   test("partition-pruned upsert recovers a crash between the swap renames " +
     "without losing the partition") {
     import spark.implicits._
