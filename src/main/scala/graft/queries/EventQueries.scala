@@ -342,5 +342,75 @@ object EventQueries {
              |FROM purchases p ASOF LEFT JOIN clicks c
              |  ON p.user_id = c.user_id AND p.tus >= c.ctus
              |ORDER BY p.event_id""".stripMargin)),
+
+    // PageRank centrality of the event-TYPE transition graph: edges are
+    // consecutive event types within each user's stream (which step of the
+    // journey funnels attention — the Markov-chain view of user behavior).
+    // Edge derivation is per-user lag (no global window); the iteration is
+    // graft.operators.PageRank — K=8 fixed rounds in FIXED-POINT pico-unit
+    // BIGINTs (exact integer sums; the only inexact ops are divisions of
+    // identical inputs + round-to-integer, which both engines decide
+    // identically). The oracle mirrors the iteration as K UNROLLED DuckDB
+    // CTEs with the same association — final doubles hash-match with no
+    // rounding tolerance.
+    {
+      val iters = 8
+      val d = 0.85
+      val oneMinusD = 1.0 - d // interpolated below so BOTH engines parse
+                              // the exact same binary double
+      val steps = (1 to iters).map { k =>
+        s"""dang$k AS (
+           |  SELECT CAST(COALESCE(SUM(r_mc), 0) AS BIGINT) AS dang_mc
+           |  FROM r${k - 1} LEFT JOIN deg USING (node) WHERE deg IS NULL),
+           |ins$k AS (
+           |  SELECT e.dst AS node,
+           |    CAST(SUM(CAST(round(r.r_mc / deg.deg) AS BIGINT)) AS BIGINT)
+           |      AS in_mc
+           |  FROM r${k - 1} r JOIN deg ON deg.node = r.node
+           |  JOIN edges e ON e.src = r.node
+           |  GROUP BY e.dst),
+           |r$k AS (
+           |  SELECT nodes.node,
+           |    CAST(round($oneMinusD * 1000000000000 / n +
+           |      $d * (COALESCE(in_mc, 0) + dang_mc / n)) AS BIGINT) AS r_mc
+           |  FROM nodes LEFT JOIN ins$k USING (node), dang$k, nn)""".stripMargin
+      }.mkString(",\n")
+      QueryDef(
+        "e_pagerank_types",
+        (s, dir) => {
+          val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          val edges = ev(s, dir)
+            .select(col("user_id"), col("tus"), col("event_id"), col("event_type"))
+            .withColumn("src", lag("event_type", 1).over(w))
+            .filter(col("src").isNotNull)
+            .select(col("src"), col("event_type").as("dst"))
+          graft.operators.PageRank.run(edges, iterations = iters, damping = d)
+            .orderBy("node")
+        },
+        Some(s"""WITH ev AS (
+               |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+               |  FROM events),
+               |edges AS (
+               |  SELECT src, dst FROM (
+               |    SELECT lag(event_type) OVER (PARTITION BY user_id
+               |             ORDER BY tus, event_id) AS src,
+               |           event_type AS dst
+               |    FROM ev)
+               |  WHERE src IS NOT NULL),
+               |nodes AS (
+               |  SELECT DISTINCT node FROM (
+               |    SELECT src AS node FROM edges
+               |    UNION ALL SELECT dst FROM edges)),
+               |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+               |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+               |        FROM edges GROUP BY src),
+               |r0 AS (SELECT node,
+               |         CAST(round(1000000000000.0 / n) AS BIGINT) AS r_mc
+               |       FROM nodes, nn),
+               |$steps
+               |SELECT node, CAST(r_mc AS DOUBLE) / 1000000000000.0 AS rank
+               |FROM r$iters ORDER BY node""".stripMargin)
+      )
+    },
   )
 }

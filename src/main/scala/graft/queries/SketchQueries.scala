@@ -147,6 +147,41 @@ object SketchQueries {
       },
       None),
 
+    // Mergeable Count-Min sketches — the 100 TB heavy-hitter / frequency
+    // architecture, the point-count sibling of a_hll_mergeable: sketch ONCE
+    // per partition (per day), persist the ~KB sketches, answer "how often
+    // did key k occur over any day range" by merging sketches instead of
+    // rescanning. CMS merge is counter-wise ADDITION — associative,
+    // commutative — so same-seed merged counters are bit-identical to
+    // sketching the union directly (asserted in SketchSpec with the
+    // one-sided error bound: estimate ≥ exact, ≤ exact + ε·N w.h.p.).
+    // The per-day agg is distributed; the merge + top-k probe touch only
+    // n_days sketch blobs and k candidate keys — the swap-list-size driver
+    // work this package allows by contract.
+    QueryDef(
+      "a_cms_topk",
+      (s, dir) => {
+        import org.apache.spark.util.sketch.CountMinSketch
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        val daily = ev.groupBy("day")
+          .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42))
+            .as("cms"))
+        val merged = daily.select("cms").collect() // bounded by #days
+          .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("cms")))
+          .reduce { (a, b) => a.mergeInPlace(b); a }
+        // true top-10 by exact count (deterministic tiebreak), probed
+        // against the merged sketch
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("user_id")).limit(10).collect()
+        import s.implicits._
+        top.map { r =>
+          val uid = r.getAs[Long]("user_id")
+          (uid, r.getAs[Long]("exact_n"), merged.estimateCount(uid))
+        }.toSeq.toDF("user_id", "exact_n", "cms_n").orderBy("user_id")
+      },
+      None),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): the classic date-spine
     // gap-fill — generate every day offset of 1995 recursively, left-join
     // daily order counts, emit zeros for silent days. Cross-engine text

@@ -567,6 +567,69 @@ object TextQueries {
              |FROM terms JOIN lp USING (t)
              |GROUP BY terms.doc_id ORDER BY terms.doc_id""".stripMargin)),
 
+    // Bigram language-model quality score: mean conditional log-probability
+    // ln p(b|a) = ln(c(a,b)+1) − ln(c(a·)+V) with add-1 smoothing over the
+    // unigram vocab — the next step up from t_unigram_lm's bag-of-words
+    // gate, sensitive to word ORDER (shuffled gibberish scores low even
+    // when its unigram mix is normal). Same cross-engine discipline as
+    // t_unigram_lm: transcendental inputs are small integers, 6-dp values
+    // become exact BIGINT micro-units, and the per-doc mean rounds in
+    // micro-space where true ties are exact dyadic .5 doubles. Scale: one
+    // bigram-count agg + a broadcastable (a,b)-keyed table (≤|V|²); docs
+    // with fewer than 2 tokens carry no bigrams and drop out (documented).
+    QueryDef(
+      "t_bigram_lm",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = "filter(split(text, ' '), x -> x != '')"
+        val bigrams = docs
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))"))
+            .as("bg"))
+          .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+        val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        val ctx = cab.groupBy("a").agg(sum("cab").as("ca"))
+        val vocab = docs.select(explode(expr(toks)).as("t"))
+          .agg(count_distinct(col("t")).as("v"))
+        val lp = cab.join(ctx, "a").crossJoin(vocab)
+          .select(col("a"), col("b"),
+            expr("CAST(round(round(ln(cab + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
+            expr("CAST(round(round(ln(CAST(ca + v AS DOUBLE)), 6) * 1e6) AS BIGINT)")
+              .as("ctx_mc"))
+        bigrams.join(lp, Seq("a", "b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (round((sum(col("lc_mc")) - sum(col("ctx_mc"))).cast("double")
+              / count(lit(1))) / lit(1e6)).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             |  FROM documents),
+             |bigrams AS (
+             |  SELECT doc_id, tk[i - 1] AS a, tk[i] AS b
+             |  FROM toks, LATERAL (SELECT unnest(generate_series(2, len(tk))) AS i)
+             |  WHERE len(tk) >= 2),
+             |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+             |        FROM bigrams GROUP BY a, b),
+             |ctx AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+             |vocab AS (
+             |  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+             |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+             |    FROM documents)),
+             |lp AS (SELECT a, b,
+             |         CAST(round(round(ln(cab + 1.0), 6) * 1e6) AS BIGINT) AS lc_mc,
+             |         CAST(round(round(ln(CAST(ca + v AS DOUBLE)), 6) * 1e6) AS BIGINT)
+             |           AS ctx_mc
+             |       FROM cab JOIN ctx USING (a), vocab)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  round(CAST(SUM(lc_mc) - SUM(ctx_mc) AS DOUBLE) / COUNT(*)) / 1e6
+             |    AS avg_logprob
+             |FROM bigrams JOIN lp USING (a, b)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // URL parsing (web-corpus metadata extraction): host / path / query-param
     // decomposition with Spark's native parse_url over URLs constructed from
     // document columns; the oracle states the equivalent regex extractions.

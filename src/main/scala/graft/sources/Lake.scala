@@ -295,6 +295,73 @@ object Lake {
     fs.delete(old, true)
   }
 
+  /** Slowly-changing-dimension TYPE-2 merge: the history-preserving upsert
+    * (dimension tables whose attribute changes must stay queryable
+    * "as of" any past time — training-data lineage, feature registries,
+    * entity metadata). Table rows carry `effective_from` / `effective_to`
+    * (NULL = still current) / `is_current` beside the data columns.
+    *
+    * Semantics per update row, MERGE-style:
+    *  - key exists, any non-key attribute differs → the reigning version is
+    *    CLOSED (`effective_to = asOf`, `is_current = false`) and the update
+    *    becomes the new current version (`effective_from = asOf`);
+    *  - key exists, attributes identical → no-op (re-running a batch is
+    *    idempotent — no version churn);
+    *  - new key → inserted as current.
+    * Historical (already-closed) versions are never touched. Committed via
+    * [[safeReplace]] (crash-safe swap). Updates are assumed key-unique.
+    *
+    * Scale shape: one read of the dimension, one hash join on the keys
+    * (dimensions are the small side of a lakehouse — broadcastable), one
+    * write; attribute comparison is a null-safe equality over the shared
+    * non-key columns, so adding attribute columns needs no code change.
+    */
+  def scdMerge(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], asOf: Long,
+      bootstrap: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val meta = Seq("effective_from", "effective_to", "is_current")
+    require(updates.columns.toSeq.intersect(meta).isEmpty,
+      s"updates must not carry the SCD metadata columns ${meta.mkString(",")}")
+    val attrs = updates.columns.toSeq.filterNot(keys.contains)
+    require(attrs.nonEmpty, "scdMerge needs at least one non-key attribute")
+    val asCurrent = updates
+      .withColumn("effective_from", lit(asOf))
+      .withColumn("effective_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    if (bootstrap) {
+      asCurrent.write.mode("errorifexists").parquet(path)
+      return
+    }
+    val table = spark.read.parquet(path)
+    val history = table.filter(!col("is_current"))
+    val current = table.filter(col("is_current"))
+    // null-safe attribute comparison: structs compare field-wise and <=>
+    // treats NULL = NULL as equal
+    val joined = current.join(asCurrent.select(
+        (keys.map(asCurrent(_)) :+
+          struct(attrs.map(c => asCurrent(c)): _*).as("__new_attrs")): _*),
+      keys, "left")
+    val changedOrKept = joined.select(
+      (keys.map(col) ++ attrs.map(col) ++ Seq(
+        col("effective_from"),
+        when(col("__new_attrs").isNotNull &&
+          !(struct(attrs.map(col): _*) <=> col("__new_attrs")), lit(asOf))
+          .otherwise(col("effective_to")).as("effective_to"),
+        (col("__new_attrs").isNull ||
+          (struct(attrs.map(col): _*) <=> col("__new_attrs"))).as("is_current"))): _*)
+    // new versions: updates whose key is absent OR whose attributes changed
+    val newVersions = asCurrent.join(
+      current.select((keys.map(current(_)) :+
+        struct(attrs.map(c => current(c)): _*).as("__cur_attrs")): _*),
+      keys, "left")
+      .filter(col("__cur_attrs").isNull ||
+        !(struct(attrs.map(col): _*) <=> col("__cur_attrs")))
+      .drop("__cur_attrs")
+    safeReplace(spark, path,
+      history.unionByName(changedOrKept).unionByName(newVersions))
+  }
+
   /** Small-file compaction: rewrite a parquet directory into ~`rowsPerFile`
     * sized files (streaming appends and per-batch writes accumulate tiny
     * files; scan cost at scale is dominated by file count, not bytes).

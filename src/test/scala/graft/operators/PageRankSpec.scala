@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int): Map[String, Double] =
+    PageRank.run(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+
+  /** Reference power iteration in plain doubles (same formula, same K). */
+  private def reference(edges: Seq[(String, String)], iters: Int,
+      d: Double = 0.85): Map[String, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(deg.contains).map(r).sum
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) / deg(e._1)).sum).toMap
+      r = nodes.map(v =>
+        v -> ((1 - d) / n + d * (in.getOrElse(v, 0.0) + dang / n))).toMap
+    }
+    r
+  }
+
+  test("two-node cycle converges to the uniform fixed point") {
+    val got = ranks(Seq(("a", "b"), ("b", "a")), 20)
+    assert(math.abs(got("a") - 0.5) < 1e-9 && math.abs(got("b") - 0.5) < 1e-9)
+  }
+
+  test("matches a plain-double power iteration on an asymmetric graph") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"))
+    val got = ranks(edges, 15)
+    val ref = reference(edges, 15)
+    assert(got.keySet === ref.keySet)
+    // pico-unit rounding drifts ≤ K·n·5e-13 from the double iteration
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - ref(v)) < 1e-8, s"$v: $r vs ${ref(v)}")
+    }
+    // c has the most in-links and must rank first
+    assert(got.maxBy(_._2)._1 === "c")
+  }
+
+  test("dangling mass is redistributed: ranks still sum to ~1") {
+    val got = ranks(Seq(("a", "b"), ("c", "b")), 12) // b has no out-edges
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, got.toString)
+    assert(got("b") > got("a") && got("a") === got("c"))
+    val ref = reference(Seq(("a", "b"), ("c", "b")), 12)
+    got.foreach { case (v, r) => assert(math.abs(r - ref(v)) < 1e-8) }
+  }
+
+  test("multigraph: a doubled edge carries double weight") {
+    val got = ranks(Seq(("a", "b"), ("a", "b"), ("a", "c")), 10)
+    val ref = reference(Seq(("a", "b"), ("a", "b"), ("a", "c")), 10)
+    got.foreach { case (v, r) => assert(math.abs(r - ref(v)) < 1e-8) }
+    assert(got("b") > got("c"))
+  }
+
+  test("empty edge list yields an empty result; zero iterations = uniform") {
+    assert(PageRank.run(Seq.empty[(String, String)].toDF("src", "dst"), 5)
+      .count() === 0)
+    val uniform = ranks(Seq(("a", "b"), ("b", "c"), ("c", "a")), 0)
+    uniform.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-9))
+  }
+}

@@ -25,6 +25,9 @@ class PlanSweepSpec extends SparkSpec {
     "a12_having_global", // scalar global agg × per-group rollup (1-row side)
     "t_tfidf", // per-term df frame × 1-row corpus doc count (idf input)
     "t_unigram_lm", // per-term counts × 1-row (total, vocab) stats frame
+    "t_bigram_lm", // per-bigram counts × 1-row vocab-size stats frame
+    "e_pagerank_types", // per-round 1-row dangling-mass scalar × node frame
+                        // (localCheckpoint severs most rounds from the plan)
     "s_pq_knn", // ADC scan: broadcast-size query set × compressed code table
     "a_hll_mergeable", // 1-row merged-sketch frame × 1-row direct/exact frame
     "s_ivfpq_knn" // bounded query×centroid probe pick; the CODE scan itself is an equi-join on cell (plan-asserted in IvfPqSpec)

@@ -385,6 +385,84 @@ class LakeSpec extends SparkSpec {
     assert(e3.getMessage.contains("outside the `where` scope"))
   }
 
+  test("scdMerge: type-2 history — close changed, keep unchanged, insert new, idempotent") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_scd").toString + "/dim"
+    // t=100: bootstrap three entities
+    Lake.scdMerge(spark, path,
+      Seq((1L, "alice", "eng"), (2L, "bob", "ops"), (3L, "cara", "eng"))
+        .toDF("id", "name", "team"),
+      Seq("id"), asOf = 100L, bootstrap = true)
+
+    // t=200: bob changes team, cara unchanged, dana is new
+    Lake.scdMerge(spark, path,
+      Seq((2L, "bob", "eng"), (3L, "cara", "eng"), (4L, "dana", "ops"))
+        .toDF("id", "name", "team"),
+      Seq("id"), asOf = 200L)
+
+    def snap(): Seq[(Long, String, String, Long, Option[Long], Boolean)] =
+      spark.read.parquet(path)
+        .select(col("id"), col("name"), col("team"), col("effective_from"),
+          col("effective_to"), col("is_current"))
+        .as[(Long, String, String, Long, Option[Long], Boolean)]
+        .collect().sortBy(r => (r._1, r._4)).toSeq
+    val expected = Seq(
+      (1L, "alice", "eng", 100L, None, true),        // untouched by batch 2
+      (2L, "bob", "ops", 100L, Some(200L), false),   // closed at 200
+      (2L, "bob", "eng", 200L, None, true),          // new version
+      (3L, "cara", "eng", 100L, None, true),         // unchanged: no churn
+      (4L, "dana", "ops", 200L, None, true))         // new key
+    assert(snap() === expected)
+
+    // re-running the same batch is a no-op (idempotence)
+    Lake.scdMerge(spark, path,
+      Seq((2L, "bob", "eng"), (3L, "cara", "eng"), (4L, "dana", "ops"))
+        .toDF("id", "name", "team"),
+      Seq("id"), asOf = 300L)
+    assert(snap() === expected, "identical batch must not create versions")
+
+    // t=400: alice changes; bob's HISTORY row stays untouched
+    Lake.scdMerge(spark, path,
+      Seq((1L, "alice", "ops")).toDF("id", "name", "team"),
+      Seq("id"), asOf = 400L)
+    assert(snap() === Seq(
+      (1L, "alice", "eng", 100L, Some(400L), false),
+      (1L, "alice", "ops", 400L, None, true),
+      (2L, "bob", "ops", 100L, Some(200L), false),
+      (2L, "bob", "eng", 200L, None, true),
+      (3L, "cara", "eng", 100L, None, true),
+      (4L, "dana", "ops", 200L, None, true)))
+
+    // as-of query: team roster at t=150 (the point-in-time read the
+    // history exists for)
+    val asOf150 = spark.read.parquet(path)
+      .filter(col("effective_from") <= 150 &&
+        (col("effective_to").isNull || col("effective_to") > 150))
+      .select("id", "team").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(asOf150 === Seq((1L, "eng"), (2L, "ops"), (3L, "eng")))
+
+    // NULL-attribute transitions are real changes both directions
+    Lake.scdMerge(spark, path,
+      Seq((4L, "dana", null: String)).toDF("id", "name", "team"),
+      Seq("id"), asOf = 500L)
+    Lake.scdMerge(spark, path,
+      Seq((4L, "dana", null: String)).toDF("id", "name", "team"),
+      Seq("id"), asOf = 600L) // same incl. NULL -> no-op
+    val dana = snap().filter(_._1 == 4L)
+    assert(dana === Seq(
+      (4L, "dana", "ops", 200L, Some(500L), false),
+      (4L, "dana", null, 500L, None, true)))
+
+    // metadata-column collisions and attr-free updates rejected loudly
+    intercept[IllegalArgumentException] {
+      Lake.scdMerge(spark, path,
+        Seq((1L, "x", true)).toDF("id", "name", "is_current"), Seq("id"), 700L)
+    }
+    intercept[IllegalArgumentException] {
+      Lake.scdMerge(spark, path, Seq(Tuple1(1L)).toDF("id"), Seq("id"), 700L)
+    }
+  }
+
   test("safeReplace swaps contents and sweeps crash leftovers") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_sr").toString + "/t"
