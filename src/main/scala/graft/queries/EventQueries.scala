@@ -359,17 +359,17 @@ object EventQueries {
       val oneMinusD = 1.0 - d // interpolated below so BOTH engines parse
                               // the exact same binary double
       val steps = (1 to iters).map { k =>
-        s"""dang$k AS (
+        s"""dang$k AS MATERIALIZED (
            |  SELECT CAST(COALESCE(SUM(r_mc), 0) AS BIGINT) AS dang_mc
            |  FROM r${k - 1} LEFT JOIN deg USING (node) WHERE deg IS NULL),
-           |ins$k AS (
+           |ins$k AS MATERIALIZED (
            |  SELECT e.dst AS node,
            |    CAST(SUM(CAST(round(r.r_mc / deg.deg) AS BIGINT)) AS BIGINT)
            |      AS in_mc
            |  FROM r${k - 1} r JOIN deg ON deg.node = r.node
            |  JOIN edges e ON e.src = r.node
            |  GROUP BY e.dst),
-           |r$k AS (
+           |r$k AS MATERIALIZED (
            |  SELECT nodes.node,
            |    CAST(round($oneMinusD * 1000000000000 / n +
            |      $d * (COALESCE(in_mc, 0) + dang_mc / n)) AS BIGINT) AS r_mc
@@ -387,24 +387,24 @@ object EventQueries {
           graft.operators.PageRank.run(edges, iterations = iters, damping = d)
             .orderBy("node")
         },
-        Some(s"""WITH ev AS (
+        Some(s"""WITH ev AS MATERIALIZED (
                |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
                |  FROM events),
-               |edges AS (
+               |edges AS MATERIALIZED (
                |  SELECT src, dst FROM (
                |    SELECT lag(event_type) OVER (PARTITION BY user_id
                |             ORDER BY tus, event_id) AS src,
                |           event_type AS dst
                |    FROM ev)
                |  WHERE src IS NOT NULL),
-               |nodes AS (
+               |nodes AS MATERIALIZED (
                |  SELECT DISTINCT node FROM (
                |    SELECT src AS node FROM edges
                |    UNION ALL SELECT dst FROM edges)),
-               |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-               |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+               |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+               |deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
                |        FROM edges GROUP BY src),
-               |r0 AS (SELECT node,
+               |r0 AS MATERIALIZED (SELECT node,
                |         CAST(round(1000000000000.0 / n) AS BIGINT) AS r_mc
                |       FROM nodes, nn),
                |$steps
