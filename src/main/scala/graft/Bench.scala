@@ -61,8 +61,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def recordErr(name: String, e: Throwable): Unit = {
       System.err.println(s"[bench] $name: $e")
-      errors.getOrElseUpdate(name,
-        e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+      errors.getOrElseUpdate(name, e.toString.take(200)) // JsonText escapes
     }
     val results = Registry.headline.map { q =>
       val times = (1 to 3).flatMap { _ =>
@@ -106,18 +105,25 @@ object Bench {
     // "total" stays the ROUND-COMPARABLE sum over the headline registry
     // only — the ANN search timings (new in round 6) ride in the per-query
     // maps and their own total, so cross-round total comparisons never see
-    // a phantom regression from a grown query set.
-    def median(t: Seq[Double]): Double = t((t.size - 1) / 2)
+    // a phantom regression from a grown query set. `n_failed` > 0 means the
+    // total covers a SMALLER set than other rounds — do not compare it
+    // without reading "errors".
+    // Upper median: for an even (partial-failure) sample this picks the
+    // conservative side rather than silently degrading to the min.
+    def median(t: Seq[Double]): Double = t(t.size / 2 min (t.size - 1))
     val all = (results ++ annResults).filter(_._2.nonEmpty)
     val qs = all.map { case (k, t) => "\"" + k + "\":" + median(t) }
       .mkString("{", ",", "}")
     val qsMin = all.map { case (k, t) => "\"" + k + "\":" + t.head }
       .mkString("{", ",", "}")
-    val total = results.filter(_._2.nonEmpty).map(r => median(r._2)).sum
+    val benched = results.filter(_._2.nonEmpty)
+    val total = benched.map(r => median(r._2)).sum
     val annTotal = annResults.filter(_._2.nonEmpty).map(r => median(r._2)).sum
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      JsonText.quote(k) + ":" + JsonText.quote(v)
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3",""" +
+      s""""n_queries":${benched.size},"n_failed":${Registry.headline.size - benched.size},""" +
       s""""ann_search_total":$annTotal,""" +
       s""""calibration":{"first":$calFirst,"last":$calLast},""" +
       s""""queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")

@@ -161,15 +161,17 @@ object VideoFrames {
       }.filter(_ > 0).getOrElse(33333L)
       list("movi").flatMap { case (lo, hi) =>
         // interleaved AVIs group frame chunks inside 'LIST rec ' sublists —
-        // flatten those transparently (one level is the spec'd shape, but
-        // recurse defensively)
-        def walk(clo: Int, chi: Int): Iterator[(String, Int, Int)] =
+        // flatten those transparently. Depth is BOUNDED: the spec'd shape is
+        // one level, and a crafted blob nesting 'LIST rec ' headers tens of
+        // thousands deep (12 bytes/level) would otherwise StackOverflow —
+        // which is fatal, NOT caught by the NonFatal fallback below.
+        def walk(clo: Int, chi: Int, depth: Int): Iterator[(String, Int, Int)] =
           chunks(content, clo, chi).flatMap {
-            case ("LIST", llo, lhi) if lhi >= llo + 4 &&
-                fourcc(content, llo) == "rec " => walk(llo + 4, lhi)
+            case ("LIST", llo, lhi) if depth < 16 && lhi >= llo + 4 &&
+                fourcc(content, llo) == "rec " => walk(llo + 4, lhi, depth + 1)
             case other => Iterator.single(other)
           }
-        val frames = walk(lo, hi).collect {
+        val frames = walk(lo, hi, 0).collect {
           case (id, flo, fhi) if id.endsWith("dc") || id.endsWith("db") =>
             java.util.Arrays.copyOfRange(content, flo, fhi)
         }.toSeq

@@ -56,6 +56,7 @@ object PageRank {
     // r0 = round(Unit / N) pico each
     var ranks = nodes.withColumn("r_mc",
       round(lit(Unit.toDouble) / nD).cast("long"))
+    val intermediates = scala.collection.mutable.Buffer.empty[DataFrame]
     for (i <- 1 to iterations) {
       val withDeg = ranks.join(deg, Seq("node"), "left")
       // dangling mass: exact BIGINT sum over nodes with no out-edges
@@ -75,10 +76,28 @@ object PageRank {
             .cast("long").as("r_mc"))
       // checkpoint every few rounds: K joins would otherwise stack into one
       // unboundedly deep plan (analysis cost + no stage reuse)
-      ranks = if (i % 5 == 0 || i == iterations) next.localCheckpoint(true)
-        else next
+      ranks = if (i % 5 == 0 || i == iterations) {
+        val cp = next.localCheckpoint(true)
+        intermediates += cp
+        cp
+      } else next
     }
-    ranks.select(col("node"),
+    // Materialize the result as its own checkpoint, then RELEASE every
+    // intermediate cache (nodes, deg, per-5-round ranks — the cache-leak
+    // class the round-5 ADVICE flagged on IVF-PQ). What remains cached is
+    // exactly one O(|V|) block backing the returned frame.
+    val result = ranks.select(col("node"),
       (col("r_mc").cast("double") / Unit.toDouble).as("rank"))
+      .localCheckpoint(true)
+    (intermediates.toSeq :+ nodes :+ deg).foreach(releaseCheckpoint)
+    result
   }
+
+  /** Unpersist the RDD behind a localCheckpoint'd frame (Dataset.unpersist
+    * only clears cache-manager entries, not checkpoint RDD persistence). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

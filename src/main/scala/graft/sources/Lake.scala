@@ -197,6 +197,20 @@ object Lake {
     val existingDirs = dirNames
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(rootP, d)))
       .map(d => new org.apache.hadoop.fs.Path(rootP, d).toString)
+    // Schema-drift guard: the declared-schema read below silently PROJECTS
+    // — a table column missing from `updates` would be dropped from every
+    // touched partition on the rewrite (and an updates-only column would
+    // backfill nulls) with no error. Fail loudly instead, like the old
+    // inference+unionByName path did (round-6 self-review). One footer
+    // probe of one touched directory; partition columns aren't in files.
+    if (existingDirs.nonEmpty) {
+      val fileCols = spark.read.parquet(existingDirs.head).columns.toSet
+      val expect = u.columns.toSet - p
+      require(fileCols == expect,
+        s"upsertByKey: updates schema {${u.columns.sorted.mkString(",")}} does " +
+          s"not match table columns {${(fileCols + p).toSeq.sorted.mkString(",")}} " +
+          "— a declared-schema merge would silently drop or null-fill columns")
+    }
     val merged =
       if (dataKeys.isEmpty || existingDirs.isEmpty) u // wholesale replace /
         // brand-new partitions: nothing old survives or exists
@@ -325,6 +339,12 @@ object Lake {
       s"updates must not carry the SCD metadata columns ${meta.mkString(",")}")
     val attrs = updates.columns.toSeq.filterNot(keys.contains)
     require(attrs.nonEmpty, "scdMerge needs at least one non-key attribute")
+    // NULL keys never join-match (NULL != NULL), so a NULL-key update would
+    // be re-classified "new" on EVERY run — version accumulation instead of
+    // idempotence. Reject loudly, like the pruned upsert does for NULL
+    // partition values.
+    require(updates.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      "scdMerge: updates contain NULL key values — clean the feed first")
     val asCurrent = updates
       .withColumn("effective_from", lit(asOf))
       .withColumn("effective_to", lit(null).cast("long"))
@@ -342,6 +362,15 @@ object Lake {
         (keys.map(asCurrent(_)) :+
           struct(attrs.map(c => asCurrent(c)): _*).as("__new_attrs")): _*),
       keys, "left")
+    // Out-of-order guard: closing a version that became current AFTER asOf
+    // would write an inverted interval ([from, to) with to < from) and make
+    // point-in-time reads match two versions of the key. Batches must be
+    // applied in asOf order; fail loudly on a late arrival.
+    require(joined.filter(col("__new_attrs").isNotNull &&
+        !(struct(attrs.map(col): _*) <=> col("__new_attrs")) &&
+        col("effective_from") > asOf).isEmpty,
+      s"scdMerge: asOf=$asOf precedes the effective_from of a version it " +
+        "would close — apply batches in effective-time order")
     val changedOrKept = joined.select(
       (keys.map(col) ++ attrs.map(col) ++ Seq(
         col("effective_from"),

@@ -27,18 +27,10 @@ object VerifyOne {
       SparkEntry.queries(name)(spark, args(0)).coalesce(1)
         .write.mode("overwrite").parquet(s"${args(1)}/$name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     Files.writeString(Paths.get(s"${args(1)}/oracle_sql.json"),
-      SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-        .mkString("{", ",", "}"))
+      SparkEntry.oracleSql.map { case (k, v) =>
+        s"${graft.JsonText.quote(k)}: ${graft.JsonText.quote(v)}"
+      }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -373,6 +373,20 @@ class MultimodalSpec extends SparkSpec {
     val bad = miniAvi(Seq(jpegs.head, "junk frame".getBytes), 40000L)
     assert(VideoFrames.decodeMjpegAvi(bad).isEmpty)
     assert(VideoFrames.decodeMjpegAvi(fixtureGif).isEmpty)
+    // a crafted blob nesting 'LIST rec ' headers very deep must return None
+    // (bounded walk), not blow the task stack with a fatal StackOverflow
+    val depth = 100000
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes("ISO-8859-1")); bos.write(Array[Byte](0, 0, 0, 127))
+    bos.write("AVI ".getBytes("ISO-8859-1"))
+    bos.write("LIST".getBytes("ISO-8859-1")); bos.write(Array[Byte](-1, -1, -1, 126))
+    bos.write("movi".getBytes("ISO-8859-1"))
+    (1 to depth).foreach { _ =>
+      bos.write("LIST".getBytes("ISO-8859-1"))
+      bos.write(Array[Byte](-1, -1, -1, 126)) // huge size, clamped to hi
+      bos.write("rec ".getBytes("ISO-8859-1"))
+    }
+    assert(VideoFrames.decodeMjpegAvi(bos.toByteArray).isEmpty)
     // decode() dispatches both containers
     assert(VideoFrames.decode(avi).get.size === 2)
     assert(VideoFrames.decode(fixtureGif).get.size === 3)

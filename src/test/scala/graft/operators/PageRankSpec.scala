@@ -60,6 +60,16 @@ class PageRankSpec extends SparkSpec {
     assert(got("b") > got("c"))
   }
 
+  test("releases its intermediate caches: at most one O(|V|) block remains") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = PageRank.run(
+      Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")).toDF("src", "dst"), 12)
+    df.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"leaked ${after - before} cached RDDs (nodes/deg/round checkpoints)")
+  }
+
   test("empty edge list yields an empty result; zero iterations = uniform") {
     assert(PageRank.run(Seq.empty[(String, String)].toDF("src", "dst"), 5)
       .count() === 0)

@@ -463,6 +463,50 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("scdMerge: NULL keys and out-of-order asOf batches are rejected loudly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_scd2").toString + "/dim"
+    Lake.scdMerge(spark, path, Seq((1L, "a")).toDF("id", "v"),
+      Seq("id"), asOf = 100L, bootstrap = true)
+    Lake.scdMerge(spark, path, Seq((1L, "b")).toDF("id", "v"), Seq("id"), 200L)
+    // NULL key would re-insert as "new" on every run (NULL never joins)
+    intercept[IllegalArgumentException] {
+      Lake.scdMerge(spark, path,
+        Seq((Option.empty[Long], "x")).toDF("id", "v"), Seq("id"), 300L)
+    }
+    // late batch closing a NEWER version would write an inverted interval
+    val e = intercept[IllegalArgumentException] {
+      Lake.scdMerge(spark, path, Seq((1L, "c")).toDF("id", "v"), Seq("id"), 150L)
+    }
+    assert(e.getMessage.contains("effective-time order"))
+    // table unchanged by the rejected batches
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
+  test("partition-pruned upsert rejects schema drift between updates and table") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_drift").toString + "/t"
+    Seq((1L, 1, "a", 9.9), (2L, 2, "b", 8.8))
+      .toDF("id", "day", "v", "extra").write.partitionBy("day").parquet(path)
+    // updates MISSING the `extra` column: a declared-schema merge would
+    // silently drop `extra` from every touched partition
+    val e = intercept[IllegalArgumentException] {
+      Lake.upsertByKey(spark, path, Seq((1L, 1, "a2")).toDF("id", "day", "v"),
+        Seq("id"), partitionCol = Some("day"))
+    }
+    assert(e.getMessage.contains("does not match table columns"))
+    // updates with an EXTRA column the table lacks: silent null-backfill
+    intercept[IllegalArgumentException] {
+      Lake.upsertByKey(spark, path,
+        Seq((1L, 1, "a2", 9.9, true)).toDF("id", "day", "v", "extra", "novel"),
+        Seq("id"), partitionCol = Some("day"))
+    }
+    // table untouched by the rejected merges
+    assert(spark.read.parquet(path).columns.toSet ===
+      Set("id", "day", "v", "extra"))
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
   test("safeReplace swaps contents and sweeps crash leftovers") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_sr").toString + "/t"
