@@ -391,6 +391,23 @@ object Lake {
       history.unionByName(changedOrKept).unionByName(newVersions))
   }
 
+  /** SCD retention: drop CLOSED versions whose validity ended before
+    * `horizon` (current rows and versions still valid at the horizon are
+    * always kept, so any as-of query at t ≥ horizon still answers
+    * correctly). The GDPR/retention companion to [[scdMerge]]; committed
+    * via [[safeReplace]]. Returns (rowsBefore, rowsAfter).
+    */
+  def scdVacuum(spark: SparkSession, path: String, horizon: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val table = spark.read.parquet(path)
+    val before = table.count()
+    val kept = table.filter(col("is_current") ||
+      col("effective_to").isNull || col("effective_to") > horizon)
+    val after = kept.count()
+    if (after < before) safeReplace(spark, path, kept)
+    (before, after)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into ~`rowsPerFile`
     * sized files (streaming appends and per-batch writes accumulate tiny
     * files; scan cost at scale is dominated by file count, not bytes).

@@ -463,6 +463,26 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("scdVacuum drops only versions expired before the horizon") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_vac").toString + "/dim"
+    Lake.scdMerge(spark, path, Seq((1L, "a"), (2L, "x")).toDF("id", "v"),
+      Seq("id"), asOf = 100L, bootstrap = true)
+    Lake.scdMerge(spark, path, Seq((1L, "b")).toDF("id", "v"), Seq("id"), 200L)
+    Lake.scdMerge(spark, path, Seq((1L, "c")).toDF("id", "v"), Seq("id"), 300L)
+    // versions: 1:[100,200) [200,300) [300,∞); 2:[100,∞)
+    val (b1, a1) = Lake.scdVacuum(spark, path, horizon = 250L)
+    assert((b1, a1) === ((4L, 3L))) // only 1:[100,200) expired before 250
+    // as-of at the horizon still answers
+    val at250 = spark.read.parquet(path)
+      .filter(col("effective_from") <= 250 &&
+        (col("effective_to").isNull || col("effective_to") > 250))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(at250 === Seq((1L, "b"), (2L, "x")))
+    // idempotent when nothing expires
+    assert(Lake.scdVacuum(spark, path, horizon = 250L) === ((3L, 3L)))
+  }
+
   test("scdMerge: NULL keys and out-of-order asOf batches are rejected loudly") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_scd2").toString + "/dim"
