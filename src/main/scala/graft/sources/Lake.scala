@@ -399,12 +399,18 @@ object Lake {
     */
   def scdVacuum(spark: SparkSession, path: String, horizon: Long): (Long, Long) = {
     import org.apache.spark.sql.functions.col
-    val table = spark.read.parquet(path)
+    // one read: history tables can be large and count/filter/rewrite would
+    // otherwise scan the files three times
+    val table = spark.read.parquet(path).localCheckpoint(true)
     val before = table.count()
     val kept = table.filter(col("is_current") ||
       col("effective_to").isNull || col("effective_to") > horizon)
     val after = kept.count()
     if (after < before) safeReplace(spark, path, kept)
+    table.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
     (before, after)
   }
 
