@@ -112,6 +112,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("backwardSalted matches the brute-force oracle across random seeds, " +
+    "tolerances, and split counts") {
+    // property-style sweep: the salted variant must equal the brute oracle
+    // (not just `backward`) on freshly drawn data per configuration —
+    // varied key skew, time ranges, tolerance, and bucket counts
+    for (seed <- Seq(11, 23, 47); nSplits <- Seq(2, 5); tol <- Seq(None, Some(20L))) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(6)
+      val span = 50 + rnd.nextInt(200)
+      val l = Seq.tabulate(250)(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(span).toLong, i.toLong))
+      val r = Seq.tabulate(150)(i =>
+          (rnd.nextInt(nKeys).toLong, rnd.nextInt(span).toLong, i.toLong))
+        .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+      val got = AsofJoin.backwardSalted(
+          l.toDF("k", "lt", "lid"), r.toDF("k", "rt", "pay"),
+          Seq("k"), "lt", "rt", Seq("pay"), matchedTimeCol = "mt",
+          tolerance = tol, nSplits = nSplits)
+        .collect()
+        .map(row => row.getAs[Long]("lid") ->
+          (if (row.isNullAt(row.fieldIndex("pay"))) None
+           else Some(row.getAs[Long]("pay"))))
+        .toMap
+      val expected = l.map { case (k, t, lid) =>
+        val cands = r.filter(x => x._1 == k && x._2 <= t &&
+          tol.forall(w => t - x._2 <= w))
+        lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      assert(got === expected, s"seed=$seed nSplits=$nSplits tol=$tol")
+    }
+  }
+
   test("composite keys partition matches independently") {
     val q = Seq((1L, "x", 10L, "k1x"), (1L, "y", 10L, "k1y"), (2L, "x", 10L, "k2x"))
       .toDF("k1", "k2", "qt", "v")
