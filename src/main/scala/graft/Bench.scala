@@ -44,6 +44,11 @@ object Bench {
       t(1)
     }
     calibrate() // untimed warm (codegen + classloading)
+    // Per-FAMILY calibration (round-6 VERDICT #4: a load spike during the ANN
+    // phase poisoned exactly those medians and only the global first/last pair
+    // existed — the contended window was not attributable). One probe before
+    // each bench family plus the trailing one makes any contended window
+    // mechanically attributable to the family it preceded.
     val calFirst = calibrate()
 
     // Warm each headline query once on the smallest SF so timings measure
@@ -75,6 +80,7 @@ object Bench {
     // ANN search benches: the index is a built artifact (its cost is KMeans
     // fits, which would swamp the engine signal) — build OUTSIDE the timed
     // region, then time search only (round-5 VERDICT #5).
+    val calAnn = calibrate()
     val annResults = try {
       import org.apache.spark.sql.functions.col
       val vecs = graft.sources.Tables.embeddings(spark, sfDir)
@@ -108,6 +114,11 @@ object Bench {
     // a phantom regression from a grown query set. `n_failed` > 0 means the
     // total covers a SMALLER set than other rounds — do not compare it
     // without reading "errors".
+    // Partial failures (1-2 of 3 runs threw) are EXCLUDED from "total" and
+    // counted in `n_partial` (round-6 ADVICE: a median over the surviving
+    // runs of a partially-failed query contaminated the round-comparable
+    // total while n_failed stayed 0). Their surviving timings still appear
+    // in the per-query maps for diagnosis.
     // Upper median: for an even (partial-failure) sample this picks the
     // conservative side rather than silently degrading to the min.
     def median(t: Seq[Double]): Double = t(t.size / 2 min (t.size - 1))
@@ -116,16 +127,18 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMin = all.map { case (k, t) => "\"" + k + "\":" + t.head }
       .mkString("{", ",", "}")
-    val benched = results.filter(_._2.nonEmpty)
-    val total = benched.map(r => median(r._2)).sum
+    val clean = results.filter(_._2.size == 3)
+    val nPartial = results.count(r => r._2.nonEmpty && r._2.size < 3)
+    val total = clean.map(r => median(r._2)).sum
     val annTotal = annResults.filter(_._2.nonEmpty).map(r => median(r._2)).sum
     val errJson = errors.map { case (k, v) =>
       JsonText.quote(k) + ":" + JsonText.quote(v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3",""" +
-      s""""n_queries":${benched.size},"n_failed":${Registry.headline.size - benched.size},""" +
+      s""""n_queries":${clean.size},"n_failed":${Registry.headline.size - clean.size - nPartial},""" +
+      s""""n_partial":$nPartial,""" +
       s""""ann_search_total":$annTotal,""" +
-      s""""calibration":{"first":$calFirst,"last":$calLast},""" +
+      s""""calibration":{"first":$calFirst,"ann":$calAnn,"last":$calLast},""" +
       s""""queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -456,11 +456,17 @@ object Multimodal {
       val content = if (a.content == null) Array.empty[Byte] else a.content
       val grid = 0L.to(a.duration_ms, everyMs).zipWithIndex
       VideoFrames.decode(content) match {
-        case Some(frames) =>
+        case Some(frames0) =>
+          val frames = frames0.toIndexedSeq
           val pngCache = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+          // grid and frames are both time-ordered, so one merged pass finds
+          // each grid point's presentation frame (at-or-before ts, first
+          // frame starts at 0) — O(grid + frames), not the O(grid × frames)
+          // takeWhile rescan this replaced
+          var fi = 0
           grid.map { case (ts, no) =>
-            // presentation frame at-or-before ts (first frame starts at 0)
-            val f = frames.takeWhile(_.tsMs <= ts).lastOption.getOrElse(frames.head)
+            while (fi + 1 < frames.length && frames(fi + 1).tsMs <= ts) fi += 1
+            val f = if (frames(fi).tsMs <= ts) frames(fi) else frames.head
             Frame(a.asset_id, no, ts,
               pngCache.getOrElseUpdate(f.index, VideoFrames.encodePng(f)))
           }

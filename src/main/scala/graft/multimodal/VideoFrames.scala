@@ -28,9 +28,18 @@ object VideoFrames {
   final case class DecodedFrame(index: Int, tsMs: Long, width: Int,
       height: Int, argb: Array[Int])
 
+  /** Default decoded-pixel budget per container: 64M ARGB pixels = 256 MB.
+    * Decoding holds every composited frame in task memory (w·h·4·nFrames
+    * bytes — a 1080p GIF with hundreds of frames is multi-GB), so a
+    * container whose frame count × canvas area exceeds the budget is
+    * refused up front and the caller falls back to the stub instead of
+    * OOMing the executor. */
+  val DefaultMaxPixels: Long = 64L << 20
+
   /** Try GIF, then MJPEG-AVI; None → caller falls back to the stub. */
-  def decode(content: Array[Byte]): Option[Seq[DecodedFrame]] =
-    decodeGif(content).orElse(decodeMjpegAvi(content))
+  def decode(content: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): Option[Seq[DecodedFrame]] =
+    decodeGif(content, maxPixels).orElse(decodeMjpegAvi(content, maxPixels))
 
   // ---------------------------------------------------------------- GIF --
 
@@ -47,8 +56,10 @@ object VideoFrames {
     None
   }
 
-  /** None unless the bytes are a GIF with ≥ 1 decodable frame. */
-  def decodeGif(content: Array[Byte]): Option[Seq[DecodedFrame]] = {
+  /** None unless the bytes are a GIF with ≥ 1 decodable frame whose total
+    * composited output fits `maxPixels`. */
+  def decodeGif(content: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): Option[Seq[DecodedFrame]] = {
     if (content == null || content.length < 6 ||
       !(content(0) == 'G' && content(1) == 'I' && content(2) == 'F')) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -69,6 +80,9 @@ object VideoFrames {
           .zip(gifAttr(streamTree,
             "LogicalScreenDescriptor", "logicalScreenHeight").map(_.toInt))
         val (cw, ch) = screen.getOrElse((reader.getWidth(0), reader.getHeight(0)))
+        // budget check BEFORE any frame decode: canvas area × frame count is
+        // exactly the memory the composited output will hold
+        if (cw.toLong * ch * n > maxPixels) return None
         val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_ARGB)
         val g = canvas.createGraphics()
         var ts = 0L
@@ -142,8 +156,10 @@ object VideoFrames {
 
   /** None unless the bytes are a RIFF AVI whose video chunks all decode as
     * JPEG (a single undecodable frame fails the whole container — partial
-    * pixel output would be silently wrong data). */
-  def decodeMjpegAvi(content: Array[Byte]): Option[Seq[DecodedFrame]] = {
+    * pixel output would be silently wrong data) and whose total decoded
+    * output fits `maxPixels`. */
+  def decodeMjpegAvi(content: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): Option[Seq[DecodedFrame]] = {
     if (content == null || content.length < 12 ||
       fourcc(content, 0) != "RIFF" || fourcc(content, 8) != "AVI ") return None
     try {
@@ -175,11 +191,18 @@ object VideoFrames {
           case (id, flo, fhi) if id.endsWith("dc") || id.endsWith("db") =>
             java.util.Arrays.copyOfRange(content, flo, fhi)
         }.toSeq
-        val decoded = frames.map(Multimodal.ImageCodec.decode)
-        if (decoded.isEmpty || decoded.exists(_.isEmpty)) None
-        else Some(decoded.flatten.zipWithIndex.map { case (d, i) =>
-          DecodedFrame(i, i * usPerFrame / 1000L, d.width, d.height, d.argb)
-        })
+        // budget check on the FIRST frame's dims × frame count (MJPEG frames
+        // share dimensions in any real AVI) before decoding the rest
+        val first = frames.headOption.flatMap(Multimodal.ImageCodec.decode)
+        if (first.exists(f => f.width.toLong * f.height * frames.size > maxPixels))
+          None
+        else {
+          val decoded = frames.map(Multimodal.ImageCodec.decode)
+          if (decoded.isEmpty || decoded.exists(_.isEmpty)) None
+          else Some(decoded.flatten.zipWithIndex.map { case (d, i) =>
+            DecodedFrame(i, i * usPerFrame / 1000L, d.width, d.height, d.argb)
+          })
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }

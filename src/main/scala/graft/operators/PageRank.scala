@@ -69,7 +69,11 @@ object PageRank {
         .select(col("dst").as("node"),
           round(col("r_mc") / col("deg")).cast("long").as("c_mc"))
       val inSums = contribs.groupBy("node").agg(sum(col("c_mc")).as("in_mc"))
-      val next = nodes.join(inSums, Seq("node"), "left").crossJoin(dangling)
+      // explicit broadcast of the 1-row dangling frame: AQE would usually
+      // pick it anyway, but plan stability at scale should not depend on a
+      // runtime re-plan (same discipline as AsofJoin's span frame)
+      val next = nodes.join(inSums, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           round(lit(oneMinusD) * Unit / nD + lit(damping) *
             (coalesce(col("in_mc"), lit(0L)) + col("dang_mc") / nD))

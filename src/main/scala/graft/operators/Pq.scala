@@ -53,19 +53,25 @@ object Pq {
     // sample — run them as concurrent Spark jobs instead of a serial driver
     // loop: at scale the serial form multiplies wall-clock passes by m
     // (round-5 VERDICT #3). Results keep subspace order via the indexed map.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // BOUNDED pool (not the unbounded global EC): all m fits racing at once
+    // contend for executors and driver memory at large m; a fixed pool of 4
+    // pipelines them instead.
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val cents = Await.result(
-      Future.sequence((0 until m).map { j => Future {
-        val sub = sample.select(array_to_vector(
-          slice(col("embedding").cast("array<double>"), j * subDim + 1, subDim))
-          .as("features"))
-        val km = new KMeans().setK(k).setSeed(seed + j)
-          .setFeaturesCol("features").setPredictionCol("c").fit(sub)
-        km.clusterCenters.toSeq.map(_.toArray.toSeq)
-      }}.toSeq),
-      Duration.Inf)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(4, m))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val cents = try {
+      Await.result(
+        Future.sequence((0 until m).map { j => Future {
+          val sub = sample.select(array_to_vector(
+            slice(col("embedding").cast("array<double>"), j * subDim + 1, subDim))
+            .as("features"))
+          val km = new KMeans().setK(k).setSeed(seed + j)
+            .setFeaturesCol("features").setPredictionCol("c").fit(sub)
+          km.clusterCenters.toSeq.map(_.toArray.toSeq)
+        }}.toSeq),
+        Duration.Inf)
+    } finally pool.shutdown()
     if (ownSample) sample.unpersist()
     Codebooks(m, k, subDim, cents)
   }

@@ -31,7 +31,10 @@ object Registry {
       // round-5 operators. s_pq_knn is deliberately NOT benched: its cost is
       // 16 MLlib KMeans fits (index build), which would swamp the engine
       // signal the bench exists to trend.
-      "e_asof_join", "d_fuzzy_verify", "a_hll_mergeable", "t_chunk")
+      "e_asof_join", "d_fuzzy_verify", "a_hll_mergeable", "t_chunk",
+      // round-7: new operator families from round 6 with no timing trend yet,
+      // plus the CMS mergeable-sketch path (round-6 VERDICT #4/#7)
+      "e_pagerank_types", "t_bigram_lm", "a_cms_topk")
     val known = all.map(_.name).toSet
     val missing = picks.diff(known)
     require(missing.isEmpty, s"headline picks not in registry: $missing")

@@ -345,6 +345,14 @@ object Lake {
     // partition values.
     require(updates.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty,
       "scdMerge: updates contain NULL key values — clean the feed first")
+    // "Updates are assumed key-unique" is a documented precondition, but a
+    // violating batch would SILENTLY write multiple is_current versions per
+    // key — breaking as-of reads and idempotence — so validate it as loudly
+    // as the NULL-key and out-of-order guards do.
+    require(updates.groupBy(keys.map(col(_)): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      "scdMerge: updates contain duplicate keys — a batch must carry at " +
+        "most one version per key (dedup-keep-last the feed first)")
     val asCurrent = updates
       .withColumn("effective_from", lit(asOf))
       .withColumn("effective_to", lit(null).cast("long"))
@@ -431,9 +439,15 @@ object Lake {
       n
     }
     val before = parquetFiles
-    val df = spark.read.parquet(path)
+    // one read: count() then the safeReplace rewrite would otherwise scan
+    // the directory twice (same fix as scdVacuum above)
+    val df = spark.read.parquet(path).localCheckpoint(true)
     val nFiles = math.max(1, math.ceil(df.count().toDouble / rowsPerFile).toInt)
     safeReplace(spark, path, df.repartition(nFiles))
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
     (before, parquetFiles)
   }
 

@@ -329,6 +329,17 @@ class MultimodalSpec extends SparkSpec {
     assert(VideoFrames.decodeGif("plain text".getBytes).isEmpty)
   }
 
+  test("VideoFrames: decoded-pixel budget refuses oversized containers") {
+    // fixture needs 4·2·3 = 24 pixels of canvas; a budget of 23 refuses it
+    // (→ stub fallback) instead of holding the composited frames in memory
+    assert(VideoFrames.decodeGif(fixtureGif, maxPixels = 23L).isEmpty)
+    assert(VideoFrames.decodeGif(fixtureGif, maxPixels = 24L).nonEmpty)
+    // two 4x2 JPEG frames = 16 decoded pixels total
+    val avi = miniAvi(Seq(jpegOf(0x804020), jpegOf(0x2060a0)), usPerFrame = 40000L)
+    assert(VideoFrames.decodeMjpegAvi(avi, maxPixels = 15L).isEmpty)
+    assert(VideoFrames.decodeMjpegAvi(avi, maxPixels = 16L).nonEmpty)
+  }
+
   /** Minimal RIFF AVI wrapping the given frame payloads as MJPEG chunks:
     * LIST(hdrl){avih(usPerFrame, totalFrames)} + LIST(movi){00dc...}. */
   private def miniAvi(frames: Seq[Array[Byte]], usPerFrame: Long): Array[Byte] = {

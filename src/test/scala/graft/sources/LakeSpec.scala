@@ -499,6 +499,13 @@ class LakeSpec extends SparkSpec {
       Lake.scdMerge(spark, path, Seq((1L, "c")).toDF("id", "v"), Seq("id"), 150L)
     }
     assert(e.getMessage.contains("effective-time order"))
+    // duplicate-key batch would silently write TWO is_current versions of
+    // key 1, breaking as-of reads and idempotence
+    val dup = intercept[IllegalArgumentException] {
+      Lake.scdMerge(spark, path,
+        Seq((1L, "c"), (1L, "d")).toDF("id", "v"), Seq("id"), 300L)
+    }
+    assert(dup.getMessage.contains("duplicate keys"))
     // table unchanged by the rejected batches
     assert(spark.read.parquet(path).count() === 2)
   }
