@@ -12,6 +12,7 @@ object Registry {
       SetOpQueries.defs ++
       EventQueries.defs ++
       TextQueries.defs ++
+      BpeQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       SketchQueries.defs ++
