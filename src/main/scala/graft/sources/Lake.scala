@@ -234,16 +234,102 @@ object Lake {
     stageAndSwapPartitions(spark, rootP, p, dirNames, merged)
   }
 
+  /** Batch delete-by-key (the GDPR / right-to-be-forgotten path): rows whose
+    * key appears in `deletes` are removed; absent keys are a no-op (SQL
+    * DELETE semantics). Same two physical paths as [[upsertByKey]]:
+    *
+    *  - **`partitionCol = None`**: whole-table anti-join + [[safeReplace]].
+    *  - **`partitionCol = Some(p)`** (`p` must be one of `keys`): only the
+    *    directories named by the deletes' `p` values are read (declared
+    *    schema — the same dirname-inference trap as the pruned upsert),
+    *    anti-joined once, and swapped with the same crash discipline; a
+    *    partition emptied entirely is REMOVED. Directories the deletes
+    *    don't name are untouched on disk. A crashed run must be re-run:
+    *    recovery restores any half-deleted partition from `.upsert_old/`
+    *    first (never destroys the last copy), and the re-run converges.
+    *
+    * NULL key values are rejected loudly — NULL never equi-joins, so a
+    * NULL-key delete would silently remove nothing.
+    */
+  def deleteByKey(spark: SparkSession, path: String, deletes: DataFrame,
+      keys: Seq[String], partitionCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "deleteByKey needs at least one key column")
+    val missing = keys.filterNot(deletes.columns.contains)
+    require(missing.isEmpty, s"deleteByKey: deletes lack key columns $missing")
+    val d = deletes.select(keys.map(col(_)): _*).distinct()
+    require(d.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      "deleteByKey: deletes contain NULL key values — NULL never matches, " +
+        "the rows would silently survive")
+    partitionCol match {
+      case None =>
+        val remaining = spark.read.parquet(path).join(d, keys, "left_anti")
+        safeReplace(spark, path, remaining)
+      case Some(p) =>
+        require(keys.contains(p),
+          s"deleteByKey: pruned path needs the partition column '$p' among " +
+            "the keys — without it the touched directories are unknowable")
+        deletePruned(spark, path, d, keys, p)
+    }
+  }
+
+  private def deletePruned(spark: SparkSession, path: String,
+      deletes: DataFrame, keys: Seq[String], p: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootP), s"deleteByKey: $path does not exist")
+    val visible = fs.listStatus(rootP).filterNot { s =>
+      val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+    }
+    require(visible.forall(s => s.isDirectory && s.getPath.getName.startsWith(s"$p=")),
+      s"deleteByKey: $path is not hive-partitioned on '$p'")
+    val del = deletes.localCheckpoint(true)
+    val vals = del.select(p).distinct().collect().map(_.get(0))
+    val dirNames = vals.map(v =>
+      s"$p=${ExternalCatalogUtils.escapePathName(v.toString)}").toSeq
+    dirNames.foreach(restoreCrashedSwap(fs, rootP, _))
+    val existingDirs = dirNames
+      .filter(dn => fs.exists(new org.apache.hadoop.fs.Path(rootP, dn)))
+    if (existingDirs.nonEmpty) {
+      val dirPaths = existingDirs.map(dn =>
+        new org.apache.hadoop.fs.Path(rootP, dn).toString)
+      // declared schema = one touched directory's file schema + the
+      // partition column TYPED AS THE DELETES DECLARE IT, so the dirname
+      // parses back to a value that equi-joins the delete keys exactly
+      // (discovery inference is the "01" → 1 data-loss trap; see
+      // upsertPruned)
+      val fileSchema = spark.read.parquet(dirPaths.head).schema
+      require(!fileSchema.fieldNames.contains(p),
+        s"deleteByKey: data files already carry '$p'; not a partition column")
+      val declared = StructType(fileSchema.fields :+
+        del.schema.fields(del.schema.fieldIndex(p)))
+      val remaining = spark.read.schema(declared).option("basePath", path)
+        .parquet(dirPaths: _*)
+        .join(del, keys, "left_anti")
+      stageAndSwapPartitions(spark, rootP, p, existingDirs, remaining,
+        emptyMeansDrop = true)
+    }
+    del.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** Stage `newData` (which must cover exactly the partition values named by
     * `dirNames`) under the hidden `.upsert_tmp` root with ONE
     * `partitionBy` write, then swap each directory with the same two-rename
     * crash discipline as [[swapPartitionDir]]: crash anywhere leaves every
     * individual partition either old, new, or recoverable from
-    * `.upsert_old/` by [[restoreCrashedSwap]].
+    * `.upsert_old/` by [[restoreCrashedSwap]]. With `emptyMeansDrop`, a
+    * named directory with NO staged output is removed (delete semantics)
+    * instead of failing.
     */
   private def stageAndSwapPartitions(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, p: String, dirNames: Seq[String],
-      newData: DataFrame): Unit = {
+      newData: DataFrame, emptyMeansDrop: Boolean = false): Unit = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stageRoot = new org.apache.hadoop.fs.Path(root, ".upsert_tmp")
     val oldRoot = new org.apache.hadoop.fs.Path(root, ".upsert_old")
@@ -258,15 +344,29 @@ object Lake {
       val target = new org.apache.hadoop.fs.Path(root, dirName)
       val tmp = new org.apache.hadoop.fs.Path(stageRoot, dirName)
       val old = new org.apache.hadoop.fs.Path(oldRoot, dirName)
-      require(fs.exists(tmp),
-        s"upsertByKey: staging write produced no $dirName — partition value " +
-          "formatting diverged from the directory naming")
-      if (fs.exists(target)) {
-        fs.mkdirs(old.getParent)
-        require(fs.rename(target, old), s"could not stage $target aside")
+      if (!fs.exists(tmp) && emptyMeansDrop) {
+        // a delete emptied this partition entirely: partitionBy emits no
+        // directory for zero rows, so "no staged output" IS the new state.
+        // Two-step removal keeps the crash discipline: a crash between the
+        // rename and the sweep leaves the copy under `.upsert_old/`, which
+        // the next maintenance run restores (then the re-run delete
+        // converges) — the last copy is never destroyed mid-operation.
+        if (fs.exists(target)) {
+          fs.mkdirs(old.getParent)
+          require(fs.rename(target, old), s"could not stage $target aside")
+          fs.delete(old, true)
+        }
+      } else {
+        require(fs.exists(tmp),
+          s"upsertByKey: staging write produced no $dirName — partition value " +
+            "formatting diverged from the directory naming")
+        if (fs.exists(target)) {
+          fs.mkdirs(old.getParent)
+          require(fs.rename(target, old), s"could not stage $target aside")
+        }
+        require(fs.rename(tmp, target), s"could not promote $tmp")
+        fs.delete(old, true)
       }
-      require(fs.rename(tmp, target), s"could not promote $tmp")
-      fs.delete(old, true)
     }
     fs.delete(stageRoot, true)
   }
@@ -397,6 +497,42 @@ object Lake {
       .drop("__cur_attrs")
     safeReplace(spark, path,
       history.unionByName(changedOrKept).unionByName(newVersions))
+  }
+
+  /** SCD type-2 RETIREMENT: close the current version of each key in
+    * `retire` at `asOf` WITHOUT inserting a successor — the "entity ceased
+    * to exist" form of [[scdMerge]] (offboarded entity, deleted feature,
+    * GDPR-retired dimension member). History stays intact, so point-in-time
+    * reads before `asOf` still see the key; reads at or after `asOf` do
+    * not. Keys with no current version (absent, or already retired) are a
+    * no-op — re-running a batch is idempotent. Committed via
+    * [[safeReplace]].
+    */
+  def scdRetire(spark: SparkSession, path: String, retire: DataFrame,
+      keys: Seq[String], asOf: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val missing = keys.filterNot(retire.columns.contains)
+    require(missing.isEmpty, s"scdRetire: retire frame lacks key columns $missing")
+    val k = retire.select(keys.map(col(_)): _*).distinct()
+    require(k.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      "scdRetire: retire keys contain NULLs — clean the feed first")
+    val table = spark.read.parquet(path)
+    val marked = table.join(k.withColumn("__retire", lit(true)), keys, "left")
+    // same out-of-order guard as scdMerge: closing a version that became
+    // current AFTER asOf would write an inverted interval
+    require(marked.filter(col("__retire").isNotNull && col("is_current") &&
+        col("effective_from") > asOf).isEmpty,
+      s"scdRetire: asOf=$asOf precedes the effective_from of a version it " +
+        "would close — apply batches in effective-time order")
+    val out = marked.select(table.columns.map {
+      case "effective_to" =>
+        when(col("is_current") && col("__retire").isNotNull, lit(asOf))
+          .otherwise(col("effective_to")).as("effective_to")
+      case "is_current" =>
+        (col("is_current") && col("__retire").isNull).as("is_current")
+      case c => col(c)
+    }: _*)
+    safeReplace(spark, path, out)
   }
 
   /** SCD retention: drop CLOSED versions whose validity ended before

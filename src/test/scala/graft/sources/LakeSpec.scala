@@ -385,6 +385,137 @@ class LakeSpec extends SparkSpec {
     assert(e3.getMessage.contains("outside the `where` scope"))
   }
 
+  test("deleteByKey: pruned path deletes across partitions, drops emptied ones, " +
+    "leaves unnamed partitions byte-identical") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_del").toString + "/t"
+    Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c"), (4L, 2, "d"), (5L, 3, "e"),
+      (6L, 4, "f"))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+    def fileStates(days: Int*): Seq[(String, Long, Long)] = days.flatMap { d =>
+      val dir = new java.io.File(s"$path/day=$d")
+      dir.listFiles().toSeq.map(f => (f.getPath, f.length(), f.lastModified()))
+    }.sorted
+    val before = fileStates(1, 4)
+    // touches day=2 (partial delete), day=3 (emptied → dir removed),
+    // day=9 (absent → no-op); day=1/day=4 must stay untouched on disk
+    Lake.deleteByKey(spark, path,
+      Seq((3L, 2), (5L, 3), (99L, 9)).toDF("id", "day"),
+      Seq("id", "day"), partitionCol = Some("day"))
+    assert(fileStates(1, 4) === before,
+      "partitions the deletes don't name must be physically untouched")
+    assert(!new java.io.File(s"$path/day=3").exists(),
+      "an emptied partition directory is removed")
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out === Seq((1L, "a", 1), (2L, "b", 1), (4L, "d", 2), (6L, "f", 4)))
+    // idempotent re-run
+    Lake.deleteByKey(spark, path, Seq((3L, 2), (5L, 3)).toDF("id", "day"),
+      Seq("id", "day"), partitionCol = Some("day"))
+    assert(spark.read.parquet(path).count() === 4)
+  }
+
+  test("deleteByKey: whole-partition delete via keys == Seq(p); unpartitioned " +
+    "path; NULL keys and missing partition key rejected") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_del2").toString + "/t"
+    Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c"))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+    // keys = just the partition column → wholesale partition removal
+    Lake.deleteByKey(spark, path, Seq(Tuple1(2)).toDF("day"),
+      Seq("day"), partitionCol = Some("day"))
+    assert(!new java.io.File(s"$path/day=2").exists())
+    assert(spark.read.parquet(path).select("id").as[Long].collect().sorted
+      === Seq(1L, 3L))
+    // pruned path without p in keys is unknowable
+    intercept[IllegalArgumentException] {
+      Lake.deleteByKey(spark, path, Seq(Tuple1(1L)).toDF("id"),
+        Seq("id"), partitionCol = Some("day"))
+    }
+    // NULL keys would silently match nothing
+    intercept[IllegalArgumentException] {
+      Lake.deleteByKey(spark, path,
+        Seq((Option.empty[Long], 1)).toDF("id", "day"),
+        Seq("id", "day"), partitionCol = Some("day"))
+    }
+    // unpartitioned path: plain anti-join + safe swap
+    val flat = java.nio.file.Files.createTempDirectory("lake_del3").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(flat)
+    Lake.deleteByKey(spark, flat, Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    assert(spark.read.parquet(flat).select("id").as[Long].collect().sorted
+      === Seq(1L, 3L))
+  }
+
+  test("deleteByKey: string partition values with lossy inference round-trips " +
+    "(day='01') still target the right directory") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_del4").toString + "/t"
+    Seq((1L, "01", "a"), (2L, "01", "b"), (3L, "1", "c"))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+    // inference would read day=01 as int 1 and delete from the WRONG dir
+    Lake.deleteByKey(spark, path, Seq((1L, "01")).toDF("id", "day"),
+      Seq("id", "day"), partitionCol = Some("day"))
+    val out = spark.read.schema("id LONG, v STRING, day STRING")
+      .parquet(path).orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(out === Seq((2L, "b", "01"), (3L, "c", "1")))
+  }
+
+  test("deleteByKey recovers a crash between the swap renames without losing " +
+    "the partition") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_del5").toString + "/t"
+    Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c"))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+    // crash window: day=1 staged aside but never promoted
+    val root = new java.io.File(path)
+    new java.io.File(root, ".upsert_old").mkdirs()
+    assert(new java.io.File(root, "day=1")
+      .renameTo(new java.io.File(root, ".upsert_old/day=1")))
+    // the re-run delete must restore day=1 first, then delete only id=2
+    Lake.deleteByKey(spark, path, Seq((2L, 1)).toDF("id", "day"),
+      Seq("id", "day"), partitionCol = Some("day"))
+    val out = spark.read.parquet(path).orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out === Seq((1L, "a", 1), (3L, "c", 2)),
+      "pre-crash row 1 must survive the recovered delete")
+  }
+
+  test("scdRetire closes the current version without a successor; " +
+    "point-in-time reads before the retirement still answer; idempotent") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("lake_retire").toString + "/dim"
+    Lake.scdMerge(spark, path, Seq((1L, "a"), (2L, "x")).toDF("id", "v"),
+      Seq("id"), asOf = 100L, bootstrap = true)
+    Lake.scdMerge(spark, path, Seq((1L, "b")).toDF("id", "v"), Seq("id"), 200L)
+    // retire key 1 at t=300; key 9 absent → no-op
+    Lake.scdRetire(spark, path, Seq(1L, 9L).toDF("id"), Seq("id"), asOf = 300L)
+    def asOfRead(t: Long): Seq[(Long, String)] = spark.read.parquet(path)
+      .filter(col("effective_from") <= t &&
+        (col("effective_to").isNull || col("effective_to") > t))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(asOfRead(150L) === Seq((1L, "a"), (2L, "x")))
+    assert(asOfRead(250L) === Seq((1L, "b"), (2L, "x")))
+    assert(asOfRead(300L) === Seq((2L, "x")), "retired at 300 — gone at 300")
+    // no current version of key 1 remains; history intact
+    val cur = spark.read.parquet(path).filter(col("is_current"))
+      .select("id").as[Long].collect().toSeq
+    assert(cur === Seq(2L))
+    assert(spark.read.parquet(path).filter(col("id") === 1L).count() === 2)
+    // idempotent: retiring again (or an absent key) changes nothing
+    Lake.scdRetire(spark, path, Seq(1L).toDF("id"), Seq("id"), asOf = 400L)
+    assert(asOfRead(350L) === Seq((2L, "x")))
+    assert(spark.read.parquet(path).count() === 3)
+    // a retire BEFORE a version's effective_from is an inverted interval
+    intercept[IllegalArgumentException] {
+      Lake.scdRetire(spark, path, Seq(2L).toDF("id"), Seq("id"), asOf = 50L)
+    }
+    // NULL retire keys rejected
+    intercept[IllegalArgumentException] {
+      Lake.scdRetire(spark, path, Seq(Option.empty[Long]).toDF("id"),
+        Seq("id"), asOf = 500L)
+    }
+  }
+
   test("scdMerge: type-2 history — close changed, keep unchanged, insert new, idempotent") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_scd").toString + "/dim"
