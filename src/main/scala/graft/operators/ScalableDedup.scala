@@ -64,4 +64,57 @@ object ScalableDedup {
         col("dist"))
       .filter(col("v1") < col("v2"))
   }
+
+  /** Near-duplicate embedding pairs through the [[IvfPq]] index — the
+    * 100 TB semantic-dedup candidate generator: every vector probes its
+    * `nProbe` nearest coarse cells, candidates are reached by an EQUI-JOIN
+    * on the cell key (directory-prunable at scale, never all-pairs), and
+    * the exact L2 distance is computed only for in-cell candidate pairs.
+    * Recall characteristics are the IVF ones: a pair split across cells
+    * neither probes is missed — raise `nProbe` (or `nLists` down) to trade
+    * cost for recall; the spec pins recall ≥ the LSH path on a planted
+    * corpus.
+    *
+    * Input: (vec_id, embedding array<float|double>), all of dimension
+    * `dim`. Output: (v1, v2, dist) with dist = L2² ≤ maxSqDistance, each
+    * pair once (v1 < v2). The result is materialized (localCheckpoint) so
+    * the internal index caches can be released before returning.
+    */
+  def embeddingNearDupsIvfPq(vecs: DataFrame, dim: Int, maxSqDistance: Double,
+      nLists: Int = 16, nProbe: Int = 2, m: Int = 16, k: Int = 16): DataFrame = {
+    val idx = IvfPq.build(vecs, dim, nLists, m, k)
+    // materialize the (bounded: pairs within threshold) result so the
+    // index cache can be released before returning
+    val pairs = ivfPqCandidatePairs(vecs, idx, nProbe, maxSqDistance)
+      .localCheckpoint(true)
+    idx.unpersist()
+    pairs
+  }
+
+  /** The lazy candidate-pair pipeline behind [[embeddingNearDupsIvfPq]]
+    * (separate so specs can assert its JOIN plan before checkpointing). */
+  private[operators] def ivfPqCandidatePairs(vecs: DataFrame, idx: IvfPq.Index,
+      nProbe: Int, maxSqDistance: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellW = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
+    // nProbe nearest cells per vector: bounded broadcast (nLists centroids)
+    val probes = vecs
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(idx.ivf.centroids))
+      .withColumn("cdist", expr(
+        """aggregate(zip_with(CAST(q_emb AS ARRAY<DOUBLE>), centroid,
+          |  (x, c) -> (x - c) * (x - c)), 0.0D, (a, p) -> a + p)""".stripMargin))
+      .withColumn("pr", row_number().over(cellW))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    probes
+      .join(idx.encoded.select(col("vec_id"), col("cell"), col("embedding")),
+        Seq("cell"))
+      .filter(col("q_id") < col("vec_id")) // each pair once
+      .withColumn("dist", Ivf.l2Pair)
+      .filter(col("dist") <= maxSqDistance)
+      // a pair sharing several probed cells surfaces once per cell — dedupe
+      .select(col("q_id").as("v1"), col("vec_id").as("v2"), col("dist"))
+      .distinct()
+  }
 }

@@ -30,7 +30,8 @@ class PlanSweepSpec extends SparkSpec {
                         // (localCheckpoint severs most rounds from the plan)
     "s_pq_knn", // ADC scan: broadcast-size query set × compressed code table
     "a_hll_mergeable", // 1-row merged-sketch frame × 1-row direct/exact frame
-    "s_ivfpq_knn" // bounded query×centroid probe pick; the CODE scan itself is an equi-join on cell (plan-asserted in IvfPqSpec)
+    "s_ivfpq_knn", // bounded query×centroid probe pick; the CODE scan itself is an equi-join on cell (plan-asserted in IvfPqSpec)
+    "d_semantic_ivfpq" // same bounded ×nLists-centroid probe pick; candidates reached by the cell equi-join (plan-asserted in ScalableDedupSpec)
   )
 
   /** Global-threshold / global-rank semantics: the unpartitioned window IS
