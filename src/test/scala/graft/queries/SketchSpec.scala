@@ -66,4 +66,47 @@ class SketchSpec extends SparkSpec {
     }
     assert(merged.totalCount() === direct.totalCount())
   }
+
+  test("sketch merges are associative: merge(a, merge(b, c)) == merge(merge(a, b), c)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+    // three disjoint day-slices as the parts
+    val parts = ev.withColumn("slice", pmod(col("day"), lit(3)))
+    def cmsOf(slice: Int): Array[Byte] = parts.filter(col("slice") === slice)
+      .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42))
+        .as("cms")).head().getAs[Array[Byte]]("cms")
+    val Seq(a, b, c) = Seq(0, 1, 2).map(cmsOf)
+    def cms(bytes: Array[Byte]) = CountMinSketch.readFrom(bytes)
+    def ser(s: CountMinSketch): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(); s.writeTo(bos); bos.toByteArray
+    }
+    // mergeInPlace mutates the receiver — rebuild from bytes per grouping
+    val left = { val ab = cms(a); ab.mergeInPlace(cms(b)); ab.mergeInPlace(cms(c)); ab }
+    val right = { val bc = cms(b); bc.mergeInPlace(cms(c))
+      val abc = cms(a); abc.mergeInPlace(bc); abc }
+    // counter-wise addition is associative — the serialized sketches are
+    // BIT-EQUAL, not just estimate-equal
+    assert(java.util.Arrays.equals(ser(left), ser(right)),
+      "CMS merge groupings diverged")
+
+    // HLL: register-wise max through hll_union_agg — associativity asserted
+    // at the serialized-sketch level by re-associating the union in SQL
+    val daily = parts.groupBy("slice")
+      .agg(hll_sketch_agg(col("user_id")).as("sk")).cache()
+    def unionOf(slices: Seq[Int]): Array[Byte] = daily
+      .filter(col("slice").isin(slices.map(Integer.valueOf): _*))
+      .agg(hll_union_agg(col("sk")).as("u")).head().getAs[Array[Byte]]("u")
+    def estimateOf(parts2: Seq[Array[Byte]]): Long = spark.createDataFrame(
+        java.util.List.copyOf(java.util.Arrays.asList(
+          parts2.map(org.apache.spark.sql.Row(_)): _*)),
+        new org.apache.spark.sql.types.StructType()
+          .add("u", org.apache.spark.sql.types.BinaryType))
+      .agg(hll_sketch_estimate(hll_union_agg(col("u"))).as("e")).head().getLong(0)
+    val ab = estimateOf(Seq(unionOf(Seq(0, 1)), unionOf(Seq(2))))
+    val bc = estimateOf(Seq(unionOf(Seq(1, 2)), unionOf(Seq(0))))
+    assert(ab === bc, s"HLL union re-association diverged: $ab vs $bc")
+    daily.unpersist()
+  }
 }
