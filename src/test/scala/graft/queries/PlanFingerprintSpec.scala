@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.queries.PlanFingerprints.Fp
+
+/** Plan-shape regression gate (round-6 VERDICT #6): one pinned fingerprint
+  * (exchange / broadcast-join / sort-merge / nested-loop counts, post-AQE)
+  * per headline query. A code or Catalyst change that silently
+  * de-broadcasts a dimension, adds a shuffle, or degrades a join to a
+  * nested loop fails HERE with a table diff — not in production at 100×
+  * the data. After an INTENTIONAL plan change, regenerate with
+  * `sbt "runMain graft.tools.PlanFingerprint /root/testdata/sf0.001"`,
+  * review the diff, and paste.
+  */
+class PlanFingerprintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Pinned at sf0.001 (tools.PlanFingerprint output, reviewed round 7):
+    * nested loops are the documented 1-row-scalar or bounded-broadcast
+    * cross joins (PlanSweepSpec's allowlist); sort-merge joins are zero
+    * everywhere at this scale. */
+  private val pinned = Map(
+    "j7_nearest_in_group" -> Fp(2, 1, 0, 0),
+    "j_star_chain" -> Fp(4, 3, 0, 0),
+    "j_star_chain_bucketed" -> Fp(2, 4, 0, 0),
+    "q1_pricing_summary" -> Fp(2, 0, 0, 0),
+    "a2_residual_stats" -> Fp(2, 0, 0, 0),
+    "a_rollup" -> Fp(2, 0, 0, 0),
+    "w10_ordered_collect" -> Fp(2, 0, 0, 0),
+    "w_range_rolling" -> Fp(2, 0, 0, 0),
+    "e_sessionize" -> Fp(2, 0, 0, 0),
+    "e_interval_join" -> Fp(2, 1, 0, 0),
+    "e_asof_join" -> Fp(3, 0, 0, 0),
+    "e_pagerank_types" -> Fp(1, 0, 0, 0),
+    "t_fingerprint" -> Fp(1, 0, 0, 0),
+    "t_pack" -> Fp(2, 0, 0, 0),
+    "d_contamination" -> Fp(5, 5, 0, 0),
+    "t_bigram_lm" -> Fp(7, 2, 0, 1),
+    "t_chunk" -> Fp(1, 0, 0, 0),
+    "t_bpe_train" -> Fp(1, 0, 0, 0),
+    "d_simhash_banded" -> Fp(4, 0, 0, 0),
+    "d_minhash_sig" -> Fp(2, 0, 0, 0),
+    "d_minhash_lsh_pairs" -> Fp(4, 0, 0, 0),
+    "d_fuzzy_verify" -> Fp(4, 2, 0, 0),
+    "s_knn_brute" -> Fp(2, 2, 0, 1),
+    "s_lsh_knn_multiprobe" -> Fp(2, 1, 0, 0),
+    "a_hll_mergeable" -> Fp(4, 0, 0, 1),
+    "a_cms_topk" -> Fp(1, 0, 0, 0),
+    "m_lstm_infer" -> Fp(4, 0, 0, 0),
+  )
+
+  test("every headline query matches its pinned post-AQE plan fingerprint") {
+    // pin the broadcast thresholds other suites may have perturbed — the
+    // fingerprints assume the GraftSession defaults
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "10485760"))
+    try {
+      val names = Registry.headline.map(_.name)
+      val missing = names.filterNot(pinned.contains)
+      assert(missing.isEmpty,
+        s"headline queries without a pinned fingerprint: $missing — run " +
+          "tools.PlanFingerprint and add them")
+      val diffs = names.flatMap { n =>
+        val actual = PlanFingerprints.of(
+          Registry.all.find(_.name == n).get.run(spark, dir))
+        if (actual == pinned(n)) None
+        else Some(s"$n: pinned ${pinned(n)} actual $actual")
+      }
+      assert(diffs.isEmpty, "plan fingerprints drifted:\n" + diffs.mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
