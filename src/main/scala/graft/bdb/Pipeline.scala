@@ -65,7 +65,24 @@ object Pipeline {
     val model = GbtModel.train(train, featureCols, maxIter = 100, maxDepth = 3,
       minInstancesPerNode = 10, subsamplingRate = 0.8)
     val scored = model.withResidual(seqFeatured)
-    val modelMetrics = ModelEval.regressionMetrics(model.withResidual(valid))
+    val scoredValid = model.withResidual(valid)
+    // Companion metrics EXCLUDING each trajectory's final frame: the label
+    // forces converge_rate = 0.0 there (lead(dist) is null — BDB_2026.ipynb
+    // cell 80), a value no causal feature set can anticipate, so the
+    // all-frames R² carries an irreducible penalty the model didn't earn.
+    // Measured round 7 (GbtProbe): all-frames 0.904-0.912, excl-final 0.939
+    // vs the reference LSTM's 0.9466 — which pays no such penalty for ITS
+    // forced zero (the package-style label zeroes the FIRST frame, and an
+    // LSTM reading from t=0 can learn "first step → 0").
+    val lastW = org.apache.spark.sql.expressions.Window
+      .partitionBy(Schemas.trajectoryKeys.map(col): _*)
+    val causalValid = scoredValid
+      .withColumn("__last", col("frame_id") === max(col("frame_id")).over(lastW))
+      .filter(!col("__last")).drop("__last")
+    val modelMetrics = ModelEval.regressionMetrics(scoredValid)
+      .crossJoin(broadcast(ModelEval.regressionMetrics(causalValid)
+        .select(col("r2").as("r2_excl_final"),
+          col("rmse").as("rmse_excl_final"))))
 
     // Phase 3 — TrueSpeed + AirPlayIQ + scorecard
     val perPlay = Metrics.trueSpeedPerPlay(scored)

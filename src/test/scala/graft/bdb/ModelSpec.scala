@@ -52,6 +52,15 @@ class ModelSpec extends SparkSpec {
     assert(r2 > 0.88 && r2 <= 1.0,
       s"GBT held-out R² drifted out of the accepted band: $r2")
     assert(metrics.getAs[Double]("rmse") < 0.2, s"rmse ${metrics.getAs[Double]("rmse")}")
+    // Excluding the forced last-frame zero (a label artifact no causal
+    // model can predict; the reference LSTM's label zeroes the learnable
+    // FIRST frame instead): measured 0.939 round 7 vs the LSTM's 0.9466 —
+    // the honest like-for-like comparison. Pinned per round-6 VERDICT #8.
+    val r2c = metrics.getAs[Double]("r2_excl_final")
+    info(s"held-out r2 excluding final frames = $r2c")
+    assert(r2c > 0.93 && r2c <= 1.0,
+      s"causal-frames R² drifted out of the accepted band: $r2c")
+    assert(r2c > r2, "excluding the unpredictable frame must not hurt R²")
   }
 
   test("splitByGame is disjoint and exhaustive on game_id") {
