@@ -110,11 +110,17 @@ object ScalableDedup {
     probes
       .join(idx.encoded.select(col("vec_id"), col("cell"), col("embedding")),
         Seq("cell"))
-      .filter(col("q_id") < col("vec_id")) // each pair once
-      .withColumn("dist", Ivf.l2Pair)
+      // keep BOTH directions until after normalization: filtering q_id <
+      // vec_id here would find a cross-cell pair only when the SMALLER id's
+      // probes reach the larger id's cell (round-7 self-review) — the pair
+      // (a, b) with b probing a's cell but not vice versa would vanish
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dist", Ivf.l2Pair) // symmetric: same value either direction
       .filter(col("dist") <= maxSqDistance)
-      // a pair sharing several probed cells surfaces once per cell — dedupe
-      .select(col("q_id").as("v1"), col("vec_id").as("v2"), col("dist"))
+      // normalize to (min, max); a pair found via several probed cells or
+      // both directions surfaces multiple times — dedupe once at the end
+      .select(least(col("q_id"), col("vec_id")).as("v1"),
+        greatest(col("q_id"), col("vec_id")).as("v2"), col("dist"))
       .distinct()
   }
 }

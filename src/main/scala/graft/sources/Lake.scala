@@ -340,6 +340,21 @@ object Lake {
       fs.listStatus(oldRoot).foreach(s => restoreCrashedSwap(fs, root, s.getPath.getName))
     fs.delete(stageRoot, true); fs.delete(oldRoot, true) // sweep crash leftovers
     newData.write.mode("overwrite").partitionBy(p).parquet(stageRoot.toString)
+    // Formatting-divergence guard (round-7 self-review): every staged
+    // directory must be one the swap loop will visit. Without this, a
+    // partition value whose partitionBy dirname formatting diverged from
+    // the driver-side toString naming would stage its SURVIVING rows under
+    // a name never promoted — and under `emptyMeansDrop` the target would
+    // then read as "legitimately emptied" and be dropped: silent data loss.
+    if (fs.exists(stageRoot)) {
+      val staged = fs.listStatus(stageRoot).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      val unexpected = staged.filterNot(dirNames.contains)
+      require(unexpected.isEmpty,
+        s"staging write produced ${unexpected.mkString(",")} outside the " +
+          s"swap list ${dirNames.mkString(",")} — partition value formatting " +
+          "diverged from the directory naming")
+    }
     dirNames.foreach { dirName =>
       val target = new org.apache.hadoop.fs.Path(root, dirName)
       val tmp = new org.apache.hadoop.fs.Path(stageRoot, dirName)
