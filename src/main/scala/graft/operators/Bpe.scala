@@ -125,6 +125,83 @@ object Bpe {
       })))
   }
 
+  /** [[tokenize]] for PRODUCTION merge tables. The expression path embeds
+    * one nested fold per merge — perfect at oracle scale (K ≤ a few dozen:
+    * codegen'd, plan-visible) but a real tokenizer carries ~32k merges, and
+    * a 32k-deep expression tree breaks analysis long before codegen. This
+    * path compiles the table to a rank map once on the driver (a few MB —
+    * model-artifact sized, broadcast by closure) and applies it per
+    * partition: repeatedly merge the LOWEST-RANK adjacent pair, leftmost on
+    * ties. Equivalent to applying merges in learned order exhaustively —
+    * a merge's left/right symbols are produced only by strictly EARLIER
+    * merges, so no later merge can enable an earlier one
+    * (`BpeSpec` pins path equality on trained corpora and the overlap
+    * cases). A per-partition word→tokens cache (vocab-bounded, capped)
+    * exploits the Zipf shape: each distinct word is segmented once.
+    * `mapPartitions` is the documented last resort — held here to the same
+    * bar as the media codecs: a per-row recurrence over driver-compiled
+    * model state.
+    */
+  def tokenizeCompiled(docs: DataFrame, textCol: String, merges: Seq[Merge],
+      outCol: String = "bpe_tokens", cacheCap: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    require(!docs.columns.contains(outCol),
+      s"tokenizeCompiled: output column '$outCol' already exists")
+    val ranks = merges.map(m => (m.left, m.right) -> m.step).toMap
+    val idx = docs.schema.fieldIndex(textCol)
+    val schema = docs.schema.add(outCol, ArrayType(StringType, containsNull = false))
+    docs.mapPartitions { rows =>
+      val cache = new java.util.HashMap[String, Array[String]]()
+      rows.map { row =>
+        val toks: Seq[String] =
+          if (row.isNullAt(idx)) null // match the expression path: null text → null
+          else {
+            val words = row.getString(idx)
+              .toLowerCase(java.util.Locale.ROOT).split("[^a-z]+")
+            val out = Seq.newBuilder[String]
+            words.foreach { w =>
+              if (w.nonEmpty) {
+                var segs = cache.get(w)
+                if (segs == null) {
+                  segs = segmentWord(w, ranks)
+                  if (cache.size < cacheCap) cache.put(w, segs)
+                }
+                out ++= segs
+              }
+            }
+            out.result()
+          }
+        Row.fromSeq(row.toSeq :+ toks)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Greedy lowest-rank-first merge of one word (see [[tokenizeCompiled]]).
+    * O(len²·scan) worst case, amortized away by the word cache. */
+  private def segmentWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    word.foreach(c => syms += c.toString)
+    syms += EndOfWord
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestI = i }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        syms(bestI) = syms(bestI) + syms(bestI + 1)
+        syms.remove(bestI + 1)
+      }
+    }
+    syms.toArray
+  }
+
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)

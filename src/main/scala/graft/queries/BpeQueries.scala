@@ -92,5 +92,39 @@ object BpeQueries {
       Some(s"""WITH $ctes
              |SELECT word, cnt, array_to_string(sym, ' ') AS toks
              |FROM words$K ORDER BY word""".stripMargin)),
+
+    // End-to-end corpus tokenization through the COMPILED apply path
+    // (tokenizeCompiled: driver-compiled rank map, greedy lowest-rank-first
+    // — the production route for ~32k-merge tables). The oracle re-derives
+    // each document's token stream positionally from the trained word
+    // table, so this pins the train→compile→apply loop, not just the fold:
+    // a rank-map compilation bug or order-of-application divergence would
+    // hash-mismatch here even though t_bpe_train still passed.
+    QueryDef(
+      "t_bpe_tokenize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = Bpe.train(docs, "text", K)
+        Bpe.tokenizeCompiled(docs.select("doc_id", "text"), "text", model.merges)
+          .select(col("doc_id"),
+            coalesce(array_join(col("bpe_tokens"), " "), lit("")).as("toks"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ctes,
+             |doc_words AS (
+             |  SELECT doc_id, ord, word FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS word,
+             |      unnest(range(1, len(string_split_regex(lower(text), '[^a-z]+')) + 1)) AS ord
+             |    FROM documents)
+             |  WHERE word <> ''),
+             |doc_toks AS (
+             |  SELECT d.doc_id,
+             |    array_to_string(flatten(list(w.sym ORDER BY d.ord)), ' ') AS toks
+             |  FROM doc_words d JOIN words$K w USING (word)
+             |  GROUP BY d.doc_id)
+             |SELECT doc_id, coalesce(t.toks, '') AS toks
+             |FROM documents LEFT JOIN doc_toks t USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -66,6 +66,41 @@ class BpeSpec extends SparkSpec {
     assert(out === Seq("aa", "aa", "a"))
   }
 
+  test("tokenizeCompiled ≡ tokenize (expression path) — corpus, held-out, overlaps, null") {
+    val model = Bpe.train(sennrich, "text", maxMerges = 8)
+    // training corpus + held-out words + overlap shapes + punctuation/case +
+    // empty and null text: every branch the two paths must agree on
+    val docs = Seq(
+      (0L, "low lower newest widest"),
+      (1L, "lowest slowest newer"),
+      (2L, "aaaaa wewewe stestest"),
+      (3L, "Low, LOWER! 42 widest-newest"),
+      (4L, ""),
+      (5L, null)).toDF("doc_id", "text")
+    val expr = Bpe.tokenize(docs, "text", model.merges)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    val compiled = Bpe.tokenizeCompiled(docs, "text", model.merges)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    assert(compiled === expr)
+    // and the compiled path preserves every input column + appends outCol
+    assert(Bpe.tokenizeCompiled(docs, "text", model.merges).columns.toSeq ===
+      Seq("doc_id", "text", "bpe_tokens"))
+  }
+
+  test("tokenizeCompiled handles a merge table the expression path cannot hold") {
+    // a deep synthetic merge chain: a+b, ab+b, abb+b, ... 2000 merges —
+    // the expression path at this K would be a 2000-deep nested fold; the
+    // compiled path treats it as a model artifact
+    val merges = (1 to 2000).map { k =>
+      Bpe.Merge(k, "a" + "b" * (k - 1), "b", 1L)
+    }
+    val toks = Bpe.tokenizeCompiled(
+      Seq((0L, "a" + "b" * 2000 + " ab c")).toDF("doc_id", "text"),
+      "text", merges)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(toks === Seq("a" + "b" * 2000, "</w>", "ab", "</w>", "c", "</w>"))
+  }
+
   test("zero maxMerges returns character symbols; caches are released") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val model = Bpe.train(sennrich, "text", maxMerges = 0)
