@@ -202,9 +202,5 @@ object Bpe {
     syms.toArray
   }
 
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+  private def releaseCheckpoint(df: DataFrame): Unit = graft.Checkpoints.release(df)
 }

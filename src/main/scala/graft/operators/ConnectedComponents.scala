@@ -60,16 +60,21 @@ object ConnectedComponents {
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("id", "nb"), Seq("nb"))
         .select("id", "comp")
-      labels = labels.union(viaNeighbor)
+      val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
-      val s = labelSum(labels)
+      val s = labelSum(next)
+      // the new checkpoint is materialized — the previous round's blocks are
+      // dead; released per round, not left to driver-GC timing
+      graft.Checkpoints.release(labels)
+      labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
     }
     require(converged, s"did not converge in $maxIter rounds (diameter too " +
       "large for label propagation — use runStarContraction instead)")
+    graft.Checkpoints.release(sym) // returned labels are materialized; sym is dead
     labels
   }
 
@@ -104,7 +109,7 @@ object ConnectedComponents {
     if (edges.isEmpty) edges.select(col("lo").as("id"))
     else {
       val labels = run(edges, "lo", "hi")
-      edges.join(labels.withColumnRenamed("id", "lo"), Seq("lo"))
+      val dropped = edges.join(labels.withColumnRenamed("id", "lo"), Seq("lo"))
         .select(col("comp"), col("lo"), col("hi"))
         .as[(Long, Long, Long)]
         .groupByKey(_._1)
@@ -126,6 +131,12 @@ object ConnectedComponents {
           dropped.iterator
         }
         .toDF("id")
+        // materialize the (small: dropped ids) result so the edge and label
+        // checkpoints it reads can be released before returning
+        .localCheckpoint(true)
+      graft.Checkpoints.release(edges)
+      graft.Checkpoints.release(labels)
+      dropped
     }
   }
 
@@ -210,7 +221,9 @@ object ConnectedComponents {
     var converged = isStarForest(e)
     var round = 0
     while (!converged && round < maxRounds) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      graft.Checkpoints.release(e) // next is materialized; last round is dead
+      e = next
       converged = isStarForest(e)
       round += 1
     }

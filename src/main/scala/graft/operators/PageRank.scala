@@ -97,11 +97,5 @@ object PageRank {
     result
   }
 
-  /** Unpersist the RDD behind a localCheckpoint'd frame (Dataset.unpersist
-    * only clears cache-manager entries, not checkpoint RDD persistence). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+  private def releaseCheckpoint(df: DataFrame): Unit = graft.Checkpoints.release(df)
 }

@@ -312,10 +312,7 @@ object Lake {
       stageAndSwapPartitions(spark, rootP, p, existingDirs, remaining,
         emptyMeansDrop = true)
     }
-    del.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.Checkpoints.release(del)
   }
 
   /** Stage `newData` (which must cover exactly the partition values named by
@@ -566,10 +563,7 @@ object Lake {
       col("effective_to").isNull || col("effective_to") > horizon)
     val after = kept.count()
     if (after < before) safeReplace(spark, path, kept)
-    table.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.Checkpoints.release(table)
     (before, after)
   }
 
@@ -595,10 +589,7 @@ object Lake {
     val df = spark.read.parquet(path).localCheckpoint(true)
     val nFiles = math.max(1, math.ceil(df.count().toDouble / rowsPerFile).toInt)
     safeReplace(spark, path, df.repartition(nFiles))
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.Checkpoints.release(df)
     (before, parquetFiles)
   }
 

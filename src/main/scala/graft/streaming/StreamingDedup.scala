@@ -63,6 +63,9 @@ object StreamingDedup {
     val fresh = freshLazy.localCheckpoint(true)
     fresh.drop("h").write.mode("append").parquet(corpusPath)
     fresh.select("h").write.mode("append").parquet(storePath)
+    // release per batch: on a long-lived stream, waiting for the
+    // ContextCleaner accumulates one checkpoint's blocks per micro-batch
+    graft.Checkpoints.release(fresh)
   }
 
   /** None only when the store genuinely doesn't exist yet (first batch).
@@ -98,6 +101,8 @@ object StreamingDedup {
     // hash SET is identical either way.
     graft.sources.Lake.safeReplace(spark, corpusPath, keep.drop("h"))
     graft.sources.Lake.safeReplace(spark, storePath, keep.select("h").distinct())
-    before - keep.count()
+    val dropped = before - keep.count()
+    graft.Checkpoints.release(keep)
+    dropped
   }
 }

@@ -130,6 +130,9 @@ object StreamingNearDedup {
     fresh.write.mode("append").parquet(corpusPath)
     freshBands.write.mode("append").parquet(storePath)
     ensureVersionMarker(spark, storePath)
+    // release per batch: four checkpoints per micro-batch would otherwise
+    // accumulate until a driver GC happens to run (round-7 review wave 3)
+    Seq(banded, dropIds, fresh, freshBands).foreach(graft.Checkpoints.release)
   }
 
   /** Underscore-prefixed so parquet readers skip it (like `_SUCCESS`). */

@@ -13,6 +13,26 @@ class StreamingNearDedupSpec extends SparkSpec {
   private val baseD = "seven silver ships sail slowly past the sleeping harbor " +
     "carrying crates of oranges tea and woven baskets toward the northern delta"
 
+  test("ingestBatch releases its checkpoints — block count is flat across batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sneardup_leak").toString
+    val store = s"$base/store"
+    val corpus = s"$base/corpus"
+    // settle once (first batch also creates the store), then measure
+    StreamingNearDedup.ingestBatch(Seq(Doc(0L, baseA)).toDF(), store, corpus)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach { i =>
+      StreamingNearDedup.ingestBatch(
+        Seq(Doc(i.toLong * 10, s"$baseD round $i unique suffix tokens " +
+          s"alpha$i beta$i gamma$i")).toDF(), store, corpus)
+    }
+    // a long-lived stream checkpoints 4 frames per micro-batch; without the
+    // per-batch release the count would grow by ~4×5 here and unboundedly in
+    // production (ContextCleaner only runs on driver GC)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "ingestBatch leaked localCheckpoint blocks across batches")
+  }
+
   test("stream drops near-duplicates within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
