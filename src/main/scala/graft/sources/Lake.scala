@@ -232,6 +232,7 @@ object Lake {
           .unionByName(u)
       }
     stageAndSwapPartitions(spark, rootP, p, dirNames, merged)
+    graft.Checkpoints.release(u) // staging write done — the lineage is dead
   }
 
   /** Batch delete-by-key (the GDPR / right-to-be-forgotten path): rows whose
