@@ -106,6 +106,28 @@ object Bench {
       case e: Throwable => recordErr("ann_search", e); Seq.empty
     }
 
+    // Tokenizer-apply bench: training is a model build (K driver-fetch
+    // rounds — its cost is iteration latency, which would swamp the apply
+    // signal the same way the ANN index builds would). Train once OUTSIDE
+    // the timed region, then time the production apply path
+    // (Bpe.tokenizeCompiled) over the documents table, forcing full token
+    // materialization with a sum(size(...)) — a count() alone must still
+    // run the mapPartitions but proves less about the output.
+    val calApply = calibrate()
+    val applyResults = try {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val model = graft.operators.Bpe.train(docs, "text", 32)
+      def applyRun(): Unit =
+        graft.operators.Bpe.tokenizeCompiled(docs, "text", model.merges)
+          .selectExpr("sum(size(bpe_tokens)) AS n").collect()
+      applyRun() // warm
+      val out = Seq("t_bpe_apply" -> timeRuns(3)(applyRun()).sorted)
+      graft.Checkpoints.release(model.words)
+      out
+    } catch {
+      case e: Throwable => recordErr("bpe_apply", e); Seq.empty
+    }
+
     val calLast = calibrate()
 
     // "total" stays the ROUND-COMPARABLE sum over the headline registry
@@ -122,7 +144,7 @@ object Bench {
     // Upper median: for an even (partial-failure) sample this picks the
     // conservative side rather than silently degrading to the min.
     def median(t: Seq[Double]): Double = t(t.size / 2 min (t.size - 1))
-    val all = (results ++ annResults).filter(_._2.nonEmpty)
+    val all = (results ++ annResults ++ applyResults).filter(_._2.nonEmpty)
     val qs = all.map { case (k, t) => "\"" + k + "\":" + median(t) }
       .mkString("{", ",", "}")
     val qsMin = all.map { case (k, t) => "\"" + k + "\":" + t.head }
@@ -131,14 +153,15 @@ object Bench {
     val nPartial = results.count(r => r._2.nonEmpty && r._2.size < 3)
     val total = clean.map(r => median(r._2)).sum
     val annTotal = annResults.filter(_._2.nonEmpty).map(r => median(r._2)).sum
+    val applyTotal = applyResults.filter(_._2.nonEmpty).map(r => median(r._2)).sum
     val errJson = errors.map { case (k, v) =>
       JsonText.quote(k) + ":" + JsonText.quote(v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3",""" +
       s""""n_queries":${clean.size},"n_failed":${Registry.headline.size - clean.size - nPartial},""" +
       s""""n_partial":$nPartial,""" +
-      s""""ann_search_total":$annTotal,""" +
-      s""""calibration":{"first":$calFirst,"ann":$calAnn,"last":$calLast},""" +
+      s""""ann_search_total":$annTotal,"bpe_apply_total":$applyTotal,""" +
+      s""""calibration":{"first":$calFirst,"ann":$calAnn,"apply":$calApply,"last":$calLast},""" +
       s""""queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -106,8 +106,13 @@ object ConnectedComponents {
       .filter(col("lo") =!= col("hi"))
       .distinct()
       .localCheckpoint(true)
-    if (edges.isEmpty) edges.select(col("lo").as("id"))
-    else {
+    if (edges.isEmpty) {
+      // return a frame independent of `edges` so its checkpoint can be
+      // released NOW — the no-pairs case is the common one on a stream, and
+      // a per-batch leak here is exactly the wave-3 accumulation class
+      graft.Checkpoints.release(edges)
+      spark.range(0).toDF("id")
+    } else {
       val labels = run(edges, "lo", "hi")
       val dropped = edges.join(labels.withColumnRenamed("id", "lo"), Seq("lo"))
         .select(col("comp"), col("lo"), col("hi"))
