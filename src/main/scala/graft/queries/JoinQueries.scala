@@ -284,5 +284,30 @@ object JoinQueries {
       },
       Some(starChainSql),
       headline = true),
+
+    // Bloom-pruned fact⋈dim-subset join: the probe side (lineitem) is
+    // reduced by a bitset over the selected suppliers' keys BEFORE any
+    // exchange — at 100 TB the shuffle shrinks by the dim subset's
+    // selectivity (~1/25 here) while the result stays EXACTLY the plain
+    // inner join (false positives die in the join; no false negatives).
+    QueryDef(
+      "j_bloom_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val supp = Tables.supplier(s, dir)
+          .where(col("s_nationkey") === 7)
+          .select("s_suppkey", "s_name")
+        graft.operators.BloomJoin
+          .inner(li, supp, "l_suppkey", "s_suppkey")
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("n_items"),
+            Exact.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+              |  ${Exact.sqlDsum("l_quantity")} AS sum_qty
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |WHERE s_nationkey = 7
+              |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)),
   )
 }
