@@ -481,5 +481,50 @@ object DedupQueries {
               |  JOIN corpus c2 ON c2.doc_id = p.d2)
               |SELECT d1, d2, lev FROM verified
               |WHERE lev * 10 <= mx ORDER BY d1, d2""".stripMargin)),
+
+    // Cross-document duplicated-span coverage (Lee et al., ACL 2022 — the
+    // exact-substring dedup signal, re-expressed as a hashed 8-gram inverted
+    // index + gaps-and-islands interval union; see operators/DupSpans).
+    // Runs on the RAW documents table: unlike the planted-dup queries above,
+    // the signal here is the organically shared token runs in the corpus.
+    // The operator groups by xxhash64(gram) (fixed-width shuffle keys); the
+    // oracle groups by the gram string itself — identical results barring a
+    // 64-bit collision (~n²/2^65).
+    QueryDef(
+      "d_dup_spans",
+      (s, dir) =>
+        graft.operators.DupSpans
+          .coverage(Tables.documents(s, dir), "doc_id", "text", k = 8)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+             |                     t -> t <> '') AS ts
+             |  FROM documents),
+             |tn AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts FROM toks),
+             |grams AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |         array_to_string(list_slice(ts, i, i + 7), ' ') AS ng
+             |  FROM tn, UNNEST(range(1, len(ts) - 6)) AS t(i)
+             |  WHERE len(ts) >= 8),
+             |dup AS (SELECT ng FROM grams GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2),
+             |m AS (SELECT doc_id, pos, pos + 7 AS endpos FROM grams JOIN dup USING (ng)),
+             |b AS (SELECT doc_id, pos, endpos,
+             |        CASE WHEN pos > COALESCE(MAX(endpos) OVER (PARTITION BY doc_id
+             |             ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |        THEN 1 ELSE 0 END AS brk FROM m),
+             |g AS (SELECT doc_id, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid,
+             |        pos, endpos FROM b),
+             |cov AS (SELECT doc_id, gid, MAX(endpos) - MIN(pos) + 1 AS covered
+             |        FROM g GROUP BY doc_id, gid),
+             |dt AS (SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens
+             |       FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       COALESCE(dt.dup_tokens, 0) AS dup_tokens,
+             |       CASE WHEN t.n_tokens = 0 THEN 0.0
+             |            ELSE COALESCE(dt.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE)
+             |       END AS dup_frac
+             |FROM tn t LEFT JOIN dt USING (doc_id) ORDER BY doc_id""".stripMargin)),
   )
 }
