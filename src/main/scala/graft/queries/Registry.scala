@@ -35,7 +35,10 @@ object Registry {
       "e_asof_join", "d_fuzzy_verify", "a_hll_mergeable", "t_chunk",
       // round-7: new operator families from round 6 with no timing trend yet,
       // plus the CMS mergeable-sketch path (round-6 VERDICT #4/#7)
-      "e_pagerank_types", "t_bigram_lm", "a_cms_topk")
+      "e_pagerank_types", "t_bigram_lm", "a_cms_topk",
+      // round-7 second wave: bloom-pruned join (shuffle-reduction trend) and
+      // duplicated-span coverage (gram-explode + islands — data-bound)
+      "j_bloom_join", "d_dup_spans")
     val known = all.map(_.name).toSet
     val missing = picks.diff(known)
     require(missing.isEmpty, s"headline picks not in registry: $missing")

@@ -48,6 +48,12 @@ class PlanFingerprintSpec extends SparkSpec {
     "a_hll_mergeable" -> Fp(4, 0, 0, 1),
     "a_cms_topk" -> Fp(1, 0, 0, 0),
     "m_lstm_infer" -> Fp(4, 0, 0, 0),
+    // round-7 second wave: the bloom probe filter is narrow (no exchange of
+    // its own — 2 = agg + order, 1 broadcast = the dim join); dup-spans is
+    // gram-agg + doc window + order with the dup set and doc-stats joins
+    // broadcast at this scale
+    "j_bloom_join" -> Fp(2, 1, 0, 0),
+    "d_dup_spans" -> Fp(4, 2, 0, 0),
   )
 
   test("every headline query matches its pinned post-AQE plan fingerprint") {
