@@ -474,5 +474,23 @@ object RelationalQueries {
              |  CAST(cardinality(m) AS BIGINT) AS n_keys,
              |  array_to_string(list_sort(map_keys(m)), ',') AS keys
              |FROM built ORDER BY p_partkey""".stripMargin)),
+
+    // File-level min-max skipping scan (sources/FileSkipping): the scan
+    // opens only files whose footer bounds intersect the range — here it
+    // correctness-gates the pruned path end-to-end; FileSkippingSpec proves
+    // the files-opened reduction on clustered layouts.
+    QueryDef(
+      "l_pruned_scan",
+      (s, dir) =>
+        graft.sources.FileSkipping
+          .readPruned(s, s"$dir/orders.parquet", "o_orderkey", 3000L, 4000L)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            Exact.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${Exact.sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders WHERE o_orderkey BETWEEN 3000 AND 4000
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
   )
 }

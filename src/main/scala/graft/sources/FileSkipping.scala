@@ -1,0 +1,235 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.column.statistics._
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** **File-level min-max data skipping** — the Delta/Iceberg capability
+  * re-expressed over plain parquet directories: per-file column bounds let a
+  * range/point scan open only the files whose [min, max] intersects the
+  * predicate, instead of every file in the table.
+  *
+  * Spark's built-in pushdown already skips ROW GROUPS inside each file it
+  * opens, but it must still LIST and OPEN every file — at 100 TB
+  * (~800k × 128 MB files) the task-scheduling floor alone dominates a
+  * selective query. File-level pruning removes those tasks entirely; paired
+  * with [[Lake.zorderWrite]] the bounds are tight in BOTH clustered
+  * dimensions, so either predicate column prunes.
+  *
+  * Stats come from parquet FOOTERS — metadata-only reads (no data pages),
+  * aggregated min-of-mins / max-of-maxs across row groups. Footer bounds are
+  * safe under parquet's binary-stats truncation (truncated min is a valid
+  * lower bound, truncated max a valid upper bound). A file whose footer
+  * carries no usable stats for the column is always KEPT — pruning degrades
+  * to a no-op, never to a wrong answer.
+  *
+  * The footer pass runs on the driver over a bounded pool (the
+  * Delta-transaction-log tradeoff: stats handling is driver-side metadata
+  * work; one ~8 kB footer read per file, no Spark job). For repeated scans,
+  * [[writeManifest]] persists the stats as `_graft_stats.parquet` beside the
+  * data (underscore-prefixed — data readers skip it); [[readPruned]] uses
+  * the manifest only when its (name, length) inventory exactly matches the
+  * current listing, so a stale manifest after any rewrite is DETECTED and
+  * ignored, never trusted.
+  */
+object FileSkipping {
+
+  /** Per-file bounds for one column. Bounds are carried in the natural
+    * domain: integer types in `minLong`/`maxLong`, float types in
+    * `minDouble`/`maxDouble`, UTF-8 strings in `minString`/`maxString`.
+    * `hasStats = false` means the footer had no usable bound (column
+    * missing, stats suppressed, or an unsupported type) — such files never
+    * prune. */
+  final case class FileStat(
+      file: String, length: Long, rows: Long, hasStats: Boolean,
+      minLong: Option[Long], maxLong: Option[Long],
+      minDouble: Option[Double], maxDouble: Option[Double],
+      minString: Option[String], maxString: Option[String])
+
+  private def listDataFiles(spark: SparkSession, path: String): Seq[FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[FileStatus]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      // same visibility rule as Spark's file index: _ and . prefixed names
+      // (and anything under such a directory) are metadata, not data
+      val rel = st.getPath.toString.stripPrefix(fs.makeQualified(p).toString)
+      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (name.endsWith(".parquet") && !hidden) out += st
+    }
+    out.result()
+  }
+
+  /** Footer bounds for `column` in one file. */
+  private def footerStats(conf: Configuration, status: FileStatus,
+      column: String): FileStat = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromStatus(status, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val chunks = blocks.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == column)
+      val stats = chunks.map(_.getStatistics)
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val isUtf8 = schema.getColumns.asScala
+        .find(_.getPath.toSeq == Seq(column))
+        .exists(c => c.getPrimitiveType.getLogicalTypeAnnotation ==
+          LogicalTypeAnnotation.stringType())
+      // a chunk with a null Statistics object is unknowable; a chunk whose
+      // stats exist but hold no non-null value (all-NULL chunk) constrains
+      // nothing — NULL rows can never pass a range predicate
+      val known = chunks.nonEmpty && stats.forall(_ != null)
+      val bounded = stats.filter(s => s != null && s.hasNonNullValue)
+      var (mnL, mxL) = (Option.empty[Long], Option.empty[Long])
+      var (mnD, mxD) = (Option.empty[Double], Option.empty[Double])
+      var (mnS, mxS) = (Option.empty[String], Option.empty[String])
+      var ok = known
+      bounded.foreach {
+        case s: LongStatistics =>
+          mnL = Some(mnL.fold(s.getMin.toLong)(_ min s.getMin)); mxL = Some(mxL.fold(s.getMax.toLong)(_ max s.getMax))
+        case s: IntStatistics =>
+          mnL = Some(mnL.fold(s.getMin.toLong)(_ min s.getMin)); mxL = Some(mxL.fold(s.getMax.toLong)(_ max s.getMax))
+        case s: DoubleStatistics =>
+          mnD = Some(mnD.fold(s.getMin.toDouble)(_ min s.getMin)); mxD = Some(mxD.fold(s.getMax.toDouble)(_ max s.getMax))
+        case s: FloatStatistics =>
+          mnD = Some(mnD.fold(s.getMin.toDouble)(_ min s.getMin)); mxD = Some(mxD.fold(s.getMax.toDouble)(_ max s.getMax))
+        case s: BinaryStatistics if isUtf8 =>
+          val (lo, hi) = (s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
+          mnS = Some(mnS.fold(lo)(m => if (m <= lo) m else lo)); mxS = Some(mxS.fold(hi)(m => if (m >= hi) m else hi))
+        case _ => ok = false // boolean/int96/non-string binary: no pruning
+      }
+      FileStat(status.getPath.toString, status.getLen, rows, ok,
+        mnL, mxL, mnD, mxD, mnS, mxS)
+    } finally reader.close()
+  }
+
+  /** One [[FileStat]] per data file, footer pass over a bounded driver-side
+    * pool (metadata-only; no Spark job). */
+  def fileStats(spark: SparkSession, path: String, column: String): Seq[FileStat] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = listDataFiles(spark, path)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, files.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(
+      Future.sequence(files.map(f => Future(footerStats(conf, f, column)))),
+      Duration.Inf)
+    finally pool.shutdown()
+  }
+
+  private val ManifestDir = "_graft_stats.parquet"
+
+  /** Persist footer stats for `columns` beside the data. Overwrites any
+    * previous manifest; readers validate freshness against the current
+    * listing before trusting it. */
+  def writeManifest(spark: SparkSession, path: String, columns: Seq[String]): Unit = {
+    import spark.implicits._
+    val rows = columns.flatMap(c => fileStats(spark, path, c).map(s =>
+      (c, s.file, s.length, s.rows, s.hasStats, s.minLong, s.maxLong,
+        s.minDouble, s.maxDouble, s.minString, s.maxString)))
+    rows.toDF("column", "file", "length", "rows", "has_stats",
+        "min_long", "max_long", "min_double", "max_double",
+        "min_string", "max_string")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /** Manifest stats for `column`, ONLY if the manifest covers exactly the
+    * current data files (same names and lengths) — else None and the caller
+    * falls back to a live footer pass. */
+  private def manifestStats(spark: SparkSession, path: String,
+      column: String): Option[Seq[FileStat]] = {
+    val p = new Path(s"$path/$ManifestDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    import spark.implicits._
+    val all = spark.read.parquet(p.toString)
+      .where(col("column") === column)
+      .select("file", "length", "rows", "has_stats", "min_long", "max_long",
+        "min_double", "max_double", "min_string", "max_string")
+      .as[(String, Long, Long, Boolean, Option[Long], Option[Long],
+        Option[Double], Option[Double], Option[String], Option[String])]
+      .collect().toSeq
+      .map(t => FileStat(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8,
+        t._9, t._10))
+    val current = listDataFiles(spark, path)
+      .map(f => f.getPath.toString -> f.getLen).toMap
+    val covered = all.map(s => s.file -> s.length).toMap
+    if (current == covered && all.nonEmpty) Some(all) else None
+  }
+
+  /** Split the table's files into (kept, pruned) for the predicate
+    * `column BETWEEN lo AND hi`. `lo`/`hi` must be Int/Long, Float/Double,
+    * or String, matching the column's domain. Files without usable stats
+    * are kept. */
+  def prunedFiles(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): (Seq[String], Seq[String]) = {
+    val stats = manifestStats(spark, path, column)
+      .getOrElse(fileStats(spark, path, column))
+    // per file: keep when stats are unusable; prune an all-NULL file (no
+    // bound in any domain — a range predicate cannot match NULL); compare in
+    // the caller's domain otherwise. Bounds in a DIFFERENT domain than the
+    // caller's literals mean the caller mistyped the predicate — fail loudly
+    // rather than prune on an incomparable bound.
+    def keep(s: FileStat): Boolean = {
+      if (!s.hasStats) return true
+      val allNull = s.minLong.isEmpty && s.minDouble.isEmpty && s.minString.isEmpty
+      if (allNull) return false
+      (normalize(lo), normalize(hi)) match {
+        case (l: Long, h: Long) => (s.minLong, s.maxLong) match {
+          case (Some(mn), Some(mx)) => mx >= l && mn <= h
+          case _ => throw new IllegalArgumentException(
+            s"$column carries non-integer bounds but integer literals were passed")
+        }
+        case (l: Double, h: Double) => (s.minDouble, s.maxDouble) match {
+          case (Some(mn), Some(mx)) => mx >= l && mn <= h
+          case _ => throw new IllegalArgumentException(
+            s"$column carries non-float bounds but float literals were passed")
+        }
+        case (l: String, h: String) => (s.minString, s.maxString) match {
+          case (Some(mn), Some(mx)) => mx >= l && mn <= h
+          case _ => throw new IllegalArgumentException(
+            s"$column carries non-string bounds but string literals were passed")
+        }
+        case other => throw new IllegalArgumentException(
+          s"unsupported bound types: $other")
+      }
+    }
+    val (kept, pruned) = stats.partition(keep)
+    (kept.map(_.file), pruned.map(_.file))
+  }
+
+  /** Range scan that opens only the files whose bounds intersect
+    * [lo, hi]. The predicate is STILL applied to surviving rows, so the
+    * result is exactly `spark.read.parquet(path).where(between)` — pruning
+    * is a performance fact, never a semantic one. */
+  def readPruned(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val (kept, _) = prunedFiles(spark, path, column, lo, hi)
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (kept.isEmpty)
+      spark.read.parquet(path).where(pred).limit(0)
+    else
+      spark.read.parquet(kept: _*).where(pred)
+  }
+
+  private def normalize(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case f: Float => f.toDouble
+    case other => other
+  }
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FileSkippingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def writeRanged(path: String): Unit =
+    spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id").cast("double") / 10)
+      .withColumn("s", format_string("k%04d", col("id")))
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+      .write.parquet(path)
+
+  test("footer stats match actual per-file min/max") {
+    val path = tmp("fsk_stats")
+    writeRanged(path)
+    val actual = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .collect()
+      .map(r => new java.io.File(new java.net.URI(r.getString(0)).getPath).getName ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val stats = FileSkipping.fileStats(spark, path, "id")
+    assert(stats.size === 8)
+    stats.foreach { s =>
+      val name = new org.apache.hadoop.fs.Path(s.file).getName
+      assert(s.hasStats, s"footer stats missing for $name")
+      assert((s.minLong.get, s.maxLong.get) === actual(name))
+    }
+  }
+
+  test("long-range scan prunes files and matches the unpruned result") {
+    val path = tmp("fsk_long")
+    writeRanged(path)
+    val (kept, pruned) = FileSkipping.prunedFiles(spark, path, "id", 200, 260)
+    assert(pruned.nonEmpty && kept.size < 8,
+      s"range-partitioned layout must prune: kept ${kept.size} of 8")
+    val got = FileSkipping.readPruned(spark, path, "id", 200, 260)
+      .select("id").as[Long].collect().sorted
+    assert(got === (200L to 260L).toArray)
+  }
+
+  test("double and string predicates prune in their own domains") {
+    val path = tmp("fsk_dom")
+    writeRanged(path)
+    val gotD = FileSkipping.readPruned(spark, path, "v", 50.0, 52.0)
+      .select("id").as[Long].collect().sorted
+    assert(gotD === (500L to 520L).toArray)
+    assert(FileSkipping.prunedFiles(spark, path, "v", 50.0, 52.0)._2.nonEmpty)
+    val gotS = FileSkipping.readPruned(spark, path, "s", "k0300", "k0310")
+      .select("id").as[Long].collect().sorted
+    assert(gotS === (300L to 310L).toArray)
+    assert(FileSkipping.prunedFiles(spark, path, "s", "k0300", "k0310")._2.nonEmpty)
+  }
+
+  test("z-ordered layout prunes on BOTH clustered dimensions") {
+    val path = tmp("fsk_z")
+    val df = (0 until 4096).map(i => (i % 64, i / 64, i.toLong))
+      .toDF("a", "b", "id")
+    Lake.zorderWrite(df, path, "a", "b", nFiles = 8)
+    val (keptA, prunedA) = FileSkipping.prunedFiles(spark, path, "a", 3, 6)
+    val (keptB, prunedB) = FileSkipping.prunedFiles(spark, path, "b", 3, 6)
+    assert(prunedA.nonEmpty, s"a-range kept all ${keptA.size} files")
+    assert(prunedB.nonEmpty, s"b-range kept all ${keptB.size} files")
+    val got = FileSkipping.readPruned(spark, path, "b", 3, 6).count()
+    assert(got === 4L * 64)
+  }
+
+  test("manifest serves fresh stats; a stale manifest is detected, not trusted") {
+    val path = tmp("fsk_man")
+    writeRanged(path)
+    FileSkipping.writeManifest(spark, path, Seq("id", "v"))
+    // fresh: prunes and matches
+    val got = FileSkipping.readPruned(spark, path, "id", 100, 120)
+      .select("id").as[Long].collect().sorted
+    assert(got === (100L to 120L).toArray)
+    // rewrite the table with a DIFFERENT range layout (files change);
+    // the manifest is now stale — results must reflect the new data
+    spark.range(2000, 2500).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .withColumn("s", format_string("k%04d", col("id")))
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").parquet(path)
+    val got2 = FileSkipping.readPruned(spark, path, "id", 2100, 2110)
+      .select("id").as[Long].collect().sorted
+    assert(got2 === (2100L to 2110L).toArray)
+    val gone = FileSkipping.readPruned(spark, path, "id", 100, 120).count()
+    assert(gone === 0L)
+  }
+
+  test("the manifest file itself is invisible to data reads and stats") {
+    val path = tmp("fsk_hide")
+    writeRanged(path)
+    FileSkipping.writeManifest(spark, path, Seq("id"))
+    assert(spark.read.parquet(path).count() === 1000L)
+    assert(FileSkipping.fileStats(spark, path, "id").size === 8)
+  }
+
+  test("an all-NULL file is pruned: range predicates cannot match NULL") {
+    val path = tmp("fsk_null")
+    val withNulls = spark.range(0, 100).toDF("id")
+      .withColumn("v", when(col("id") < 50, col("id")).otherwise(lit(null)))
+      .repartitionByRange(2, col("v"))
+    withNulls.write.parquet(path)
+    val (kept, pruned) = FileSkipping.prunedFiles(spark, path, "v", 0, 100)
+    assert(pruned.nonEmpty, "the all-NULL file should be pruned")
+    assert(FileSkipping.readPruned(spark, path, "v", 0L, 100L).count() === 50L)
+  }
+
+  test("unsupported column types keep every file; mismatched bounds fail loudly") {
+    val path = tmp("fsk_edge")
+    spark.range(0, 100).toDF("id")
+      .withColumn("flag", col("id") % 2 === 0)
+      .repartition(4).write.parquet(path)
+    // boolean stats are unsupported → no pruning, no error
+    val (kept, pruned) = FileSkipping.prunedFiles(spark, path, "flag", 0, 1)
+    assert(pruned.isEmpty && kept.size === 4)
+    // integer literals against a long column are fine; strings are not
+    intercept[IllegalArgumentException] {
+      FileSkipping.prunedFiles(spark, path, "id", "a", "z")
+    }
+  }
+}
