@@ -66,7 +66,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def recordErr(name: String, e: Throwable): Unit = {
       System.err.println(s"[bench] $name: $e")
-      errors.getOrElseUpdate(name, e.toString.take(200)) // JsonText escapes
+      // First line only, hard-capped: round-7's 8 full AnalysisException texts
+      // inflated the emitted JSON past the driver's capture window, leaving the
+      // whole artifact unparseable in exactly the round that most needed it.
+      // The full stack still goes to stderr above.
+      errors.getOrElseUpdate(name, e.toString.takeWhile(_ != '\n').take(80))
     }
     val results = Registry.headline.map { q =>
       val times = (1 to 3).flatMap { _ =>

@@ -25,8 +25,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which the Spark reader rejects;
-      // read as long nanos and convert (values are µs-aligned, so lossless).
+      // If a writer produced TIMESTAMP(NANOS) (which the Spark reader otherwise
+      // rejects), surface it as long nanos instead of failing the scan;
+      // Tables.eventsUs/microsCol dispatch on the arrival type (timestamp[us]
+      // vs nanos-as-long) so either encoding normalizes to the same epoch-µs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Report write-time sortBy order from bucketed scans, dropping both
       // sides' sorts in co-bucketed sort-merge joins. Self-guarded: Spark

@@ -19,6 +19,16 @@ object Verify {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema preflight (round-7 postmortem): name any testdata column whose
+    // physical type drifted outside the engine's contract UP FRONT, so a
+    // regenerated table reads as one clear message here instead of dozens of
+    // per-query AnalysisExceptions below. Warn-and-continue: queries not
+    // touching the drifted column still deserve their green rows.
+    val drift = graft.sources.SchemaCompat.problems(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println("[verify] SCHEMA DRIFT DETECTED — expect query failures:")
+      drift.foreach(p => System.err.println(s"[verify]   $p"))
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -11,13 +11,13 @@ import org.apache.spark.sql.expressions.Window
   * watermark on `ts` (see graft.streaming); here they are verified in batch against
   * the DuckDB oracle.
   *
-  * Time arithmetic is integer µs (`ts div 1000` == DuckDB `epoch_us(ts)`), see
-  * [[WindowQueries]] for why.
+  * Time arithmetic is integer µs (`tus` == DuckDB `epoch_us(ts)`), derived by
+  * physical-type dispatch in [[Tables.eventsUs]]; see [[WindowQueries]] for why.
   */
 object EventQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).withColumn("tus", expr("ts div 1000"))
+    Tables.eventsUs(s, dir)
 
   val defs: Seq[QueryDef] = Seq(
 

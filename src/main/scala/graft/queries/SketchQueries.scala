@@ -134,8 +134,8 @@ object SketchQueries {
     QueryDef(
       "a_hll_mergeable",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        val ev = Tables.eventsUs(s, dir)
+          .select(col("user_id"), expr("tus div 86400000000").as("day"))
         val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
         val merged = daily.agg(
           count(lit(1)).as("n_days"),
@@ -162,8 +162,8 @@ object SketchQueries {
       "a_cms_topk",
       (s, dir) => {
         import org.apache.spark.util.sketch.CountMinSketch
-        val ev = Tables.events(s, dir)
-          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        val ev = Tables.eventsUs(s, dir)
+          .select(col("user_id"), expr("tus div 86400000000").as("day"))
         val daily = ev.groupBy("day")
           .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42))
             .as("cms"))

@@ -10,11 +10,12 @@ import org.apache.spark.sql.expressions.Window
   * `Window.partitionBy(game,play[,player]).orderBy(frame)`. Here the trajectory is a
   * user's event stream ordered by time.
   *
-  * Spark reads `events.ts` as raw nanosecond longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`, see [[graft.GraftSession]]) because the
-  * file carries TIMESTAMP(NANOS); DuckDB truncates the same values to microseconds.
-  * All time arithmetic therefore happens on `tus = ts div 1000` (µs, truncation ==
-  * DuckDB's conversion), keeping the two engines bit-identical.
+  * `events.ts` arrives as whatever physical time encoding the writer chose —
+  * parquet `timestamp[us]` (TimestampType) or TIMESTAMP(NANOS) surfaced as raw
+  * longs under `nanosAsLong` (see [[graft.GraftSession]]). All time arithmetic
+  * happens on `tus` (epoch µs BIGINT), normalized per-encoding at the reader by
+  * [[Tables.eventsUs]] with truncation semantics identical to DuckDB's
+  * `epoch_us(ts)`, keeping the two engines bit-identical either way.
   *
   * Scale: one hash-partition by the window key per query; Catalyst merges identical
   * window specs into a single WindowExec, so chained lag/lead/min/max over the same
@@ -24,7 +25,7 @@ object WindowQueries {
 
   /** events with tus (epoch µs, bigint) — matches DuckDB epoch_us(ts). */
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).withColumn("tus", expr("ts div 1000"))
+    Tables.eventsUs(s, dir)
 
   private val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
   private val userAll = Window.partitionBy("user_id")

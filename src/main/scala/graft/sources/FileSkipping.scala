@@ -30,11 +30,14 @@ import scala.jdk.CollectionConverters._
   * carries no usable stats for the column is always KEPT — pruning degrades
   * to a no-op, never to a wrong answer.
   *
-  * The footer pass runs on the driver over a bounded pool (the
-  * Delta-transaction-log tradeoff: stats handling is driver-side metadata
-  * work; one ~8 kB footer read per file, no Spark job). For repeated scans,
-  * [[writeManifest]] persists the stats as `_graft_stats.parquet` beside the
-  * data (underscore-prefixed — data readers skip it); [[readPruned]] uses
+  * The footer pass is a DISTRIBUTED Spark job over the file list: executors
+  * read footers (one ~8 kB metadata read per file, all requested columns in
+  * one open) and ship back only fixed-width stats rows. At 100 TB
+  * (10⁵–10⁷ files) a driver-side footer loop is an hours-long bottleneck;
+  * as a job it scales with the cluster, and the driver holds only the
+  * file listing plus the stats rows. For repeated scans, [[writeManifest]]
+  * persists the stats as `_graft_stats.parquet` beside the data
+  * (underscore-prefixed — data readers skip it); [[readPruned]] uses
   * the manifest only when its (name, length) inventory exactly matches the
   * current listing, so a stale manifest after any rewrite is DETECTED and
   * ignored, never trusted.
@@ -70,12 +73,41 @@ object FileSkipping {
     out.result()
   }
 
-  /** Footer bounds for `column` in one file. */
-  private def footerStats(conf: Configuration, status: FileStatus,
+  /** Hadoop Configuration is Writable but not Serializable; this 10-line
+    * wrapper ships it into the footer tasks (same shape as Spark's internal
+    * SerializableConfiguration, re-stated here to stay on public API). */
+  private final class ConfBox(@transient var conf: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); conf = new Configuration(false); conf.readFields(in)
+    }
+  }
+
+  /** Footer bounds for `column` in one file (opens + closes the footer). */
+  private def footerStats(conf: Configuration, file: String, length: Long,
       column: String): FileStat = {
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromStatus(status, conf))
-    try {
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try statsFromReader(reader, file, length, column)
+    finally reader.close()
+  }
+
+  /** Bounds for EVERY requested column from one open footer — the manifest
+    * build path: one metadata read per file regardless of column count. */
+  private def footerStatsAll(conf: Configuration, file: String, length: Long,
+      columns: Seq[String]): Seq[(String, FileStat)] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try columns.map(c => c -> statsFromReader(reader, file, length, c))
+    finally reader.close()
+  }
+
+  private def statsFromReader(reader: ParquetFileReader, file: String,
+      length: Long, column: String): FileStat = {
+    {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       val chunks = blocks.flatMap(_.getColumns.asScala)
@@ -109,35 +141,51 @@ object FileSkipping {
           mnS = Some(mnS.fold(lo)(m => if (m <= lo) m else lo)); mxS = Some(mxS.fold(hi)(m => if (m >= hi) m else hi))
         case _ => ok = false // boolean/int96/non-string binary: no pruning
       }
-      FileStat(status.getPath.toString, status.getLen, rows, ok,
+      FileStat(file, length, rows, ok,
         mnL, mxL, mnD, mxD, mnS, mxS)
-    } finally reader.close()
+    }
   }
 
-  /** One [[FileStat]] per data file, footer pass over a bounded driver-side
-    * pool (metadata-only; no Spark job). */
-  def fileStats(spark: SparkSession, path: String, column: String): Seq[FileStat] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** One [[FileStat]] per data file for `column` — a single-column view of
+    * the distributed footer pass. */
+  def fileStats(spark: SparkSession, path: String, column: String): Seq[FileStat] =
+    fileStatsMulti(spark, path, Seq(column)).getOrElse(column, Seq.empty)
+
+  /** The footer pass, DISTRIBUTED: executors each open a slice of the file
+    * list (one footer open covers every requested column) and return only
+    * fixed-width stats rows. Driver-side state is the listing + the stats —
+    * both O(files), never O(data). Ordering of the result is not meaningful.
+    */
+  def fileStatsMulti(spark: SparkSession, path: String,
+      columns: Seq[String]): Map[String, Seq[FileStat]] = {
     val files = listDataFiles(spark, path)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(8, files.size)))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try Await.result(
-      Future.sequence(files.map(f => Future(footerStats(conf, f, column)))),
-      Duration.Inf)
-    finally pool.shutdown()
+      .map(f => (f.getPath.toString, f.getLen))
+    if (files.isEmpty) return columns.map(_ -> Seq.empty[FileStat]).toMap
+    val box = new ConfBox(spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(box)
+    val cols = columns.toIndexedSeq
+    val slices = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism * 2))
+    val rows = spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { it =>
+        val conf = bc.value.conf
+        it.flatMap { case (file, len) => footerStatsAll(conf, file, len, cols) }
+      }
+      .collect()
+    bc.destroy()
+    columns.map(c => c -> rows.collect { case (`c`, s) => s }.toSeq).toMap
   }
 
   private val ManifestDir = "_graft_stats.parquet"
 
-  /** Persist footer stats for `columns` beside the data. Overwrites any
-    * previous manifest; readers validate freshness against the current
-    * listing before trusting it. */
+  /** Persist footer stats for `columns` beside the data — ONE distributed
+    * footer pass covering every column (each file's footer is opened once,
+    * not once per column). Overwrites any previous manifest; readers
+    * validate freshness against the current listing before trusting it. */
   def writeManifest(spark: SparkSession, path: String, columns: Seq[String]): Unit = {
     import spark.implicits._
-    val rows = columns.flatMap(c => fileStats(spark, path, c).map(s =>
+    val byCol = fileStatsMulti(spark, path, columns)
+    val rows = columns.flatMap(c => byCol(c).map(s =>
       (c, s.file, s.length, s.rows, s.hasStats, s.minLong, s.maxLong,
         s.minDouble, s.maxDouble, s.minString, s.maxString)))
     rows.toDF("column", "file", "length", "rows", "has_stats",

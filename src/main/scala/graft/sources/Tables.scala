@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Readers for the harness's synthetic parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -25,6 +27,47 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "events")
+
+  /** events with `tus` — event time as epoch-microsecond BIGINT — derived by
+    * PHYSICAL-TYPE DISPATCH, not by assuming one parquet encoding.
+    *
+    * A 100 TB lake has mixed writers: the same logical instant arrives as
+    * parquet `timestamp[us]`/`[ms]` (Spark reads TimestampType),
+    * `timestamp[ns]` (Spark's reader surfaces it as raw LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`), or NTZ. All of them must
+    * normalize at the reader so every downstream expression sees one type.
+    * Truncation semantics (floor to µs) match DuckDB's `epoch_us(ts)` for
+    * every encoding, keeping the oracle bit-identical.
+    */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val df = events(spark, dir)
+    df.withColumn("tus", microsCol(df.schema, "ts"))
+  }
+
+  /** Epoch-µs BIGINT from a time column, whatever its physical arrival type. */
+  def microsCol(schema: StructType, name: String): Column =
+    schema(name).dataType match {
+      case TimestampType    => unix_micros(col(name))
+      // UTC session (GraftSession) makes the NTZ→instant reinterpretation exact.
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      // nanosAsLong: raw TIMESTAMP(NANOS) as BIGINT nanos; integer div floors.
+      case LongType         => expr(s"$name div 1000")
+      case other => throw new IllegalArgumentException(
+        s"column '$name': cannot derive epoch-µs from ${other.simpleString}; " +
+          "expected timestamp, timestamp_ntz, or bigint (nanos-as-long)")
+    }
+
+  /** A true TimestampType column (µs precision) from any physical arrival type —
+    * the streaming-edge twin of [[microsCol]] (watermarks need TimestampType).
+    */
+  def tsCol(schema: StructType, name: String): Column =
+    schema(name).dataType match {
+      case TimestampType    => col(name)
+      case TimestampNTZType => col(name).cast(TimestampType)
+      case LongType         => timestamp_micros(expr(s"$name div 1000"))
+      case other => throw new IllegalArgumentException(
+        s"column '$name': cannot derive timestamp from ${other.simpleString}")
+    }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }

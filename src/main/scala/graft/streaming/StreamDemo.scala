@@ -15,9 +15,9 @@ object StreamDemo {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
 
     // File streams watch a DIRECTORY; stage the single file into one
-    // (testdata is read-only). They also need an explicit schema; the raw
-    // nanos column becomes a true timestamp at the edge (same µs floor as
-    // the batch queries).
+    // (testdata is read-only). They also need an explicit schema; whatever
+    // physical time encoding the writer used becomes a true timestamp at the
+    // edge (same µs floor as the batch queries — Tables.tsCol dispatches).
     val stage = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
       java.nio.file.Path.of(s"$dir/events.parquet"),
@@ -26,7 +26,7 @@ object StreamDemo {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.sources.Tables.tsCol(schema, "ts"))
 
     val q = EventStreams.tumblingHourly(stream)
       .writeStream.format("memory").queryName("stream_hourly")
@@ -38,7 +38,7 @@ object StreamDemo {
       .groupBy("hour_start", "event_type")
       .agg(max("cnt").as("cnt")) // last update per window
     val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.sources.Tables.tsCol(schema, "ts"))
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))

@@ -47,8 +47,8 @@ class SketchSpec extends SparkSpec {
   test("CMS merge of per-day sketches is bit-identical to one direct sketch") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.util.sketch.CountMinSketch
-    val ev = graft.sources.Tables.events(spark, dir)
-      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+    val ev = graft.sources.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), expr("tus div 86400000000").as("day"))
     val daily = ev.groupBy("day")
       .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42)).as("cms"))
       .select("cms").collect()
@@ -70,8 +70,8 @@ class SketchSpec extends SparkSpec {
   test("sketch merges are associative: merge(a, merge(b, c)) == merge(merge(a, b), c)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.util.sketch.CountMinSketch
-    val ev = graft.sources.Tables.events(spark, dir)
-      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+    val ev = graft.sources.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), expr("tus div 86400000000").as("day"))
     // three disjoint day-slices as the parts
     val parts = ev.withColumn("slice", pmod(col("day"), lit(3)))
     def cmsOf(slice: Int): Array[Byte] = parts.filter(col("slice") === slice)

@@ -103,6 +103,36 @@ class FileSkippingSpec extends SparkSpec {
     assert(FileSkipping.fileStats(spark, path, "id").size === 8)
   }
 
+  test("the footer pass is a distributed job, opening each footer once for all columns") {
+    val path = tmp("fsk_dist")
+    writeRanged(path)
+    // Count Spark jobs + executor tasks across the manifest build: the footer
+    // reads must run as TASKS (executor-side), not as a driver loop — at
+    // 100 TB file counts a driver-side footer pass is an hours-long
+    // bottleneck. One footer pass must also cover BOTH columns (stats rows
+    // for id and v from a single job).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val byCol = FileSkipping.fileStatsMulti(spark, path, Seq("id", "v"))
+      // listener events are delivered async; poll briefly before judging
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while ((jobs.get < 1 || tasks.get < 1) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(jobs.get >= 1, "footer pass did not launch a Spark job")
+      assert(tasks.get >= 1, "footer pass ran no executor tasks")
+      assert(byCol("id").size === 8 && byCol("v").size === 8)
+      assert(byCol("id").forall(_.hasStats) && byCol("v").forall(_.hasStats))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("an all-NULL file is pruned: range predicates cannot match NULL") {
     val path = tmp("fsk_null")
     val withNulls = spark.range(0, 100).toDF("id")

@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.queries.Registry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Locks the round-8 time-ingestion fix in BOTH directions: the same events
+  * rows written as parquet `timestamp[us]` (TimestampType arrival) and as
+  * INT64 nanos (the nanos-as-long arrival shape of TIMESTAMP(NANOS) under
+  * `spark.sql.legacy.parquet.nanosAsLong`) must produce IDENTICAL results
+  * through [[Tables.eventsUs]] — a future testdata regeneration in either
+  * encoding is absorbed at the reader, not spread across 29 queries.
+  */
+class TimeEncodingSpec extends SparkSpec {
+  private val srcDir = "/root/testdata/sf0.001"
+
+  private lazy val (usDir, nanosDir): (String, String) = {
+    val ev = Tables.eventsUs(spark, srcDir)
+    val base = java.nio.file.Files.createTempDirectory("time_enc")
+    val us = base.resolve("us").toString
+    val nanos = base.resolve("nanos").toString
+    // Encoding A: a true µs timestamp column (pin the writer to TIMESTAMP_MICROS
+    // so the file carries timestamp[us] exactly, not INT96).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    ev.withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+      .write.parquet(s"$us/events.parquet")
+    // Encoding B: raw INT64 nanos — the arrival type Spark's reader surfaces
+    // for TIMESTAMP(NANOS) files under nanosAsLong.
+    ev.withColumn("ts", (col("tus") * 1000L).cast(LongType)).drop("tus")
+      .write.parquet(s"$nanos/events.parquet")
+    (us, nanos)
+  }
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+  }
+
+  test("eventsUs dispatches: TimestampType for timestamp[us], BIGINT nanos for nanos-as-long") {
+    assert(Tables.events(spark, usDir).schema("ts").dataType === TimestampType)
+    assert(Tables.events(spark, nanosDir).schema("ts").dataType === LongType)
+    Seq(usDir, nanosDir).foreach { d =>
+      assert(Tables.eventsUs(spark, d).schema("tus").dataType === LongType)
+    }
+  }
+
+  test("w1_lag_diff and e_sessionize are identical across both time encodings") {
+    Seq("w1_lag_diff", "e_sessionize").foreach { name =>
+      val q = Registry.all.find(_.name == name).get
+      val a = canon(q.run(spark, usDir))
+      val b = canon(q.run(spark, nanosDir))
+      assert(a.nonEmpty, s"$name returned no rows")
+      assert(a === b, s"$name diverged between time encodings")
+    }
+  }
+
+  test("both encodings match the source testdata's own result") {
+    val q = Registry.all.find(_.name == "w1_lag_diff").get
+    assert(canon(q.run(spark, usDir)) === canon(q.run(spark, srcDir)))
+  }
+}
