@@ -33,6 +33,15 @@ object Bench {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Same preflight as Verify: if the testdata's physical types drifted,
+    // say WHICH column up front on stderr — 8 cryptic per-query errors in
+    // the r7 artifact traced to one column's encoding change.
+    val drift = graft.sources.SchemaCompat.problems(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println("[bench] SCHEMA DRIFT DETECTED — expect query failures:")
+      drift.foreach(p => System.err.println(s"[bench]   $p"))
+    }
+
     // Fixed CPU-bound probe: one whole-stage-codegen pass over an in-memory
     // range, one partition per thread — measures available compute, nothing
     // about the engine under test. Median of 3.

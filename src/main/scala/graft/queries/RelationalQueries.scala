@@ -492,5 +492,34 @@ object RelationalQueries {
               |  ${Exact.sqlDsum("o_totalprice")} AS sum_price
               |FROM orders WHERE o_orderkey BETWEEN 3000 AND 4000
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // The lake read path COMPOSED: file-level min-max skipping (open only
+    // files whose footer bounds intersect the key range) feeding a
+    // bloom-pruned fact⋈dim-subset join (drop non-matching fact rows before
+    // the exchange). The two prunings are independent multipliers at 100 TB —
+    // metadata skipping cuts FILES OPENED, the runtime bitset cuts SHUFFLE
+    // BYTES — and both are semantics-free: the result is exactly the plain
+    // range-filtered inner join.
+    QueryDef(
+      "l_pruned_bloom_join",
+      (s, dir) => {
+        val facts = graft.sources.FileSkipping
+          .readPruned(s, s"$dir/orders.parquet", "o_orderkey", 3000L, 15000L)
+        val dim = Tables.customer(s, dir)
+          .where(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        graft.operators.BloomJoin
+          .inner(facts, dim, "o_custkey", "c_custkey")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            Exact.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${Exact.sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |WHERE o_orderkey BETWEEN 3000 AND 15000
+              |  AND c_mktsegment = 'BUILDING'
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
   )
 }

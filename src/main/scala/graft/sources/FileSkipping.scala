@@ -160,7 +160,14 @@ object FileSkipping {
       columns: Seq[String]): Map[String, Seq[FileStat]] = {
     val files = listDataFiles(spark, path)
       .map(f => (f.getPath.toString, f.getLen))
-    if (files.isEmpty) return columns.map(_ -> Seq.empty[FileStat]).toMap
+    val rows = footerPass(spark, files, columns)
+    columns.map(c => c -> rows.collect { case (`c`, s) => s }).toMap
+  }
+
+  /** The distributed footer job over an explicit file list. */
+  private def footerPass(spark: SparkSession, files: Seq[(String, Long)],
+      columns: Seq[String]): Seq[(String, FileStat)] = {
+    if (files.isEmpty) return Seq.empty
     val box = new ConfBox(spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(box)
     val cols = columns.toIndexedSeq
@@ -173,7 +180,7 @@ object FileSkipping {
       }
       .collect()
     bc.destroy()
-    columns.map(c => c -> rows.collect { case (`c`, s) => s }.toSeq).toMap
+    rows.toSeq
   }
 
   private val ManifestDir = "_graft_stats.parquet"
@@ -183,11 +190,17 @@ object FileSkipping {
     * not once per column). Overwrites any previous manifest; readers
     * validate freshness against the current listing before trusting it. */
   def writeManifest(spark: SparkSession, path: String, columns: Seq[String]): Unit = {
-    import spark.implicits._
     val byCol = fileStatsMulti(spark, path, columns)
     val rows = columns.flatMap(c => byCol(c).map(s =>
       (c, s.file, s.length, s.rows, s.hasStats, s.minLong, s.maxLong,
         s.minDouble, s.maxDouble, s.minString, s.maxString)))
+    writeManifestRows(spark, path, rows)
+  }
+
+  private def writeManifestRows(spark: SparkSession, path: String,
+      rows: Seq[(String, String, Long, Long, Boolean, Option[Long], Option[Long],
+        Option[Double], Option[Double], Option[String], Option[String])]): Unit = {
+    import spark.implicits._
     rows.toDF("column", "file", "length", "rows", "has_stats",
         "min_long", "max_long", "min_double", "max_double",
         "min_string", "max_string")
@@ -195,16 +208,53 @@ object FileSkipping {
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
   }
 
-  /** Manifest stats for `column`, ONLY if the manifest covers exactly the
-    * current data files (same names and lengths) — else None and the caller
-    * falls back to a live footer pass. */
-  private def manifestStats(spark: SparkSession, path: String,
-      column: String): Option[Seq[FileStat]] = {
+  /** Outcome of [[updateManifest]]: how many data files had their footers
+    * read vs carried forward from the previous manifest unchanged. */
+  final case class ManifestUpdate(filesRead: Int, filesCarried: Int)
+
+  /** Maintain the manifest INCREMENTALLY: footer-read only files that are
+    * new or rewritten (same (name, length) inventory check the read path
+    * trusts), carry every other file's stats forward, drop rows for deleted
+    * files. At 100 TB a daily ingest touches a sliver of the table —
+    * rebuilding the whole manifest re-reads millions of unchanged footers;
+    * this reads only the sliver. The result is IDENTICAL to a fresh
+    * [[writeManifest]] over the same columns (stats are per-file facts).
+    * A file counts as carried only if the old manifest covers it for EVERY
+    * requested column; otherwise its footer is read (once, all columns).
+    */
+  def updateManifest(spark: SparkSession, path: String,
+      columns: Seq[String]): ManifestUpdate = {
+    val current = listDataFiles(spark, path)
+      .map(f => (f.getPath.toString, f.getLen))
+    val old: Map[String, Seq[FileStat]] =
+      columns.map(c => c -> manifestStatsRaw(spark, path, c)).toMap
+    // set-keyed coverage: this loop runs per data file — at manifest scale
+    // (10⁵–10⁷ files) a linear scan per file would be quadratic
+    val oldKeys: Map[String, Set[(String, Long)]] =
+      old.map { case (c, ss) => c -> ss.map(s => (s.file, s.length)).toSet }
+    def covered(file: String, len: Long): Boolean =
+      columns.forall(c => oldKeys(c)((file, len)))
+    val (carry, fresh) = current.partition { case (f, l) => covered(f, l) }
+    val carrySet = carry.map(_._1).toSet
+    val carried = columns.flatMap(c =>
+      old(c).filter(s => carrySet.contains(s.file)).map(c -> _))
+    val rows = (carried ++ footerPass(spark, fresh, columns)).map {
+      case (c, s) => (c, s.file, s.length, s.rows, s.hasStats, s.minLong,
+        s.maxLong, s.minDouble, s.maxDouble, s.minString, s.maxString)
+    }
+    writeManifestRows(spark, path, rows)
+    ManifestUpdate(fresh.size, carry.size)
+  }
+
+  /** Manifest rows for `column` with NO freshness validation — the update
+    * path's raw view (stale rows are exactly what it prunes and replaces). */
+  private def manifestStatsRaw(spark: SparkSession, path: String,
+      column: String): Seq[FileStat] = {
     val p = new Path(s"$path/$ManifestDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
+    if (!fs.exists(p)) return Seq.empty
     import spark.implicits._
-    val all = spark.read.parquet(p.toString)
+    spark.read.parquet(p.toString)
       .where(col("column") === column)
       .select("file", "length", "rows", "has_stats", "min_long", "max_long",
         "min_double", "max_double", "min_string", "max_string")
@@ -213,6 +263,14 @@ object FileSkipping {
       .collect().toSeq
       .map(t => FileStat(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8,
         t._9, t._10))
+  }
+
+  /** Manifest stats for `column`, ONLY if the manifest covers exactly the
+    * current data files (same names and lengths) — else None and the caller
+    * falls back to a live footer pass. */
+  private def manifestStats(spark: SparkSession, path: String,
+      column: String): Option[Seq[FileStat]] = {
+    val all = manifestStatsRaw(spark, path, column)
     val current = listDataFiles(spark, path)
       .map(f => f.getPath.toString -> f.getLen).toMap
     val covered = all.map(s => s.file -> s.length).toMap

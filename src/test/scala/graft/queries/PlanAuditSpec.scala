@@ -162,6 +162,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty, s"scale-hostile join in the plan: ${bad.map(_.nodeName)}")
   }
 
+  test("composed lake path: file skipping + bloom probe, exact vs the plain join") {
+    // l_pruned_bloom_join's composition on a MULTI-file layout (the shipped
+    // testdata is one file per table, where file pruning is inert by
+    // construction): the orders scan must open a subset of the files, the
+    // explicit bloom membership probe (xxhash64) must sit in the plan ahead
+    // of the join, and the result must equal the plain range-filtered join.
+    import graft.sources.{FileSkipping, Tables}
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("lake_compose").toString
+    val path = s"$tmp/orders.parquet"
+    Tables.orders(spark, dir)
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(path)
+    val dim = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val facts = FileSkipping.readPruned(spark, path, "o_orderkey", 300L, 900L)
+    val composed = graft.operators.BloomJoin
+      .inner(facts, dim, "o_custkey", "c_custkey")
+    val plan = executedPlan(composed)
+    val orderScans = scans(plan).filter(
+      _.requiredSchema.fieldNames.contains("o_custkey"))
+    assert(orderScans.nonEmpty, "no orders scan in the plan")
+    val readFiles = orderScans.map(_.relation.location.inputFiles.length).sum
+    assert(readFiles < 8, s"file skipping inert: scan reads $readFiles of 8 files")
+    assert(plan.toString.contains("xxhash64"),
+      "bloom membership probe missing from the physical plan")
+    val plain = spark.read.parquet(path)
+      .where(col("o_orderkey").between(300L, 900L))
+      .join(dim, col("o_custkey") === col("c_custkey"), "inner")
+    assert(composed.count() === plain.count())
+  }
+
   test("runtime bloom-filter pruning reaches the fact scan on shuffle joins") {
     // When a fact-dim join is too big to broadcast, Spark's runtime row-level
     // filtering builds a bloom filter from the SELECTIVE dim side and probes

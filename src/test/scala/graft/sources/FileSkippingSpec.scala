@@ -133,6 +133,49 @@ class FileSkippingSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("incremental manifest update reads only new files, equals a full rebuild") {
+    val path = tmp("fsk_incr")
+    writeRanged(path)
+    FileSkipping.writeManifest(spark, path, Seq("id", "v"))
+    // ingest: append two new files; the 8 existing files are untouched
+    spark.range(5000, 5200).toDF("id")
+      .withColumn("v", col("id").cast("double") / 10)
+      .withColumn("s", format_string("k%04d", col("id")))
+      .repartitionByRange(2, col("id"))
+      .write.mode("append").parquet(path)
+    val upd = FileSkipping.updateManifest(spark, path, Seq("id", "v"))
+    assert(upd.filesRead === 2, s"expected footer reads for the 2 new files, got $upd")
+    assert(upd.filesCarried === 8, s"expected 8 carried files, got $upd")
+    // the updated manifest is trusted (fresh) and prunes correctly into
+    // BOTH the old and the new key ranges
+    import spark.implicits._
+    val oldRange = FileSkipping.readPruned(spark, path, "id", 100, 120)
+      .select("id").as[Long].collect().sorted
+    assert(oldRange === (100L to 120L).toArray)
+    val newRange = FileSkipping.readPruned(spark, path, "id", 5100, 5110)
+      .select("id").as[Long].collect().sorted
+    assert(newRange === (5100L to 5110L).toArray)
+    // row-for-row agreement with a from-scratch rebuild of the MANIFEST
+    // (stats are per-file facts, so incremental and full builds must agree)
+    def manifestRows(): Set[Seq[Any]] =
+      spark.read.parquet(s"$path/_graft_stats.parquet")
+        .collect().map(_.toSeq).toSet
+    val incremental = manifestRows()
+    FileSkipping.writeManifest(spark, path, Seq("id", "v"))
+    val rebuilt = manifestRows()
+    assert(incremental === rebuilt)
+    // a deleted file's rows are dropped, not trusted stale: remove one file
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .minBy(_.getName.toString)
+    fs.delete(victim, false)
+    val upd2 = FileSkipping.updateManifest(spark, path, Seq("id", "v"))
+    assert(upd2.filesRead === 0 && upd2.filesCarried === 9, s"got $upd2")
+  }
+
   test("an all-NULL file is pruned: range predicates cannot match NULL") {
     val path = tmp("fsk_null")
     val withNulls = spark.range(0, 100).toDF("id")
