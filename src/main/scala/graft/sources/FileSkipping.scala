@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.parquet.column.statistics._
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -56,21 +56,62 @@ object FileSkipping {
       minDouble: Option[Double], maxDouble: Option[Double],
       minString: Option[String], maxString: Option[String])
 
-  private def listDataFiles(spark: SparkSession, path: String): Seq[FileStatus] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = Seq.newBuilder[FileStatus]
+  /** Past this many top-level subdirectories the recursive listing runs as a
+    * Spark job, one task wave over the subdirs — the same move Spark's own
+    * file index makes (`parallelPartitionDiscovery`): at 10⁴+ hive
+    * partitions a driver-serial recursive list is minutes of metadata RPCs
+    * before any work starts. */
+  private val ParallelListThreshold = 8
+
+  /** All visible `.parquet` data files under `root` as (path, length).
+    * Hidden rule matches Spark's file index: `_`/`.` prefixed names (and
+    * everything below such a directory) are metadata, not data. */
+  private def dataFilesUnder(conf: Configuration, root: String): Seq[(String, Long)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    val out = Seq.newBuilder[(String, Long)]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      // same visibility rule as Spark's file index: _ and . prefixed names
-      // (and anything under such a directory) are metadata, not data
       val rel = st.getPath.toString.stripPrefix(fs.makeQualified(p).toString)
       val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-      if (name.endsWith(".parquet") && !hidden) out += st
+      if (name.endsWith(".parquet") && !hidden) out += ((st.getPath.toString, st.getLen))
     }
     out.result()
+  }
+
+  private def listDataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val top = fs.listStatus(p)
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+    val (dirs, files) = top.partition(_.isDirectory)
+    val topFiles = files.collect {
+      case st if st.getPath.getName.endsWith(".parquet") =>
+        (st.getPath.toString, st.getLen)
+    }.toSeq
+    val nested: Seq[(String, Long)] =
+      if (dirs.length >= ParallelListThreshold) {
+        // distributed listing: each task recursively lists a slice of the
+        // partition dirs; only (path, length) pairs come back to the driver
+        val box = new ConfBox(conf)
+        val bc = spark.sparkContext.broadcast(box)
+        val slices = math.max(1,
+          math.min(dirs.length, spark.sparkContext.defaultParallelism * 2))
+        val listed = spark.sparkContext
+          .parallelize(dirs.map(_.getPath.toString).toSeq, slices)
+          .mapPartitions { it =>
+            val c = bc.value.conf
+            it.flatMap(d => dataFilesUnder(c, d))
+          }
+          .collect().toSeq
+        bc.destroy()
+        listed
+      } else dirs.toSeq.flatMap(d => dataFilesUnder(conf, d.getPath.toString))
+    topFiles ++ nested
   }
 
   /** Hadoop Configuration is Writable but not Serializable; this 10-line
@@ -159,7 +200,6 @@ object FileSkipping {
   def fileStatsMulti(spark: SparkSession, path: String,
       columns: Seq[String]): Map[String, Seq[FileStat]] = {
     val files = listDataFiles(spark, path)
-      .map(f => (f.getPath.toString, f.getLen))
     val rows = footerPass(spark, files, columns)
     columns.map(c => c -> rows.collect { case (`c`, s) => s }).toMap
   }
@@ -225,7 +265,6 @@ object FileSkipping {
   def updateManifest(spark: SparkSession, path: String,
       columns: Seq[String]): ManifestUpdate = {
     val current = listDataFiles(spark, path)
-      .map(f => (f.getPath.toString, f.getLen))
     val old: Map[String, Seq[FileStat]] =
       columns.map(c => c -> manifestStatsRaw(spark, path, c)).toMap
     // set-keyed coverage: this loop runs per data file — at manifest scale
@@ -271,8 +310,7 @@ object FileSkipping {
   private def manifestStats(spark: SparkSession, path: String,
       column: String): Option[Seq[FileStat]] = {
     val all = manifestStatsRaw(spark, path, column)
-    val current = listDataFiles(spark, path)
-      .map(f => f.getPath.toString -> f.getLen).toMap
+    val current = listDataFiles(spark, path).toMap
     val covered = all.map(s => s.file -> s.length).toMap
     if (current == covered && all.nonEmpty) Some(all) else None
   }
@@ -321,7 +359,12 @@ object FileSkipping {
   /** Range scan that opens only the files whose bounds intersect
     * [lo, hi]. The predicate is STILL applied to surviving rows, so the
     * result is exactly `spark.read.parquet(path).where(between)` — pruning
-    * is a performance fact, never a semantic one. */
+    * is a performance fact, never a semantic one.
+    *
+    * Hive-partitioned layouts: leaf files are read directly, so directory-
+    * derived partition COLUMNS are absent from the result — prune on data
+    * columns here, and let Spark's own partition pruning handle predicates
+    * on partition columns (LakeSpec covers that path). */
   def readPruned(spark: SparkSession, path: String, column: String,
       lo: Any, hi: Any): DataFrame = {
     val (kept, _) = prunedFiles(spark, path, column, lo, hi)

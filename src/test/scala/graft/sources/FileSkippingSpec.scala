@@ -133,6 +133,25 @@ class FileSkippingSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("hive-partitioned layout: distributed listing finds every leaf, pruning works") {
+    val path = tmp("fsk_hive")
+    // 10 partition dirs (>= the parallel-listing threshold) × range files
+    spark.range(0, 1000).toDF("id")
+      .withColumn("pt", col("id") % 10)
+      .write.partitionBy("pt").parquet(path)
+    val stats = FileSkipping.fileStats(spark, path, "id")
+    assert(stats.size >= 10, s"expected a file per partition dir, got ${stats.size}")
+    assert(stats.forall(_.hasStats))
+    // every row accounted for across the listed leaves
+    assert(stats.map(_.rows).sum === 1000L)
+    // min-max pruning still applies per leaf file (id values interleave
+    // across partitions here, so this checks correctness, not selectivity)
+    import spark.implicits._
+    val got = FileSkipping.readPruned(spark, path, "id", 100, 120)
+      .select("id").as[Long].collect().sorted
+    assert(got === (100L to 120L).toArray)
+  }
+
   test("incremental manifest update reads only new files, equals a full rebuild") {
     val path = tmp("fsk_incr")
     writeRanged(path)
