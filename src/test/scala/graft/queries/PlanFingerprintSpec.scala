@@ -54,6 +54,11 @@ class PlanFingerprintSpec extends SparkSpec {
     // broadcast at this scale
     "j_bloom_join" -> Fp(2, 1, 0, 0),
     "d_dup_spans" -> Fp(4, 2, 0, 0),
+    // round 8: the composed lake read — pruned-file scan feeds a broadcast
+    // dim join (1); agg + order are the 2 exchanges. The bloom probe and the
+    // file pruning are both exchange-free by design, so any new exchange
+    // here means the composition broke.
+    "l_pruned_bloom_join" -> Fp(2, 1, 0, 0),
   )
 
   test("every headline query matches its pinned post-AQE plan fingerprint") {
