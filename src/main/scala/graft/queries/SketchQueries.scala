@@ -182,6 +182,36 @@ object SketchQueries {
       },
       None),
 
+    // Mergeable t-digest quantiles — the third leg of the sketch-rollup
+    // architecture (HLL = distinct, CMS = frequency, t-digest = quantiles):
+    // sketch ONCE per day, answer "p50/p99 over any day range" by MERGING
+    // the ~KB digests (tdigestMergeAgg — itself a distributed agg, so the
+    // rollup never routes raw data through the driver). Exact percentiles
+    // ride alongside for self-audit; TDigestSpec pins the rank-error bound
+    // and merged-vs-direct agreement.
+    QueryDef(
+      "a_tdigest_quantiles",
+      (s, dir) => {
+        import graft.operators.TDigest
+        val ev = Tables.eventsUs(s, dir)
+          .select(col("user_id"), expr("tus div 86400000000").as("day"),
+            col("value"))
+        val daily = ev.groupBy("day")
+          .agg(TDigest.tdigestAgg(col("value")).as("td"))
+        val merged = daily
+          .agg(count(lit(1)).as("n_days"),
+            TDigest.tdigestMergeAgg(col("td")).as("td"))
+          .select(col("n_days"),
+            TDigest.quantileOf(col("td"), 0.5).as("td_p50"),
+            TDigest.quantileOf(col("td"), 0.99).as("td_p99"))
+        val exact = ev.agg(
+          expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("percentile(value, 0.99)").as("exact_p99"),
+          count(lit(1)).as("n_events"))
+        merged.crossJoin(exact)
+      },
+      None),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): the classic date-spine
     // gap-fill — generate every day offset of 1995 recursively, left-join
     // daily order counts, emit zeros for silent days. Cross-engine text
