@@ -104,6 +104,34 @@ object EventStreams {
       }
   }
 
+  final case class UserQuantiles(user_id: Long, n: Long, p50: Double, p99: Double)
+
+  /** Running per-user quantiles via a t-digest in keyed state — the
+    * streaming twin of the batch sketch rollup (`a_tdigest_quantiles`):
+    * each micro-batch folds its values into the user's ~KB digest and emits
+    * refreshed p50/p99. State is the SERIALIZED digest, so a restart
+    * resumes from the checkpoint with the full distribution summary intact;
+    * estimates carry the same rank-error bound the batch spec pins
+    * (TDigestSpec) — batch boundaries only move compression points, never
+    * weight. */
+  def runningUserQuantiles(events: Dataset[Event]): Dataset[UserQuantiles] = {
+    import events.sparkSession.implicits._
+    import graft.operators.TDigest
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Array[Byte], UserQuantiles](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Array[Byte]]) =>
+          val td = state.getOption.map(TDigest.deserialize)
+            .getOrElse(TDigest.empty())
+          // same in-batch event-time ordering contract as runningUserStats
+          rows.toSeq.sortBy(ev => (ev.ts.getTime, ev.ts.getNanos))
+            .foreach(ev => td.add(ev.value))
+          state.update(td.serialize)
+          UserQuantiles(userId, td.totalWeight.toLong,
+            td.quantile(0.5), td.quantile(0.99))
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `dedup_key` was already seen,
     * with a watermark bounding the dedup state (keys older than the watermark
     * are evicted — the streaming twin of the batch md5 hash-groupBy dedup).

@@ -199,6 +199,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === expected) // exact double equality: identical fold
   }
 
+  test("runningUserQuantiles: digest state accumulates across batches within rank bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic non-monotone values for one hot user + a control user
+    val vals = (0 until 900).map(i => ((i * 7919) % 900).toDouble)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      EventStreams.Event(ts(i + 1), 7L, "click", v) }
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.runningUserQuantiles(input.toDS())
+      .writeStream.format("memory").queryName("user_q")
+      .outputMode(OutputMode.Update()).start()
+    // three micro-batches: state must carry the digest across them
+    evs.grouped(300).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    input.addData(EventStreams.Event(ts(1000), 8L, "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("user_q")
+      .groupBy("user_id").agg(max("n").as("n"), max_by(col("p50"), col("n")).as("p50"),
+        max_by(col("p99"), col("n")).as("p99"))
+      .orderBy("user_id").collect()
+    q.stop()
+    assert(rows.length === 2)
+    val hot = rows(0)
+    assert(hot.getAs[Long]("n") === 900L) // weight exact across batches
+    val sorted = vals.sorted
+    def rankErr(est: Double, qq: Double): Double = {
+      val r = sorted.indexWhere(_ >= est) match { case -1 => sorted.size case i => i }
+      math.abs(r - qq * sorted.size)
+    }
+    assert(rankErr(hot.getAs[Double]("p50"), 0.5) <= 0.02 * 900 + 1)
+    assert(rankErr(hot.getAs[Double]("p99"), 0.99) <= 0.02 * 900 + 1)
+    assert(rows(1).getAs[Long]("n") === 1L &&
+      rows(1).getAs[Double]("p50") === 5.0)
+  }
+
   test("attributeWithin: stream-stream interval join matches within the window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
