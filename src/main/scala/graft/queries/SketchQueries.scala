@@ -210,7 +210,8 @@ object SketchQueries {
           count(lit(1)).as("n_events"))
         merged.crossJoin(exact)
       },
-      None),
+      None,
+      headline = true),
 
     // Recursive CTE (Spark 4's WITH RECURSIVE): the classic date-spine
     // gap-fill — generate every day offset of 1995 recursively, left-join

@@ -51,6 +51,42 @@ class OperatorPropertiesSpec extends SparkSpec {
       "every near-dup pair must score above every unrelated pair")
   }
 
+  test("property: t-digest rank error bounded on arbitrary data, any split, any merge order") {
+    val genVals = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+      .map(_.take(4000))
+    holds(Prop.forAll(genVals, Gen.choose(1, 7), Gen.choose(0, 1000)) {
+      (vals, nParts, seed) =>
+        (vals.size >= 100) ==> {
+          val rnd = new scala.util.Random(seed)
+          // random partition + random merge order: the shapes a shuffled
+          // distributed agg actually produces
+          val parts = vals.groupBy(_ => rnd.nextInt(nParts)).values.toList
+          val digests = rnd.shuffle(parts.map { p =>
+            val d = TDigest.empty(); p.foreach(d.add); d
+          })
+          val merged = digests.reduce(_ mergeWith _)
+          val sorted = vals.sorted.toArray
+          val n = sorted.length
+          // tie-aware rank error: an estimate landing anywhere inside a run
+          // of equal values covers that whole rank interval — measure the
+          // distance from the target rank to the NEAREST covered rank
+          def rankErr(q: Double): Double = {
+            val est = merged.quantile(q)
+            val lo = sorted.indexWhere(_ >= est) match { case -1 => n case i => i }
+            val hi = sorted.indexWhere(_ > est) match { case -1 => n case i => i }
+            val target = q * n
+            if (target < lo) lo - target
+            else if (target > hi) target - hi
+            else 0.0
+          }
+          (merged.totalWeight == n.toDouble) :| "weight conservation" &&
+            Seq(0.01, 0.25, 0.5, 0.75, 0.99).forall(q =>
+              rankErr(q) <= 0.03 * n + 2) :| "rank error bound" &&
+            (merged.centroidCount < 300) :| "bounded size"
+        }
+    })
+  }
+
   test("property: packing conserves tokens, bounds offsets, and never collides seq_ids") {
     import spark.implicits._
     val genDoc = for {

@@ -59,6 +59,10 @@ class PlanFingerprintSpec extends SparkSpec {
     // file pruning are both exchange-free by design, so any new exchange
     // here means the composition broke.
     "l_pruned_bloom_join" -> Fp(2, 1, 0, 0),
+    // t-digest rollup: daily sketch agg + merge agg + final order (3
+    // exchanges); the 1-row exact-percentile frame rides a documented
+    // broadcast nested-loop cross join (PlanSweepSpec allowlist shape)
+    "a_tdigest_quantiles" -> Fp(3, 0, 0, 1),
   )
 
   test("every headline query matches its pinned post-AQE plan fingerprint") {
