@@ -754,5 +754,69 @@ object TextQueries {
              |  CAST(least(64, len(toks) - s) AS BIGINT) AS n_tok,
              |  array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
              |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // The training-data pipeline COMPOSED end-to-end from the oracled
+    // building blocks: quality-score filter → exact fingerprint dedup (keep
+    // lowest doc_id) → fixed-capacity sequence packing. One declarative
+    // plan, so Catalyst fuses scoring+filter into the scan stage; total
+    // shuffle cost at any scale is the dedup window (hash by fp) plus the
+    // packing window (hash by shard) — no collect, no staging tables.
+    QueryDef(
+      "t_pipeline_e2e",
+      (s, dir) => {
+        import graft.operators.Packing
+        val n = length(col("text")).cast("double")
+        val alpha = length(regexp_replace(col("text"), "[^a-z ]", "")).cast("double")
+        val nTokD = expr("size(filter(split(text, ' '), x -> x != ''))").cast("double")
+        val stops = (hits(" the ") + hits(" a ") + hits(" of ")).cast("double")
+        val scored = Tables.documents(s, dir).select(
+          col("doc_id"),
+          expr("size(filter(split(text, ' '), x -> x != ''))")
+            .cast("long").as("n_tok"),
+          expr(s"""aggregate(filter(split(text, ' '), x -> x != ''),
+                  | 0L, (acc, t) -> (acc * 131 + $tokHash) % 2147483647)"""
+            .stripMargin).as("fp"),
+          round(lit(0.5) * (alpha / n) + lit(0.3) * least(lit(1.0), nTokD / 100.0)
+            + lit(0.2) * least(lit(1.0), stops / 10.0), 6).as("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val deduped = scored.where(col("quality") >= 0.5)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).drop("rn")
+        Packing.pack(deduped, "doc_id", "n_tok", capacity = 512, nShards = 8)
+          .select("doc_id", "quality", "fp", "n_tok", "seq_id", "seq_offset")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id,
+              |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+              |    list_reduce(
+              |      [CAST(0 AS BIGINT)] || list_transform(
+              |        list_filter(string_split(text, ' '), x -> x <> ''),
+              |        t -> $sqlTokHash),
+              |      (acc, th) -> (acc * 131 + th) % 2147483647) AS fp,
+              |    round(
+              |      0.5 * (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+              |             / CAST(length(text) AS DOUBLE))
+              |      + 0.3 * least(1.0, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) / 100.0)
+              |      + 0.2 * least(1.0, CAST(${sqlHits(" the ")} + ${sqlHits(" a ")} + ${sqlHits(" of ")} AS DOUBLE) / 10.0),
+              |      6) AS quality
+              |  FROM documents),
+              |dedup AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |    FROM scored WHERE quality >= 0.5)
+              |  WHERE rn = 1),
+              |sharded AS (
+              |  SELECT doc_id, quality, fp, n_tok, doc_id % 8 AS shard FROM dedup),
+              |packed AS (
+              |  SELECT doc_id, quality, fp, n_tok, shard,
+              |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM sharded)
+              |SELECT doc_id, quality, fp, n_tok,
+              |  ((cum - n_tok) // 512) * 8 + shard AS seq_id,
+              |  (cum - n_tok) % 512 AS seq_offset
+              |FROM packed ORDER BY doc_id""".stripMargin)),
   )
 }
