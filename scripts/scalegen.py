@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
 """Dev-only sf-scale-up generator: build an sfN directory by replicating an
 existing testdata sf directory K times with key offsets (referentially
-consistent, schema- and parquet-physical-type-preserving — events.ts stays
-timestamp[ns]).
+consistent, schema- and parquet-physical-type-preserving — events.ts keeps
+whatever physical time encoding the source files carry; the engine's reader
+dispatches on it either way, see Tables.eventsUs).
 
 The point is VOLUME (spill paths, size-sensitive thresholds, overflow
 classes), not distribution realism: the oracle compare is self-consistent
