@@ -523,5 +523,22 @@ object RelationalQueries {
               |  AND c_mktsegment = 'BUILDING'
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       headline = true),
+
+    // Point-lookup scan (sources/FileSkipping.readPoint): equality probe
+    // using footer stats AND parquet-native bloom filters to rule files
+    // out — here it correctness-gates the path end-to-end on the raw
+    // testdata (no blooms written → stats-only degradation, result exact);
+    // FileSkippingSpec proves the bloom pruning itself on a hash layout
+    // where min/max cannot prune.
+    QueryDef(
+      "l_point_lookup",
+      (s, dir) =>
+        graft.sources.FileSkipping
+          .readPoint(s, s"$dir/orders.parquet", "o_custkey", 42L)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_custkey = 42
+             |ORDER BY o_orderkey""".stripMargin)),
   )
 }

@@ -223,6 +223,106 @@ object FileSkipping {
     rows.toSeq
   }
 
+  /** Write a parquet directory with NATIVE per-column bloom filters in the
+    * file footers (parquet-format §BloomFilter, split-block xxhash). Range
+    * stats cannot prune an EQUALITY probe on a high-cardinality column
+    * whose values interleave across files (every [min,max] spans the whole
+    * domain); the bloom answers "definitely absent" per file, so a point
+    * lookup opens ~1 file instead of all of them. `ndv` sizes the filter
+    * (distinct values per FILE, not per table). */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+      ndv: Long = 100000L): Unit =
+    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+
+  /** Can this file contain `column = value`? Block-level: a block is ruled
+    * out when its chunk stats exclude the value OR its native bloom filter
+    * answers "definitely absent"; the file survives if ANY block might
+    * match. Files without stats or blooms are always kept — pruning
+    * degrades to a no-op, never to a wrong answer. */
+  private def fileMayContain(conf: Configuration, file: String,
+      column: String, value: Any): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val footer = reader.getFooter
+      footer.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true // column absent from this file: cannot rule out
+          case Some(chunk) =>
+            val stats = chunk.getStatistics
+            val inRange =
+              if (stats == null || !stats.hasNonNullValue) stats == null
+              else (stats, normalize(value)) match {
+                case (s: LongStatistics, v: Long) => v >= s.getMin && v <= s.getMax
+                case (s: IntStatistics, v: Long) => v >= s.getMin && v <= s.getMax
+                case (s: DoubleStatistics, v: Double) => v >= s.getMin && v <= s.getMax
+                case (s: FloatStatistics, v: Double) => v >= s.getMin && v <= s.getMax
+                case (s: BinaryStatistics, v: String) =>
+                  v >= s.genericGetMin.toStringUsingUTF8 &&
+                    v <= s.genericGetMax.toStringUsingUTF8
+                case _ => true // incomparable domains: cannot rule out
+              }
+            inRange && {
+              val bf = reader.getBloomFilterDataReader(block).readBloomFilter(chunk)
+              if (bf == null) true // no bloom written: cannot rule out
+              else {
+                val tpe = chunk.getPrimitiveType.getPrimitiveTypeName
+                val hash = (tpe, normalize(value)) match {
+                  case (INT64, v: Long) => Some(bf.hash(v))
+                  case (INT32, v: Long) => Some(bf.hash(v.toInt))
+                  case (DOUBLE, v: Double) => Some(bf.hash(v))
+                  case (FLOAT, v: Double) => Some(bf.hash(v.toFloat))
+                  case (BINARY, v: String) =>
+                    Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(v)))
+                  case _ => None // unhashable pairing: cannot rule out
+                }
+                hash.forall(bf.findHash)
+              }
+            }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Split the table's files into (kept, pruned) for `column = value`,
+    * using footer stats AND native bloom filters — distributed over the
+    * file list like the stats pass. */
+  def pointLookupFiles(spark: SparkSession, path: String, column: String,
+      value: Any): (Seq[String], Seq[String]) = {
+    val files = listDataFiles(spark, path)
+    if (files.isEmpty) return (Seq.empty, Seq.empty)
+    val box = new ConfBox(spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(box)
+    val v = value
+    val col0 = column
+    val slices = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism * 2))
+    val decided = spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { it =>
+        val conf = bc.value.conf
+        it.map { case (f, _) => (f, fileMayContain(conf, f, col0, v)) }
+      }.collect()
+    bc.destroy()
+    val (kept, pruned) = decided.partition(_._2)
+    (kept.map(_._1).toSeq, pruned.map(_._1).toSeq)
+  }
+
+  /** Point-lookup scan: opens only files whose stats/bloom admit the value;
+    * the equality predicate still applies, so the result is exactly
+    * `spark.read.parquet(path).where(col === value)` (bloom false positives
+    * die at the filter; partition columns caveat as in [[readPruned]]). */
+  def readPoint(spark: SparkSession, path: String, column: String,
+      value: Any): DataFrame = {
+    val (kept, _) = pointLookupFiles(spark, path, column, value)
+    val pred = col(column) === lit(value)
+    if (kept.isEmpty) spark.read.parquet(path).where(pred).limit(0)
+    else spark.read.parquet(kept: _*).where(pred)
+  }
+
   private val ManifestDir = "_graft_stats.parquet"
 
   /** Persist footer stats for `columns` beside the data — ONE distributed

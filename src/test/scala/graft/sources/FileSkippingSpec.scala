@@ -206,6 +206,37 @@ class FileSkippingSpec extends SparkSpec {
     assert(FileSkipping.readPruned(spark, path, "v", 0L, 100L).count() === 50L)
   }
 
+  test("native bloom filters prune point lookups where min/max cannot") {
+    val path = tmp("fsk_bloom")
+    // hash layout: every file's [min,max] spans ~the whole id domain, so
+    // range stats are useless for equality — only the bloom can prune
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("s", format_string("key%05d", col("id")))
+      .repartition(8, col("id"))
+    FileSkipping.writeWithBloom(df, path, Seq("id", "s"), ndv = 1000)
+    // present value: exactly one file truly holds it; blooms may admit a
+    // few false positives but must prune MOST of the 8 files
+    val (kept, pruned) = FileSkipping.pointLookupFiles(spark, path, "id", 1234L)
+    assert(kept.size + pruned.size === 8)
+    assert(kept.size <= 3, s"bloom pruned too little: kept ${kept.size} of 8")
+    import spark.implicits._
+    val got = FileSkipping.readPoint(spark, path, "id", 1234L)
+      .select("id").as[Long].collect()
+    assert(got === Array(1234L))
+    // string column probes through Binary hashing
+    val gotS = FileSkipping.readPoint(spark, path, "s", "key02345")
+      .select("id").as[Long].collect()
+    assert(gotS === Array(2345L))
+    // absent value: result is empty regardless of which files survive
+    assert(FileSkipping.readPoint(spark, path, "id", 999999L).count() === 0L)
+    // files WITHOUT blooms degrade to keep-all on this layout, never wrong
+    val plainPath = tmp("fsk_nobloom")
+    df.write.parquet(plainPath)
+    val (keptP, _) = FileSkipping.pointLookupFiles(spark, plainPath, "id", 1234L)
+    assert(keptP.size === 8)
+    assert(FileSkipping.readPoint(spark, plainPath, "id", 1234L).count() === 1L)
+  }
+
   test("unsupported column types keep every file; mismatched bounds fail loudly") {
     val path = tmp("fsk_edge")
     spark.range(0, 100).toDF("id")
