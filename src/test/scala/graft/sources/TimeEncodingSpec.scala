@@ -61,4 +61,24 @@ class TimeEncodingSpec extends SparkSpec {
     val q = Registry.all.find(_.name == "w1_lag_diff").get
     assert(canon(q.run(spark, usDir)) === canon(q.run(spark, srcDir)))
   }
+
+  test("timestamp[ms] writer encoding also normalizes (third writer family)") {
+    // TIMESTAMP_MILLIS files arrive as TimestampType like [us]; this pins
+    // that the µs values round-trip when they are ms-aligned — the lossy
+    // sub-ms case is a WRITER bug (truncation at write), not a reader one.
+    val ev = Tables.eventsUs(spark, srcDir)
+    val msDir = java.nio.file.Files.createTempDirectory("time_ms").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try ev.withColumn("ts", timestamp_micros((col("tus") / 1000L).cast("long") * 1000L))
+      .drop("tus").write.parquet(s"$msDir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    assert(Tables.events(spark, msDir).schema("ts").dataType === TimestampType)
+    val tus = Tables.eventsUs(spark, msDir)
+      .select(col("tus")).limit(5).collect().map(_.getLong(0))
+    assert(tus.nonEmpty && tus.forall(_ % 1000 == 0),
+      "ms-encoded files must surface as ms-aligned epoch-µs")
+    // a full query runs identically through the same reader path
+    val q = Registry.all.find(_.name == "e_sessionize").get
+    assert(q.run(spark, msDir).count() > 0)
+  }
 }
