@@ -176,16 +176,23 @@ object TDigest {
     (om.result(), ow.result())
   }
 
-  /** `groupBy(...).agg(tdigestAgg(col))` — sketch a double column. */
+  /** `groupBy(...).agg(tdigestAgg(col))` — sketch a double column.
+    * NULL and NaN inputs are SKIPPED, matching SQL `percentile`'s
+    * null-skipping semantics — the digest and the exact-percentile oracle
+    * agree on dirty data instead of the digest failing the whole query
+    * (NaN is unrankable; a boxed input encoder keeps nulls visible). */
   lazy val tdigestAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udaf(new Aggregator[Double, TDigest, Array[Byte]] {
+    udaf(new Aggregator[java.lang.Double, TDigest, Array[Byte]] {
       def zero: TDigest = TDigest.empty()
-      def reduce(b: TDigest, x: Double): TDigest = { b.add(x); b }
+      def reduce(b: TDigest, x: java.lang.Double): TDigest = {
+        if (x != null && !x.isNaN) b.add(x.doubleValue)
+        b
+      }
       def merge(a: TDigest, b: TDigest): TDigest = a.mergeWith(b)
       def finish(d: TDigest): Array[Byte] = d.serialize
       def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
       def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
-    }, Encoders.scalaDouble)
+    }, Encoders.DOUBLE)
 
   /** `agg(tdigestMergeAgg(col))` over STORED sketches — the any-range rollup
     * path: merge per-partition digests without touching raw data. */

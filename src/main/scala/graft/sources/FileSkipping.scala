@@ -146,41 +146,80 @@ object FileSkipping {
     finally reader.close()
   }
 
+  /** Unsigned lexicographic comparison of the UTF-8 encodings — parquet's
+    * sort order for stringType BINARY columns. Java's `String` compareTo
+    * orders by UTF-16 code units, which DISAGREES with UTF-8 byte order for
+    * supplementary (non-BMP) characters: surrogate code units 0xD800–0xDFFF
+    * sort below 0xE000–0xFFFF, but the code points they encode (≥ 0x10000)
+    * sort above. Every bound comparison in this file must use THIS ordering,
+    * or a file whose byte-range contains the probed value can be pruned. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  private def utf8Min(a: String, b: String): String = if (utf8Compare(a, b) <= 0) a else b
+  private def utf8Max(a: String, b: String): String = if (utf8Compare(a, b) >= 0) a else b
+
+  /** Is this chunk's Statistics object PROVABLY an all-null chunk?
+    * parquet-mr hands back a non-null but EMPTY Statistics when stats were
+    * never written, and may drop min/max while keeping null_count for
+    * oversized binary values — in both cases `hasNonNullValue` is false for
+    * a chunk that can still hold matching rows. Only a set null count equal
+    * to the chunk's row count proves all-null (mirrors parquet's own
+    * StatisticsFilter). */
+  private def provablyAllNull(stats: Statistics[_], chunkRows: Long): Boolean =
+    stats != null && !stats.isEmpty && !stats.hasNonNullValue &&
+      stats.isNumNullsSet && stats.getNumNulls == chunkRows
+
   private def statsFromReader(reader: ParquetFileReader, file: String,
       length: Long, column: String): FileStat = {
     {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val chunks = blocks.flatMap(_.getColumns.asScala)
-        .filter(_.getPath.toDotString == column)
-      val stats = chunks.map(_.getStatistics)
+      // chunk stats paired with their block's row count — the all-null
+      // proof needs numNulls == rowCount per chunk, not per file
+      val chunks = blocks.flatMap(b => b.getColumns.asScala
+        .filter(_.getPath.toDotString == column).map(c => (b.getRowCount, c)))
       val schema = reader.getFooter.getFileMetaData.getSchema
       val isUtf8 = schema.getColumns.asScala
         .find(_.getPath.toSeq == Seq(column))
         .exists(c => c.getPrimitiveType.getLogicalTypeAnnotation ==
           LogicalTypeAnnotation.stringType())
-      // a chunk with a null Statistics object is unknowable; a chunk whose
-      // stats exist but hold no non-null value (all-NULL chunk) constrains
-      // nothing — NULL rows can never pass a range predicate
-      val known = chunks.nonEmpty && stats.forall(_ != null)
-      val bounded = stats.filter(s => s != null && s.hasNonNullValue)
       var (mnL, mxL) = (Option.empty[Long], Option.empty[Long])
       var (mnD, mxD) = (Option.empty[Double], Option.empty[Double])
       var (mnS, mxS) = (Option.empty[String], Option.empty[String])
-      var ok = known
-      bounded.foreach {
-        case s: LongStatistics =>
-          mnL = Some(mnL.fold(s.getMin.toLong)(_ min s.getMin)); mxL = Some(mxL.fold(s.getMax.toLong)(_ max s.getMax))
-        case s: IntStatistics =>
-          mnL = Some(mnL.fold(s.getMin.toLong)(_ min s.getMin)); mxL = Some(mxL.fold(s.getMax.toLong)(_ max s.getMax))
-        case s: DoubleStatistics =>
-          mnD = Some(mnD.fold(s.getMin.toDouble)(_ min s.getMin)); mxD = Some(mxD.fold(s.getMax.toDouble)(_ max s.getMax))
-        case s: FloatStatistics =>
-          mnD = Some(mnD.fold(s.getMin.toDouble)(_ min s.getMin)); mxD = Some(mxD.fold(s.getMax.toDouble)(_ max s.getMax))
-        case s: BinaryStatistics if isUtf8 =>
-          val (lo, hi) = (s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
-          mnS = Some(mnS.fold(lo)(m => if (m <= lo) m else lo)); mxS = Some(mxS.fold(hi)(m => if (m >= hi) m else hi))
-        case _ => ok = false // boolean/int96/non-string binary: no pruning
+      var ok = chunks.nonEmpty
+      chunks.foreach { case (chunkRows, chunk) =>
+        val s = chunk.getStatistics
+        if (s == null || s.isEmpty) ok = false // stats never written: unknowable
+        else if (!s.hasNonNullValue) {
+          // bounds absent. A PROVEN all-null chunk constrains nothing (NULL
+          // never passes a range predicate) and is skipped; anything short
+          // of that proof (e.g. min/max dropped for oversized binaries but
+          // null_count kept) makes the file unprunable.
+          if (!provablyAllNull(s, chunkRows)) ok = false
+        } else s match {
+          case s: LongStatistics =>
+            mnL = Some(mnL.fold(s.getMin.toLong)(_ min s.getMin)); mxL = Some(mxL.fold(s.getMax.toLong)(_ max s.getMax))
+          case s: IntStatistics =>
+            mnL = Some(mnL.fold(s.getMin.toLong)(_ min s.getMin)); mxL = Some(mxL.fold(s.getMax.toLong)(_ max s.getMax))
+          case s: DoubleStatistics =>
+            mnD = Some(mnD.fold(s.getMin.toDouble)(_ min s.getMin)); mxD = Some(mxD.fold(s.getMax.toDouble)(_ max s.getMax))
+          case s: FloatStatistics =>
+            mnD = Some(mnD.fold(s.getMin.toDouble)(_ min s.getMin)); mxD = Some(mxD.fold(s.getMax.toDouble)(_ max s.getMax))
+          case s: BinaryStatistics if isUtf8 =>
+            val (lo, hi) = (s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
+            mnS = Some(mnS.fold(lo)(utf8Min(_, lo))); mxS = Some(mxS.fold(hi)(utf8Max(_, hi)))
+          case _ => ok = false // boolean/int96/non-string binary: no pruning
+        }
       }
       FileStat(file, length, rows, ok,
         mnL, mxL, mnD, mxD, mnS, mxS)
@@ -255,15 +294,24 @@ object FileSkipping {
           case Some(chunk) =>
             val stats = chunk.getStatistics
             val inRange =
-              if (stats == null || !stats.hasNonNullValue) stats == null
+              if (stats == null || stats.isEmpty) true // stats never written: cannot rule out
+              else if (!stats.hasNonNullValue)
+                // a PROVEN all-null chunk cannot hold `value` (equality never
+                // matches NULL); bounds merely absent → cannot rule out
+                !provablyAllNull(stats, block.getRowCount)
               else (stats, normalize(value)) match {
                 case (s: LongStatistics, v: Long) => v >= s.getMin && v <= s.getMax
                 case (s: IntStatistics, v: Long) => v >= s.getMin && v <= s.getMax
                 case (s: DoubleStatistics, v: Double) => v >= s.getMin && v <= s.getMax
                 case (s: FloatStatistics, v: Double) => v >= s.getMin && v <= s.getMax
-                case (s: BinaryStatistics, v: String) =>
-                  v >= s.genericGetMin.toStringUsingUTF8 &&
-                    v <= s.genericGetMax.toStringUsingUTF8
+                case (s: BinaryStatistics, v: String)
+                    if chunk.getPrimitiveType.getLogicalTypeAnnotation ==
+                      LogicalTypeAnnotation.stringType() =>
+                  // unsigned UTF-8 byte order — parquet's ordering for
+                  // stringType bounds; UTF-16 String <= disagrees on
+                  // supplementary characters (see utf8Compare)
+                  utf8Compare(v, s.genericGetMin.toStringUsingUTF8) >= 0 &&
+                    utf8Compare(v, s.genericGetMax.toStringUsingUTF8) <= 0
                 case _ => true // incomparable domains: cannot rule out
               }
             inRange && {
@@ -444,7 +492,8 @@ object FileSkipping {
             s"$column carries non-float bounds but float literals were passed")
         }
         case (l: String, h: String) => (s.minString, s.maxString) match {
-          case (Some(mn), Some(mx)) => mx >= l && mn <= h
+          case (Some(mn), Some(mx)) =>
+            utf8Compare(mx, l) >= 0 && utf8Compare(mn, h) <= 0
           case _ => throw new IllegalArgumentException(
             s"$column carries non-string bounds but string literals were passed")
         }

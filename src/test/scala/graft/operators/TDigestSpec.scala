@@ -87,6 +87,28 @@ class TDigestSpec extends SparkSpec {
     assertQuantiles(xs, merged, Seq(0.5, 0.9, 0.99), tolFrac = 2 * RankTolerance)
   }
 
+  test("NULL and NaN inputs are skipped, matching percentile's null semantics") {
+    // dirty column: nulls and NaNs interleaved with real values — the digest
+    // must aggregate the clean subset instead of failing the query, agreeing
+    // with SQL percentile (skips nulls) on the same rows
+    import org.apache.spark.sql.functions.{col, expr, when, lit}
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v",
+        when(col("id") % 10 === 0, lit(null).cast("double"))
+          .when(col("id") % 10 === 1, lit(Double.NaN))
+          .otherwise(col("id").cast("double")))
+    val row = df.agg(
+      TDigest.tdigestAgg(col("v")).as("td"),
+      expr("percentile(CASE WHEN NOT isnan(v) THEN v END, 0.5)").as("exact_p50"))
+      .head()
+    val d = TDigest.deserialize(row.getAs[Array[Byte]]("td"))
+    assert(d.totalWeight === 800.0, "exactly the non-null non-NaN rows")
+    val xs = (0 until 1000).filter(i => i % 10 >= 2).map(_.toDouble).sorted.toArray
+    assertQuantiles(xs, d, Seq(0.1, 0.5, 0.9), tolFrac = RankTolerance)
+    assert(math.abs(d.quantile(0.5) - row.getAs[Double]("exact_p50"))
+      <= (xs.last - xs.head) * 0.02)
+  }
+
   test("registry a_tdigest_quantiles: digest columns sit near the exact columns") {
     val row = graft.queries.Registry.all.find(_.name == "a_tdigest_quantiles").get
       .run(spark, "/root/testdata/sf0.001").head()

@@ -237,6 +237,61 @@ class FileSkippingSpec extends SparkSpec {
     assert(FileSkipping.readPoint(spark, plainPath, "id", 1234L).count() === 1L)
   }
 
+  test("stats-disabled files are never pruned: empty Statistics means unknowable, not all-null") {
+    // parquet-mr materializes a NON-NULL but EMPTY Statistics object when a
+    // column's stats were never written (parquet.column.statistics.enabled#col
+    // = false). That must read as "cannot rule out", NOT as an all-null
+    // chunk — conflating them silently drops matching rows from point
+    // lookups and range scans.
+    val path = tmp("fsk_nostats")
+    spark.range(0, 400).toDF("id")
+      .withColumn("s", format_string("k%04d", col("id")))
+      .repartitionByRange(4, col("id"))
+      .write
+      .option("parquet.column.statistics.enabled#id", "false")
+      .option("parquet.column.statistics.enabled#s", "false")
+      .parquet(path)
+    // point lookup: no stats, no bloom → every file kept, result exact
+    val (kept, pruned) = FileSkipping.pointLookupFiles(spark, path, "id", 123L)
+    assert(pruned.isEmpty, s"pruned ${pruned.size} stats-less files — would drop rows")
+    assert(kept.size === 4)
+    import spark.implicits._
+    assert(FileSkipping.readPoint(spark, path, "id", 123L)
+      .select("id").as[Long].collect() === Array(123L))
+    // range scan: hasStats=false → keep-all, result exact
+    val (keptR, prunedR) = FileSkipping.prunedFiles(spark, path, "id", 100, 120)
+    assert(prunedR.isEmpty && keptR.size === 4)
+    assert(FileSkipping.readPruned(spark, path, "id", 100, 120)
+      .select("id").as[Long].collect().sorted === (100L to 120L).toArray)
+  }
+
+  test("supplementary-character strings compare in unsigned UTF-8 order, not UTF-16") {
+    // "￿" encodes as EF BF BF; U+1F600 (a non-BMP emoji) as F0 9F 98 80.
+    // Unsigned UTF-8 (parquet's stringType order): "￿" < emoji, so a
+    // file holding both has max = emoji and "￿" is inside its bounds.
+    // UTF-16 code-unit order (Java String <=): "￿" (0xFFFF) sorts ABOVE
+    // the emoji's lead surrogate (0xD83D), so a UTF-16 comparison would
+    // prune the very file that contains the probed value.
+    val path = tmp("fsk_supp")
+    val emoji = new String(Character.toChars(0x1F600))
+    Seq(("￿", 1L), (emoji, 2L)).toDF("s", "id")
+      .coalesce(1).write.parquet(path)
+    Seq(("apple", 3L), ("banana", 4L)).toDF("s", "id")
+      .coalesce(1).write.mode("append").parquet(path)
+    // point lookup keeps the supplementary file (and min-max prunes the
+    // ascii file), returning the row
+    val (kept, pruned) = FileSkipping.pointLookupFiles(spark, path, "s", "￿")
+    assert(pruned.nonEmpty, "ascii file should min-max prune")
+    import spark.implicits._
+    assert(FileSkipping.readPoint(spark, path, "s", "￿")
+      .select("id").as[Long].collect() === Array(1L))
+    // range path agrees under the same ordering
+    assert(FileSkipping.readPruned(spark, path, "s", "￿", "￿")
+      .select("id").as[Long].collect() === Array(1L))
+    assert(FileSkipping.readPruned(spark, path, "s", "￿", emoji)
+      .select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
   test("unsupported column types keep every file; mismatched bounds fail loudly") {
     val path = tmp("fsk_edge")
     spark.range(0, 100).toDF("id")

@@ -16,6 +16,21 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 class TimeEncodingSpec extends SparkSpec {
   private val srcDir = "/root/testdata/sf0.001"
 
+  /** Scope a writer timestamp-type override to `body`, restoring whatever
+    * value the shared session had before — suites share one SparkSession, so
+    * a leaked writer conf would silently change OTHER suites' parquet
+    * encodings. */
+  private def withWriterTimestampType[A](t: String)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, t)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private lazy val (usDir, nanosDir): (String, String) = {
     val ev = Tables.eventsUs(spark, srcDir)
     val base = java.nio.file.Files.createTempDirectory("time_enc")
@@ -23,9 +38,10 @@ class TimeEncodingSpec extends SparkSpec {
     val nanos = base.resolve("nanos").toString
     // Encoding A: a true µs timestamp column (pin the writer to TIMESTAMP_MICROS
     // so the file carries timestamp[us] exactly, not INT96).
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    ev.withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
-      .write.parquet(s"$us/events.parquet")
+    withWriterTimestampType("TIMESTAMP_MICROS") {
+      ev.withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+        .write.parquet(s"$us/events.parquet")
+    }
     // Encoding B: raw INT64 nanos — the arrival type Spark's reader surfaces
     // for TIMESTAMP(NANOS) files under nanosAsLong.
     ev.withColumn("ts", (col("tus") * 1000L).cast(LongType)).drop("tus")
@@ -68,10 +84,10 @@ class TimeEncodingSpec extends SparkSpec {
     // sub-ms case is a WRITER bug (truncation at write), not a reader one.
     val ev = Tables.eventsUs(spark, srcDir)
     val msDir = java.nio.file.Files.createTempDirectory("time_ms").toString
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
-    try ev.withColumn("ts", timestamp_micros((col("tus") / 1000L).cast("long") * 1000L))
-      .drop("tus").write.parquet(s"$msDir/events.parquet")
-    finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    withWriterTimestampType("TIMESTAMP_MILLIS") {
+      ev.withColumn("ts", timestamp_micros((col("tus") / 1000L).cast("long") * 1000L))
+        .drop("tus").write.parquet(s"$msDir/events.parquet")
+    }
     assert(Tables.events(spark, msDir).schema("ts").dataType === TimestampType)
     val tus = Tables.eventsUs(spark, msDir)
       .select(col("tus")).limit(5).collect().map(_.getLong(0))
