@@ -4,9 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank over an edge list — the canonical iterative
-  * graph centrality, run as K rounds of join + aggregate (the shape GraphX
-  * and every warehouse implementation use; no custom partitioner needed
-  * because each round is one shuffle on dst).
+  * graph centrality, run as K co-partitioned rounds of join + aggregate.
   *
   * r_{k+1}(v) = (1−d)/N + d · ( Σ_{u→v} r_k(u)/outdeg(u) + dangling_k/N )
   *
@@ -27,9 +25,34 @@ import org.apache.spark.sql.functions._
   * integer rounding is ≤ N/2 + 1 pico (Σ ranks stays 1 ± 1e-6 for any
   * realistic N; spec-asserted).
   *
-  * Scale: per round, one shuffle keyed on dst for the in-sum and a tiny
-  * broadcast of the dangling scalar; ranks are localCheckpoint'ed every few
-  * rounds so the plan does not deepen with K.
+  * Scale — CO-PARTITIONED ITERATION (the GraphX / Pregel layout, expressed
+  * in DataFrames): `prepare` partitions the edge list by `src` ONCE and
+  * folds the static out-degree into the rank state keyed (and partitioned)
+  * by `node`, both with an explicit pinned partition count. Every round's
+  * contribution join (state.node = edges.src) and rank-update join
+  * (stateBase.node = inSums.node) then align partitioner-for-partitioner
+  * and EnsureRequirements inserts NO exchange for them; the only per-round
+  * shuffles are the in-sum groupBy on `dst` (the irreducible one — rank
+  * mass genuinely moves from src-space to dst-space) and the 1-row global
+  * dangling sum. At 100 TB graph scale that is the difference between one
+  * network pass per round and three.
+  *
+  * The static frames are `persist()`-based, NOT `localCheckpoint`: under
+  * AQE, `Dataset.localCheckpoint` captures `AdaptiveSparkPlanExec`'s
+  * `outputPartitioning` — `UnknownPartitioning` — so the checkpointed frame
+  * would forget its layout and every downstream join would re-shuffle it.
+  * A cached plan's `InMemoryTableScan` reports the TRUE partitioning
+  * (Spark keeps `canChangeCachedPlanOutputPartitioning=false` for exactly
+  * this reason) and AQE stays on for those materializations. The iterated
+  * state, which additionally needs its lineage truncated every few rounds
+  * (`step` reads it twice, so the un-cut logical tree doubles per round),
+  * goes through `cut` — a localCheckpoint scoped AQE-off, which both
+  * captures the partitioning and pipelines the whole chain as one
+  * non-adaptive job instead of ~20 individually-scheduled KB-sized AQE
+  * stages. `run` also scopes `spark.sql.shuffle.partitions` to a
+  * data-sized count so the per-round aggregation lands on the SAME
+  * partitioning as the pinned joins. `PlanAuditSpec` pins exchanges/round
+  * ≤ 1 including across the cut.
   */
 object PageRank {
 
@@ -42,60 +65,164 @@ object PageRank {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
-    if (n == 0) return nodes.withColumn("rank", lit(0.0))
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val nD = n.toDouble
-    val oneMinusD = 1.0 - damping
+    // Scope the session shuffle-partition count to the data-sized value for
+    // the whole iteration: the per-round groupBy takes its partition count
+    // from this conf, and it must EQUAL the pinned join partitioning or
+    // EnsureRequirements re-shuffles one side every round. Restored in the
+    // finally; the engine runs queries sequentially per session.
+    val spark = edges.sparkSession
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    spark.conf.set(spKey,
+      partitionCountFor(edges.select(col(srcCol), col(dstCol))).toString)
+    try runScoped(edges, iterations, damping, srcCol, dstCol)
+    finally spark.conf.set(spKey, prevSp)
+  }
 
-    // r0 = round(Unit / N) pico each
-    var ranks = nodes.withColumn("r_mc",
+  private def runScoped(edges: DataFrame, iterations: Int, damping: Double,
+      srcCol: String, dstCol: String): DataFrame = {
+    val (stateBase, eP, n) = prepare(edges, srcCol, dstCol)
+    if (n == 0) {
+      // materialize BEFORE releasing the inputs it reads from
+      val empty = stateBase.select(col("node"))
+        .withColumn("rank", lit(0.0)).localCheckpoint(true)
+      Seq(stateBase, eP).foreach(_.unpersist(false))
+      return empty
+    }
+    val nD = n.toDouble
+
+    // r0 = round(Unit / N) pico each; deg rides along so no per-round
+    // ranks⋈deg join is ever needed
+    var state = stateBase.withColumn("r_mc",
       round(lit(Unit.toDouble) / nD).cast("long"))
-    val intermediates = scala.collection.mutable.Buffer.empty[DataFrame]
+    val cuts = scala.collection.mutable.Buffer.empty[DataFrame]
     for (i <- 1 to iterations) {
-      val withDeg = ranks.join(deg, Seq("node"), "left")
-      // dangling mass: exact BIGINT sum over nodes with no out-edges
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("r_mc")), lit(0L)).as("dang_mc"))
-      // per-edge contribution: bigint/bigint is true (double) division in
-      // both engines; round-to-integer of the identical double is exact
-      val contribs = withDeg.filter(col("deg").isNotNull)
-        .join(e, withDeg("node") === e("src"))
-        .select(col("dst").as("node"),
-          round(col("r_mc") / col("deg")).cast("long").as("c_mc"))
-      val inSums = contribs.groupBy("node").agg(sum(col("c_mc")).as("in_mc"))
-      // explicit broadcast of the 1-row dangling frame: AQE would usually
-      // pick it anyway, but plan stability at scale should not depend on a
-      // runtime re-plan (same discipline as AsofJoin's span frame)
-      val next = nodes.join(inSums, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          round(lit(oneMinusD) * Unit / nD + lit(damping) *
-            (coalesce(col("in_mc"), lit(0L)) + col("dang_mc") / nD))
-            .cast("long").as("r_mc"))
-      // checkpoint every few rounds: K joins would otherwise stack into one
-      // unboundedly deep plan (analysis cost + no stage reuse)
-      ranks = if (i % 5 == 0 || i == iterations) {
-        val cp = next.localCheckpoint(true)
-        intermediates += cp
-        cp
+      val next = step(stateBase, state, eP, nD, damping)
+      // cut every few rounds: `step` reads `state` twice (dangling +
+      // contribs), so the un-truncated logical tree DOUBLES per round —
+      // 2^K blowup, not just a deep plan; the cut resets the base to a
+      // flat LogicalRDD leaf
+      state = if (i % 5 == 0 || i == iterations) {
+        val c = cut(next)
+        cuts += c
+        c
       } else next
     }
     // Materialize the result as its own checkpoint, then RELEASE every
-    // intermediate cache (nodes, deg, per-5-round ranks — the cache-leak
-    // class the round-5 ADVICE flagged on IVF-PQ). What remains cached is
-    // exactly one O(|V|) block backing the returned frame.
-    val result = ranks.select(col("node"),
+    // intermediate block (stateBase, edges, per-5-round cuts — the
+    // cache-leak class the round-5 ADVICE flagged on IVF-PQ). What remains
+    // cached is exactly one O(|V|) block backing the returned frame.
+    val result = state.select(col("node"),
       (col("r_mc").cast("double") / Unit.toDouble).as("rank"))
       .localCheckpoint(true)
-    (intermediates.toSeq :+ nodes :+ deg).foreach(releaseCheckpoint)
+    cuts.foreach(graft.Checkpoints.release)
+    Seq(stateBase, eP).foreach(_.unpersist(false))
     result
   }
 
-  private def releaseCheckpoint(df: DataFrame): Unit = graft.Checkpoints.release(df)
+  /** Static per-round inputs, built once: `stateBase` = (node, deg-or-null)
+    * hash-partitioned by `node`; `eP` = (src, dst) hash-partitioned by
+    * `src`; both pinned to the session shuffle-partition count (explicit
+    * count ⇒ AQE never coalesces a REPARTITION_BY_NUM exchange) so the two
+    * per-round joins are exchange-free. Both frames are persisted and
+    * materialized — caller must unpersist them. Also returns |V|. */
+  private[graft] def prepare(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): (DataFrame, DataFrame, Long) = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // the CURRENT session shuffle-partition count — under run() that is the
+    // data-sized scoped value — so the explicit repartitions here and every
+    // per-round groupBy land on the same partitioning and no round needs a
+    // requirement re-shuffle
+    val numP = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val eP = materialize(e0.repartition(numP, col("src")))
+    val nodes = eP.select(col("src").as("node"))
+      .unionByName(eP.select(col("dst").as("node"))).distinct()
+    val deg = eP.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val stateBase = materialize(nodes.join(deg, Seq("node"), "left")
+      .repartition(numP, col("node")))
+    (stateBase, eP, stateBase.count())
+  }
+
+  /** One power-iteration round. Exchanges: the in-sum groupBy (keyed on
+    * dst — the irreducible shuffle; rank mass genuinely moves from
+    * src-space to dst-space) and the 1-row dangling rollup — nothing else.
+    * Both joins reuse the `prepare` partitioning, and the SHUFFLE_HASH
+    * hint on the SMALL side (the rank state / the in-sums) turns them into
+    * build-small hash joins: a co-partitioned SMJ would instead re-sort
+    * the full edge list every round. (Build-side legality drives the join
+    * shapes: Inner can build left, so state⋈edges streams the edges;
+    * a state-preserving OUTER join could only build the |E| side, which is
+    * why the dangling mass comes from a separate cheap scan of the state
+    * rather than one outer-join pass.) Pinned by `PlanAuditSpec`. */
+  private[graft] def step(stateBase: DataFrame, state: DataFrame,
+      eP: DataFrame, nD: Double, damping: Double): DataFrame = {
+    val oneMinusD = 1.0 - damping
+    // dangling mass: exact BIGINT sum over nodes with no out-edges
+    val dangling = state.filter(col("deg").isNull)
+      .agg(coalesce(sum(col("r_mc")), lit(0L)).as("dang_mc"))
+    // per-edge contribution: bigint/bigint is true (double) division in
+    // both engines; round-to-integer of the identical double is exact
+    val contribs = state.filter(col("deg").isNotNull).hint("SHUFFLE_HASH")
+      .join(eP, state("node") === eP("src"))
+      .select(col("dst").as("node"),
+        round(col("r_mc") / col("deg")).cast("long").as("c_mc"))
+    val inSums = contribs.groupBy("node").agg(sum(col("c_mc")).as("in_mc"))
+    // explicit broadcast of the 1-row dangling frame: AQE would usually
+    // pick it anyway, but plan stability at scale should not depend on a
+    // runtime re-plan (same discipline as AsofJoin's span frame)
+    stateBase.join(inSums.hint("SHUFFLE_HASH"), Seq("node"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("node"), col("deg"),
+        round(lit(oneMinusD) * Unit / nD + lit(damping) *
+          (coalesce(col("in_mc"), lit(0L)) + col("dang_mc") / nD))
+          .cast("long").as("r_mc"))
+  }
+
+  /** Iteration partition count, sized to the edge volume — the same
+    * decision AQE's advisory-size coalescing would make at runtime, made
+    * ONCE up front, because a pinned count is what keeps every round's
+    * joins exchange-free (coalescing a co-partition-feeding shuffle would
+    * force a re-shuffle instead). Catalyst's size estimate propagates from
+    * the underlying scan; when it is unknown (defaultSizeInBytes) fall
+    * back to the session shuffle-partition count. At 100 TB the estimate
+    * saturates the session setting; at test scale it stops 32-task stages
+    * being launched to move a few KB per round. */
+  private def partitionCountFor(e0: DataFrame): Int = {
+    val confP = e0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val targetBytes = BigInt(32L << 20)
+    val bytes = e0.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= 0 || bytes >= BigInt(Long.MaxValue)) confP
+    else ((bytes + targetBytes - 1) / targetBytes).toInt.max(1).min(confP)
+  }
+
+  /** Cache + eagerly materialize. The cached plan's `InMemoryTableScan`
+    * reports the frame's real hash partitioning to downstream joins (which
+    * a localCheckpoint under AQE would lose — see class doc). */
+  private[graft] def materialize(df: DataFrame): DataFrame = {
+    df.persist()
+    df.count()
+    df
+  }
+
+  /** Truncate the lineage of an iterated frame without losing its hash
+    * partitioning: an eager localCheckpoint executed with AQE scoped off.
+    * `PlanAuditSpec` pins the post-cut round at ≤1 data exchange. */
+  private[graft] def cut(df: DataFrame): DataFrame = {
+    // Scope AQE off for the chain materialization, for two reasons:
+    //  - capture: `localCheckpoint` records the physical plan's
+    //    outputPartitioning into its LogicalRDD, and under AQE the
+    //    AdaptiveSparkPlanExec wrapper reports UnknownPartitioning — the
+    //    cut frame would forget its layout and re-shuffle every round;
+    //  - latency: AQE materializes every exchange (and every cache read —
+    //    TableCacheQueryStage) as its own scheduled stage; a 5-round chain
+    //    is ~90 such stages of a few KB each, all scheduling latency. The
+    //    non-adaptive plan pipelines them inside one job.
+    // The plans in the chain are explicit co-partitioned joins over pinned
+    // partition counts — exactly the shape AQE would leave alone anyway.
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key)
+    conf.set(key, "false")
+    try df.localCheckpoint(true) finally conf.set(key, prev)
+  }
 }

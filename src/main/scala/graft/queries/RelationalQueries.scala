@@ -540,5 +540,48 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
              |FROM orders WHERE o_custkey = 42
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // Same point lookup, but over a staged copy of orders REWRITTEN with
+    // parquet-native bloom filters in a hash layout: rows are spread by
+    // hash(o_custkey), so every file's [min,max] spans the whole custkey
+    // domain and range stats keep ALL files — the bloom is the only
+    // mechanism that can rule files out, and `FileSkippingSpec` asserts it
+    // actually does (stats keep n/n, bloom opens a strict subset). The
+    // DuckDB oracle runs on the RAW orders table: the staged copy must be
+    // row-identical for the green row, which also gates the rewrite path.
+    QueryDef(
+      "l_point_lookup_bloom",
+      (s, dir) =>
+        graft.sources.FileSkipping
+          .readPoint(s, bloomedOrdersPath(s, dir), "o_custkey", 42L)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_custkey = 42
+             |ORDER BY o_orderkey""".stripMargin)),
   )
+
+  /** Stage (once per JVM per data dir) a copy of `orders` under the
+    * warehouse, hash-distributed on o_custkey across 8 files with native
+    * bloom filters on that column — the layout where range stats are
+    * useless for a custkey probe and the bloom earns its keep. Re-staged
+    * on first touch in each process so a regenerated testdata dir can
+    * never be served from a stale copy (same discipline as the bucketed
+    * fact staging in JoinQueries). */
+  private[graft] def bloomedOrdersPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = s.conf.get("spark.sql.warehouse.dir") + s"/orders_bloom_$tag"
+    if (stagedBloomDirs.add(loc)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.sources.FileSkipping.writeWithBloom(
+        Tables.orders(s, dir).repartition(8, col("o_custkey")),
+        loc, Seq("o_custkey"), ndv = 20000L)
+    }
+    loc
+  }
+  private val stagedBloomDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

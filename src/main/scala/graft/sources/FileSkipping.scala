@@ -268,12 +268,22 @@ object FileSkipping {
     * whose values interleave across files (every [min,max] spans the whole
     * domain); the bloom answers "definitely absent" per file, so a point
     * lookup opens ~1 file instead of all of them. `ndv` sizes the filter
-    * (distinct values per FILE, not per table). */
+    * (distinct values per FILE, not per table).
+    *
+    * Dictionary encoding is DISABLED for the bloom columns: parquet-mr
+    * silently drops a row group's bloom filter when every data page ended
+    * up dictionary-encoded (the dictionary already answers membership
+    * exactly), which at test scale — where a key column easily fits a
+    * dictionary — would leave the layout with no bloom at all. A column
+    * worth a bloom is high-cardinality, so at production scale its
+    * dictionary would fall back to plain anyway; forcing plain just makes
+    * the layout the same at every scale. */
   def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
       ndv: Long = 100000L): Unit =
     bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
     }.parquet(path)
 
   /** Can this file contain `column = value`? Block-level: a block is ruled

@@ -137,6 +137,61 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PageRank iteration is co-partitioned: <=1 data shuffle per round, " +
+    "surviving the every-5-rounds checkpoint cut") {
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(400).selectExpr(
+      "concat('n', id % 37) AS src", "concat('n', (id * 7) % 41) AS dst")
+    // at scale neither side broadcasts — prove the co-partitioning claim,
+    // not a toy-size broadcast plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val (stateBase, eP, n) = graft.operators.PageRank.prepare(edges)
+    try {
+      def descend(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => descend(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => descend(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => descend(r.child)
+        case other => other.children.flatMap(descend)
+      })
+      // "data" shuffles = everything except the 1-row dangling global agg
+      // (SinglePartition) — that one moves O(partitions) longs, not data
+      def dataShuffles(df: DataFrame): Seq[SparkPlan] = {
+        df.count()
+        descend(df.queryExecution.executedPlan).collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if !e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.SinglePartition.type] => e
+        }
+      }
+      val r0 = stateBase.withColumn("r_mc",
+        round(lit(graft.operators.PageRank.Unit.toDouble) / n).cast("long"))
+      val s1 = graft.operators.PageRank.step(stateBase, r0, eP, n.toDouble, 0.85)
+      val round1 = dataShuffles(s1)
+      assert(round1.size <= 1,
+        s"round 1 must shuffle only the in-sum groupBy, got ${round1.size}: " +
+          round1.map(_.nodeName).mkString(", "))
+      // after a lineage cut (as run() does every 5 rounds) the captured
+      // partitioning must still make the next round's joins exchange-free.
+      // Cut a FRESH step frame: dataShuffles() above already planned s1
+      // under AQE and QueryExecution caches its physical plan — run()
+      // always cuts never-executed frames, so mirror that here
+      val cp = graft.operators.PageRank.cut(
+        graft.operators.PageRank.step(stateBase, r0, eP, n.toDouble, 0.85))
+      try {
+        val round2 = dataShuffles(
+          graft.operators.PageRank.step(stateBase, cp, eP, n.toDouble, 0.85))
+        assert(round2.size <= 1,
+          s"post-cut round must keep co-partitioning, got ${round2.size}: " +
+            round2.map(_.nodeName).mkString(", "))
+      } finally graft.Checkpoints.release(cp)
+    } finally {
+      Seq(stateBase, eP).foreach(_.unpersist(false))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("q1_pricing_summary: scan prunes to the 6 referenced columns") {
     val s = scans(executedPlan(run("q1_pricing_summary")))
     assert(s.head.requiredSchema.fieldNames.toSet ===

@@ -237,6 +237,31 @@ class FileSkippingSpec extends SparkSpec {
     assert(FileSkipping.readPoint(spark, plainPath, "id", 1234L).count() === 1L)
   }
 
+  test("l_point_lookup_bloom's staged orders layout: stats keep every file, " +
+    "the bloom is the pruning mechanism, result equals the raw table") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = graft.queries.RelationalQueries.bloomedOrdersPath(spark, dir)
+    // hash layout on o_custkey: every file's [min,max] spans the domain, so
+    // a stats-only equality probe (range [42,42]) cannot rule anything out
+    val (keptStats, prunedStats) =
+      FileSkipping.prunedFiles(spark, staged, "o_custkey", 42L, 42L)
+    assert(prunedStats.isEmpty && keptStats.size === 8,
+      s"range stats should keep all 8 files, kept ${keptStats.size}")
+    // the bloom must open a strict subset (1 true file + few false positives)
+    val (keptBloom, prunedBloom) =
+      FileSkipping.pointLookupFiles(spark, staged, "o_custkey", 42L)
+    assert(keptBloom.size + prunedBloom.size === 8)
+    assert(keptBloom.size <= 3,
+      s"bloom pruned too little: kept ${keptBloom.size} of 8")
+    // staged + pruned read ≡ raw-table filter, row for row
+    val got = FileSkipping.readPoint(spark, staged, "o_custkey", 42L)
+      .select("o_orderkey").as[Long].collect().sorted
+    val want = graft.sources.Tables.orders(spark, dir)
+      .where(col("o_custkey") === 42)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(got.nonEmpty && got === want)
+  }
+
   test("stats-disabled files are never pruned: empty Statistics means unknowable, not all-null") {
     // parquet-mr materializes a NON-NULL but EMPTY Statistics object when a
     // column's stats were never written (parquet.column.statistics.enabled#col
