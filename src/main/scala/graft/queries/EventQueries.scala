@@ -412,5 +412,57 @@ object EventQueries {
                |FROM r$iters ORDER BY node""".stripMargin)
       )
     },
+
+    // Watermark late-data policy, expressed in batch with an exact oracle:
+    // which rows would Structured Streaming DROP under
+    // `withWatermark(ts, 30 min)` if the events arrived in a deliberately
+    // out-of-order sequence? Arrival order is deterministic disorder
+    // derived from the data itself — 16-event chunks played back in
+    // reverse time order (the testdata's ts is monotone in event_id, so a
+    // shuffle must be synthesized to exercise lateness at all). The
+    // watermark is the streaming definition exactly: the running MAX event
+    // time over all PRIOR arrivals (global, key-independent), minus the
+    // delay; a row is late iff tus < wm − D. That row-by-row advance is
+    // what a one-row-per-micro-batch stream produces, and
+    // `LateArrivalsSpec` asserts the real streaming dedup drop set equals
+    // this batch rule on the same replay. Output: the dropped rows with
+    // how late each was.
+    //
+    // The global ordered window IS the semantics here (a watermark is a
+    // single global frontier — inherently sequential); the streaming
+    // implementation is the scale path, this batch twin exists as the
+    // oracle. Allow-listed in PlanSweepSpec like the other global-frontier
+    // operators.
+    {
+      val dUs = 1800000000L // 30-minute watermark delay, in µs
+      QueryDef(
+        "e_late_arrivals",
+        (s, dir) => {
+          val arrival = Window.orderBy(
+            expr("event_id div 16").asc, expr("event_id % 16").desc)
+          val wmW = Window.orderBy("arrival")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          ev(s, dir)
+            .select(col("event_id"), col("user_id"), col("tus"))
+            .withColumn("arrival", row_number().over(arrival))
+            .withColumn("wm_high", max(col("tus")).over(wmW))
+            .where(col("tus") < col("wm_high") - lit(dUs))
+            .select(col("event_id"), col("user_id"), col("tus"),
+              (col("wm_high") - lit(dUs) - col("tus")).as("late_us"))
+            .orderBy("event_id")
+        },
+        Some(s"""WITH arr AS (
+                |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+                |    ROW_NUMBER() OVER (ORDER BY event_id // 16 ASC,
+                |                                event_id % 16 DESC) AS arrival
+                |  FROM events),
+                |seq AS (
+                |  SELECT *, MAX(tus) OVER (ORDER BY arrival
+                |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_high
+                |  FROM arr)
+                |SELECT event_id, user_id, tus, wm_high - $dUs - tus AS late_us
+                |FROM seq WHERE tus < wm_high - $dUs
+                |ORDER BY event_id""".stripMargin))
+    },
   )
 }

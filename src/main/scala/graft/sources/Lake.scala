@@ -109,6 +109,11 @@ object Lake {
       updates: DataFrame, keys: Seq[String], where: Option[Column]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val current0 = spark.read.parquet(path)
+    // maintenance-path drift gate: name every drifted column up front,
+    // instead of a unionByName analysis error (or worse, an implicit key
+    // cast) deep in the merge plan
+    SchemaCompat.preflightMaintenance(current0.schema, updates.schema,
+      "upsertByKey")
     // Three-valued logic guard: a row where `where` evaluates NULL is false
     // under BOTH `w` and `!w`, so a naive filter pair drops it from the table
     // entirely. NULL-predicate rows are conservatively kept untouched.
@@ -200,16 +205,16 @@ object Lake {
     // Schema-drift guard: the declared-schema read below silently PROJECTS
     // — a table column missing from `updates` would be dropped from every
     // touched partition on the rewrite (and an updates-only column would
-    // backfill nulls) with no error. Fail loudly instead, like the old
-    // inference+unionByName path did (round-6 self-review). One footer
-    // probe of one touched directory; partition columns aren't in files.
+    // backfill nulls, and a retyped column would be read under the wrong
+    // declared type) with no error. Fail loudly with every drifted column
+    // named (round-6 self-review; typed since round 9 via SchemaCompat).
+    // One footer probe of one touched directory; partition columns aren't
+    // in files.
     if (existingDirs.nonEmpty) {
-      val fileCols = spark.read.parquet(existingDirs.head).columns.toSet
-      val expect = u.columns.toSet - p
-      require(fileCols == expect,
-        s"upsertByKey: updates schema {${u.columns.sorted.mkString(",")}} does " +
-          s"not match table columns {${(fileCols + p).toSeq.sorted.mkString(",")}} " +
-          "— a declared-schema merge would silently drop or null-fill columns")
+      val fileSchema = spark.read.parquet(existingDirs.head).schema
+      SchemaCompat.preflightMaintenance(fileSchema,
+        org.apache.spark.sql.types.StructType(u.schema.filterNot(_.name == p)),
+        "upsertByKey")
     }
     val merged =
       if (dataKeys.isEmpty || existingDirs.isEmpty) u // wholesale replace /
@@ -264,7 +269,14 @@ object Lake {
         "the rows would silently survive")
     partitionCol match {
       case None =>
-        val remaining = spark.read.parquet(path).join(d, keys, "left_anti")
+        val target = spark.read.parquet(path)
+        // drift gate on the KEY columns: a retyped key would otherwise be
+        // implicitly cast in the anti-join and silently match nothing
+        SchemaCompat.preflightMaintenance(
+          org.apache.spark.sql.types.StructType(
+            target.schema.fields.filter(f => keys.contains(f.name))),
+          d.schema, "deleteByKey")
+        val remaining = target.join(d, keys, "left_anti")
         safeReplace(spark, path, remaining)
       case Some(p) =>
         require(keys.contains(p),
@@ -305,6 +317,13 @@ object Lake {
       val fileSchema = spark.read.parquet(dirPaths.head).schema
       require(!fileSchema.fieldNames.contains(p),
         s"deleteByKey: data files already carry '$p'; not a partition column")
+      // drift gate on the non-partition KEY columns (the partition key is
+      // validated by the dirname parse itself): a retyped key would be
+      // implicitly cast in the anti-join and silently delete nothing
+      SchemaCompat.preflightMaintenance(
+        StructType(fileSchema.fields.filter(f =>
+          keys.contains(f.name) && f.name != p)),
+        StructType(del.schema.fields.filter(_.name != p)), "deleteByKey")
       val declared = StructType(fileSchema.fields :+
         del.schema.fields(del.schema.fieldIndex(p)))
       val remaining = spark.read.schema(declared).option("basePath", path)
@@ -475,6 +494,13 @@ object Lake {
       return
     }
     val table = spark.read.parquet(path)
+    // maintenance-path drift gate: the updates must carry exactly the
+    // target's business columns (target schema minus the SCD metadata),
+    // with the same types — name every drifted column up front
+    SchemaCompat.preflightMaintenance(
+      org.apache.spark.sql.types.StructType(
+        table.schema.fields.filterNot(f => meta.contains(f.name))),
+      updates.schema, "scdMerge")
     val history = table.filter(!col("is_current"))
     val current = table.filter(col("is_current"))
     // null-safe attribute comparison: structs compare field-wise and <=>

@@ -109,4 +109,36 @@ object SchemaCompat {
       s"testdata at $dir is schema-incompatible with the engine:\n  " +
         ps.mkString("\n  "))
   }
+
+  /** Column-by-column drift between a MAINTENANCE TARGET's on-disk schema
+    * and the rows about to be merged into it (upsert/delete/SCD paths in
+    * [[Lake]]). The same one-clear-message discipline as the testdata
+    * preflight, extended to the tables the engine itself writes: without
+    * it, a drifted updates frame surfaces as a declared-schema projection
+    * silently dropping columns, or a unionByName analysis error naming no
+    * root cause. Empty = compatible. */
+  def maintenanceDrift(target: StructType, incoming: StructType,
+      ctx: String): Seq[String] = {
+    val t = target.fields.map(f => f.name -> f.dataType).toMap
+    val i = incoming.fields.map(f => f.name -> f.dataType).toMap
+    val missing = target.fieldNames.toSeq.filterNot(i.contains).map(n =>
+      s"$ctx.$n: MISSING from incoming rows (target stores ${t(n).simpleString})")
+    val extra = incoming.fieldNames.toSeq.filterNot(t.contains).map(n =>
+      s"$ctx.$n: not a target column (incoming rows carry ${i(n).simpleString})")
+    val mismatch = target.fieldNames.toSeq
+      .filter(n => i.get(n).exists(_ != t(n))).map(n =>
+        s"$ctx.$n: target stores ${t(n).simpleString}, " +
+          s"incoming rows carry ${i(n).simpleString}")
+    missing ++ extra ++ mismatch
+  }
+
+  /** [[maintenanceDrift]] that throws one message listing every drifted
+    * column, or returns silently. */
+  def preflightMaintenance(target: StructType, incoming: StructType,
+      ctx: String): Unit = {
+    val ps = maintenanceDrift(target, incoming, ctx)
+    if (ps.nonEmpty) throw new IllegalStateException(
+      s"$ctx: incoming rows are schema-incompatible with the target table:\n  " +
+        ps.mkString("\n  "))
+  }
 }

@@ -48,7 +48,10 @@ class PlanSweepSpec extends SparkSpec {
     "t_drift_psi", // bin-proportion totals over a few-bin frame (Checks.psi)
     "t_vocab", // global rank over the AGGREGATED vocab table, not the corpus
     "t_oov", // same vocab rank feeding the broadcast membership join
-    "e_rfm" // quartile ntile over the AGGREGATED per-user frame (|users| rows)
+    "e_rfm", // quartile ntile over the AGGREGATED per-user frame (|users| rows)
+    "e_late_arrivals" // watermark = a single global frontier; the global
+                      // running max IS the semantics (streaming is the scale
+                      // path, this batch twin is the oracle)
   )
 
   private def logical(name: String): LogicalPlan =

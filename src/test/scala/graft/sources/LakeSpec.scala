@@ -648,21 +648,80 @@ class LakeSpec extends SparkSpec {
       .toDF("id", "day", "v", "extra").write.partitionBy("day").parquet(path)
     // updates MISSING the `extra` column: a declared-schema merge would
     // silently drop `extra` from every touched partition
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[IllegalStateException] {
       Lake.upsertByKey(spark, path, Seq((1L, 1, "a2")).toDF("id", "day", "v"),
         Seq("id"), partitionCol = Some("day"))
     }
-    assert(e.getMessage.contains("does not match table columns"))
+    assert(e.getMessage.contains("extra") && e.getMessage.contains("MISSING"),
+      e.getMessage)
     // updates with an EXTRA column the table lacks: silent null-backfill
-    intercept[IllegalArgumentException] {
+    val e2 = intercept[IllegalStateException] {
       Lake.upsertByKey(spark, path,
         Seq((1L, 1, "a2", 9.9, true)).toDF("id", "day", "v", "extra", "novel"),
         Seq("id"), partitionCol = Some("day"))
     }
+    assert(e2.getMessage.contains("novel"), e2.getMessage)
+    // updates with a RETYPED column: the declared-schema read would scan
+    // the files under the wrong type — the message names column and both
+    // types (SchemaCompat.maintenanceDrift)
+    val e3 = intercept[IllegalStateException] {
+      Lake.upsertByKey(spark, path,
+        Seq((1L, 1, "a2", "not-a-double")).toDF("id", "day", "v", "extra"),
+        Seq("id"), partitionCol = Some("day"))
+    }
+    assert(e3.getMessage.contains("extra") && e3.getMessage.contains("double")
+      && e3.getMessage.contains("string"), e3.getMessage)
     // table untouched by the rejected merges
     assert(spark.read.parquet(path).columns.toSet ===
       Set("id", "day", "v", "extra"))
     assert(spark.read.parquet(path).count() === 2)
+  }
+
+  test("maintenance drift gates also cover the full-rewrite upsert and " +
+    "deleteByKey key types") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("lake_drift2").toString
+    // full-rewrite upsert: retyped value column named in one message
+    val flat = s"$base/flat"
+    Seq((1L, "a", 1.5)).toDF("id", "v", "score").write.parquet(flat)
+    val e = intercept[IllegalStateException] {
+      Lake.upsertByKey(spark, flat,
+        Seq((1L, "a2", 7)).toDF("id", "v", "score"), Seq("id"))
+    }
+    assert(e.getMessage.contains("score") && e.getMessage.contains("double"),
+      e.getMessage)
+    // deleteByKey (unpartitioned): retyped key would be implicitly cast in
+    // the anti-join — rejected with the key named instead
+    val e2 = intercept[IllegalStateException] {
+      Lake.deleteByKey(spark, flat, Seq("1").toDF("id"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("id") && e2.getMessage.contains("bigint"),
+      e2.getMessage)
+    // deleteByKey (pruned): same for the non-partition key columns
+    val part = s"$base/part"
+    Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(part)
+    val e3 = intercept[IllegalStateException] {
+      Lake.deleteByKey(spark, part, Seq(("1", 1)).toDF("id", "day"),
+        Seq("id", "day"), partitionCol = Some("day"))
+    }
+    assert(e3.getMessage.contains("id") && e3.getMessage.contains("bigint"),
+      e3.getMessage)
+    // tables untouched; a well-typed delete still works
+    assert(spark.read.parquet(flat).count() === 1)
+    Lake.deleteByKey(spark, part, Seq((1L, 1)).toDF("id", "day"),
+      Seq("id", "day"), partitionCol = Some("day"))
+    assert(spark.read.parquet(part).count() === 1)
+    // scdMerge: a retyped business attribute is caught before any rewrite
+    val scd = s"$base/scd"
+    Lake.scdMerge(spark, scd, Seq((1L, "x", 2.0)).toDF("id", "name", "w"),
+      Seq("id"), asOf = 100L, bootstrap = true)
+    val e4 = intercept[IllegalStateException] {
+      Lake.scdMerge(spark, scd, Seq((1L, "x", 3)).toDF("id", "name", "w"),
+        Seq("id"), asOf = 200L)
+    }
+    assert(e4.getMessage.contains("w") && e4.getMessage.contains("double"),
+      e4.getMessage)
   }
 
   test("safeReplace swaps contents and sweeps crash leftovers") {

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Locks the `e_late_arrivals` batch twin to REAL Structured Streaming
+  * watermark semantics: replay an out-of-order sequence one row per
+  * micro-batch through `withWatermark + dropDuplicates` (whose late filter
+  * is row-level: drop iff eventTime < watermark), and assert the streaming
+  * drop set equals the batch rule `tus < runningMaxExclusive(tus) − D`.
+  * One row per micro-batch makes the stream's watermark advance row by
+  * row — exactly the frontier the batch twin's window computes, because
+  * Spark publishes `max(eventTime) − delay` only at batch boundaries. */
+class LateArrivalsSpec extends SparkSpec {
+
+  test("streaming dedup's late-drop set equals the batch running-max rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // (event_id, event-time seconds) in ARRIVAL order; whole seconds so the
+    // µs batch rule and Spark's ms watermark cannot disagree on boundaries
+    val arrivals = Seq[(Long, Long)](
+      (1L, 50L), (2L, 100L), (3L, 30L), (4L, 95L), (5L, 101L),
+      (6L, 5L), (7L, 200L), (8L, 150L), (9L, 199L), (10L, 60L),
+      (11L, 210L), (12L, 205L), (13L, 211L), (14L, 195L), (15L, 300L),
+      (16L, 285L), (17L, 296L), (18L, 150L), (19L, 301L), (20L, 295L))
+    val delaySec = 10L
+
+    // batch rule (the e_late_arrivals definition, on this replay)
+    var maxSoFar = Long.MinValue
+    val expectDropped = arrivals.flatMap { case (id, sec) =>
+      val late = maxSoFar != Long.MinValue && sec < maxSoFar - delaySec
+      maxSoFar = math.max(maxSoFar, sec)
+      if (late) Some(id) else None
+    }.toSet
+    assert(expectDropped.nonEmpty && expectDropped.size < arrivals.size,
+      s"replay must mix kept and dropped rows, got $expectDropped")
+
+    val input = MemoryStream[(Long, Long)]
+    val kept = input.toDF().toDF("event_id", "sec")
+      .withColumn("ts", col("sec").cast("timestamp"))
+      .withWatermark("ts", s"$delaySec seconds")
+      .dropDuplicates("event_id", "ts")
+    val q = kept.writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    try {
+      // one row per micro-batch: the watermark advances after every row,
+      // mirroring the batch twin's exclusive running max
+      arrivals.foreach { r =>
+        input.addData(r)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val keptIds = spark.table("late_sink")
+      .select("event_id").as[Long].collect().toSet
+    val streamDropped = arrivals.map(_._1).toSet -- keptIds
+    assert(streamDropped === expectDropped,
+      s"stream dropped $streamDropped, batch rule says $expectDropped")
+  }
+}
