@@ -286,11 +286,13 @@ object FileSkipping {
         .option(s"parquet.enable.dictionary#$c", "false")
     }.parquet(path)
 
-  /** Can this file contain `column = value`? Block-level: a block is ruled
-    * out when its chunk stats exclude the value OR its native bloom filter
-    * answers "definitely absent"; the file survives if ANY block might
-    * match. Files without stats or blooms are always kept — pruning
-    * degrades to a no-op, never to a wrong answer. */
+  /** Can this file contain `column = value`? Block-level, three rungs: a
+    * block is ruled out when its chunk stats exclude the value, OR its
+    * dictionary page (exact, when all pages are dictionary-encoded) lacks
+    * it, OR its native bloom filter answers "definitely absent"; the file
+    * survives if ANY block might match. Files offering none of the three
+    * are always kept — pruning degrades to a no-op, never to a wrong
+    * answer. */
   private def fileMayContain(conf: Configuration, file: String,
       column: String, value: Any): Boolean = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -325,20 +327,31 @@ object FileSkipping {
                 case _ => true // incomparable domains: cannot rule out
               }
             inRange && {
-              val bf = reader.getBloomFilterDataReader(block).readBloomFilter(chunk)
-              if (bf == null) true // no bloom written: cannot rule out
-              else {
-                val tpe = chunk.getPrimitiveType.getPrimitiveTypeName
-                val hash = (tpe, normalize(value)) match {
-                  case (INT64, v: Long) => Some(bf.hash(v))
-                  case (INT32, v: Long) => Some(bf.hash(v.toInt))
-                  case (DOUBLE, v: Double) => Some(bf.hash(v))
-                  case (FLOAT, v: Double) => Some(bf.hash(v.toFloat))
-                  case (BINARY, v: String) =>
-                    Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(v)))
-                  case _ => None // unhashable pairing: cannot rule out
+              // Dictionary-EXACT membership first: when every data page of
+              // the chunk is dictionary-encoded, the dictionary page IS the
+              // chunk's exact value set — one small page read answers
+              // "present?" with zero false positives. This is precisely the
+              // case where parquet-mr refuses to write a bloom filter (see
+              // writeWithBloom), so the two mechanisms are complementary:
+              // small/low-cardinality chunks prune via dictionary, large
+              // plain-encoded chunks via bloom. Mirrors parquet's own
+              // DictionaryFilter.
+              dictionaryContains(reader, block, chunk, value).getOrElse {
+                val bf = reader.getBloomFilterDataReader(block).readBloomFilter(chunk)
+                if (bf == null) true // no bloom written: cannot rule out
+                else {
+                  val tpe = chunk.getPrimitiveType.getPrimitiveTypeName
+                  val hash = (tpe, normalize(value)) match {
+                    case (INT64, v: Long) => Some(bf.hash(v))
+                    case (INT32, v: Long) => Some(bf.hash(v.toInt))
+                    case (DOUBLE, v: Double) => Some(bf.hash(v))
+                    case (FLOAT, v: Double) => Some(bf.hash(v.toFloat))
+                    case (BINARY, v: String) =>
+                      Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(v)))
+                    case _ => None // unhashable pairing: cannot rule out
+                  }
+                  hash.forall(bf.findHash)
                 }
-                hash.forall(bf.findHash)
               }
             }
         }
@@ -346,9 +359,53 @@ object FileSkipping {
     } finally reader.close()
   }
 
+  /** Exact dictionary-membership verdict for `column = value` on one chunk,
+    * or None when the dictionary cannot decide: pages not fully
+    * dictionary-encoded (a plain fallback page may hold the value), no
+    * encoding stats in the footer (pre-1.10 writers), no readable
+    * dictionary page, or an undecodable (type, probe) pairing. Decode
+    * errors degrade to None — pruning must never be wrong, only absent. */
+  private def dictionaryContains(reader: ParquetFileReader,
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      value: Any): Option[Boolean] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    try {
+      val es = chunk.getEncodingStats
+      if (es == null || es.hasNonDictionaryEncodedPages) return None
+      val desc = reader.getFooter.getFileMetaData.getSchema
+        .getColumnDescription(chunk.getPath.toArray)
+      // getDictionaryReader's declared return type is package-private in
+      // parquet-mr (the public surface is the DictionaryPageReadStore
+      // interface it implements), so scalac cannot emit a direct call —
+      // invoke the public method reflectively and use the interface
+      val store = classOf[ParquetFileReader]
+        .getMethod("getDictionaryReader",
+          classOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
+        .invoke(reader, block)
+        .asInstanceOf[org.apache.parquet.column.page.DictionaryPageReadStore]
+      val page = store.readDictionaryPage(desc)
+      if (page == null) return None
+      val dict = page.getEncoding.initDictionary(desc, page)
+      val ids = 0 to dict.getMaxId
+      (chunk.getPrimitiveType.getPrimitiveTypeName, normalize(value)) match {
+        case (INT64, v: Long) => Some(ids.exists(dict.decodeToLong(_) == v))
+        case (INT32, v: Long) =>
+          Some(v.isValidInt && ids.exists(dict.decodeToInt(_) == v.toInt))
+        case (DOUBLE, v: Double) => Some(ids.exists(dict.decodeToDouble(_) == v))
+        case (FLOAT, v: Double) =>
+          Some(ids.exists(dict.decodeToFloat(_) == v.toFloat))
+        case (BINARY, v: String) =>
+          val b = org.apache.parquet.io.api.Binary.fromString(v)
+          Some(ids.exists(dict.decodeToBinary(_) == b))
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+  }
+
   /** Split the table's files into (kept, pruned) for `column = value`,
-    * using footer stats AND native bloom filters — distributed over the
-    * file list like the stats pass. */
+    * using footer stats, EXACT dictionary membership, AND native bloom
+    * filters — distributed over the file list like the stats pass. */
   def pointLookupFiles(spark: SparkSession, path: String, column: String,
       value: Any): (Seq[String], Seq[String]) = {
     val files = listDataFiles(spark, path)

@@ -229,12 +229,43 @@ class FileSkippingSpec extends SparkSpec {
     assert(gotS === Array(2345L))
     // absent value: result is empty regardless of which files survive
     assert(FileSkipping.readPoint(spark, path, "id", 999999L).count() === 0L)
-    // files WITHOUT blooms degrade to keep-all on this layout, never wrong
+    // files WITHOUT blooms degrade to keep-all on this layout, never wrong:
+    // every id is unique, so parquet's dictionary writer falls back to
+    // PLAIN — no dictionary rung either, nothing can rule a file out
     val plainPath = tmp("fsk_nobloom")
     df.write.parquet(plainPath)
     val (keptP, _) = FileSkipping.pointLookupFiles(spark, plainPath, "id", 1234L)
     assert(keptP.size === 8)
     assert(FileSkipping.readPoint(spark, plainPath, "id", 1234L).count() === 1L)
+  }
+
+  test("fully dictionary-encoded chunks prune point lookups EXACTLY — no " +
+    "bloom needed, no false positives") {
+    // repeated values so the dictionary writer does NOT fall back to plain:
+    // 500 distinct v over 4000 rows, hash-spread so min/max cannot prune
+    val path = tmp("fsk_dict")
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id") % 500)
+      .withColumn("s", format_string("cat%03d", col("id") % 200))
+      .repartition(8, col("v"))
+    df.write.parquet(path)
+    // present value: hash layout puts all its rows in EXACTLY one file, and
+    // dictionary membership is exact — one kept file, zero false positives
+    val (kept, pruned) = FileSkipping.pointLookupFiles(spark, path, "v", 123L)
+    assert(kept.size === 1 && pruned.size === 7,
+      s"dictionary must prune exactly: kept ${kept.size}")
+    import spark.implicits._
+    assert(FileSkipping.readPoint(spark, path, "v", 123L)
+      .select("id").as[Long].collect().sorted ===
+      (0L until 4000L).filter(_ % 500 == 123).toArray)
+    // string dictionaries decode too; only files whose dictionary holds the
+    // category survive
+    val (keptS, _) = FileSkipping.pointLookupFiles(spark, path, "s", "cat077")
+    assert(keptS.nonEmpty && keptS.size < 8)
+    assert(FileSkipping.readPoint(spark, path, "s", "cat077").count() === 20L)
+    // absent values prune EVERY file (exact, unlike a bloom's maybe)
+    assert(FileSkipping.pointLookupFiles(spark, path, "v", 9999L)._1.isEmpty)
+    assert(FileSkipping.readPoint(spark, path, "v", 9999L).count() === 0L)
   }
 
   test("l_point_lookup_bloom's staged orders layout: stats keep every file, " +
@@ -275,6 +306,9 @@ class FileSkippingSpec extends SparkSpec {
       .write
       .option("parquet.column.statistics.enabled#id", "false")
       .option("parquet.column.statistics.enabled#s", "false")
+      // dictionary off too: this test pins the NOTHING-available degradation
+      // (the dictionary rung would otherwise prune these chunks exactly)
+      .option("parquet.enable.dictionary", "false")
       .parquet(path)
     // point lookup: no stats, no bloom → every file kept, result exact
     val (kept, pruned) = FileSkipping.pointLookupFiles(spark, path, "id", 123L)
