@@ -309,5 +309,34 @@ object JoinQueries {
               |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               |WHERE s_nationkey = 7
               |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)),
+
+    // Salted skew join (operators/Skew.saltedJoin): the structural fix when
+    // one join key dominates so heavily that even AQE's skew-split
+    // partitions bottleneck — the fact side scatters each key across 8
+    // sub-keys, the dim side replicates 8× to match, and each hot key's
+    // rows spread over 8 reducers instead of one. Salting routes rows, it
+    // never changes results: the oracle is the PLAIN join, and the hash
+    // compare proves salt-and-replicate is semantics-free (the guarantee
+    // that matters before pointing it at a genuinely skewed 100 TB key).
+    // SkewSpec covers the mechanics (fan-out, outer-join legality).
+    QueryDef(
+      "j_salted_skew_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val supp = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.operators.Skew.saltedJoin(li, supp, Seq("suppkey"), nSalts = 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"),
+            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+              |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
   )
 }
