@@ -44,15 +44,16 @@ import org.apache.spark.sql.functions._
   * A cached plan's `InMemoryTableScan` reports the TRUE partitioning
   * (Spark keeps `canChangeCachedPlanOutputPartitioning=false` for exactly
   * this reason) and AQE stays on for those materializations. The iterated
-  * state, which additionally needs its lineage truncated every few rounds
-  * (`step` reads it twice, so the un-cut logical tree doubles per round),
-  * goes through `cut` — a localCheckpoint scoped AQE-off, which both
-  * captures the partitioning and pipelines the whole chain as one
-  * non-adaptive job instead of ~20 individually-scheduled KB-sized AQE
-  * stages. `run` also scopes `spark.sql.shuffle.partitions` to a
-  * data-sized count so the per-round aggregation lands on the SAME
-  * partitioning as the pinned joins. `PlanAuditSpec` pins exchanges/round
-  * ≤ 1 including across the cut.
+  * state is materialized EVERY round (the Pregel superstep shape) through
+  * `cut` — a localCheckpoint scoped AQE-off, which captures the
+  * partitioning and runs the round as one pipelined non-adaptive job
+  * instead of a fan of individually-scheduled KB-sized AQE stages; lazy
+  * multi-round chains were measured strictly slower (the doubled `state`
+  * reference makes the logical tree grow 2^rounds between cuts, and the
+  * driver re-analysis dwarfs the cut jobs). `run` also scopes
+  * `spark.sql.shuffle.partitions` to a data-sized count so the per-round
+  * aggregation lands on the SAME partitioning as the pinned joins.
+  * `PlanAuditSpec` pins exchanges/round ≤ 1 including across the cut.
   */
 object PageRank {
 
@@ -96,20 +97,19 @@ object PageRank {
     var state = stateBase.withColumn("r_mc",
       round(lit(Unit.toDouble) / nD).cast("long"))
     val cuts = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (i <- 1 to iterations) {
-      val next = step(stateBase, state, eP, nD, damping)
-      // cut every few rounds: `step` reads `state` twice (dangling +
-      // contribs), so the un-truncated logical tree DOUBLES per round —
-      // 2^K blowup, not just a deep plan; the cut resets the base to a
-      // flat LogicalRDD leaf
-      state = if (i % 5 == 0 || i == iterations) {
-        val c = cut(next)
-        cuts += c
-        c
-      } else next
+    for (_ <- 1 to iterations) {
+      // materialize EVERY round (the Pregel superstep shape): `step` reads
+      // `state` twice (dangling + contribs), so a lazily-chained tree would
+      // DOUBLE per round — 2^K logical blowup — and even short chains spend
+      // more driver time re-analyzing nested copies than the cut job costs.
+      // Each round is one flat, pipelined job over LogicalRDD leaves;
+      // measured at sf0.1: cut-every-5 ≈ 4.8 s, cut-every-round ≈ 2.2 s.
+      val c = cut(step(stateBase, state, eP, nD, damping))
+      cuts += c
+      state = c
     }
     // Materialize the result as its own checkpoint, then RELEASE every
-    // intermediate block (stateBase, edges, per-5-round cuts — the
+    // intermediate block (stateBase, edges, per-round cuts — the
     // cache-leak class the round-5 ADVICE flagged on IVF-PQ). What remains
     // cached is exactly one O(|V|) block backing the returned frame.
     val result = state.select(col("node"),

@@ -541,6 +541,27 @@ object RelationalQueries {
              |FROM orders WHERE o_custkey = 42
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // CSV round trip with an exact oracle: supplier is staged through the
+    // engine's own CSV SINK (S4, single-file header CSV), read back through
+    // the schema-declared GLOB SCAN (S1/S2 — no inference pass), and
+    // hash-compared against DuckDB reading the ORIGINAL parquet. Green only
+    // if the full write→parse round trip is value-exact, doubles included
+    // (Java's shortest-repr Double.toString guarantees parse-back
+    // identity). The sources were spec-only until this row.
+    QueryDef(
+      "s_csv_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType), StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType)))
+        graft.sources.Csv.read(s, csvSupplierPath(s, dir) + "/*.csv", schema)
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
     // Same point lookup, but over a staged copy of orders REWRITTEN with
     // parquet-native bloom filters in a hash layout: rows are spread by
     // hash(o_custkey), so every file's [min,max] spans the whole custkey
@@ -583,5 +604,25 @@ object RelationalQueries {
     loc
   }
   private val stagedBloomDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Stage (once per JVM per data dir) supplier as a CSV written by the
+    * engine's own small-CSV sink, for the round-trip row above. Re-staged
+    * per process like the bloom copy. */
+  private[graft] def csvSupplierPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = s.conf.get("spark.sql.warehouse.dir") + s"/supplier_csv_$tag"
+    if (stagedCsvDirs.add(loc)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.sources.Csv.writeSmallCsv(
+        Tables.supplier(s, dir)
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), loc)
+    }
+    loc
+  }
+  private val stagedCsvDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -138,7 +138,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("PageRank iteration is co-partitioned: <=1 data shuffle per round, " +
-    "surviving the every-5-rounds checkpoint cut") {
+    "surviving the per-round checkpoint cut") {
     import org.apache.spark.sql.functions._
     val edges = spark.range(400).selectExpr(
       "concat('n', id % 37) AS src", "concat('n', (id * 7) % 41) AS dst")
@@ -171,7 +171,7 @@ class PlanAuditSpec extends SparkSpec {
       assert(round1.size <= 1,
         s"round 1 must shuffle only the in-sum groupBy, got ${round1.size}: " +
           round1.map(_.nodeName).mkString(", "))
-      // after a lineage cut (as run() does every 5 rounds) the captured
+      // after a lineage cut (as run() does every round) the captured
       // partitioning must still make the next round's joins exchange-free.
       // Cut a FRESH step frame: dataShuffles() above already planned s1
       // under AQE and QueryExecution caches its physical plan — run()
