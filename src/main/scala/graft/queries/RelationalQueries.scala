@@ -580,49 +580,74 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
              |FROM orders WHERE o_custkey = 42
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // Range scan through the dictionary rung: the staged copy is the same
+    // hash layout (every file's [min,max] spans the custkey domain ⇒ range
+    // stats keep all files) but written by the DEFAULT writer, so custkey
+    // is dictionary-encoded — and a bloom cannot answer a RANGE at all.
+    // readPrunedDict opens only files whose dictionary holds a value in
+    // [40,45]; the oracle on the raw table gates the whole staged-rewrite +
+    // refine + read path exactly. FileSkippingSpec asserts the pruning
+    // itself (stats keep 8/8, dictionary refine opens a strict subset).
+    QueryDef(
+      "l_pruned_scan_dict",
+      (s, dir) =>
+        graft.sources.FileSkipping
+          .readPrunedDict(s, dictOrdersPath(s, dir), "o_custkey", 40L, 45L)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_custkey BETWEEN 40 AND 45
+             |ORDER BY o_orderkey""".stripMargin)),
   )
 
-  /** Stage (once per JVM per data dir) a copy of `orders` under the
-    * warehouse, hash-distributed on o_custkey across 8 files with native
-    * bloom filters on that column — the layout where range stats are
-    * useless for a custkey probe and the bloom earns its keep. Re-staged
-    * on first touch in each process so a regenerated testdata dir can
-    * never be served from a stale copy (same discipline as the bucketed
-    * fact staging in JoinQueries). */
-  private[graft] def bloomedOrdersPath(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
+  /** Stage a derived layout under the warehouse once per JVM per data dir.
+    * Re-staged on first touch in each process so a regenerated testdata dir
+    * can never be served from a stale copy (same discipline as the
+    * bucketed fact staging in JoinQueries). */
+  private def stagedCopy(s: org.apache.spark.sql.SparkSession, dir: String,
+      name: String)(write: String => Unit): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val loc = s.conf.get("spark.sql.warehouse.dir") + s"/orders_bloom_$tag"
-    if (stagedBloomDirs.add(loc)) {
+    val loc = s.conf.get("spark.sql.warehouse.dir") + s"/${name}_$tag"
+    if (stagedDirs.add(loc)) {
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
+      write(loc)
+    }
+    loc
+  }
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** orders hash-distributed on o_custkey across 8 files with native bloom
+    * filters on that column — the layout where range stats are useless for
+    * a custkey probe and the bloom earns its keep. */
+  private[graft] def bloomedOrdersPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "orders_bloom") { loc =>
       graft.sources.FileSkipping.writeWithBloom(
         Tables.orders(s, dir).repartition(8, col("o_custkey")),
         loc, Seq("o_custkey"), ndv = 20000L)
     }
-    loc
-  }
-  private val stagedBloomDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Stage (once per JVM per data dir) supplier as a CSV written by the
-    * engine's own small-CSV sink, for the round-trip row above. Re-staged
-    * per process like the bloom copy. */
+  /** The same hash layout with the DEFAULT writer (dictionary encoding on,
+    * no blooms): the dictionary-rung fixture — range stats keep everything,
+    * only exact dictionary membership can prune. */
+  private[graft] def dictOrdersPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "orders_dict") { loc =>
+      Tables.orders(s, dir).repartition(8, col("o_custkey"))
+        .write.parquet(loc)
+    }
+
+  /** supplier as a CSV written by the engine's own small-CSV sink, for the
+    * round-trip row above. */
   private[graft] def csvSupplierPath(s: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val loc = s.conf.get("spark.sql.warehouse.dir") + s"/supplier_csv_$tag"
-    if (stagedCsvDirs.add(loc)) {
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      dir: String): String =
+    stagedCopy(s, dir, "supplier_csv") { loc =>
       graft.sources.Csv.writeSmallCsv(
         Tables.supplier(s, dir)
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), loc)
     }
-    loc
-  }
-  private val stagedCsvDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -371,22 +371,9 @@ object FileSkipping {
       value: Any): Option[Boolean] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     try {
-      val es = chunk.getEncodingStats
-      if (es == null || es.hasNonDictionaryEncodedPages) return None
-      val desc = reader.getFooter.getFileMetaData.getSchema
-        .getColumnDescription(chunk.getPath.toArray)
-      // getDictionaryReader's declared return type is package-private in
-      // parquet-mr (the public surface is the DictionaryPageReadStore
-      // interface it implements), so scalac cannot emit a direct call —
-      // invoke the public method reflectively and use the interface
-      val store = classOf[ParquetFileReader]
-        .getMethod("getDictionaryReader",
-          classOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
-        .invoke(reader, block)
-        .asInstanceOf[org.apache.parquet.column.page.DictionaryPageReadStore]
-      val page = store.readDictionaryPage(desc)
-      if (page == null) return None
-      val dict = page.getEncoding.initDictionary(desc, page)
+      val dictOpt = chunkDictionary(reader, block, chunk)
+      if (dictOpt.isEmpty) return None
+      val dict = dictOpt.get
       val ids = 0 to dict.getMaxId
       (chunk.getPrimitiveType.getPrimitiveTypeName, normalize(value)) match {
         case (INT64, v: Long) => Some(ids.exists(dict.decodeToLong(_) == v))
@@ -401,6 +388,121 @@ object FileSkipping {
         case _ => None
       }
     } catch { case _: Throwable => None }
+  }
+
+  /** The chunk's decoded dictionary, when the dictionary is the chunk's
+    * COMPLETE value set: all pages dictionary-encoded (per footer encoding
+    * stats — absent stats mean pre-1.10 writers, undecidable) and a
+    * readable dictionary page. `getDictionaryReader`'s declared return type
+    * is package-private in parquet-mr (the public surface is the
+    * DictionaryPageReadStore interface it implements), so scalac cannot
+    * emit a direct call — invoke the public method reflectively and use
+    * the interface. */
+  private def chunkDictionary(reader: ParquetFileReader,
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[org.apache.parquet.column.Dictionary] = {
+    val es = chunk.getEncodingStats
+    if (es == null || es.hasNonDictionaryEncodedPages) return None
+    val desc = reader.getFooter.getFileMetaData.getSchema
+      .getColumnDescription(chunk.getPath.toArray)
+    val store = classOf[ParquetFileReader]
+      .getMethod("getDictionaryReader",
+        classOf[org.apache.parquet.hadoop.metadata.BlockMetaData])
+      .invoke(reader, block)
+      .asInstanceOf[org.apache.parquet.column.page.DictionaryPageReadStore]
+    Option(store.readDictionaryPage(desc))
+      .map(p => p.getEncoding.initDictionary(desc, p))
+  }
+
+  /** Exact dictionary verdict for "any value in [lo, hi]" on one chunk —
+    * the RANGE twin of [[dictionaryContains]], same decidability contract
+    * (None whenever the dictionary cannot decide; errors degrade to None,
+    * never to a wrong prune). Blooms cannot answer ranges; the dictionary
+    * can, exactly. */
+  private def dictionaryAnyInRange(reader: ParquetFileReader,
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      lo: Any, hi: Any): Option[Boolean] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    try {
+      val dictOpt = chunkDictionary(reader, block, chunk)
+      if (dictOpt.isEmpty) return None
+      val dict = dictOpt.get
+      val ids = 0 to dict.getMaxId
+      (chunk.getPrimitiveType.getPrimitiveTypeName,
+        normalize(lo), normalize(hi)) match {
+        case (INT64, l: Long, h: Long) =>
+          Some(ids.exists { i => val v = dict.decodeToLong(i); v >= l && v <= h })
+        case (INT32, l: Long, h: Long) =>
+          Some(ids.exists { i => val v = dict.decodeToInt(i).toLong; v >= l && v <= h })
+        case (DOUBLE, l: Double, h: Double) =>
+          Some(ids.exists { i => val v = dict.decodeToDouble(i); v >= l && v <= h })
+        case (FLOAT, l: Double, h: Double) =>
+          Some(ids.exists { i => val v = dict.decodeToFloat(i).toDouble; v >= l && v <= h })
+        case (BINARY, l: String, h: String)
+            if chunk.getPrimitiveType.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.stringType() =>
+          Some(ids.exists { i =>
+            val v = dict.decodeToBinary(i).toStringUsingUTF8
+            utf8Compare(v, l) >= 0 && utf8Compare(v, h) <= 0
+          })
+        case _ => None
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Range-scan refinement through the dictionary rung: start from the
+    * stats verdict of [[prunedFiles]], then open each KEPT file's footer
+    * and rule it out when every chunk is fully dictionary-encoded and no
+    * dictionary value falls inside [lo, hi]. For hash/interleaved layouts —
+    * where every file's [min, max] spans the predicate and stats keep
+    * everything — the dictionary is the only mechanism that can prune a
+    * range (blooms only answer equality). Distributed over the kept list
+    * like the other passes; files whose dictionaries cannot decide stay
+    * kept. */
+  def prunedFilesDict(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): (Seq[String], Seq[String]) = {
+    val (kept0, pruned0) = prunedFiles(spark, path, column, lo, hi)
+    if (kept0.isEmpty) return (kept0, pruned0)
+    val box = new ConfBox(spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(box)
+    val (col0, l, h) = (column, lo, hi)
+    val slices = math.max(1,
+      math.min(kept0.size, spark.sparkContext.defaultParallelism * 2))
+    val decided = spark.sparkContext.parallelize(kept0, slices)
+      .mapPartitions { it =>
+        val conf = bc.value.conf
+        it.map { f =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(f), conf))
+          val may =
+            try reader.getFooter.getBlocks.asScala.exists { block =>
+              block.getColumns.asScala
+                .find(_.getPath.toDotString == col0) match {
+                case None => true // column absent: cannot rule out
+                case Some(chunk) =>
+                  dictionaryAnyInRange(reader, block, chunk, l, h)
+                    .getOrElse(true)
+              }
+            } finally reader.close()
+          (f, may)
+        }
+      }.collect()
+    bc.destroy()
+    val (kept, prunedMore) = decided.partition(_._2)
+    (kept.map(_._1).toSeq, pruned0 ++ prunedMore.map(_._1))
+  }
+
+  /** Range scan through stats + dictionary pruning; result is exactly
+    * `spark.read.parquet(path).where(col BETWEEN lo AND hi)` (the predicate
+    * still applies; partition-columns caveat as in [[readPruned]]). */
+  def readPrunedDict(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val (kept, _) = prunedFilesDict(spark, path, column, lo, hi)
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (kept.isEmpty) spark.read.parquet(path).where(pred).limit(0)
+    else spark.read.parquet(kept: _*).where(pred)
   }
 
   /** Split the table's files into (kept, pruned) for `column = value`,

@@ -268,6 +268,43 @@ class FileSkippingSpec extends SparkSpec {
     assert(FileSkipping.readPoint(spark, path, "v", 9999L).count() === 0L)
   }
 
+  test("dictionary rung answers RANGE scans where stats and blooms cannot") {
+    // hash layout on v: every file's [min,max] spans the domain, so range
+    // stats keep everything; blooms only answer equality — the dictionary
+    // is the only mechanism that can prune a range here
+    val path = tmp("fsk_dictrange")
+    spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id") % 500)
+      .repartition(8, col("v"))
+      .write.parquet(path)
+    val (keptStats, _) = FileSkipping.prunedFiles(spark, path, "v", 100L, 102L)
+    assert(keptStats.size === 8, "range stats cannot prune a hash layout")
+    val (kept, pruned) = FileSkipping.prunedFilesDict(spark, path, "v", 100L, 102L)
+    assert(kept.size + pruned.size === 8)
+    assert(kept.size <= 3 && kept.nonEmpty,
+      s"3 values hash to <=3 files; dictionary kept ${kept.size}")
+    import spark.implicits._
+    assert(FileSkipping.readPrunedDict(spark, path, "v", 100L, 102L)
+      .select("id").as[Long].collect().sorted ===
+      (0L until 4000L).filter(i => i % 500 >= 100 && i % 500 <= 102).toArray)
+    // a range outside the domain prunes every file, result exactly empty
+    assert(FileSkipping.prunedFilesDict(spark, path, "v", 600L, 700L)._1.isEmpty)
+    assert(FileSkipping.readPrunedDict(spark, path, "v", 600L, 700L).count() === 0L)
+    // the staged l_pruned_scan_dict layout behaves the same way on real data
+    val dir = "/root/testdata/sf0.001"
+    val staged = graft.queries.RelationalQueries.dictOrdersPath(spark, dir)
+    val (ks, _) = FileSkipping.prunedFiles(spark, staged, "o_custkey", 40L, 45L)
+    assert(ks.size === 8, "stats keep all 8 staged files")
+    val (kd, _) = FileSkipping.prunedFilesDict(spark, staged, "o_custkey", 40L, 45L)
+    assert(kd.size < 8 && kd.nonEmpty,
+      s"dictionary refine must open a strict subset, kept ${kd.size}")
+    val got = FileSkipping.readPrunedDict(spark, staged, "o_custkey", 40L, 45L)
+      .count()
+    val want = graft.sources.Tables.orders(spark, dir)
+      .where(col("o_custkey").between(40, 45)).count()
+    assert(got === want && got > 0)
+  }
+
   test("l_point_lookup_bloom's staged orders layout: stats keep every file, " +
     "the bloom is the pruning mechanism, result equals the raw table") {
     val dir = "/root/testdata/sf0.001"
