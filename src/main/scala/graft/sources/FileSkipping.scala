@@ -346,7 +346,11 @@ object FileSkipping {
                     case (INT32, v: Long) => Some(bf.hash(v.toInt))
                     case (DOUBLE, v: Double) => Some(bf.hash(v))
                     case (FLOAT, v: Double) => Some(bf.hash(v.toFloat))
-                    case (BINARY, v: String) =>
+                    case (BINARY, v: String) if utf8Bytes(chunk) =>
+                      // stringType or raw binary only: a DECIMAL-annotated
+                      // BINARY stores unscaled ints — UTF-8 bytes of the
+                      // probe would hash to "absent" for values the engine
+                      // predicate (which casts) can still match
                       Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(v)))
                     case _ => None // unhashable pairing: cannot rule out
                   }
@@ -382,12 +386,26 @@ object FileSkipping {
         case (DOUBLE, v: Double) => Some(ids.exists(dict.decodeToDouble(_) == v))
         case (FLOAT, v: Double) =>
           Some(ids.exists(dict.decodeToFloat(_) == v.toFloat))
-        case (BINARY, v: String) =>
+        case (BINARY, v: String) if utf8Bytes(chunk) =>
+          // stringType or raw binary: byte equality IS the engine's
+          // equality. A DECIMAL-annotated BINARY stores unscaled ints —
+          // comparing UTF-8 probe bytes would wrongly rule chunks out.
           val b = org.apache.parquet.io.api.Binary.fromString(v)
           Some(ids.exists(dict.decodeToBinary(_) == b))
         case _ => None
       }
     } catch { case _: Throwable => None }
+  }
+
+  /** Are this BINARY chunk's bytes comparable as UTF-8 text? True for
+    * stringType-annotated columns and for RAW (unannotated) binary — where
+    * the engine's own string-vs-binary comparison is also byte equality.
+    * False for any other annotation (DECIMAL, BSON, …), whose bytes mean
+    * something else entirely. */
+  private def utf8Bytes(
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+    val ann = chunk.getPrimitiveType.getLogicalTypeAnnotation
+    ann == null || ann == LogicalTypeAnnotation.stringType()
   }
 
   /** The chunk's decoded dictionary, when the dictionary is the chunk's
@@ -440,9 +458,7 @@ object FileSkipping {
           Some(ids.exists { i => val v = dict.decodeToDouble(i); v >= l && v <= h })
         case (FLOAT, l: Double, h: Double) =>
           Some(ids.exists { i => val v = dict.decodeToFloat(i).toDouble; v >= l && v <= h })
-        case (BINARY, l: String, h: String)
-            if chunk.getPrimitiveType.getLogicalTypeAnnotation ==
-              LogicalTypeAnnotation.stringType() =>
+        case (BINARY, l: String, h: String) if utf8Bytes(chunk) =>
           Some(ids.exists { i =>
             val v = dict.decodeToBinary(i).toStringUsingUTF8
             utf8Compare(v, l) >= 0 && utf8Compare(v, h) <= 0

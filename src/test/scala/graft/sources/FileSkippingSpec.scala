@@ -266,6 +266,19 @@ class FileSkippingSpec extends SparkSpec {
     // absent values prune EVERY file (exact, unlike a bloom's maybe)
     assert(FileSkipping.pointLookupFiles(spark, path, "v", 9999L)._1.isEmpty)
     assert(FileSkipping.readPoint(spark, path, "v", 9999L).count() === 0L)
+    // RAW (unannotated) BINARY columns prune too: the engine's own
+    // binary-vs-string equality is byte equality, so UTF-8 probe bytes are
+    // the right comparison there (only OTHER annotations — decimal etc. —
+    // must degrade to keep; see utf8Bytes)
+    val binPath = tmp("fsk_dictbin")
+    spark.range(0, 4000).toDF("id")
+      .withColumn("b", format_string("cat%03d", col("id") % 200).cast("binary"))
+      .repartition(8, col("b"))
+      .write.parquet(binPath)
+    val (keptB, _) = FileSkipping.pointLookupFiles(spark, binPath, "b", "cat077")
+    assert(keptB.nonEmpty && keptB.size < 8,
+      s"raw-binary dictionary should prune, kept ${keptB.size}")
+    assert(FileSkipping.readPoint(spark, binPath, "b", "cat077").count() === 20L)
   }
 
   test("dictionary rung answers RANGE scans where stats and blooms cannot") {
