@@ -18,9 +18,9 @@ import graft.queries.Registry
   * envelope is FLAGGED on the emitted line (`flagged`, with its probe
   * seconds) — a contended run labels itself, per query, mechanically. On an
   * idle 32-thread box the single-shot probe sits at 0.24–0.37 s (NOTES_r6 /
-  * NOTES_r8); the envelope pins 0.60 s = that range plus scheduling jitter
-  * headroom. min-of-3 stays the per-query statistic: background load
-  * inflates medians long before mins.
+  * NOTES_r8); the envelope pins 0.75 s = that range plus scheduling jitter
+  * headroom (see [[CalIdleEnvelope]]). min-of-3 stays the per-query
+  * statistic: background load inflates medians long before mins.
   *
   * Shuffle-write bytes ride along as the contention-IMMUNE signal: wall
   * time at sf0.1 is launch-latency noise under load, but bytes shuffled are
@@ -43,7 +43,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-  private def r3(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+  // comma-decimal locale would make the one adjudication artifact invalid
+  // JSON. Same for the shuffle-MB field below.
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -225,8 +229,8 @@ object Bench {
     val flagged = perQueryCal.filter(_._2 > CalIdleEnvelope)
     val flaggedJson = flagged.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val contended = flagged.nonEmpty || calFirst > CalIdleEnvelope ||
-      calLast > CalIdleEnvelope
+    val contended = flagged.nonEmpty ||
+      Seq(calFirst, calAnn, calApply, calLast).exists(_ > CalIdleEnvelope)
     val shuffleMb = perQueryShuffle.values.sum / 1048576.0
 
     // Full-fidelity sidecar: medians, per-query calibration, per-query
@@ -254,7 +258,8 @@ object Bench {
       s"""{"metric":"total","unit":"sec","stat":"min_of_3","sf":"$sfDir",""" +
         s""""queries_min":$qsMin,"errors":$errJson,""" +
         s""""ann_search_total":${r3(annTotal)},"bpe_apply_total":${r3(applyTotal)},""" +
-        s""""shuffle_mb":${f"$shuffleMb%.1f"},""" +
+        s""""shuffle_mb":${String.format(java.util.Locale.ROOT, "%.1f",
+          Double.box(shuffleMb))},""" +
         s""""n_queries":${clean.size},"n_failed":${Registry.headline.size - clean.size - nPartial},""" +
         s""""n_partial":$nPartial,""" +
         s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"envelope":$CalIdleEnvelope},""" +

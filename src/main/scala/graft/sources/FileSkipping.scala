@@ -153,9 +153,13 @@ object FileSkipping {
     * sort below 0xE000–0xFFFF, but the code points they encode (≥ 0x10000)
     * sort above. Every bound comparison in this file must use THIS ordering,
     * or a file whose byte-range contains the probed value can be pruned. */
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def utf8Compare(a: String, b: String): Int =
+    bytesCompare(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Unsigned lexicographic byte order — parquet's UNSIGNED sort order for
+    * BINARY, and the engine's own binary comparison semantics. */
+  private def bytesCompare(x: Array[Byte], y: Array[Byte]): Int = {
     var i = 0
     val n = math.min(x.length, y.length)
     while (i < n) {
@@ -459,9 +463,15 @@ object FileSkipping {
         case (FLOAT, l: Double, h: Double) =>
           Some(ids.exists { i => val v = dict.decodeToFloat(i).toDouble; v >= l && v <= h })
         case (BINARY, l: String, h: String) if utf8Bytes(chunk) =>
+          // compare RAW dictionary bytes against the probes' UTF-8 bytes:
+          // toStringUsingUTF8 is lossy on invalid UTF-8 (raw binary columns
+          // may hold any bytes; U+FFFD substitution would re-order values
+          // and wrongly prune files whose rows the engine predicate matches)
+          val lb = l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val hb = h.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           Some(ids.exists { i =>
-            val v = dict.decodeToBinary(i).toStringUsingUTF8
-            utf8Compare(v, l) >= 0 && utf8Compare(v, h) <= 0
+            val v = dict.decodeToBinary(i).getBytes
+            bytesCompare(v, lb) >= 0 && bytesCompare(v, hb) <= 0
           })
         case _ => None
       }

@@ -119,8 +119,12 @@ object SchemaCompat {
     * root cause. Empty = compatible. */
   def maintenanceDrift(target: StructType, incoming: StructType,
       ctx: String): Seq[String] = {
-    val t = target.fields.map(f => f.name -> f.dataType).toMap
-    val i = incoming.fields.map(f => f.name -> f.dataType).toMap
+    // nullability-insensitive comparison: parquet round-trips containsNull /
+    // struct-field nullability faithfully, but the same VALUES arrive with
+    // different nullability flags depending on how the updates frame was
+    // built — that is not drift, and the old unionByName path merged it fine
+    val t = target.fields.map(f => f.name -> ignoreNullability(f.dataType)).toMap
+    val i = incoming.fields.map(f => f.name -> ignoreNullability(f.dataType)).toMap
     val missing = target.fieldNames.toSeq.filterNot(i.contains).map(n =>
       s"$ctx.$n: MISSING from incoming rows (target stores ${t(n).simpleString})")
     val extra = incoming.fieldNames.toSeq.filterNot(t.contains).map(n =>
@@ -130,6 +134,17 @@ object SchemaCompat {
         s"$ctx.$n: target stores ${t(n).simpleString}, " +
           s"incoming rows carry ${i(n).simpleString}")
     missing ++ extra ++ mismatch
+  }
+
+  /** Nullability flags erased at every nesting level (Spark's own
+    * `asNullable` is private[spark]). */
+  private def ignoreNullability(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(ignoreNullability(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(ignoreNullability(k), ignoreNullability(v), valueContainsNull = true)
+    case StructType(fields) => StructType(fields.map(f =>
+      f.copy(dataType = ignoreNullability(f.dataType), nullable = true)))
+    case other => other
   }
 
   /** [[maintenanceDrift]] that throws one message listing every drifted

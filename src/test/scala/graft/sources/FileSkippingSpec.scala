@@ -303,6 +303,22 @@ class FileSkippingSpec extends SparkSpec {
     // a range outside the domain prunes every file, result exactly empty
     assert(FileSkipping.prunedFilesDict(spark, path, "v", 600L, 700L)._1.isEmpty)
     assert(FileSkipping.readPrunedDict(spark, path, "v", 600L, 700L).count() === 0L)
+    // RAW binary with INVALID UTF-8 content: the byte 0xC5 alone is a bare
+    // lead byte; String round-tripping would substitute U+FFFD (EF BF BD),
+    // re-ordering it PAST the range bounds and wrongly pruning the file.
+    // The raw-bytes comparison keeps it: [C5] sits inside
+    // ["Ā"=C4 80, "Š"=C5 A0] in unsigned byte order.
+    val rawPath = tmp("fsk_dictraw")
+    spark.range(0, 400).toDF("id")
+      .withColumn("b", when(col("id") % 2 === 0, lit(Array(0xC5.toByte)))
+        .otherwise(lit(Array('A'.toByte))))
+      .repartition(2, col("b"))
+      .write.parquet(rawPath)
+    val (keptRaw, _) =
+      FileSkipping.prunedFilesDict(spark, rawPath, "b", "Ā", "Š")
+    assert(keptRaw.nonEmpty,
+      "file holding invalid-UTF-8 byte 0xC5 (in range by byte order) was pruned")
+
     // the staged l_pruned_scan_dict layout behaves the same way on real data
     val dir = "/root/testdata/sf0.001"
     val staged = graft.queries.RelationalQueries.dictOrdersPath(spark, dir)
