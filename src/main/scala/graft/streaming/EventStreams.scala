@@ -51,6 +51,50 @@ object EventStreams {
 
   final case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+
+  final case class TaggedEvent(event_id: Long, user_id: Long, ts_ms: Long,
+      late: Boolean, late_by_ms: Long)
+
+  /** Late-data DEAD LETTER channel: tag every event with whether the
+    * engine's stateful operators would DROP it as late — instead of losing
+    * those rows silently (`withWatermark` + any stateful op simply filters
+    * them), route them: `tagLate(...).filter(!_.late)` feeds the normal
+    * pipeline, `.filter(_.late)` goes to a quarantine sink for
+    * reconciliation/backfill.
+    *
+    * Implementation: a pass-through `flatMapGroupsWithState` whose state is
+    * never written — it exists only to read `getCurrentWatermarkMs()`, the
+    * SAME global frontier (max event time at the previous micro-batch −
+    * delay) that drives the built-in late filters. Unlike aggregations and
+    * dedup, fMGWS does NOT pre-filter late input rows (Spark leaves late
+    * handling to the user function — spec-verified), so every row reaches
+    * the tagger. A row is late iff its event time < the watermark — exactly
+    * the batch rule `e_late_arrivals` oracles against DuckDB, and
+    * `LateArrivalsSpec` locks this operator's tag set to both the batch
+    * rule and the built-in dedup's drop set on the same replay. Keyed by
+    * user only to parallelize; the verdict is key-independent.
+    *
+    * The input must carry `event_id`, `ts` (the watermarked column), and
+    * `user_id`. Scale: stateless per row, no state-store growth (nothing is
+    * ever `state.update`d), one shuffle on the grouping key. */
+  def tagLate(events: DataFrame, delay: String): Dataset[TaggedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(col("event_id").as[Long], col("user_id").as[Long],
+        col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          val wm = state.getCurrentWatermarkMs()
+          rows.map { case (id, user, ts) =>
+            val tsMs = ts.getTime
+            TaggedEvent(id, user, tsMs, late = tsMs < wm,
+              late_by_ms = math.max(0L, wm - tsMs))
+          }
+      }
+  }
   /** NOTE: adding `ewma` changed this state schema — a checkpoint written by
     * the 4-field version fails the state-store compatibility check on
     * restart; resuming requires a fresh checkpoint (running state is

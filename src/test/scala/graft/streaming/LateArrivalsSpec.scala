@@ -58,5 +58,34 @@ class LateArrivalsSpec extends SparkSpec {
     val streamDropped = arrivals.map(_._1).toSet -- keptIds
     assert(streamDropped === expectDropped,
       s"stream dropped $streamDropped, batch rule says $expectDropped")
+
+    // The dead-letter tagger sees the SAME frontier: every row is emitted
+    // (nothing silently dropped), and the tagged-late set equals both the
+    // batch rule and the built-in dedup's drop set above
+    val input2 = MemoryStream[(Long, Long, Long)]
+    val tagged = EventStreams.tagLate(
+      input2.toDF().toDF("event_id", "user_id", "sec")
+        .withColumn("ts", col("sec").cast("timestamp"))
+        .drop("sec"),
+      s"$delaySec seconds")
+    val q2 = tagged.writeStream.format("memory").queryName("late_tag_sink")
+      .outputMode("append").start()
+    try {
+      arrivals.foreach { case (id, sec) =>
+        input2.addData((id, id % 3, sec))
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val out = spark.table("late_tag_sink")
+    assert(out.count().toInt === arrivals.size,
+      "tagLate must emit EVERY row, late ones included")
+    val taggedLate = out.where(col("late"))
+      .select("event_id").as[Long].collect().toSet
+    assert(taggedLate === expectDropped,
+      s"tagged-late $taggedLate, batch rule says $expectDropped")
+    // lateness magnitude: late rows carry a positive late_by_ms, on-time
+    // rows zero
+    assert(out.where(col("late") && col("late_by_ms") <= 0).isEmpty)
+    assert(out.where(!col("late") && col("late_by_ms") =!= 0).isEmpty)
   }
 }
