@@ -599,6 +599,24 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
              |FROM orders WHERE o_custkey BETWEEN 40 AND 45
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // Z-order layout end-to-end: orders rewritten by Lake.zorderWrite
+    // clustered on (o_custkey, o_totalprice), then range-scanned through
+    // file-level stats pruning on o_custkey — a NON-leading dimension for
+    // any plain sort, prunable here because bit interleaving keeps per-file
+    // [min,max] tight in BOTH columns. The raw-table oracle hash-gates the
+    // full rewrite + prune + read path; LakeSpec asserts the range-narrowing
+    // property itself, FileSkippingSpec the pruning machinery.
+    QueryDef(
+      "l_zorder_scan",
+      (s, dir) =>
+        graft.sources.FileSkipping
+          .readPruned(s, zorderOrdersPath(s, dir), "o_custkey", 20L, 40L)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_custkey BETWEEN 20 AND 40
+             |ORDER BY o_orderkey""".stripMargin)),
   )
 
   /** Stage a derived layout under the warehouse once per JVM per data dir.
@@ -639,6 +657,15 @@ object RelationalQueries {
     stagedCopy(s, dir, "orders_dict") { loc =>
       Tables.orders(s, dir).repartition(8, col("o_custkey"))
         .write.parquet(loc)
+    }
+
+  /** orders z-ordered on (o_custkey, o_totalprice) — per-file bounds tight
+    * in BOTH dimensions, so a range scan on either column can prune. */
+  private[graft] def zorderOrdersPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "orders_zorder") { loc =>
+      graft.sources.Lake.zorderWrite(
+        Tables.orders(s, dir), loc, "o_custkey", "o_totalprice")
     }
 
   /** supplier as a CSV written by the engine's own small-CSV sink, for the

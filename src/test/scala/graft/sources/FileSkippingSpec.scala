@@ -359,6 +359,22 @@ class FileSkippingSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("l_zorder_scan's staged layout: min-max stats prune a z-ordered " +
+    "dimension and the read equals the raw table") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = graft.queries.RelationalQueries.zorderOrdersPath(spark, dir)
+    val (kept, pruned) =
+      FileSkipping.prunedFiles(spark, staged, "o_custkey", 20L, 40L)
+    assert(pruned.nonEmpty,
+      s"z-order bounds should prune some of ${kept.size + pruned.size} files " +
+        "for a ~14%-of-domain custkey range")
+    val got = FileSkipping.readPruned(spark, staged, "o_custkey", 20L, 40L)
+      .count()
+    val want = graft.sources.Tables.orders(spark, dir)
+      .where(col("o_custkey").between(20, 40)).count()
+    assert(got === want && got > 0)
+  }
+
   test("stats-disabled files are never pruned: empty Statistics means unknowable, not all-null") {
     // parquet-mr materializes a NON-NULL but EMPTY Statistics object when a
     // column's stats were never written (parquet.column.statistics.enabled#col
