@@ -63,41 +63,76 @@ object PageRank {
     * @return (node, rank) for every node appearing as src or dst, rank in
     *         [0, 1] doubles summing to ~1 */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    runBounded(edges, iterations, damping, srcCol, dstCol, tol = None)._1
+
+  /** [[run]] with CONVERGENCE-BASED termination: iterate until the L1 rank
+    * delta between consecutive rounds drops to `tol` or below (rank-mass
+    * units — e.g. 1e-6 means "less than a millionth of the total rank moved
+    * this round"), capped at `maxIterations`. At 100 TB nobody runs a fixed
+    * K: a fast-mixing graph converges in a handful of rounds and a
+    * power-law one needs the cap. The delta is an exact BIGINT sum in
+    * pico-units over the node-co-partitioned join of consecutive states —
+    * one extra exchange-free join + 1-row agg per round, so the check costs
+    * a fraction of the round it might save. Returns the ranks and the
+    * number of rounds actually run. */
+  def runUntilConverged(edges: DataFrame, tol: Double, maxIterations: Int,
+      damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst"): (DataFrame, Int) = {
+    require(tol > 0, s"tol must be > 0, got $tol")
+    runBounded(edges, maxIterations, damping, srcCol, dstCol, Some(tol))
+  }
+
+  private def runBounded(edges: DataFrame, iterations: Int, damping: Double,
+      srcCol: String, dstCol: String, tol: Option[Double]): (DataFrame, Int) = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     // Scope the session shuffle-partition count to the data-sized value for
     // the whole iteration: the per-round groupBy takes its partition count
     // from this conf, and it must EQUAL the pinned join partitioning or
     // EnsureRequirements re-shuffles one side every round. Restored in the
-    // finally; the engine runs queries sequentially per session.
+    // finally; the engine runs queries sequentially per session. Because
+    // these confs are session-global, a CONCURRENT query on the same
+    // session (a streaming micro-batch, most plausibly) would be planned
+    // under the scoped values — enforce the documented
+    // single-query-per-session model instead of assuming it (round-9
+    // ADVICE); an isolated `SparkSession.newSession()` sidesteps this.
     val spark = edges.sparkSession
+    require(spark.streams.active.isEmpty,
+      "PageRank scopes session confs (shuffle partitions, AQE) for the " +
+        "iteration; run it on a session with no active streaming queries " +
+        "(SparkSession.newSession() gives an isolated conf)")
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = spark.conf.get(spKey)
     spark.conf.set(spKey,
       partitionCountFor(edges.select(col(srcCol), col(dstCol))).toString)
-    try runScoped(edges, iterations, damping, srcCol, dstCol)
+    try runScoped(edges, iterations, damping, srcCol, dstCol, tol)
     finally spark.conf.set(spKey, prevSp)
   }
 
   private def runScoped(edges: DataFrame, iterations: Int, damping: Double,
-      srcCol: String, dstCol: String): DataFrame = {
+      srcCol: String, dstCol: String, tol: Option[Double]): (DataFrame, Int) = {
     val (stateBase, eP, n) = prepare(edges, srcCol, dstCol)
     if (n == 0) {
       // materialize BEFORE releasing the inputs it reads from
       val empty = stateBase.select(col("node"))
         .withColumn("rank", lit(0.0)).localCheckpoint(true)
       Seq(stateBase, eP).foreach(_.unpersist(false))
-      return empty
+      return (empty, 0)
     }
     val nD = n.toDouble
+    // convergence threshold in exact pico-units (floor: any delta strictly
+    // below tol·Unit stops — the comparison itself is integer-exact)
+    val tolPico = tol.map(t => (t * Unit).toLong)
 
     // r0 = round(Unit / N) pico each; deg rides along so no per-round
     // ranks⋈deg join is ever needed
     var state = stateBase.withColumn("r_mc",
       round(lit(Unit.toDouble) / nD).cast("long"))
     var prevCut: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
+    var rounds = 0
+    var converged = false
+    while (rounds < iterations && !converged) {
       // materialize EVERY round (the Pregel superstep shape): `step` reads
       // `state` twice (dangling + contribs), so a lazily-chained tree would
       // DOUBLE per round — 2^K logical blowup — and even short chains spend
@@ -105,6 +140,18 @@ object PageRank {
       // Each round is one flat, pipelined job over LogicalRDD leaves;
       // measured at sf0.1: cut-every-5 ≈ 4.8 s, cut-every-round ≈ 2.2 s.
       val c = cut(step(stateBase, state, eP, nD, damping))
+      rounds += 1
+      // L1 delta vs the previous round, only when a tolerance is set: both
+      // frames are node-partitioned (cut preserves the layout), so this is
+      // an exchange-free join + a 1-row agg — exact BIGINT arithmetic, no
+      // float drift in the stopping rule itself.
+      tolPico.foreach { tp =>
+        val d = c.select(col("node"), col("r_mc").as("r_new"))
+          .join(state.select(col("node"), col("r_mc").as("r_old")), Seq("node"))
+          .agg(coalesce(sum(abs(col("r_new") - col("r_old"))), lit(0L)))
+          .head.getLong(0)
+        if (d <= tp) converged = true
+      }
       // release the superseded round's blocks IMMEDIATELY: round k+1 reads
       // only cut k, so live cached state stays at 2 × O(|V|), not K ×
       // (eager cut ⇒ cut k is fully materialized before cut k−1 goes)
@@ -121,7 +168,7 @@ object PageRank {
       .localCheckpoint(true)
     prevCut.foreach(graft.Checkpoints.release)
     Seq(stateBase, eP).foreach(_.unpersist(false))
-    result
+    (result, rounds)
   }
 
   /** Static per-round inputs, built once: `stateBase` = (node, deg-or-null)

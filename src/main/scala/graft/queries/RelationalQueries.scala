@@ -622,21 +622,25 @@ object RelationalQueries {
   /** Stage a derived layout under the warehouse once per JVM per data dir.
     * Re-staged on first touch in each process so a regenerated testdata dir
     * can never be served from a stale copy (same discipline as the
-    * bucketed fact staging in JoinQueries). */
+    * bucketed fact staging in JoinQueries). The path is published through
+    * `computeIfAbsent`, which only records it AFTER the staging write
+    * succeeds (a throw leaves no entry, so the next caller retries instead
+    * of reading a deleted/partial directory) and blocks a concurrent caller
+    * on the same key until the write completes. */
   private def stagedCopy(s: org.apache.spark.sql.SparkSession, dir: String,
       name: String)(write: String => Unit): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val loc = s.conf.get("spark.sql.warehouse.dir") + s"/${name}_$tag"
-    if (stagedDirs.add(loc)) {
-      val p = new org.apache.hadoop.fs.Path(loc)
+    stagedDirs.computeIfAbsent(loc, { l =>
+      val p = new org.apache.hadoop.fs.Path(l)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      write(loc)
-    }
-    loc
+      write(l)
+      l
+    })
   }
   private val stagedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** orders hash-distributed on o_custkey across 8 files with native bloom
     * filters on that column — the layout where range stats are useless for

@@ -398,7 +398,7 @@ object FileSkipping {
           Some(ids.exists(dict.decodeToBinary(_) == b))
         case _ => None
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Are this BINARY chunk's bytes comparable as UTF-8 text? True for
@@ -475,7 +475,7 @@ object FileSkipping {
           })
         case _ => None
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Range-scan refinement through the dictionary rung: start from the

@@ -123,16 +123,25 @@ object SchemaCompat {
     // struct-field nullability faithfully, but the same VALUES arrive with
     // different nullability flags depending on how the updates frame was
     // built — that is not drift, and the old unionByName path merged it fine
-    val t = target.fields.map(f => f.name -> ignoreNullability(f.dataType)).toMap
-    val i = incoming.fields.map(f => f.name -> ignoreNullability(f.dataType)).toMap
-    val missing = target.fieldNames.toSeq.filterNot(i.contains).map(n =>
-      s"$ctx.$n: MISSING from incoming rows (target stores ${t(n).simpleString})")
-    val extra = incoming.fieldNames.toSeq.filterNot(t.contains).map(n =>
-      s"$ctx.$n: not a target column (incoming rows carry ${i(n).simpleString})")
+    // Honor the session's column-resolution semantics: Spark resolves
+    // column names case-insensitively unless spark.sql.caseSensitive is on,
+    // so an updates frame differing only in case must match the same way
+    // the old unionByName path resolved it (round-9 ADVICE — a
+    // case-sensitive map here turned "ID" vs "id" into a false-positive
+    // MISSING+extra pair). Messages keep the original spelling.
+    val caseSensitive =
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+    def key(n: String): String = if (caseSensitive) n else n.toLowerCase
+    val t = target.fields.map(f => key(f.name) -> ignoreNullability(f.dataType)).toMap
+    val i = incoming.fields.map(f => key(f.name) -> ignoreNullability(f.dataType)).toMap
+    val missing = target.fieldNames.toSeq.filterNot(n => i.contains(key(n))).map(n =>
+      s"$ctx.$n: MISSING from incoming rows (target stores ${t(key(n)).simpleString})")
+    val extra = incoming.fieldNames.toSeq.filterNot(n => t.contains(key(n))).map(n =>
+      s"$ctx.$n: not a target column (incoming rows carry ${i(key(n)).simpleString})")
     val mismatch = target.fieldNames.toSeq
-      .filter(n => i.get(n).exists(_ != t(n))).map(n =>
-        s"$ctx.$n: target stores ${t(n).simpleString}, " +
-          s"incoming rows carry ${i(n).simpleString}")
+      .filter(n => i.get(key(n)).exists(_ != t(key(n)))).map(n =>
+        s"$ctx.$n: target stores ${t(key(n)).simpleString}, " +
+          s"incoming rows carry ${i(key(n)).simpleString}")
     missing ++ extra ++ mismatch
   }
 

@@ -70,6 +70,31 @@ class PageRankSpec extends SparkSpec {
       s"leaked ${after - before} cached RDDs (nodes/deg/round checkpoints)")
   }
 
+  test("runUntilConverged exits early on a fast-mixing graph and is capped " +
+    "on a slow one") {
+    // the 2-cycle starts AT its fixed point (uniform): round 1's L1 delta
+    // is exactly 0 pico-units, so any tol stops it immediately
+    val (fastDf, fastRounds) = PageRank.runUntilConverged(
+      Seq(("a", "b"), ("b", "a")).toDF("src", "dst"), tol = 1e-9,
+      maxIterations = 50)
+    val fast = fastDf.collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+    assert(fastRounds === 1, s"expected immediate convergence, ran $fastRounds")
+    assert(math.abs(fast("a") - 0.5) < 1e-9 && math.abs(fast("b") - 0.5) < 1e-9)
+
+    // an asymmetric graph far from uniform cannot reach a 1e-15 L1 delta in
+    // 3 rounds: the cap fires, and the capped result is EXACTLY the
+    // fixed-K result (the tol path must not perturb the iteration)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"))
+    val (slowDf, slowRounds) = PageRank.runUntilConverged(
+      edges.toDF("src", "dst"), tol = 1e-15, maxIterations = 3)
+    assert(slowRounds === 3, s"cap must bound the iteration, ran $slowRounds")
+    val slow = slowDf.collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+    val fixedK = ranks(edges, 3)
+    slow.foreach { case (v, r) => assert(r === fixedK(v), s"$v: $r vs ${fixedK(v)}") }
+  }
+
   test("empty edge list yields an empty result; zero iterations = uniform") {
     assert(PageRank.run(Seq.empty[(String, String)].toDF("src", "dst"), 5)
       .count() === 0)

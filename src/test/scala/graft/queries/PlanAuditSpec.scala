@@ -102,9 +102,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("j_star_chain_bucketed: the fact-fact join subtree has no exchange " +
     "and no sort") {
-    // force the fact join to actually join (no auto-broadcast of orders)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // force the fact join to actually join (no auto-broadcast of orders);
+    // restore the PRIOR values, not hard-coded defaults, so a suite-level
+    // configuration survives this test (round-9 ADVICE)
+    val bcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val bcastSaved = bcastKeys.map(k => k -> spark.conf.getOption(k))
+    bcastKeys.foreach(spark.conf.set(_, "-1"))
     try {
       val plan = executedPlan(run("j_star_chain_bucketed"))
       def descend(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
@@ -132,8 +136,9 @@ class PlanAuditSpec extends SparkSpec {
       assert(sorts.isEmpty,
         "write-time sortBy must also eliminate both join sorts")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      bcastSaved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     }
   }
 
@@ -143,9 +148,11 @@ class PlanAuditSpec extends SparkSpec {
     val edges = spark.range(400).selectExpr(
       "concat('n', id % 37) AS src", "concat('n', (id * 7) % 41) AS dst")
     // at scale neither side broadcasts — prove the co-partitioning claim,
-    // not a toy-size broadcast plan
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // not a toy-size broadcast plan. Saved/restored, not reset to defaults.
+    val bcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val bcastSaved = bcastKeys.map(k => k -> spark.conf.getOption(k))
+    bcastKeys.foreach(spark.conf.set(_, "-1"))
     val (stateBase, eP, n) = graft.operators.PageRank.prepare(edges)
     try {
       def descend(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
@@ -187,8 +194,9 @@ class PlanAuditSpec extends SparkSpec {
       } finally graft.Checkpoints.release(cp)
     } finally {
       Seq(stateBase, eP).foreach(_.unpersist(false))
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      bcastSaved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     }
   }
 
