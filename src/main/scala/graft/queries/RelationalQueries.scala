@@ -617,6 +617,85 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
              |FROM orders WHERE o_custkey BETWEEN 20 AND 40
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // MERGE INTO end-to-end: a copy of orders is staged hive-partitioned on
+    // o_orderstatus, then a deterministic update+insert batch (derived from
+    // orders itself, so the oracle can rebuild it in SQL) is applied through
+    // Lake.upsertByKey on the PARTITION-PRUNED path — per-directory
+    // anti-join + crash-safe swap, untouched directories never opened. The
+    // DuckDB oracle computes the same MERGE result from the raw table, so a
+    // green row hash-gates the whole rewrite machinery: partition
+    // enumeration, declared-schema dirname parsing, displacement join, and
+    // the staged two-rename swap. Updates keep their original partition
+    // value (key-moves are out of contract; see upsertByKey's docs).
+    QueryDef(
+      "l_upsert_merge",
+      (s, dir) =>
+        s.read.parquet(upsertedOrdersPath(s, dir))
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""WITH batch AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |         o_totalprice + 1000.0 AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 97 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_custkey, 'O', o_totalprice / 2.0
+             |  FROM orders WHERE o_orderkey % 501 = 0
+             |)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |  FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+             |  UNION ALL
+             |  SELECT * FROM batch
+             |)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // SCD type-2 history end-to-end: supplier is bootstrapped as a
+    // slowly-changing dimension at t=100, then two deterministic change
+    // batches land through Lake.scdMerge (t=200 bumps acctbal for suppkey
+    // % 3 == 0; t=300 bumps it again for % 5 == 0 and inserts new % 7 == 0
+    // keys), and the query is the AS-OF read at t=250 — intervals included,
+    // so the version bookkeeping itself is hashed, not just the surviving
+    // values. The oracle rebuilds the identical history in DuckDB from the
+    // raw table as a change feed + lead() window (the canonical SQL SCD-2
+    // construction) and cuts it at the same instant.
+    QueryDef(
+      "l_scd2_asof",
+      (s, dir) =>
+        s.read.parquet(scdSupplierPath(s, dir))
+          .filter(col("effective_from") <= 250 &&
+            (col("effective_to").isNull || col("effective_to") > 250))
+          .select("s_suppkey", "s_nationkey", "s_acctbal",
+            "effective_from", "effective_to")
+          .orderBy("s_suppkey"),
+      Some("""WITH feed AS (
+             |  SELECT s_suppkey, s_nationkey, s_acctbal,
+             |         CAST(100 AS BIGINT) AS t FROM supplier
+             |  UNION ALL
+             |  SELECT s_suppkey, s_nationkey, s_acctbal + 100.0,
+             |         CAST(200 AS BIGINT) FROM supplier WHERE s_suppkey % 3 = 0
+             |  UNION ALL
+             |  SELECT s_suppkey, s_nationkey,
+             |         s_acctbal + CASE WHEN s_suppkey % 3 = 0 THEN 100.0
+             |                          ELSE 0.0 END + 250.0,
+             |         CAST(300 AS BIGINT) FROM supplier WHERE s_suppkey % 5 = 0
+             |  UNION ALL
+             |  SELECT s_suppkey + 100000, s_nationkey, s_acctbal / 2.0,
+             |         CAST(300 AS BIGINT) FROM supplier WHERE s_suppkey % 7 = 0
+             |), versions AS (
+             |  SELECT s_suppkey, s_nationkey, s_acctbal,
+             |         t AS effective_from,
+             |         lead(t) OVER (PARTITION BY s_suppkey ORDER BY t)
+             |           AS effective_to
+             |  FROM feed
+             |)
+             |SELECT s_suppkey, s_nationkey, s_acctbal,
+             |       effective_from, effective_to
+             |FROM versions
+             |WHERE effective_from <= 250
+             |  AND (effective_to IS NULL OR effective_to > 250)
+             |ORDER BY s_suppkey""".stripMargin)),
   )
 
   /** Stage a derived layout under the warehouse once per JVM per data dir.
@@ -670,6 +749,55 @@ object RelationalQueries {
     stagedCopy(s, dir, "orders_zorder") { loc =>
       graft.sources.Lake.zorderWrite(
         Tables.orders(s, dir), loc, "o_custkey", "o_totalprice")
+    }
+
+  /** orders staged hive-partitioned on o_orderstatus, then merged through
+    * Lake.upsertByKey's partition-pruned path with a deterministic
+    * update+insert batch derived from orders itself (keys % 97 get +1000 on
+    * o_totalprice under their ORIGINAL status; keys % 501 insert fresh
+    * far-out keys under status 'O'). The l_upsert_merge oracle recomputes
+    * the MERGE from the raw table. */
+  private[graft] def upsertedOrdersPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "orders_upserted") { loc =>
+      val base = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      base.write.partitionBy("o_orderstatus").parquet(loc)
+      val updates = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val inserts = base.filter(col("o_orderkey") % 501 === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("O").as("o_orderstatus"),
+          (col("o_totalprice") / lit(2.0)).as("o_totalprice"))
+      graft.sources.Lake.upsertByKey(s, loc,
+        updates.unionByName(inserts), keys = Seq("o_orderkey"),
+        partitionCol = Some("o_orderstatus"))
+    }
+
+  /** supplier bootstrapped as an SCD type-2 dimension at t=100, then two
+    * Lake.scdMerge batches: t=200 bumps s_acctbal by 100 for suppkey % 3;
+    * t=300 bumps by a further 250 for % 5 and inserts new % 7 keys (shifted
+    * +100000, halved balance). Every batch row is a REAL change, so the
+    * lead()-window oracle in l_scd2_asof reconstructs the exact same
+    * version intervals. */
+  private[graft] def scdSupplierPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "supplier_scd") { loc =>
+      val base = Tables.supplier(s, dir)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+      graft.sources.Lake.scdMerge(s, loc, base, Seq("s_suppkey"),
+        asOf = 100L, bootstrap = true)
+      val b200 = base.filter(col("s_suppkey") % 3 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+      graft.sources.Lake.scdMerge(s, loc, b200, Seq("s_suppkey"), asOf = 200L)
+      val b300 = base.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") +
+          when(col("s_suppkey") % 3 === 0, lit(100.0)).otherwise(lit(0.0)) +
+          lit(250.0))
+        .unionByName(base.filter(col("s_suppkey") % 7 === 0)
+          .select((col("s_suppkey") + lit(100000L)).as("s_suppkey"),
+            col("s_nationkey"), (col("s_acctbal") / lit(2.0)).as("s_acctbal")))
+      graft.sources.Lake.scdMerge(s, loc, b300, Seq("s_suppkey"), asOf = 300L)
     }
 
   /** supplier as a CSV written by the engine's own small-CSV sink, for the
