@@ -25,7 +25,7 @@ object JoinQueries {
     * the difference between moving the fact table per query and never
     * moving it.
     */
-  private def bucketedFacts(s: org.apache.spark.sql.SparkSession,
+  private[graft] def bucketedFacts(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // the sanitized path IS the tag — a hash could silently collide across
     // data dirs and serve the wrong dir's rows from the warehouse

@@ -809,4 +809,17 @@ object RelationalQueries {
         Tables.supplier(s, dir)
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), loc)
     }
+
+  /** Force every lazy staged layout for `dir` into existence NOW. Bench
+    * calls this during warmup so the one-time staging writes (a plan-scale
+    * shuffle + write each) land OUTSIDE the timed windows — otherwise the
+    * first timed run at the bench SF pays them and the per-query
+    * shuffle-byte metric measures the staging, not the query (round-9
+    * VERDICT finding #1). */
+  private[graft] def stageAll(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    bloomedOrdersPath(s, dir); dictOrdersPath(s, dir)
+    zorderOrdersPath(s, dir); csvSupplierPath(s, dir)
+    upsertedOrdersPath(s, dir); scdSupplierPath(s, dir)
+  }
 }
