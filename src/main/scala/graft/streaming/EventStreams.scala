@@ -95,6 +95,37 @@ object EventStreams {
           }
       }
   }
+  /** Schema-preserving form of [[tagLate]] for composed pipelines: tags
+    * EVERY input column's row with `late`/`late_by_ms` instead of projecting
+    * down to the event id — the payload must survive to the quarantine sink,
+    * or the dead letter is useless for reconciliation. Same mechanism
+    * (pass-through `flatMapGroupsWithState` reading the global watermark,
+    * state never written, no pre-filtering of late rows); grouped by row
+    * hash purely for parallelism — the verdict is key-independent.
+    *
+    * `tsCol` must be the watermarked TimestampType column. Scale: stateless
+    * per row, one shuffle on the synthetic key. */
+  def tagLateRows(events: DataFrame, tsCol: String, delay: String,
+      parallelism: Int = 32): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, LongType}
+    val inSchema = events.schema
+    val outSchema = inSchema.add("late", BooleanType).add("late_by_ms", LongType)
+    val tsIdx = inSchema.fieldIndex(tsCol)
+    events.withWatermark(tsCol, delay)
+      .groupByKey(r => math.floorMod(r.hashCode, parallelism))(Encoders.scalaInt)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[Row], state: GroupState[Long]) =>
+          val wm = state.getCurrentWatermarkMs()
+          rows.map { r =>
+            val tsMs = r.getTimestamp(tsIdx).getTime
+            Row.fromSeq(r.toSeq :+ (tsMs < wm) :+ math.max(0L, wm - tsMs))
+          }
+      }(Encoders.scalaLong, Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** NOTE: adding `ewma` changed this state schema — a checkpoint written by
     * the 4-field version fails the state-store compatibility check on
     * restart; resuming requires a fresh checkpoint (running state is

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.quality.Checks
+
+/** The composed training-data ingest pipeline with a DEAD-LETTER channel:
+  *
+  * {{{
+  * bus → JSON decode → late tag ─┬─ fresh → quality gate → dedup → corpus
+  *                               └─ late  → quarantine (full wire record)
+  * }}}
+  *
+  * Each stage is unit-tested on its own ([[EventBus.parseJson]],
+  * [[EventStreams.tagLateRows]], [[Checks.enforce]],
+  * [[StreamingDedup.ingestBatch]]); this object owns the CONTRACT between
+  * them, and in particular the conservation law the pieces can't state
+  * individually: **every bus record lands in the corpus, is dropped as a
+  * content duplicate already represented there, or sits in quarantine —
+  * nothing is ever silently lost.** Without the tagger, `withWatermark` +
+  * any stateful operator discards late rows invisibly; here they carry
+  * their full payload plus `late_by_ms` into a parquet quarantine, so a
+  * backfill can replay them through the batch twin
+  * ([[StreamingDedup.ingestBatch]] is directly callable on the quarantine).
+  *
+  * Scale notes: the tagger is stateless per row (one shuffle on a synthetic
+  * key); the gate and the in-batch dedup are per-micro-batch map-side work;
+  * the store anti-join is the only growing-state join and is bucketable on
+  * `h`. The quarantine write is append-only parquet partitioned small — at
+  * 100 TB/day it is the same sink discipline as the corpus itself.
+  */
+object IngestFlow {
+
+  /** Start the flow. `valueSchema` decodes the JSON payload; `rules` gate
+    * the DECODED columns (they see wire metadata too); `lateDelay` is the
+    * watermark delay on the wire `timestamp`. Quarantine rows keep wire
+    * metadata + decoded payload + `late_by_ms`. Rows failing `rules` fail
+    * the batch loudly (bad data stops at the door — see
+    * [[Checks.enforceStream]]); late rows are NOT an error, they are data
+    * that missed the window.
+    */
+  def start(spark: SparkSession, bus: EventBus, valueSchema: StructType,
+      rules: Seq[Checks.Rule], lateDelay: String, quarantinePath: String,
+      storePath: String, corpusPath: String, checkpoint: String,
+      name: String = "ingest_flow"): StreamingQuery = {
+    val decoded = EventBus.parseJson(bus.readStream(spark), valueSchema)
+    val payloadCols = valueSchema.fieldNames.toSeq
+    val tagged = EventStreams.tagLateRows(decoded, "timestamp", lateDelay)
+    tagged.writeStream.queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        // one materialization feeds both sinks — without it the quarantine
+        // write and the corpus ingest would each re-run the micro-batch's
+        // decode+tag lineage
+        val batch = b.toDF().localCheckpoint(true)
+        try {
+          batch.filter(col("late")).drop("late")
+            .write.mode("append").parquet(quarantinePath)
+          val fresh = Checks.enforce(
+            batch.filter(!col("late")), rules)
+          StreamingDedup.ingestBatch(
+            fresh.select(payloadCols.map(col): _*), storePath, corpusPath)
+        } finally graft.Checkpoints.release(batch)
+      }
+      .start()
+  }
+}

@@ -52,4 +52,63 @@ class IngestFlowSpec extends SparkSpec {
       assert(spark.read.parquet(store).count() === 3)
     } finally if (q.isActive) q.stop()
   }
+
+  test("late rows dead-letter to quarantine — conservation: nothing lost") {
+    val base = java.nio.file.Files.createTempDirectory("ingest_dl").toString
+    val bus = FileBus(s"$base/bus", "docs")
+    val store = s"$base/store"
+    val corpus = s"$base/corpus"
+    val quarantine = s"$base/quarantine"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    def shifted(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+
+    val rules = Seq(
+      Checks.Rule("has_id", col("doc_id").isNotNull),
+      Checks.Rule("nonempty_text", length(col("text")) > 0))
+
+    bus.append(spark, Seq(
+      "p1" -> """{"doc_id":1,"text":"alpha doc"}""",
+      "p2" -> """{"doc_id":2,"text":"alpha doc"}""", // in-batch content dup
+      "p3" -> """{"doc_id":3,"text":"beta doc"}"""), 0L, t0)
+
+    val q = IngestFlow.start(spark, bus, docSchema, rules,
+      lateDelay = "10 minutes", quarantinePath = quarantine,
+      storePath = store, corpusPath = corpus, checkpoint = s"$base/ckpt")
+    try {
+      q.processAllAvailable() // watermark now t0 - 10 min
+      // doc 4 arrives 60 min behind the frontier → 50 min past the watermark
+      bus.append(spark, Seq(
+        "p4" -> """{"doc_id":4,"text":"delta doc"}"""), 3L, shifted(-60))
+      bus.append(spark, Seq(
+        "p5" -> """{"doc_id":5,"text":"gamma doc"}"""), 4L, shifted(1))
+      q.processAllAvailable()
+
+      val out = spark.read.parquet(corpus)
+      val dead = spark.read.parquet(quarantine)
+
+      // the late row is quarantined WITH its payload and exact lateness
+      assert(dead.count() === 1)
+      val row = dead.head()
+      assert(row.getAs[Long]("doc_id") === 4L)
+      assert(row.getAs[String]("text") === "delta doc")
+      assert(row.getAs[Long]("late_by_ms") === 50L * 60000L)
+      assert(row.getAs[Long]("offset") === 3L) // wire metadata survives
+
+      // fresh rows flowed through gate+dedup: alpha (once), beta, gamma
+      assert(out.count() === 3)
+      assert(out.select("text").distinct().count() === 3)
+
+      // conservation: every input doc is in the corpus, represented there
+      // by content (the dedup drop), or in quarantine — nothing vanished
+      val corpusTexts = out.select("text").collect().map(_.getString(0)).toSet
+      val deadIds = dead.select("doc_id").collect().map(_.getLong(0)).toSet
+      val inputs = Seq(1L -> "alpha doc", 2L -> "alpha doc", 3L -> "beta doc",
+        4L -> "delta doc", 5L -> "gamma doc")
+      inputs.foreach { case (id, text) =>
+        assert(deadIds.contains(id) || corpusTexts.contains(text),
+          s"doc $id lost: not in corpus (by content) nor quarantine")
+      }
+    } finally if (q.isActive) q.stop()
+  }
 }
