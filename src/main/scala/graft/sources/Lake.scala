@@ -624,33 +624,52 @@ object Lake {
     * of two numeric columns before writing, so parquet row-group min/max
     * stats are tight in BOTH dimensions — point/range filters on either
     * column skip most files (plain sorting only helps its leading column).
+    */
+  def zorderWrite(df: DataFrame, path: String, c1: String, c2: String,
+      nFiles: Int = 8, bits: Int = 12): Unit =
+    zorderWrite(df, path, Seq(c1, c2), nFiles, bits)
+
+  /** N-dimensional z-order (real layouts cluster 3-4 columns): interleave
+    * `bits` bits from each of `cols` round-robin — bit `i` of dimension `d`
+    * lands at position `i * n + d` — so locality degrades evenly across all
+    * dimensions rather than favoring a leading one.
     *
     * Columns are min-max normalized to [0, 2^bits) with one global agg
     * (scale-safe: no global sort; heavily skewed columns interleave less
-    * evenly — pre-bucket by rank on a sample if that matters).
+    * evenly — pre-bucket by rank on a sample if that matters). Per-dimension
+    * selectivity falls as n grows (each dimension contributes bits/n of the
+    * leading key); 2-3 dims is the sweet spot, and n*bits must fit a long.
     */
-  def zorderWrite(df: DataFrame, path: String, c1: String, c2: String,
-      nFiles: Int = 8, bits: Int = 12): Unit = {
+  def zorderWrite(df: DataFrame, path: String, cols: Seq[String],
+      nFiles: Int, bits: Int): Unit = {
     import org.apache.spark.sql.functions._
+    val n = cols.size
+    require(n >= 2, s"z-order needs >= 2 columns, got $cols")
+    require(n * bits <= 62, s"$n dims x $bits bits overflows the z long")
     val buckets = (1 << bits) - 1
     val stats = df.agg(
-      min(col(c1)).as("mn1"), max(col(c1)).as("mx1"),
-      min(col(c2)).as("mn2"), max(col(c2)).as("mx2"))
+      min(col(cols.head)).as("mn0"), (
+        max(col(cols.head)).as("mx0") +: cols.zipWithIndex.tail.flatMap {
+          case (c, d) => Seq(min(col(c)).as(s"mn$d"), max(col(c)).as(s"mx$d"))
+        }): _*)
     def bucketed(c: String, mn: Column, mx: Column): Column =
       when(mx === mn, lit(0L)).otherwise(
         floor((col(c) - mn) / (mx - mn) * buckets).cast("long"))
-    val withZ = df.crossJoin(broadcast(stats))
-      .withColumn("__b1", bucketed(c1, col("mn1"), col("mx1")))
-      .withColumn("__b2", bucketed(c2, col("mn2"), col("mx2")))
-    // interleave bits: z = Σ ((b1>>i & 1) << 2i) + ((b2>>i & 1) << 2i+1)
-    val z = (0 until bits).map { i =>
-      shiftleft(shiftright(col("__b1"), i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(col("__b2"), i).bitwiseAND(1), 2 * i + 1)
+    val withB = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(stats))) {
+      case (acc, (c, d)) =>
+        acc.withColumn(s"__b$d", bucketed(c, col(s"mn$d"), col(s"mx$d")))
+    }
+    // interleave: z = Σ_d Σ_i ((b_d >> i) & 1) << (i*n + d)
+    val z = (0 until bits).flatMap { i =>
+      (0 until n).map { d =>
+        shiftleft(shiftright(col(s"__b$d"), i).bitwiseAND(1), i * n + d)
+      }
     }.reduce(_ + _)
-    withZ.withColumn("__z", z)
+    val scratch = (0 until n).flatMap(d => Seq(s"__b$d", s"mn$d", s"mx$d"))
+    withB.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "__b1", "__b2", "mn1", "mx1", "mn2", "mx2")
+      .drop("__z" +: scratch: _*)
       .write.mode("overwrite").parquet(path)
   }
 }

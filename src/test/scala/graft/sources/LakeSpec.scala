@@ -89,6 +89,35 @@ class LakeSpec extends SparkSpec {
     assert(zA < 63.0, s"z-order a-span $zA should also be bounded")
   }
 
+  test("zorderWrite on 3 columns narrows per-file ranges in ALL dimensions") {
+    import spark.implicits._
+    // uniform 16x16x16 grid: a, b, c independent
+    val df = (0 until 4096).map(i => (i % 16, (i / 16) % 16, i / 256, i.toLong))
+      .toDF("a", "b", "c", "id")
+    val zpath = java.nio.file.Files.createTempDirectory("zord3").toString + "/z"
+    val plainPath = java.nio.file.Files.createTempDirectory("zord3").toString + "/p"
+    Lake.zorderWrite(df, zpath, Seq("a", "b", "c"), nFiles = 8, bits = 12)
+    df.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.parquet(plainPath) // sorted by a only
+
+    def avgSpanPerFile(path: String, c: String): Double =
+      spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg((max(col(c)) - min(col(c))).as("span"))
+        .agg(avg("span")).head().getDouble(0)
+
+    // a-sorted layout leaves b and c spans at ~full range (15); z-order
+    // bounds every dimension (each contributes bits/3 of the leading key)
+    val pB = avgSpanPerFile(plainPath, "b")
+    val pC = avgSpanPerFile(plainPath, "c")
+    for (dim <- Seq("b", "c")) {
+      val z = avgSpanPerFile(zpath, dim)
+      val p = if (dim == "b") pB else pC
+      assert(z < p * 0.7, s"3-dim z-order $dim-span $z should beat a-sorted $p")
+    }
+    assert(avgSpanPerFile(zpath, "a") < 15.0, "a-span should also be bounded")
+  }
+
   test("upsertByKey replaces matching keys and appends new ones") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("lake_up").toString + "/t"
