@@ -63,10 +63,53 @@ object IvfPq {
     Index(ivf, cb, encoded)
   }
 
+  /** Persist the index as the on-disk layout the 100 TB story promises:
+    * codes PARTITIONED BY `cell` (each IVF cell is a directory — the probe
+    * path prunes whole directories at scan planning time), plus the small
+    * centroid table and the codebook model. [[readIndex]] + `search(...,
+    * pruneCellScan = true)` serve from this layout without rebuilding. */
+  def writeIndex(idx: Index, path: String): Unit = {
+    idx.encoded.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/codes")
+    idx.ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = idx.encoded.sparkSession
+    import spark.implicits._
+    Seq((idx.cb.m, idx.cb.k, idx.cb.subDim, idx.cb.cents))
+      .toDF("m", "k", "subDim", "cents")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Open an index written by [[writeIndex]]. The codes frame is the LAZY
+    * partitioned scan — nothing is cached; pair with
+    * `search(pruneCellScan = true)` so each query batch reads only its
+    * probed cells' directories. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val r = spark.read.parquet(s"$path/codebooks").head()
+    // parquet hands back mutable ArraySeq at every nesting level — extract
+    // via the collection supertype and convert to the immutable shape
+    val cents = r.getAs[scala.collection.Seq[
+        scala.collection.Seq[scala.collection.Seq[Double]]]]("cents")
+      .map(_.map(_.toSeq).toSeq).toSeq
+    val cb = Pq.Codebooks(r.getAs[Int]("m"), r.getAs[Int]("k"),
+      r.getAs[Int]("subDim"), cents)
+    Index(Ivf.Index(centroids, codes.select("vec_id", "cell"),
+      nLists = centroids.count().toInt), cb, codes)
+  }
+
   /** Top-k per query. Plan: broadcast(query × nProbe cells with per-cell ADC
-    * tables) ⨝cell codes → shortlist → exact re-rank. */
+    * tables) ⨝cell codes → shortlist → exact re-rank.
+    *
+    * `pruneCellScan = true` (for disk-backed indexes from [[readIndex]])
+    * first collects the distinct probed cell ids — bounded by
+    * min(nLists, |queries| × nProbe), a serving-sized list, not data — and
+    * narrows BOTH scans of the code table with a static `cell IN (...)`
+    * partition filter: only the probed directories are listed or read. The
+    * re-rank join is also valid under the filter because every shortlist
+    * candidate came from a probed cell. */
   def search(idx: Index, queries: DataFrame, kNN: Int, nProbe: Int = 4,
-      shortlist: Int = 64): DataFrame = {
+      shortlist: Int = 64, pruneCellScan: Boolean = false): DataFrame = {
     require(shortlist >= kNN, "shortlist must cover k")
     val cb = idx.cb
     val dim = cb.m * cb.subDim
@@ -95,10 +138,20 @@ object IvfPq {
       .withColumn("tbl", expr(Pq.adcTableExpr(cb, "q_resid")))
       .select("q_id", "q_emb", "cell", "tbl")
 
+    val enc =
+      if (!pruneCellScan) idx.encoded
+      else {
+        // bounded collect: distinct probed cells, not data rows
+        val cells = probes.select("cell").distinct()
+          .collect().map(_.getAs[Any]("cell")).toSeq
+        if (cells.isEmpty) idx.encoded.filter(lit(false))
+        else idx.encoded.filter(col("cell").isInCollection(cells))
+      }
+
     // cell EQUI-join: each probed (query, cell) pair scans only that cell
     val adcW = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
     val cands = broadcast(probes)
-      .join(idx.encoded.select("vec_id", "cell", "codes"), Seq("cell"))
+      .join(enc.select("vec_id", "cell", "codes"), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc", expr(Pq.adcScoreExpr))
       .withColumn("sr", row_number().over(adcW))
@@ -107,7 +160,7 @@ object IvfPq {
 
     // exact re-rank on the original vectors (same scorer as Ivf/Pq)
     val rankW = Window.partitionBy("q_id").orderBy(col("l2_dist"), col("vec_id"))
-    cands.join(idx.encoded.select("vec_id", "embedding"), Seq("vec_id"))
+    cands.join(enc.select("vec_id", "embedding"), Seq("vec_id"))
       .withColumn("l2_dist", Ivf.l2Pair)
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= kNN)

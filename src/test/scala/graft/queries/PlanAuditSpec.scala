@@ -28,6 +28,18 @@ class PlanAuditSpec extends SparkSpec {
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
     p.collectWithSubqueries { case f: FileSourceScanExec => f }
 
+  /** Like [[scans]] but descends through AQE stage wrappers — a materialized
+    * QueryStageExec hides its plan from `children`, so `collect` alone misses
+    * every scan below an exchange in an adaptively-executed plan. */
+  private def deepScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => deepScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      deepScans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other =>
+      (other.children ++ other.subqueries).flatMap(deepScans)
+  }
+
   test("p1_projection: scan reads exactly the projected columns") {
     val s = scans(executedPlan(run("p1_projection")))
     assert(s.nonEmpty)
@@ -198,6 +210,41 @@ class PlanAuditSpec extends SparkSpec {
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       }
     }
+  }
+
+  test("disk IVF-PQ: probe path prunes cell directories; results match " +
+    "the in-memory index") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfPq
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val idx = IvfPq.build(vecs, dim = 64, nLists = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/ix"
+    try {
+      IvfPq.writeIndex(idx, path)
+      val disk = IvfPq.readIndex(spark, path)
+      val queries = vecs.orderBy("vec_id").limit(2)
+
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val mem = IvfPq.search(idx, queries, kNN = 5, nProbe = 2)
+      val pruned = IvfPq.search(disk, queries, kNN = 5, nProbe = 2,
+        pruneCellScan = true)
+      assert(rows(pruned) === rows(mem), "disk layout must serve the same " +
+        "neighbors as the in-memory index")
+
+      // the codes scans carry a partition filter and read a strict subset
+      // of the cell directories (2 queries x 2 probes <= 4 of 8 cells)
+      val codeScans = deepScans(executedPlan(pruned)).filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("codes")))
+      assert(codeScans.nonEmpty, "expected file scans over the codes layout")
+      codeScans.foreach(sc => assert(sc.partitionFilters.nonEmpty,
+        s"codes scan missing partition filter: ${sc.metadata}"))
+      val totalFiles = spark.read.parquet(s"$path/codes").inputFiles.length
+      val readFiles = codeScans.map(_.metrics("numFiles").value).max
+      assert(readFiles < totalFiles,
+        s"expected directory pruning: read $readFiles of $totalFiles files")
+    } finally idx.unpersist()
   }
 
   test("q1_pricing_summary: scan prunes to the 6 referenced columns") {
