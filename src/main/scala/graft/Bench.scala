@@ -217,6 +217,57 @@ object Bench {
       case e: Throwable => recordErr("bpe_apply", e); Seq.empty
     }
 
+    // sf1 heavy-tail profile: sf0.1 is launch-latency-bound for most
+    // queries (the round-9 sweep's sublinear ratios say so), so the
+    // scale-predictive wall-time signal comes from a second profile at 10x
+    // the bench SF — generated in-engine (ScaleGen) if absent, same
+    // per-query contention guard ("sf1:"-prefixed probes share the flag
+    // map). Numbers land in BENCH_DETAIL's "sf1" section and as sf1_total
+    // on the line. SPARK_GRAFT_SF1=0 skips (iteration-speed escape hatch).
+    val sf1Heavy = Seq("e_pagerank_types", "t_bpe_train", "m_lstm_infer",
+      "t_bigram_lm", "j_star_chain", "j_star_chain_bucketed",
+      "d_fuzzy_verify", "d_contamination", "l_pruned_bloom_join",
+      "j_bloom_join", "d_simhash_banded", "j7_nearest_in_group")
+    val sf1Min = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val sf1Med = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val sf1Shuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var sf1Dir = ""
+    if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") try {
+      sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+        graft.tools.ScaleGen.ensure(spark, sfDir, "/tmp/graft_sf1", 10))
+      try { // same out-of-window staging rationale as the bench SF above
+        graft.queries.JoinQueries.bucketedFacts(spark, sf1Dir)
+        graft.queries.RelationalQueries.stageAll(spark, sf1Dir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 staging failed: $e")
+      }
+      val byName = Registry.headline.map(q => q.name -> q).toMap
+      sf1Heavy.foreach { name =>
+        byName.get(name) match {
+          case None => recordErr(s"sf1:$name",
+            new NoSuchElementException("not in headline registry"))
+          case Some(q) =>
+            perQueryCal(s"sf1:$name") = probeOnce()
+            var times = List.empty[Double]
+            val bytes = shuffleDelta {
+              (1 to 3).foreach { _ =>
+                val t0 = System.nanoTime()
+                try {
+                  q.run(spark, sf1Dir).count()
+                  times ::= (System.nanoTime() - t0) / 1e9
+                } catch { case e: Throwable => recordErr(s"sf1:$name", e) }
+              }
+            }
+            sf1Shuffle(name) = bytes
+            val sorted = times.sorted
+            if (sorted.nonEmpty) {
+              sf1Min(name) = sorted.head
+              sf1Med(name) = sorted(sorted.size / 2 min (sorted.size - 1))
+            }
+        }
+      }
+    } catch { case e: Throwable => recordErr("sf1_profile", e) }
+
     val calLast = calibrate()
 
     // "total" stays the ROUND-COMPARABLE sum over the headline registry
@@ -256,9 +307,17 @@ object Bench {
         .mkString("{", ",", "}")
       val shJson = perQueryShuffle.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      def dmap(mm: scala.collection.Map[String, Double]) =
+        mm.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}")
+      val sf1Sh = sf1Shuffle.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val sf1Json = s"""{"dir":${JsonText.quote(sf1Dir)},""" +
+        s""""queries_min":${dmap(sf1Min)},"queries_median":${dmap(sf1Med)},""" +
+        s""""shuffle_bytes":$sf1Sh}"""
       s"""{"sf":"$sfDir","stat_line":"min_of_3","queries_min":$qsMin,""" +
         s""""queries_median":$qsMed,"cal_s":$calJson,"shuffle_bytes":$shJson,""" +
-        s""""errors":$errJson,"cal_envelope":$CalIdleEnvelope}"""
+        s""""sf1":$sf1Json,"errors":$errJson,"cal_envelope":$CalIdleEnvelope}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -276,6 +335,7 @@ object Bench {
           Double.box(shuffleMb))},""" +
         s""""n_queries":${clean.size},"n_failed":${Registry.headline.size - clean.size - nPartial},""" +
         s""""n_partial":$nPartial,""" +
+        s""""sf1_total":${r3(sf1Min.values.sum)},"sf1_n":${sf1Min.size},""" +
         s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"envelope":$CalIdleEnvelope},""" +
         s""""flagged":$flaggedJson,"contended":$contended,"value":${r3(total)}}"""
     if (line.length > 1900)

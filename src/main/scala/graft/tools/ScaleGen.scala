@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine sf-scale-up generator — the Scala twin of
+  * `scripts/scalegen.py`, with identical replication semantics: build an
+  * sfN directory by stacking K key-offset replicas of an existing testdata
+  * directory (referentially consistent — every foreign key is shifted by
+  * the SAME stride as its primary key). Document text gets a per-replica
+  * suffix so near-dup pair counts scale ~linearly instead of quadratically.
+  *
+  * Exists in-engine so [[graft.Bench]] can stage its sf1 heavy-tail profile
+  * without depending on driver-side python or a pre-existing /tmp artifact;
+  * it is a dev/test tool, not a query operator (at 100 TB the data is
+  * real — nothing here synthesizes distributions).
+  *
+  * The point is VOLUME (spill paths, size-sensitive thresholds), not
+  * distribution realism. No shuffle: each replica is a map-side column
+  * shift, the union is a plan-level concat, and files land one-per-replica
+  * partition.
+  */
+object ScaleGen {
+
+  private val copyAsIs = Seq("region", "nation")
+
+  /** table -> (column -> stride-source column); stride = max+1 of that
+    * column in the SOURCE data, so replica i's keys live in disjoint
+    * [i*stride, (i+1)*stride) ranges that still join consistently. */
+  private val offsets: Map[String, Map[String, String]] = Map(
+    "customer" -> Map("c_custkey" -> "c_custkey"),
+    "supplier" -> Map("s_suppkey" -> "s_suppkey"),
+    "part" -> Map("p_partkey" -> "p_partkey"),
+    "orders" -> Map("o_orderkey" -> "o_orderkey", "o_custkey" -> "c_custkey"),
+    "lineitem" -> Map("l_orderkey" -> "o_orderkey", "l_partkey" -> "p_partkey",
+      "l_suppkey" -> "s_suppkey"),
+    "events" -> Map("event_id" -> "event_id", "user_id" -> "user_id"),
+    "documents" -> Map("doc_id" -> "doc_id"),
+    "embeddings" -> Map("vec_id" -> "vec_id"))
+
+  /** Generate `dst` = `k` replicas of `src` unless a prior run already
+    * completed there (marker file). Returns the dst path. */
+  def ensure(spark: SparkSession, src: String, dst: String, k: Int): String = {
+    val marker = new java.io.File(dst, "_SCALEGEN_OK")
+    if (marker.exists()) return dst
+    generate(spark, src, dst, k)
+    marker.createNewFile()
+    dst
+  }
+
+  def generate(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    require(k >= 1, s"replication factor must be >= 1, got $k")
+    new java.io.File(dst).mkdirs()
+    // preserve the physical time encoding of the source (timestamp[us]);
+    // INT96 would break Tables.eventsUs's physical-type dispatch
+    val saved = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val strideSources = offsets.values.flatMap(_.values).toSet
+      val strides: Map[String, Long] = offsets.keys.toSeq.sorted.flatMap { t =>
+        val df = spark.read.parquet(s"$src/$t.parquet")
+        val here = df.columns.filter(strideSources.contains)
+        if (here.isEmpty) Nil
+        else {
+          val r = df.agg(max(col(here.head)),
+            here.tail.map(c => max(col(c))): _*).head()
+          here.zipWithIndex.map { case (c, i) =>
+            c -> (r.get(i).asInstanceOf[Number].longValue + 1L)
+          }
+        }
+      }.toMap
+
+      copyAsIs.foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      offsets.foreach { case (t, offs) =>
+        val df = spark.read.parquet(s"$src/$t.parquet")
+        val replicas = (0 until k).map { i =>
+          val shifted = offs.foldLeft(df) { case (acc, (c, strideSrc)) =>
+            if (i == 0) acc
+            else acc.withColumn(c, (col(c) + lit(i * strides(strideSrc)))
+              .cast(df.schema(c).dataType))
+          }
+          if (t == "documents" && i > 0) {
+            val suffix = s" replica$i"
+            shifted
+              .withColumn("text", concat(col("text"), lit(suffix)))
+              .withColumn("n_chars", (col("n_chars") + lit(suffix.length))
+                .cast(df.schema("n_chars").dataType))
+          } else shifted
+        }
+        replicas.reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleGen <srcDir> <dstDir> <k>")
+    val spark = graft.GraftSession.builder(
+      Runtime.getRuntime.availableProcessors.min(32)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
+}
