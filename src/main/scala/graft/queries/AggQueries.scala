@@ -560,6 +560,47 @@ object AggQueries {
              |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // A3 through the library path (graft.bdb.Metrics.trajectoryDeviation):
+    // a trajectory per customer (frames = their orders, frame_id =
+    // o_orderkey — GLOBALLY unique, so the operator's frame-key join is
+    // exactly 1:1; lineitem's l_linenumber repeats across suppliers within
+    // an order and would fan the join out), two coordinate tracks derived
+    // deterministically, mean Euclidean gap per trajectory — the same
+    // join+avg(sqrt) DuckDB recomputes from the raw table. Graduates A3
+    // from spec-only (MetricsExtraSpec) to oracle-gated. Groups are small
+    // (orders per customer), so avg's summation-order float noise sits far
+    // below the round(6) gate.
+    QueryDef(
+      "a3_trajectory_dev",
+      (s, dir) => {
+        def traj(xExpr: org.apache.spark.sql.Column,
+            yExpr: org.apache.spark.sql.Column) =
+          Tables.orders(s, dir).select(
+            col("o_custkey").as("game_id"), lit(0L).as("play_id"),
+            (col("o_custkey") % 11).as("nfl_id"),
+            col("o_orderkey").as("frame_id"),
+            xExpr.as("x"), yExpr.as("y"))
+        val a = traj(col("o_totalprice") % 97,
+          ((col("o_orderkey") % 7) * 10).cast("double"))
+        val b = traj(col("o_totalprice") % 83,
+          ((col("o_orderkey") % 5) * 10).cast("double"))
+        graft.bdb.Metrics.trajectoryDeviation(a, b)
+          .filter(col("game_id") % 20 === 0)
+          .select(col("game_id"), col("play_id"), col("nfl_id"),
+            round(col("trajectory_deviation"), 6).as("trajectory_deviation"))
+          .orderBy("game_id")
+      },
+      Some("""SELECT o_custkey AS game_id, CAST(0 AS BIGINT) AS play_id,
+             |  o_custkey % 11 AS nfl_id,
+             |  round(avg(sqrt(
+             |    ((o_totalprice % 97) - (o_totalprice % 83))
+             |      * ((o_totalprice % 97) - (o_totalprice % 83))
+             |    + (CAST((o_orderkey % 7) * 10 AS DOUBLE) - CAST((o_orderkey % 5) * 10 AS DOUBLE))
+             |      * (CAST((o_orderkey % 7) * 10 AS DOUBLE) - CAST((o_orderkey % 5) * 10 AS DOUBLE)))), 6)
+             |    AS trajectory_deviation
+             |FROM orders WHERE o_custkey % 20 = 0
+             |GROUP BY 1, 2, 3 ORDER BY game_id""".stripMargin)),
+
     // Ordered string aggregation (listagg/string_agg): distinct values
     // sorted then joined — the order-by-inside-agg form made deterministic
     // (collect_set order is undefined, so sort the array before joining).

@@ -338,5 +338,31 @@ object JoinQueries {
               |  ${Exact.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
               |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // J9 through the contract (operators/Joins.onCommonKeys): the join keys
+    // are RESOLVED at plan-build time from whichever candidates both frames
+    // carry — here `custkey` matches, the two decoys don't. The oracle is
+    // the plain equi-join on that resolved key, gating the resolution
+    // itself (a wrong key pick changes every row). Graduates J9 from
+    // spec-only (JoinsSpec) to oracle-gated.
+    QueryDef(
+      "j9_common_keys",
+      (s, dir) => {
+        val left = Tables.orders(s, dir)
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val right = Tables.customer(s, dir)
+          .select(col("c_custkey").as("custkey"),
+            col("c_nationkey"), col("c_acctbal"))
+        graft.operators.Joins.onCommonKeys(left, broadcast(right),
+            Seq("game_id", "custkey", "frame_id"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  ${Exact.sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
   )
 }

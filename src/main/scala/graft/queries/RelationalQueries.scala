@@ -188,6 +188,32 @@ object RelationalQueries {
              |  greatest(l_quantity, l_tax * 100.0) AS grt
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // One-hot encoding through the library path (bdb/Routes.oneHotEmbeddings
+    // — reference: routes.py:284-295). The encoder is generic over any int
+    // cluster column; here the id derives deterministically from the order
+    // key, and per-status column sums gate every cell: a single misplaced
+    // 1.0 moves a sum. Graduates §2.7 one-hot from spec-only (RoutesSpec)
+    // to oracle-gated.
+    QueryDef(
+      "f_onehot",
+      (s, dir) => {
+        val assigned = Tables.orders(s, dir)
+          .select(col("o_orderstatus"),
+            (col("o_orderkey") % 12).cast("int").as("route_cluster"))
+        val emb = graft.bdb.Routes.oneHotEmbeddings(assigned, k = 12)
+        emb.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            (0 until 12).map(i =>
+              sum(col(s"route_emb_$i")).cast("bigint").as(s"emb_$i")): _*)
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${(0 until 12).map(i =>
+                   s"CAST(SUM(CASE WHEN o_orderkey % 12 = $i THEN 1 ELSE 0 END) AS BIGINT) AS emb_$i")
+                   .mkString(",\n              |  ")}
+              |FROM orders GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin)),
+
     // String scalar family (reference: lower/upper/contains/startswith selection)
     QueryDef(
       "f_string",
@@ -550,15 +576,29 @@ object RelationalQueries {
     // identity). The sources were spec-only until this row.
     QueryDef(
       "s_csv_roundtrip",
-      (s, dir) => {
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("s_suppkey", LongType), StructField("s_name", StringType),
-          StructField("s_nationkey", IntegerType),
-          StructField("s_acctbal", DoubleType)))
-        graft.sources.Csv.read(s, csvSupplierPath(s, dir) + "/*.csv", schema)
-          .orderBy("s_suppkey")
-      },
+      (s, dir) =>
+        graft.sources.Csv
+          .read(s, csvSupplierPath(s, dir) + "/*.csv", supplierCsvSchema)
+          .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // The MATERIALIZED CACHE hop on top of the same round trip (S3/S5 —
+    // reference data_io.py's exists-check + hand-cache): the CSV re-ingest
+    // is written once to a parquet cache (mode("ignore") = reuse if
+    // present; the staged location makes the write-once per process
+    // observable) and every read serves from the cache. The oracle on the
+    // ORIGINAL parquet gates the full CSV sink → glob parse → cache write
+    // → cache read chain value-exactly. Graduates S3/S5 from spec-only
+    // (CsvSpec) to oracle-gated.
+    QueryDef(
+      "s_csv_cache",
+      (s, dir) =>
+        graft.sources.Csv.cachedParquet(s,
+          graft.sources.Csv.read(
+            s, csvSupplierPath(s, dir) + "/*.csv", supplierCsvSchema),
+          csvCacheLoc(s, dir)) // staged → later calls hit the reuse path
+          .orderBy("s_suppkey"),
       Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
              |FROM supplier ORDER BY s_suppkey""".stripMargin)),
 
@@ -808,6 +848,27 @@ object RelationalQueries {
       graft.sources.Csv.writeSmallCsv(
         Tables.supplier(s, dir)
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), loc)
+    }
+
+  /** Schema for the staged supplier CSV (S1/S2 scans declare, never infer). */
+  private val supplierCsvSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+  }
+
+  /** Parquet-cache location for the CSV re-ingest (S3/S5) — staged so a new
+    * process re-materializes it (can't go stale), while repeat calls within
+    * a process exercise [[graft.sources.Csv.cachedParquet]]'s reuse path. */
+  private[graft] def csvCacheLoc(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "supplier_csvcache") { loc =>
+      graft.sources.Csv.cachedParquet(s,
+        graft.sources.Csv.read(
+          s, csvSupplierPath(s, dir) + "/*.csv", supplierCsvSchema), loc)
+      ()
     }
 
   /** Force every lazy staged layout for `dir` into existence NOW. Bench
