@@ -172,7 +172,7 @@ object PageRank {
   }
 
   /** Static per-round inputs, built once: `stateBase` = (node, deg-or-null)
-    * hash-partitioned by `node`; `eP` = (src, dst) hash-partitioned by
+    * hash-partitioned by `node`; `eP` = (src, dst, w) hash-partitioned by
     * `src`; both pinned to the session shuffle-partition count (explicit
     * count ⇒ AQE never coalesces a REPARTITION_BY_NUM exchange) so the two
     * per-round joins are exchange-free. Both frames are persisted and
@@ -185,10 +185,21 @@ object PageRank {
     // per-round groupBy land on the same partitioning and no round needs a
     // requirement re-shuffle
     val numP = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val eP = materialize(e0.repartition(numP, col("src")))
+    // COLLAPSE the multigraph once: duplicate (src,dst) edges become one
+    // weighted edge. Rank-exact, not an approximation — every duplicate
+    // contributes the IDENTICAL rounded value round(r_mc/deg), so summing
+    // w copies equals w * round(r_mc/deg), and deg = Σw keeps the divisor
+    // the raw out-edge count. Event-transition graphs (e_pagerank_types:
+    // 10^7 edge rows over ~10 node types at sf1) shrink every round from
+    // O(|E|) to O(|distinct pairs|); a simple graph has w=1 everywhere and
+    // pays only this one extra upfront exchange, which the iteration
+    // amortizes.
+    val eP = materialize(e0.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .repartition(numP, col("src")))
     val nodes = eP.select(col("src").as("node"))
       .unionByName(eP.select(col("dst").as("node"))).distinct()
-    val deg = eP.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val deg = eP.groupBy(col("src").as("node")).agg(sum(col("w")).as("deg"))
     val stateBase = materialize(nodes.join(deg, Seq("node"), "left")
       .repartition(numP, col("node")))
     (stateBase, eP, stateBase.count())
@@ -215,8 +226,10 @@ object PageRank {
     // both engines; round-to-integer of the identical double is exact
     val contribs = state.filter(col("deg").isNotNull).hint("SHUFFLE_HASH")
       .join(eP, state("node") === eP("src"))
+      // w * round(r/deg): the exact sum of w identical per-edge
+      // contributions (see prepare's collapse note)
       .select(col("dst").as("node"),
-        round(col("r_mc") / col("deg")).cast("long").as("c_mc"))
+        (col("w") * round(col("r_mc") / col("deg")).cast("long")).as("c_mc"))
     val inSums = contribs.groupBy("node").agg(sum(col("c_mc")).as("in_mc"))
     // explicit broadcast of the 1-row dangling frame: AQE would usually
     // pick it anyway, but plan stability at scale should not depend on a
