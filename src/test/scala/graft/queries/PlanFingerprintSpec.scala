@@ -32,7 +32,9 @@ class PlanFingerprintSpec extends SparkSpec {
     "e_sessionize" -> Fp(2, 0, 0, 0),
     "e_interval_join" -> Fp(2, 1, 0, 0),
     "e_asof_join" -> Fp(3, 0, 0, 0),
-    "e_pagerank_types" -> Fp(1, 0, 0, 0),
+    // weighted-collapse round-10 rebase: the final state frame now derives
+    // from the collapsed pair table and the last exchange folded away
+    "e_pagerank_types" -> Fp(0, 0, 0, 0),
     "t_fingerprint" -> Fp(1, 0, 0, 0),
     "t_pack" -> Fp(2, 0, 0, 0),
     "d_contamination" -> Fp(5, 5, 0, 0),
