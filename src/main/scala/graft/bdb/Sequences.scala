@@ -19,9 +19,31 @@ object Sequences {
   /** @param frames   ordered-frame table with the feature columns present
     * @param features per-frame feature column names (F)
     * @param maxLen   pad/truncate length (reference: max_len=25)
+    * @param valueType element type of the per-frame feature arrays —
+    *                  "double" (default, the reference contract) or
+    *                  "float". Float HALVES the bytes the collect_list
+    *                  exchange ships; a float32 consumer (KerasLstm — the
+    *                  reference's own tensor dtype) sees bit-identical
+    *                  values because float→double→float round-trips
+    *                  exactly.
     */
-  def build(frames: DataFrame, features: Seq[String], maxLen: Int = 25): DataFrame = {
-    val featArr = array(features.map(col(_).cast("double")): _*)
+  def build(frames: DataFrame, features: Seq[String], maxLen: Int = 25,
+      valueType: String = "double"): DataFrame = {
+    require(valueType == "double" || valueType == "float",
+      s"valueType must be double or float, got $valueType")
+    // A single feature name that is ALREADY an array column is taken as the
+    // pre-packed per-frame vector. The distinction is bytes on the wire:
+    // N top-level columns occupy 8-byte UnsafeRow slots EACH regardless of
+    // declared type, while a packed array<float> stores 4-byte elements —
+    // pack before the exchange and the shuffle payload roughly halves
+    // again. Semantics identical (same values in frame order).
+    val packed = features.size == 1 &&
+      frames.schema(features.head).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val featArr =
+      if (packed) col(features.head).cast(s"array<$valueType>")
+      else array(features.map(col(_).cast(valueType)): _*)
+    val zeroLit = if (valueType == "float") "CAST(0.0 AS FLOAT)" else "0.0d"
     val collected = frames
       .groupBy(Schemas.trajectoryKeys.map(col): _*)
       .agg(collect_list(struct(col("frame_id"), featArr.as("f"))).as("raw"))
@@ -29,7 +51,10 @@ object Sequences {
       // frame_id inside the array (deterministic, no extra shuffle).
       .withColumn("sorted", expr("transform(array_sort(raw), x -> x.f)"))
       .drop("raw")
-    val f = features.size
+    // pad width: static for named features; from the (always present) first
+    // kept frame for the packed form — a trajectory group has >= 1 frame
+    val padWidth = if (packed) "size(element_at(kept, 1))"
+      else features.size.toString
     collected
       .withColumn("seq_len", least(size(col("sorted")), lit(maxLen)))
       // keep the LAST maxLen frames (reference: sequences.py tail-keep), then
@@ -38,7 +63,7 @@ object Sequences {
       // NB: Spark sequence(1, 0) counts DOWN ([1,0]) — guard the full case.
       .withColumn("pad", expr(
         s"""CASE WHEN size(kept) >= $maxLen THEN slice(kept, 1, 0)
-           |ELSE transform(sequence(1, $maxLen - size(kept)), i -> array_repeat(0.0d, $f))
+           |ELSE transform(sequence(1, $maxLen - size(kept)), i -> array_repeat($zeroLit, $padWidth))
            |END""".stripMargin))
       .withColumn("seq", concat(col("kept"), col("pad")))
       .withColumn("mask", expr(

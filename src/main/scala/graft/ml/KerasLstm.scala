@@ -285,8 +285,14 @@ object KerasLstm {
     * in the sequence, the reference's frame numbering at BDB_2026.ipynb
     * cell 107) + `predicted_converge_rate`.
     */
+  /** @param rebalance add an explicit exchange to full parallelism before
+    *        the CPU-bound forward pass (default). Pass false when the
+    *        caller already partitioned the sequence build to core count
+    *        (e.g. an explicit repartition on the trajectory keys that the
+    *        collect_list agg reuses) — the rebalance would then re-ship
+    *        every sequence byte for nothing. */
   def scoreSequences(seqs: DataFrame, model: Model,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], rebalance: Boolean = true): DataFrame = {
     val spark = seqs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     // flatten() is codegen'd and cheap; the payoff is the UDF boundary —
@@ -302,18 +308,24 @@ object KerasLstm {
     val forward = udf { (flat: Array[Double], seqLen: Int) =>
       bc.value.forwardFlat(flat, seqLen)
     }.asNondeterministic()
-    seqs
+    val flatSeqs = seqs
       // Flatten AND de-pad below the exchange: the shuffle ships one
       // compact primitive double array of seq_len×nF (tail padding sliced
       // off — forwardFlat never reads it), not the padded nested form.
+      // The cast accepts float-built sequences (Sequences.build
+      // valueType="float") — float→double→float round-trips exactly, so
+      // the forward pass is bit-identical either way.
       .select((keyCols.map(col) :+ col("seq_len") :+
-        flatten(slice(col("seq"), lit(1), col("seq_len"))).as("flat")): _*)
+        flatten(slice(col("seq"), lit(1), col("seq_len")))
+          .cast("array<double>").as("flat")): _*)
+    (if (rebalance)
       // This stage is CPU-bound (~36 k flops/frame), so AQE's bytes-based
       // partition coalescing starves it: a few MB of shuffled sequences
       // collapse to 1-2 partitions and the scoring runs on 2 of N cores.
       // An explicit exchange to full parallelism costs one pass over the
       // sequence bytes — noise next to the matmul time at every scale.
-      .repartition(spark.sparkContext.defaultParallelism)
+      flatSeqs.repartition(spark.sparkContext.defaultParallelism)
+    else flatSeqs)
       .withColumn("preds", forward(col("flat"), col("seq_len")))
       .select(keyCols.map(col) :+ posexplode(col("preds")): _*)
       .select(keyCols.map(col) ++ Seq(
