@@ -601,6 +601,72 @@ object AggQueries {
              |FROM orders WHERE o_custkey % 20 = 0
              |GROUP BY 1, 2, 3 ORDER BY game_id""".stripMargin)),
 
+    // A11 through the library path (bdb/Routes.clusterCentroids): the
+    // centroid aggregator is generic over any int cluster column — here the
+    // id derives deterministically from the order key and the 9 route
+    // features from lineitem numerics, so DuckDB recomputes the same
+    // per-cluster means from the raw table. Feature magnitudes <= ~100 over
+    // ~5k-row groups keep double-summation noise ~1e-12, far below the
+    // round(6) gate. The KMeans ASSIGNMENT itself (M2) stays spec-verified
+    // by design. Graduates A11 from spec-only (RoutesSpec) to oracle-gated.
+    QueryDef(
+      "a11_cluster_centroids",
+      (s, dir) => {
+        val exprs = Seq[(String, org.apache.spark.sql.Column)](
+          "route_frames" -> col("l_quantity"),
+          "delta_x" -> col("l_discount") * 10,
+          "delta_y" -> col("l_tax") * 10,
+          "route_len" -> (col("l_extendedprice") % 53),
+          "direct_dist" -> col("l_quantity") * 0.5,
+          "straightness" -> col("l_discount"),
+          "mean_speed" -> (col("l_partkey") % 7).cast("double"),
+          "max_speed" -> (col("l_suppkey") % 5).cast("double"),
+          "std_speed" -> col("l_linenumber").cast("double"))
+        val assigned = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 12).cast("int").as("route_cluster") +:
+            exprs.map { case (n, e) => e.as(n) }: _*)
+        val cents = graft.bdb.Routes.clusterCentroids(assigned)
+        cents.select(col("route_cluster") +: exprs.map { case (n, _) =>
+          round(col(s"cent_$n"), 6).as(s"cent_$n")
+        }: _*).orderBy("route_cluster")
+      },
+      Some("""SELECT CAST(l_orderkey % 12 AS INT) AS route_cluster,
+             |  round(avg(l_quantity), 6) AS cent_route_frames,
+             |  round(avg(l_discount * 10), 6) AS cent_delta_x,
+             |  round(avg(l_tax * 10), 6) AS cent_delta_y,
+             |  round(avg(l_extendedprice % 53), 6) AS cent_route_len,
+             |  round(avg(l_quantity * 0.5), 6) AS cent_direct_dist,
+             |  round(avg(l_discount), 6) AS cent_straightness,
+             |  round(avg(CAST(l_partkey % 7 AS DOUBLE)), 6) AS cent_mean_speed,
+             |  round(avg(CAST(l_suppkey % 5 AS DOUBLE)), 6) AS cent_max_speed,
+             |  round(avg(CAST(l_linenumber AS DOUBLE)), 6) AS cent_std_speed
+             |FROM lineitem GROUP BY 1 ORDER BY route_cluster""".stripMargin)),
+
+    // M8 through the library path (bdb/Metrics.trendline): closed-form
+    // least-squares fit + Pearson r from one aggregation pass. Unit-scale
+    // inputs (quantity vs discount) keep the mean-based formula's
+    // cross-engine summation noise ~1e-12 — round(6) gates it exactly.
+    QueryDef(
+      "m8_trendline",
+      (s, dir) =>
+        graft.bdb.Metrics
+          .trendline(Tables.lineitem(s, dir), "l_quantity", "l_discount")
+          .select(round(col("slope"), 6).as("slope"),
+            round(col("intercept"), 6).as("intercept"),
+            round(col("pearson_r"), 6).as("pearson_r")),
+      Some("""WITH m AS (
+             |  SELECT avg(l_quantity) AS mx, avg(l_discount) AS my,
+             |    avg(l_quantity * l_discount) AS mxy,
+             |    avg(l_quantity * l_quantity) AS mxx,
+             |    avg(l_discount * l_discount) AS myy
+             |  FROM lineitem)
+             |SELECT
+             |  round((mxy - mx * my) / (mxx - mx * mx), 6) AS slope,
+             |  round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) AS intercept,
+             |  round((mxy - mx * my) / (sqrt(mxx - mx * mx) * sqrt(myy - my * my)), 6)
+             |    AS pearson_r
+             |FROM m""".stripMargin)),
+
     // Ordered string aggregation (listagg/string_agg): distinct values
     // sorted then joined — the order-by-inside-agg form made deterministic
     // (collect_set order is undefined, so sort the array before joining).
