@@ -117,17 +117,19 @@ object Bench {
       try q.run(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // Force-stage every lazy derived layout AT THE BENCH SF before any
-    // timed window: staging is a one-time write (a full-table shuffle +
-    // rewrite each) that the sf0.001 warmup above does not trigger for
+    // Force-stage the derived layouts THE BENCHED SET READS at the bench SF
+    // before any timed window: staging is a one-time write (a full-table
+    // shuffle + rewrite) that the sf0.001 warmup above does not trigger for
     // sfDir, so it would otherwise land inside the first timed run and the
     // per-query shuffle-byte metric would measure the staging, not the
     // query (round-9 VERDICT finding #1 — j_star_chain_bucketed reported
-    // the bucketed WRITE's 30.7 MB against an exchange-free join).
-    try {
-      graft.queries.JoinQueries.bucketedFacts(spark, sfDir)
-      graft.queries.RelationalQueries.stageAll(spark, sfDir)
-    } catch { case e: Throwable =>
+    // the bucketed WRITE's 30.7 MB against an exchange-free join). Only
+    // bucketedFacts is consumed by a benched query today — staging the
+    // other lake layouts (bloom/dict/zorder/CSV/upsert/SCD) would burn
+    // minutes of untimed rewrites for data nothing here reads; extend this
+    // when a staged-layout query joins the headline set.
+    try graft.queries.JoinQueries.bucketedFacts(spark, sfDir)
+    catch { case e: Throwable =>
       System.err.println(s"[bench] layout staging failed (queries will " +
         s"stage lazily instead): $e")
     }
@@ -235,10 +237,9 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") try {
       sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
         graft.tools.ScaleGen.ensure(spark, sfDir, "/tmp/graft_sf1", 10))
-      try { // same out-of-window staging rationale as the bench SF above
+      try // same out-of-window staging rationale and scope as the bench SF
         graft.queries.JoinQueries.bucketedFacts(spark, sf1Dir)
-        graft.queries.RelationalQueries.stageAll(spark, sf1Dir)
-      } catch { case e: Throwable =>
+      catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 staging failed: $e")
       }
       val byName = Registry.headline.map(q => q.name -> q).toMap

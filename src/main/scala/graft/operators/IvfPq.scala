@@ -138,19 +138,27 @@ object IvfPq {
       .withColumn("tbl", expr(Pq.adcTableExpr(cb, "q_resid")))
       .select("q_id", "q_emb", "cell", "tbl")
 
-    val enc =
-      if (!pruneCellScan) idx.encoded
+    val (probesF, enc) =
+      if (!pruneCellScan) (probes, idx.encoded)
       else {
+        // Pin ONE evaluation of the probe frame: the cells list below and
+        // the join must see the SAME probe rows — with a nondeterministic
+        // queries frame (sample, unordered limit) a re-execution could
+        // probe a cell the IN-filter already dropped and silently lose
+        // neighbors. Also saves re-running the centroid-assign + ADC-table
+        // build. Serving-sized rows → the checkpoint is tiny.
+        val p = probes.localCheckpoint(true)
         // bounded collect: distinct probed cells, not data rows
-        val cells = probes.select("cell").distinct()
+        val cells = p.select("cell").distinct()
           .collect().map(_.getAs[Any]("cell")).toSeq
-        if (cells.isEmpty) idx.encoded.filter(lit(false))
-        else idx.encoded.filter(col("cell").isInCollection(cells))
+        (p,
+          if (cells.isEmpty) idx.encoded.filter(lit(false))
+          else idx.encoded.filter(col("cell").isInCollection(cells)))
       }
 
     // cell EQUI-join: each probed (query, cell) pair scans only that cell
     val adcW = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
-    val cands = broadcast(probes)
+    val cands = broadcast(probesF)
       .join(enc.select("vec_id", "cell", "codes"), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc", expr(Pq.adcScoreExpr))

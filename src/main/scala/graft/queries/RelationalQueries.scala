@@ -863,24 +863,17 @@ object RelationalQueries {
     * process re-materializes it (can't go stale), while repeat calls within
     * a process exercise [[graft.sources.Csv.cachedParquet]]'s reuse path. */
   private[graft] def csvCacheLoc(s: org.apache.spark.sql.SparkSession,
-      dir: String): String =
+      dir: String): String = {
+    // stage the source CSV BEFORE entering stagedCopy: a nested
+    // computeIfAbsent on the same ConcurrentHashMap from inside the mapping
+    // function violates the CHM contract (IllegalStateException "Recursive
+    // update" when the two keys share a bin)
+    val csvPath = csvSupplierPath(s, dir)
     stagedCopy(s, dir, "supplier_csvcache") { loc =>
       graft.sources.Csv.cachedParquet(s,
-        graft.sources.Csv.read(
-          s, csvSupplierPath(s, dir) + "/*.csv", supplierCsvSchema), loc)
+        graft.sources.Csv.read(s, csvPath + "/*.csv", supplierCsvSchema), loc)
       ()
     }
-
-  /** Force every lazy staged layout for `dir` into existence NOW. Bench
-    * calls this during warmup so the one-time staging writes (a plan-scale
-    * shuffle + write each) land OUTSIDE the timed windows — otherwise the
-    * first timed run at the bench SF pays them and the per-query
-    * shuffle-byte metric measures the staging, not the query (round-9
-    * VERDICT finding #1). */
-  private[graft] def stageAll(s: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    bloomedOrdersPath(s, dir); dictOrdersPath(s, dir)
-    zorderOrdersPath(s, dir); csvSupplierPath(s, dir)
-    upsertedOrdersPath(s, dir); scdSupplierPath(s, dir)
   }
+
 }

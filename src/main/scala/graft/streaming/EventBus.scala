@@ -35,11 +35,24 @@ object EventBus {
     * Keeps the wire metadata (topic/partition/offset/timestamp) alongside —
     * offset is the idempotence key for exactly-once sinks. */
   def parseJson(bus: DataFrame, valueSchema: StructType): DataFrame =
+    parseJson(bus, valueSchema, "timestamp")
+
+  /** [[parseJson]] with the wire timestamp renamed to `wireTsName` — event
+    * payloads very commonly carry their own `timestamp` field, and the
+    * default name would then collide (ambiguous-reference failures in any
+    * downstream watermark). Composed pipelines ([[IngestFlow]]) pass a
+    * reserved name. */
+  def parseJson(bus: DataFrame, valueSchema: StructType,
+      wireTsName: String): DataFrame = {
+    require(!valueSchema.fieldNames.contains(wireTsName),
+      s"wire timestamp alias '$wireTsName' collides with a payload field")
     bus.select(
-      col("topic"), col("partition"), col("offset"), col("timestamp"),
+      col("topic"), col("partition"), col("offset"),
+      col("timestamp").as(wireTsName),
       from_json(col("value").cast("string"), valueSchema).as("v"))
       .select(col("topic"), col("partition"), col("offset"),
-        col("timestamp"), col("v.*"))
+        col(wireTsName), col("v.*"))
+  }
 }
 
 /** Files-as-bus: a directory of parquet files carrying

@@ -89,9 +89,13 @@ object EventStreams {
          state: GroupState[Long]) =>
           val wm = state.getCurrentWatermarkMs()
           rows.map { case (id, user, ts) =>
-            val tsMs = ts.getTime
-            TaggedEvent(id, user, tsMs, late = tsMs < wm,
-              late_by_ms = math.max(0L, wm - tsMs))
+            if (ts == null) // same null-event-time dead-letter rule as tagLateRows
+              TaggedEvent(id, user, 0L, late = true, late_by_ms = -1L)
+            else {
+              val tsMs = ts.getTime
+              TaggedEvent(id, user, tsMs, late = tsMs < wm,
+                late_by_ms = math.max(0L, wm - tsMs))
+            }
           }
       }
   }
@@ -119,8 +123,16 @@ object EventStreams {
         (_: Int, rows: Iterator[Row], state: GroupState[Long]) =>
           val wm = state.getCurrentWatermarkMs()
           rows.map { r =>
-            val tsMs = r.getTimestamp(tsIdx).getTime
-            Row.fromSeq(r.toSeq :+ (tsMs < wm) :+ math.max(0L, wm - tsMs))
+            val ts = r.getTimestamp(tsIdx)
+            if (ts == null)
+              // an unplaceable row (null event time) is dead-letter
+              // material, not a query-killer: late with the -1 sentinel
+              // (fMGWS does not pre-filter rows, so nulls DO reach here)
+              Row.fromSeq(r.toSeq :+ true :+ -1L)
+            else {
+              val tsMs = ts.getTime
+              Row.fromSeq(r.toSeq :+ (tsMs < wm) :+ math.max(0L, wm - tsMs))
+            }
           }
       }(Encoders.scalaLong, Encoders.row(outSchema))
       .toDF()

@@ -46,20 +46,32 @@ object IngestFlow {
       rules: Seq[Checks.Rule], lateDelay: String, quarantinePath: String,
       storePath: String, corpusPath: String, checkpoint: String,
       name: String = "ingest_flow"): StreamingQuery = {
-    val decoded = EventBus.parseJson(bus.readStream(spark), valueSchema)
+    // wire timestamp under a reserved alias: payloads commonly carry their
+    // own `timestamp` field and the default name would be ambiguous
+    val decoded = EventBus.parseJson(bus.readStream(spark), valueSchema,
+      wireTsName = "_bus_ts")
     val payloadCols = valueSchema.fieldNames.toSeq
-    val tagged = EventStreams.tagLateRows(decoded, "timestamp", lateDelay)
+    val tagged = EventStreams.tagLateRows(decoded, "_bus_ts", lateDelay)
     tagged.writeStream.queryName(name)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          batchId: Long) =>
         // one materialization feeds both sinks — without it the quarantine
         // write and the corpus ingest would each re-run the micro-batch's
         // decode+tag lineage
         val batch = b.toDF().localCheckpoint(true)
         try {
+          // idempotent dead-letter: partition by the micro-batch id and
+          // dynamically OVERWRITE that partition, so a retried batch (the
+          // gate threw, or a crash landed between this write and the
+          // corpus ingest) replaces its own rows instead of appending
+          // duplicates — the conservation law holds across replays
           batch.filter(col("late")).drop("late")
-            .write.mode("append").parquet(quarantinePath)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(quarantinePath)
           val fresh = Checks.enforce(
             batch.filter(!col("late")), rules)
           StreamingDedup.ingestBatch(

@@ -39,13 +39,27 @@ object ScaleGen {
     "embeddings" -> Map("vec_id" -> "vec_id"))
 
   /** Generate `dst` = `k` replicas of `src` unless a prior run already
-    * completed there (marker file). Returns the dst path. */
+    * completed there FOR THE SAME INPUTS. The marker records the source
+    * path, k, and the newest source-file mtime — a persistent dst is never
+    * silently served for a different source dir, a different replication
+    * factor, or regenerated testdata (the staleness class
+    * `stagedCopy`'s docs forbid). Returns the dst path. */
   def ensure(spark: SparkSession, src: String, dst: String, k: Int): String = {
     val marker = new java.io.File(dst, "_SCALEGEN_OK")
-    if (marker.exists()) return dst
+    val sig = signature(src, k)
+    if (marker.exists() &&
+        java.nio.file.Files.readString(marker.toPath).trim == sig) return dst
     generate(spark, src, dst, k)
-    marker.createNewFile()
+    java.nio.file.Files.writeString(marker.toPath, sig)
     dst
+  }
+
+  /** Identity of a generation: source dir + k + newest source mtime. */
+  private def signature(src: String, k: Int): String = {
+    val files = Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    val newest = if (files.isEmpty) 0L else files.map(_.lastModified).max
+    s"$src|$k|$newest"
   }
 
   def generate(spark: SparkSession, src: String, dst: String, k: Int): Unit = {

@@ -88,4 +88,28 @@ class LateArrivalsSpec extends SparkSpec {
     assert(out.where(col("late") && col("late_by_ms") <= 0).isEmpty)
     assert(out.where(!col("late") && col("late_by_ms") =!= 0).isEmpty)
   }
+
+  test("a null event time dead-letters with the -1 sentinel, not an NPE") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // java.lang.Long payload so a null sec survives the encoder
+    val input = MemoryStream[(Long, Long, java.lang.Long)]
+    val tagged = EventStreams.tagLateRows(
+      input.toDF().toDF("event_id", "user_id", "sec")
+        .withColumn("ts", col("sec").cast("timestamp"))
+        .drop("sec"),
+      "ts", "10 seconds")
+    val q = tagged.writeStream.format("memory").queryName("null_ts_sink")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 0L, java.lang.Long.valueOf(100L)),
+        (2L, 1L, null: java.lang.Long))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("null_ts_sink")
+    assert(out.count() === 2, "both rows must be emitted")
+    val bad = out.where(col("event_id") === 2).head()
+    assert(bad.getAs[Boolean]("late"), "unplaceable row must be tagged late")
+    assert(bad.getAs[Long]("late_by_ms") === -1L, "-1 marks unknown lateness")
+  }
 }
