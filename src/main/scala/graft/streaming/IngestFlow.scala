@@ -61,17 +61,8 @@ object IngestFlow {
         // decode+tag lineage
         val batch = b.toDF().localCheckpoint(true)
         try {
-          // idempotent dead-letter: partition by the micro-batch id and
-          // dynamically OVERWRITE that partition, so a retried batch (the
-          // gate threw, or a crash landed between this write and the
-          // corpus ingest) replaces its own rows instead of appending
-          // duplicates — the conservation law holds across replays
-          batch.filter(col("late")).drop("late")
-            .withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(quarantinePath)
+          quarantine(batch.filter(col("late")).drop("late"),
+            quarantinePath, batchId)
           val fresh = Checks.enforce(
             batch.filter(!col("late")), rules)
           StreamingDedup.ingestBatch(
@@ -80,4 +71,17 @@ object IngestFlow {
       }
       .start()
   }
+
+  /** Idempotent dead-letter write: partition by the micro-batch id and
+    * dynamically OVERWRITE that partition, so a retried batch (the gate
+    * threw, or a crash landed between this write and the corpus ingest)
+    * replaces its own rows instead of appending duplicates — the
+    * conservation law holds across replays. */
+  private[streaming] def quarantine(late: org.apache.spark.sql.DataFrame,
+      path: String, batchId: Long): Unit =
+    late.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(path)
 }

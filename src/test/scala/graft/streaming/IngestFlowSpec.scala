@@ -111,4 +111,24 @@ class IngestFlowSpec extends SparkSpec {
       }
     } finally if (q.isActive) q.stop()
   }
+
+  test("quarantine writes are idempotent across micro-batch replays") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("quar").toString + "/q"
+    val lateRows = Seq((4L, "delta doc"), (6L, "zeta doc"))
+      .toDF("doc_id", "text")
+    IngestFlow.quarantine(lateRows, path, batchId = 7L)
+    // a replay of the SAME batch (gate threw after the write, offsets
+    // uncommitted, foreachBatch re-runs with the same id) must replace its
+    // partition, not append duplicates
+    IngestFlow.quarantine(lateRows, path, batchId = 7L)
+    val out = spark.read.parquet(path)
+    assert(out.count() === 2, "replay duplicated the dead letter")
+    // a DIFFERENT batch appends alongside
+    IngestFlow.quarantine(Seq((9L, "eta doc")).toDF("doc_id", "text"),
+      path, batchId = 8L)
+    assert(spark.read.parquet(path).count() === 3)
+    assert(spark.read.parquet(path)
+      .select("ingest_batch").distinct().count() === 2)
+  }
 }
