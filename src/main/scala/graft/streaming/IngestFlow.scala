@@ -46,6 +46,14 @@ object IngestFlow {
       rules: Seq[Checks.Rule], lateDelay: String, quarantinePath: String,
       storePath: String, corpusPath: String, checkpoint: String,
       name: String = "ingest_flow"): StreamingQuery = {
+    // the flow adds columns of its own alongside the payload — a payload
+    // field with one of these names would be silently clobbered (the
+    // quarantine's "full wire record" guarantee would quietly lie)
+    val reserved = Seq("_bus_ts", "late", "late_by_ms", "ingest_batch")
+    val clash = valueSchema.fieldNames.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"payload fields collide with IngestFlow's reserved columns: " +
+        s"${clash.mkString(", ")} (reserved: ${reserved.mkString(", ")})")
     // wire timestamp under a reserved alias: payloads commonly carry their
     // own `timestamp` field and the default name would be ambiguous
     val decoded = EventBus.parseJson(bus.readStream(spark), valueSchema,
@@ -61,8 +69,12 @@ object IngestFlow {
         // decode+tag lineage
         val batch = b.toDF().localCheckpoint(true)
         try {
-          quarantine(batch.filter(col("late")).drop("late"),
-            quarantinePath, batchId)
+          val late = batch.filter(col("late")).drop("late")
+          // skip the write job entirely on late-free batches (the common
+          // steady state) — it would also leave a _SUCCESS-only directory
+          // that a backfill read can't infer a schema from
+          if (!late.isEmpty)
+            quarantine(late, quarantinePath, batchId)
           val fresh = Checks.enforce(
             batch.filter(!col("late")), rules)
           StreamingDedup.ingestBatch(
