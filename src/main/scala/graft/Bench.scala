@@ -50,6 +50,7 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
+    val jvmStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.min(32).toString).toInt
@@ -234,7 +235,19 @@ object Bench {
     val sf1Med = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val sf1Shuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var sf1Dir = ""
-    if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") try {
+    // Deadline guard: the section adds minutes (one-time generation +
+    // staging + 36 timed runs). On an idle box the main loop ends well
+    // under this bound; a contended or otherwise slow run skips the
+    // section with a note rather than risk an external harness timeout
+    // killing the process before the ONE adjudication line prints.
+    val elapsedMin = (System.nanoTime() - jvmStart) / 6e10
+    val sf1Enabled = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
+      (elapsedMin < 12.0 || {
+        System.err.println(f"[bench] skipping sf1 section: main loop took " +
+          f"$elapsedMin%.1f min (slow/contended run)")
+        false
+      })
+    if (sf1Enabled) try {
       sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
         graft.tools.ScaleGen.ensure(spark, sfDir, "/tmp/graft_sf1", 10))
       try // same out-of-window staging rationale and scope as the bench SF
