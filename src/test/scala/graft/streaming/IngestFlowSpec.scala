@@ -112,6 +112,20 @@ class IngestFlowSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("payload fields colliding with flow-reserved columns are rejected") {
+    val base = java.nio.file.Files.createTempDirectory("ingest_rc").toString
+    val clashing = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("late", StringType))) // would be clobbered by the tagger
+    val e = intercept[IllegalArgumentException] {
+      IngestFlow.start(spark, FileBus(s"$base/bus", "docs"), clashing,
+        rules = Nil, lateDelay = "10 minutes",
+        quarantinePath = s"$base/q", storePath = s"$base/s",
+        corpusPath = s"$base/c", checkpoint = s"$base/ck")
+    }
+    assert(e.getMessage.contains("late"), s"guard must name the clash: $e")
+  }
+
   test("quarantine writes are idempotent across micro-batch replays") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("quar").toString + "/q"
