@@ -146,11 +146,16 @@ object IvfPq {
         // queries frame (sample, unordered limit) a re-execution could
         // probe a cell the IN-filter already dropped and silently lose
         // neighbors. Also saves re-running the centroid-assign + ADC-table
-        // build. Serving-sized rows → the checkpoint is tiny.
-        val p = probes.localCheckpoint(true)
-        // bounded collect: distinct probed cells, not data rows
-        val cells = p.select("cell").distinct()
-          .collect().map(_.getAs[Any]("cell")).toSeq
+        // build. Materialized to the DRIVER as a LocalRelation, not a
+        // localCheckpoint: probes are serving-sized (≤ |queries| × nProbe
+        // rows) and a checkpoint here would leak its cached RDD until
+        // driver GC — a serving loop issuing many searches accumulates
+        // storage blocks with no release point, because the caller owns
+        // the returned lazy frame's lifetime, not this method.
+        val rows = probes.collect()
+        val p = queries.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), probes.schema)
+        val cells = rows.map(_.getAs[Any]("cell")).distinct.toSeq
         (p,
           if (cells.isEmpty) idx.encoded.filter(lit(false))
           else idx.encoded.filter(col("cell").isInCollection(cells)))

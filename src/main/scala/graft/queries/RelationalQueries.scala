@@ -755,6 +755,13 @@ object RelationalQueries {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       write(l)
+      // loud postcondition instead of a downstream empty-glob mystery: an
+      // empty staging (partial write, commit failure) must fail HERE with
+      // the staged name, and leave no CHM entry so the next caller
+      // re-stages instead of reading a broken directory forever
+      val staged = fs.listStatus(p)
+        .filterNot(_.getPath.getName.startsWith("_"))
+      require(staged.nonEmpty, s"staging '$name' produced no data files at $l")
       l
     })
   }

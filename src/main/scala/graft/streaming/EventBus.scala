@@ -46,6 +46,13 @@ object EventBus {
       wireTsName: String): DataFrame = {
     require(!valueSchema.fieldNames.contains(wireTsName),
       s"wire timestamp alias '$wireTsName' collides with a payload field")
+    // the kept wire metadata shares the output namespace with the payload;
+    // a clash would produce duplicate columns that fail only on first use
+    val wireClash = valueSchema.fieldNames.toSeq
+      .intersect(Seq("topic", "partition", "offset"))
+    require(wireClash.isEmpty,
+      s"payload fields collide with kept wire metadata columns: " +
+        s"${wireClash.mkString(", ")} (rename them in the payload schema)")
     bus.select(
       col("topic"), col("partition"), col("offset"),
       col("timestamp").as(wireTsName),

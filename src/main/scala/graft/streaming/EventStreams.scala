@@ -104,8 +104,15 @@ object EventStreams {
     * down to the event id — the payload must survive to the quarantine sink,
     * or the dead letter is useless for reconciliation. Same mechanism
     * (pass-through `flatMapGroupsWithState` reading the global watermark,
-    * state never written, no pre-filtering of late rows); grouped by row
-    * hash purely for parallelism — the verdict is key-independent.
+    * state never written, no pre-filtering of late rows); grouped by a
+    * content-hash column purely for parallelism — the verdict is
+    * key-independent. The key MUST be deterministic across task
+    * re-execution: `Row.hashCode` falls back to identity hashCode for
+    * binary values, so under a stage retry rows could re-key into
+    * different groups — duplicating or dropping rows and breaking the
+    * conservation law [[IngestFlow]] advertises. `hash(...)` is
+    * content-deterministic for every type it accepts; map-typed columns
+    * (which it rejects) are simply excluded from the key.
     *
     * `tsCol` must be the watermarked TimestampType column. Scale: stateless
     * per row, one shuffle on the synthetic key. */
@@ -116,27 +123,46 @@ object EventStreams {
     val inSchema = events.schema
     val outSchema = inSchema.add("late", BooleanType).add("late_by_ms", LongType)
     val tsIdx = inSchema.fieldIndex(tsCol)
+    val hashable = inSchema.fields
+      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+    val spreadKey =
+      if (hashable.isEmpty) lit(0)
+      else pmod(hash(hashable.toIndexedSeq: _*), lit(parallelism))
+    val gIdx = inSchema.length // appended last, dropped before output
     events.withWatermark(tsCol, delay)
-      .groupByKey(r => math.floorMod(r.hashCode, parallelism))(Encoders.scalaInt)
+      .withColumn("__graft_spread", spreadKey)
+      .groupByKey(r => r.getInt(gIdx))(Encoders.scalaInt)
       .flatMapGroupsWithState[Long, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, rows: Iterator[Row], state: GroupState[Long]) =>
           val wm = state.getCurrentWatermarkMs()
           rows.map { r =>
+            val payload = r.toSeq.dropRight(1)
             val ts = r.getTimestamp(tsIdx)
             if (ts == null)
               // an unplaceable row (null event time) is dead-letter
               // material, not a query-killer: late with the -1 sentinel
               // (fMGWS does not pre-filter rows, so nulls DO reach here)
-              Row.fromSeq(r.toSeq :+ true :+ -1L)
+              Row.fromSeq(payload :+ true :+ -1L)
             else {
               val tsMs = ts.getTime
-              Row.fromSeq(r.toSeq :+ (tsMs < wm) :+ math.max(0L, wm - tsMs))
+              Row.fromSeq(payload :+ (tsMs < wm) :+ math.max(0L, wm - tsMs))
             }
           }
       }(Encoders.scalaLong, Encoders.row(outSchema))
       .toDF()
   }
+
+  /** `hash()` rejects MapType at any nesting depth — exclude such columns
+    * from synthetic spread keys. */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
 
   /** NOTE: adding `ewma` changed this state schema — a checkpoint written by
     * the 4-field version fails the state-store compatibility check on

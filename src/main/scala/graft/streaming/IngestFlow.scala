@@ -48,8 +48,13 @@ object IngestFlow {
       name: String = "ingest_flow"): StreamingQuery = {
     // the flow adds columns of its own alongside the payload — a payload
     // field with one of these names would be silently clobbered (the
-    // quarantine's "full wire record" guarantee would quietly lie)
-    val reserved = Seq("_bus_ts", "late", "late_by_ms", "ingest_batch")
+    // quarantine's "full wire record" guarantee would quietly lie). The
+    // wire metadata names parseJson keeps (topic/partition/offset) are
+    // reserved too: a payload field named `offset` — a very common event
+    // field — would otherwise pass this gate and then blow up the first
+    // micro-batch with a duplicate-column error after decode.
+    val reserved = Seq("topic", "partition", "offset",
+      "_bus_ts", "late", "late_by_ms", "ingest_batch")
     val clash = valueSchema.fieldNames.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"payload fields collide with IngestFlow's reserved columns: " +

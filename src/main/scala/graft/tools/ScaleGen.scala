@@ -50,16 +50,32 @@ object ScaleGen {
     if (marker.exists() &&
         java.nio.file.Files.readString(marker.toPath).trim == sig) return dst
     generate(spark, src, dst, k)
-    java.nio.file.Files.writeString(marker.toPath, sig)
+    // atomic publish: a crash or a concurrent reader never sees a
+    // partially-written marker (a torn marker would mismatch the signature
+    // and force a regenerate — safe — but an EMPTY marker matching an
+    // empty-src signature would not be)
+    val tmp = java.io.File.createTempFile("_SCALEGEN_OK", ".tmp",
+      new java.io.File(dst))
+    java.nio.file.Files.writeString(tmp.toPath, sig)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     dst
   }
 
-  /** Identity of a generation: source dir + k + newest source mtime. */
+  /** Identity of a generation: source dir + k + a recursive digest of the
+    * source files (count, total bytes, newest mtime — walked through table
+    * DIRECTORIES too, so a table rewritten in place with the same entry set
+    * still moves the signature; top-level mtimes alone would not). */
   private def signature(src: String, k: Int): String = {
-    val files = Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val files = walk(new java.io.File(src))
     val newest = if (files.isEmpty) 0L else files.map(_.lastModified).max
-    s"$src|$k|$newest"
+    val bytes = files.map(_.length).sum
+    s"$src|$k|n=${files.size}|b=$bytes|t=$newest"
   }
 
   def generate(spark: SparkSession, src: String, dst: String, k: Int): Unit = {

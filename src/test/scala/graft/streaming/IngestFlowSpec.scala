@@ -126,6 +126,94 @@ class IngestFlowSpec extends SparkSpec {
     assert(e.getMessage.contains("late"), s"guard must name the clash: $e")
   }
 
+  test("payload fields shadowing kept wire metadata (offset) are rejected") {
+    // `offset` is a very common event field; without the guard the stream
+    // starts cleanly and crashes on the first micro-batch with a
+    // duplicate-column error after decode
+    val base = java.nio.file.Files.createTempDirectory("ingest_wc").toString
+    val clashing = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("offset", LongType)))
+    val e = intercept[IllegalArgumentException] {
+      IngestFlow.start(spark, FileBus(s"$base/bus", "docs"), clashing,
+        rules = Nil, lateDelay = "10 minutes",
+        quarantinePath = s"$base/q", storePath = s"$base/s",
+        corpusPath = s"$base/c", checkpoint = s"$base/ck")
+    }
+    assert(e.getMessage.contains("offset"), s"guard must name the clash: $e")
+    // and parseJson itself refuses, for callers composing pipelines by hand
+    import spark.implicits._
+    val wire = Seq((Array[Byte](1), Array[Byte](2), "t", 0, 0L,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val e2 = intercept[IllegalArgumentException] {
+      EventBus.parseJson(wire, clashing, "_bus_ts")
+    }
+    assert(e2.getMessage.contains("offset"))
+  }
+
+  test("quarantine backfill through ingestBatch recovers the all-on-time corpus") {
+    // The conservation law extended through RECOVERY: a flow that
+    // quarantined late rows, followed by a batch replay of the quarantine
+    // through StreamingDedup.ingestBatch, must converge to the same corpus
+    // as a flow where every row arrived on time — and the replay must be
+    // exactly-once (a second replay adds nothing; the store drops it).
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    def shifted(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val rules = Seq(Checks.Rule("has_id", col("doc_id").isNotNull))
+    val docs = Seq(
+      1L -> "alpha doc", 2L -> "alpha doc", // content dup
+      3L -> "beta doc", 4L -> "delta doc", 5L -> "gamma doc")
+    def json(d: (Long, String)) = s"""{"doc_id":${d._1},"text":"${d._2}"}"""
+
+    // flow A: docs 1-3 on time, doc 4 sixty minutes behind the frontier
+    // (→ quarantined), doc 5 on time
+    val a = java.nio.file.Files.createTempDirectory("ingest_bf_a").toString
+    val busA = FileBus(s"$a/bus", "docs")
+    busA.append(spark, docs.take(3).map(d => s"p${d._1}" -> json(d)), 0L, t0)
+    val qA = IngestFlow.start(spark, busA, docSchema, rules,
+      lateDelay = "10 minutes", quarantinePath = s"$a/quarantine",
+      storePath = s"$a/store", corpusPath = s"$a/corpus",
+      checkpoint = s"$a/ckpt")
+    try {
+      qA.processAllAvailable()
+      busA.append(spark, Seq("p4" -> json(docs(3))), 3L, shifted(-60))
+      busA.append(spark, Seq("p5" -> json(docs(4))), 4L, shifted(1))
+      qA.processAllAvailable()
+    } finally if (qA.isActive) qA.stop()
+
+    // flow B: the all-on-time reference run (same docs, no late arrival)
+    val b = java.nio.file.Files.createTempDirectory("ingest_bf_b").toString
+    val busB = FileBus(s"$b/bus", "docs")
+    busB.append(spark, docs.map(d => s"p${d._1}" -> json(d)), 0L, t0)
+    val qB = IngestFlow.start(spark, busB, docSchema, rules,
+      lateDelay = "10 minutes", quarantinePath = s"$b/quarantine",
+      storePath = s"$b/store", corpusPath = s"$b/corpus",
+      checkpoint = s"$b/ckpt")
+    try qB.processAllAvailable() finally if (qB.isActive) qB.stop()
+
+    def texts(path: String) =
+      spark.read.parquet(path).select("text").collect()
+        .map(_.getString(0)).sorted.toSeq
+
+    // before backfill, A is missing the quarantined doc
+    assert(texts(s"$a/corpus") !== texts(s"$b/corpus"))
+
+    // backfill: the quarantine IS directly replayable through the batch twin
+    val dead = spark.read.parquet(s"$a/quarantine")
+    StreamingDedup.ingestBatch(
+      dead.select("doc_id", "text"), s"$a/store", s"$a/corpus")
+    assert(texts(s"$a/corpus") === texts(s"$b/corpus"),
+      "corpus after backfill must equal the all-on-time run")
+
+    // exactly-once across a replayed backfill: the store anti-join drops it
+    StreamingDedup.ingestBatch(
+      dead.select("doc_id", "text"), s"$a/store", s"$a/corpus")
+    assert(texts(s"$a/corpus") === texts(s"$b/corpus"),
+      "a second replay of the same quarantine must be a no-op")
+  }
+
   test("quarantine writes are idempotent across micro-batch replays") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("quar").toString + "/q"

@@ -89,6 +89,39 @@ class LateArrivalsSpec extends SparkSpec {
     assert(out.where(!col("late") && col("late_by_ms") =!= 0).isEmpty)
   }
 
+  test("tagLateRows handles binary and map payloads with a content-hash key") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // binary payloads are the motivating case: Row.hashCode is IDENTITY
+    // hashCode for Array[Byte], so the old synthetic key could re-key rows
+    // across a stage retry; the hash()-column key is content-deterministic.
+    // Map columns are the opposite edge: hash() REJECTS MapType, so they
+    // must be excluded from the key without failing analysis.
+    val input = MemoryStream[(Long, Array[Byte], Map[String, Long], Long)]
+    val tagged = EventStreams.tagLateRows(
+      input.toDF().toDF("event_id", "blob", "attrs", "sec")
+        .withColumn("ts", col("sec").cast("timestamp"))
+        .drop("sec"),
+      "ts", "10 seconds")
+    assert(!tagged.schema.fieldNames.contains("__graft_spread"),
+      "synthetic spread key must not leak into the output schema")
+    val q = tagged.writeStream.format("memory").queryName("bin_tag_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Array[Byte](1, 2, 3), Map("a" -> 1L), 100L),
+        (2L, Array[Byte](4, 5), Map("b" -> 2L), 200L),
+        (3L, Array[Byte](6), Map.empty[String, Long], 150L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("bin_tag_sink")
+    assert(out.count() === 3, "every row must be emitted")
+    val blobs = out.select("event_id", "blob").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob").toSeq).toMap
+    assert(blobs(1L) === Seq[Byte](1, 2, 3), "payload must survive untouched")
+    assert(blobs(2L) === Seq[Byte](4, 5))
+  }
+
   test("a null event time dead-letters with the -1 sentinel, not an NPE") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
