@@ -66,37 +66,49 @@ object Bench {
       drift.foreach(p => System.err.println(s"[bench]   $p"))
     }
 
-    // Run-total shuffle-write bytes (stage-completion listener, same shape
-    // as tools/MicroBench). Events deliver async; totals are read after a
-    // stabilization poll at the end of the run.
+    // Run-total shuffle-write bytes + executor CPU time (stage-completion
+    // listener, same shape as tools/MicroBench). Events deliver async;
+    // totals are read after a stabilization poll at the end of the run.
+    // CPU time is the BOX-SPEED-INVARIANT adjudication number: wall time
+    // moves with background load and per-box clock speed (the r9→r10
+    // compare needed manual calibration-ratio reasoning to conclude
+    // "flat"); task CPU nanoseconds move only when the plan does more work.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong
     val perQueryShuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val perQueryCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
-            st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           shuffleBytes.addAndGet(
             st.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          cpuNanos.addAndGet(st.stageInfo.taskMetrics.executorCpuTime)
+          ()
+        }
       })
-    /** Bytes accrued while running `body`, read after the async listener
-      * queue quiesces (value stable across two 50 ms polls, 1 s bound).
-      * Advisory trend data, never a gate — a lagging event costs accuracy,
-      * not correctness. */
-    def shuffleDelta(body: => Unit): Long = {
-      val before = { stableShuffle(); shuffleBytes.get }
+    /** (shuffle bytes, executor CPU seconds) accrued while running `body`,
+      * read after the async listener queue quiesces (values stable across
+      * two 50 ms polls, 1 s bound). Advisory trend data, never a gate — a
+      * lagging event costs accuracy, not correctness. CPU covers all 3
+      * timed runs; the detail file records it as-is (a per-run mean would
+      * suggest precision the async listener can't promise). */
+    def metricsDelta(body: => Unit): (Long, Double) = {
+      stableMetrics()
+      val b0 = shuffleBytes.get; val c0 = cpuNanos.get
       body
-      stableShuffle() - before
+      stableMetrics()
+      (shuffleBytes.get - b0, (cpuNanos.get - c0) / 1e9)
     }
-    def stableShuffle(): Long = {
-      var prev = shuffleBytes.get
+    def stableMetrics(): Unit = {
+      var prev = (shuffleBytes.get, cpuNanos.get)
       var i = 0
       while (i < 20) {
         Thread.sleep(50)
-        val cur = shuffleBytes.get
-        if (cur == prev) return cur
+        val cur = (shuffleBytes.get, cpuNanos.get)
+        if (cur == prev) return
         prev = cur; i += 1
       }
-      prev
     }
 
     // Fixed CPU-bound probe: one whole-stage-codegen pass over an in-memory
@@ -153,7 +165,7 @@ object Bench {
     val results = Registry.headline.map { q =>
       perQueryCal(q.name) = probeOnce()
       var times = List.empty[Double]
-      val bytes = shuffleDelta {
+      val (bytes, cpu) = metricsDelta {
         (1 to 3).foreach { _ =>
           val t0 = System.nanoTime()
           try { q.run(spark, sfDir).count(); times ::= (System.nanoTime() - t0) / 1e9 }
@@ -161,6 +173,7 @@ object Bench {
         }
       }
       perQueryShuffle(q.name) = bytes
+      perQueryCpu(q.name) = cpu
       q.name -> times.sorted
     }
 
@@ -189,7 +202,9 @@ object Bench {
         val run: () => Unit =
           if (name == "s_ivfpq_search") () => ivfpqSearch() else () => pqSearch()
         var ts = Seq.empty[Double]
-        perQueryShuffle(name) = shuffleDelta { ts = timeRuns(3)(run()) }
+        val (bytes, cpu) = metricsDelta { ts = timeRuns(3)(run()) }
+        perQueryShuffle(name) = bytes
+        perQueryCpu(name) = cpu
         name -> ts.sorted
       }
       idx.unpersist(); pqEnc.unpersist()
@@ -212,7 +227,9 @@ object Bench {
       applyRun() // warm
       perQueryCal("t_bpe_apply") = probeOnce()
       var ts = Seq.empty[Double]
-      perQueryShuffle("t_bpe_apply") = shuffleDelta { ts = timeRuns(3)(applyRun()) }
+      val (bytes, cpu) = metricsDelta { ts = timeRuns(3)(applyRun()) }
+      perQueryShuffle("t_bpe_apply") = bytes
+      perQueryCpu("t_bpe_apply") = cpu
       val out = Seq("t_bpe_apply" -> ts.sorted)
       graft.Checkpoints.release(model.words)
       out
@@ -234,6 +251,7 @@ object Bench {
     val sf1Min = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val sf1Med = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val sf1Shuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val sf1Cpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var sf1Dir = ""
     // Deadline guard: the section adds minutes (one-time generation +
     // staging + 36 timed runs). On an idle box the main loop ends well
@@ -261,9 +279,14 @@ object Bench {
           case None => recordErr(s"sf1:$name",
             new NoSuchElementException("not in headline registry"))
           case Some(q) =>
+            // one untimed warm run: the sf0.001 warmup loop doesn't touch
+            // sf1 data, so run 1 would otherwise measure JIT + broadcast
+            // warmup — r10's sf1 medians sat up to 4× above the mins
+            try q.run(spark, sf1Dir).count()
+            catch { case _: Throwable => () }
             perQueryCal(s"sf1:$name") = probeOnce()
             var times = List.empty[Double]
-            val bytes = shuffleDelta {
+            val (bytes, cpu) = metricsDelta {
               (1 to 3).foreach { _ =>
                 val t0 = System.nanoTime()
                 try {
@@ -273,6 +296,7 @@ object Bench {
               }
             }
             sf1Shuffle(name) = bytes
+            sf1Cpu(name) = cpu
             val sorted = times.sorted
             if (sorted.nonEmpty) {
               sf1Min(name) = sorted.head
@@ -328,9 +352,13 @@ object Bench {
         .mkString("{", ",", "}")
       val sf1Json = s"""{"dir":${JsonText.quote(sf1Dir)},""" +
         s""""queries_min":${dmap(sf1Min)},"queries_median":${dmap(sf1Med)},""" +
-        s""""shuffle_bytes":$sf1Sh}"""
+        s""""shuffle_bytes":$sf1Sh,"cpu_s":${dmap(sf1Cpu)}}"""
+      // cpu_s: executor-CPU seconds over the query's 3 timed runs — the
+      // box-speed-invariant per-query number round-over-round compares
+      // should read first (wall time needs the calibration ratio)
       s"""{"sf":"$sfDir","stat_line":"min_of_3","queries_min":$qsMin,""" +
         s""""queries_median":$qsMed,"cal_s":$calJson,"shuffle_bytes":$shJson,""" +
+        s""""cpu_s":${dmap(perQueryCpu)},""" +
         s""""sf1":$sf1Json,"errors":$errJson,"cal_envelope":$CalIdleEnvelope}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -350,6 +378,7 @@ object Bench {
         s""""n_queries":${clean.size},"n_failed":${Registry.headline.size - clean.size - nPartial},""" +
         s""""n_partial":$nPartial,""" +
         s""""sf1_total":${r3(sf1Min.values.sum)},"sf1_n":${sf1Min.size},""" +
+        s""""cpu_total_s":${r3(perQueryCpu.values.sum)},""" +
         s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"envelope":$CalIdleEnvelope},""" +
         s""""flagged":$flaggedJson,"contended":$contended,"value":${r3(total)}}"""
     if (line.length > 1900)
