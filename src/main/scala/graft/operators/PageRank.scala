@@ -87,28 +87,51 @@ object PageRank {
       srcCol: String, dstCol: String, tol: Option[Double]): (DataFrame, Int) = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    // Scope the session shuffle-partition count to the data-sized value for
-    // the whole iteration: the per-round groupBy takes its partition count
-    // from this conf, and it must EQUAL the pinned join partitioning or
-    // EnsureRequirements re-shuffles one side every round. Restored in the
-    // finally; the engine runs queries sequentially per session. Because
-    // these confs are session-global, a CONCURRENT query on the same
-    // session (a streaming micro-batch, most plausibly) would be planned
-    // under the scoped values — enforce the documented
-    // single-query-per-session model instead of assuming it (round-9
-    // ADVICE); an isolated `SparkSession.newSession()` sidesteps this.
-    val spark = edges.sparkSession
-    require(spark.streams.active.isEmpty,
-      "PageRank scopes session confs (shuffle partitions, AQE) for the " +
-        "iteration; run it on a session with no active streaming queries " +
-        "(SparkSession.newSession() gives an isolated conf)")
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevSp = spark.conf.get(spKey)
-    spark.conf.set(spKey,
-      partitionCountFor(edges.select(col(srcCol), col(dstCol))).toString)
-    try runScoped(edges, iterations, damping, srcCol, dstCol, tol)
-    finally spark.conf.set(spKey, prevSp)
+    // The iteration scopes session confs (a data-sized shuffle-partition
+    // count here; AQE off inside `cut`): the per-round groupBy takes its
+    // partition count from the conf, and it must EQUAL the pinned join
+    // partitioning or EnsureRequirements re-shuffles one side every round.
+    // Those confs are session-global, so a CONCURRENT query planned on the
+    // same session mid-iteration (a streaming micro-batch, most plausibly)
+    // would silently pick them up — round 10 guarded this with a hostile
+    // require(no active streams). Instead, AUTO-ISOLATE: run the whole
+    // iteration on a private `newSession()` (own SQLConf; shared
+    // SparkContext, cache, and blocks). Runtime conf the caller set is
+    // copied across (newSession starts from the SparkConf defaults only).
+    // Plans cross the session boundary through GLOBAL temp views — the one
+    // public cross-session channel — resolved eagerly on the target
+    // session (`table()` analyzes immediately, inlining the view), so the
+    // views can be dropped before returning. The result re-rooted into the
+    // caller is a LogicalRDD leaf; nothing of the private session leaks.
+    val caller = edges.sparkSession
+    val iso = caller.newSession()
+    caller.conf.getAll.foreach { case (k, v) =>
+      if (iso.conf.isModifiable(k) && iso.conf.getOption(k) != Some(v))
+        try iso.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    val vid = viewIds.incrementAndGet()
+    val inView = s"graft_pagerank_in_$vid"
+    val outView = s"graft_pagerank_out_$vid"
+    try {
+      edges.createOrReplaceGlobalTempView(inView)
+      val eIso = iso.table(s"global_temp.$inView")
+      iso.conf.set("spark.sql.shuffle.partitions",
+        partitionCountFor(eIso.select(col(srcCol), col(dstCol))).toString)
+      val (res, rounds) =
+        runScoped(eIso, iterations, damping, srcCol, dstCol, tol)
+      res.createOrReplaceGlobalTempView(outView)
+      (caller.table(s"global_temp.$outView"), rounds)
+    } finally {
+      caller.catalog.dropGlobalTempView(inView)
+      caller.catalog.dropGlobalTempView(outView)
+      ()
+    }
   }
+
+  /** Unique suffixes for the cross-session handoff views — two concurrent
+    * PageRank runs on one application must not clobber each other's. */
+  private val viewIds = new java.util.concurrent.atomic.AtomicLong
 
   private def runScoped(edges: DataFrame, iterations: Int, damping: Double,
       srcCol: String, dstCol: String, tol: Option[Double]): (DataFrame, Int) = {

@@ -19,6 +19,32 @@ object EventQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.eventsUs(s, dir)
 
+  /** The K unrolled DuckDB power-iteration rounds shared by the two
+    * PageRank oracles (fixed-K and convergence-terminated) — one source of
+    * truth so the two can never drift. `oneMinusD` is interpolated so both
+    * engines parse the exact same binary double. Assumes CTEs `nodes`,
+    * `nn(n)`, `deg`, `edges`, `r0` are in scope. */
+  private def pagerankSteps(iters: Int, d: Double): String = {
+    val oneMinusD = 1.0 - d
+    (1 to iters).map { k =>
+      s"""dang$k AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(r_mc), 0) AS BIGINT) AS dang_mc
+         |  FROM r${k - 1} LEFT JOIN deg USING (node) WHERE deg IS NULL),
+         |ins$k AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(CAST(round(r.r_mc / deg.deg) AS BIGINT)) AS BIGINT)
+         |      AS in_mc
+         |  FROM r${k - 1} r JOIN deg ON deg.node = r.node
+         |  JOIN edges e ON e.src = r.node
+         |  GROUP BY e.dst),
+         |r$k AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    CAST(round($oneMinusD * 1000000000000 / n +
+         |      $d * (COALESCE(in_mc, 0) + dang_mc / n)) AS BIGINT) AS r_mc
+         |  FROM nodes LEFT JOIN ins$k USING (node), dang$k, nn)""".stripMargin
+    }.mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour window aggregation (streaming form:
@@ -356,25 +382,7 @@ object EventQueries {
     {
       val iters = 8
       val d = 0.85
-      val oneMinusD = 1.0 - d // interpolated below so BOTH engines parse
-                              // the exact same binary double
-      val steps = (1 to iters).map { k =>
-        s"""dang$k AS MATERIALIZED (
-           |  SELECT CAST(COALESCE(SUM(r_mc), 0) AS BIGINT) AS dang_mc
-           |  FROM r${k - 1} LEFT JOIN deg USING (node) WHERE deg IS NULL),
-           |ins$k AS MATERIALIZED (
-           |  SELECT e.dst AS node,
-           |    CAST(SUM(CAST(round(r.r_mc / deg.deg) AS BIGINT)) AS BIGINT)
-           |      AS in_mc
-           |  FROM r${k - 1} r JOIN deg ON deg.node = r.node
-           |  JOIN edges e ON e.src = r.node
-           |  GROUP BY e.dst),
-           |r$k AS MATERIALIZED (
-           |  SELECT nodes.node,
-           |    CAST(round($oneMinusD * 1000000000000 / n +
-           |      $d * (COALESCE(in_mc, 0) + dang_mc / n)) AS BIGINT) AS r_mc
-           |  FROM nodes LEFT JOIN ins$k USING (node), dang$k, nn)""".stripMargin
-      }.mkString(",\n")
+      val steps = pagerankSteps(iters, d)
       QueryDef(
         "e_pagerank_types",
         (s, dir) => {
@@ -410,6 +418,85 @@ object EventQueries {
                |$steps
                |SELECT node, CAST(r_mc AS DOUBLE) / 1000000000000.0 AS rank
                |FROM r$iters ORDER BY node""".stripMargin)
+      )
+    },
+
+    // CONVERGENCE-terminated PageRank: the early-exit decision itself is
+    // cross-engine-verified, not just the fixed-K arithmetic. The engine
+    // runs graft.operators.PageRank.runUntilConverged (stop when the exact
+    // BIGINT pico-unit L1 delta between consecutive rounds is <= tol,
+    // capped at maxIter) and stamps the round count it actually ran as a
+    // `rounds` column. The oracle does NOT pin that count: it unrolls all
+    // maxIter rounds, computes every round's delta with the same exact
+    // integer arithmetic, re-derives the stopping round R = min{k :
+    // delta_k <= tolPico} (cap if none), and selects round R's ranks plus
+    // R itself. Because the per-round ranks are bit-equal across engines
+    // (see e_pagerank_types) the deltas are too, so both engines must
+    // agree on R — a hash mismatch here means the STOPPING RULE diverged,
+    // which is exactly what this row gates. Self-adapting: the same SQL is
+    // correct at any sf (R may differ between sf0.01 and sf1; both sides
+    // re-derive it from the data).
+    {
+      val maxIter = 24
+      val d = 0.85
+      val tol = 1e-7 // rank-mass units; 1e5 pico-units of total movement
+      val tolPico = (tol * graft.operators.PageRank.Unit).toLong
+      val steps = pagerankSteps(maxIter, d)
+      val deltas = (1 to maxIter).map { k =>
+        s"""dl$k AS MATERIALIZED (
+           |  SELECT CAST(SUM(ABS(a.r_mc - b.r_mc)) AS BIGINT) AS d
+           |  FROM r$k a JOIN r${k - 1} b USING (node))""".stripMargin
+      }.mkString(",\n")
+      val deltaRows = (1 to maxIter)
+        .map(k => s"SELECT $k AS k, d FROM dl$k").mkString("\nUNION ALL ")
+      val rankRows = (1 to maxIter)
+        .map(k => s"SELECT $k AS k, node, r_mc FROM r$k").mkString("\nUNION ALL ")
+      QueryDef(
+        "e_pagerank_converged",
+        (s, dir) => {
+          val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          val edges = ev(s, dir)
+            .select(col("user_id"), col("tus"), col("event_id"), col("event_type"))
+            .withColumn("src", lag("event_type", 1).over(w))
+            .filter(col("src").isNotNull)
+            .select(col("src"), col("event_type").as("dst"))
+          val (ranks, rounds) = graft.operators.PageRank.runUntilConverged(
+            edges, tol = tol, maxIterations = maxIter, damping = d)
+          ranks.withColumn("rounds", lit(rounds)).orderBy("node")
+        },
+        Some(s"""WITH ev AS MATERIALIZED (
+               |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+               |  FROM events),
+               |edges AS MATERIALIZED (
+               |  SELECT src, dst FROM (
+               |    SELECT lag(event_type) OVER (PARTITION BY user_id
+               |             ORDER BY tus, event_id) AS src,
+               |           event_type AS dst
+               |    FROM ev)
+               |  WHERE src IS NOT NULL),
+               |nodes AS MATERIALIZED (
+               |  SELECT DISTINCT node FROM (
+               |    SELECT src AS node FROM edges
+               |    UNION ALL SELECT dst FROM edges)),
+               |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+               |deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+               |        FROM edges GROUP BY src),
+               |r0 AS MATERIALIZED (SELECT node,
+               |         CAST(round(1000000000000.0 / n) AS BIGINT) AS r_mc
+               |       FROM nodes, nn),
+               |$steps,
+               |$deltas,
+               |deltas AS MATERIALIZED (
+               |$deltaRows),
+               |stopk AS MATERIALIZED (
+               |  SELECT CAST(COALESCE(MIN(k), $maxIter) AS INTEGER) AS k
+               |  FROM deltas WHERE d <= $tolPico),
+               |allr AS (
+               |$rankRows)
+               |SELECT a.node, CAST(a.r_mc AS DOUBLE) / 1000000000000.0 AS rank,
+               |  s.k AS rounds
+               |FROM allr a, stopk s WHERE a.k = s.k
+               |ORDER BY a.node""".stripMargin)
       )
     },
 

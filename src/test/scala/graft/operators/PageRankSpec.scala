@@ -95,6 +95,36 @@ class PageRankSpec extends SparkSpec {
     slow.foreach { case (v, r) => assert(r === fixedK(v), s"$v: $r vs ${fixedK(v)}") }
   }
 
+  test("runs concurrently with an active streaming query (conf auto-isolation)") {
+    // Round 10 guarded the conf scoping with require(no active streams);
+    // the iteration now runs on a private newSession, so a live stream on
+    // the caller's session must neither block PageRank nor be planned
+    // under its scoped confs (shuffle partitions, AQE-off cuts).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("k", "v")
+      .groupBy("k").sum("v")
+    val q = stream.writeStream.format("memory").queryName("pr_live_sink")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"))
+      val got = ranks(edges, 15) // would have thrown under the old require
+      val ref = reference(edges, 15)
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - ref(v)) < 1e-8, s"$v: $r vs ${ref(v)}")
+      }
+      // the stream stayed live and still progresses afterwards
+      input.addData((1L, 3.0))
+      q.processAllAvailable()
+      assert(spark.table("pr_live_sink").count() === 2)
+      // and the caller session's confs were never touched
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    } finally q.stop()
+  }
+
   test("empty edge list yields an empty result; zero iterations = uniform") {
     assert(PageRank.run(Seq.empty[(String, String)].toDF("src", "dst"), 5)
       .count() === 0)
