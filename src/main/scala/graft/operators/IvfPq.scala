@@ -79,6 +79,59 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** Incremental maintenance for a disk index written by [[writeIndex]]: at
+    * 100 TB you APPEND new vectors, you don't rebuild. New vectors are
+    * assigned to the EXISTING cells (nearest centroid — the same argmin the
+    * coarse quantizer's transform applies, ties to the lowest cell id),
+    * their residuals PQ-encoded with the EXISTING codebooks, and the rows
+    * appended into the same cell-partitioned layout — existing files are
+    * never touched, and `search(pruneCellScan = true)` keeps pruning
+    * directories because the partition key is unchanged. Assignment is a
+    * map-side crossJoin against the broadcast centroids + one `min_by`
+    * hash-agg (partial-aggregable; no window sort).
+    *
+    * Quantizer drift is the price of not refitting: appended vectors are
+    * coded against centroids fit BEFORE they existed. The returned
+    * per-cell histogram carries a `skewed` flag (cell size > `skewFactor` ×
+    * mean) — the re-cluster signal; when it fires, rebuild with
+    * [[build]] + [[writeIndex]]. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, skewFactor: Double = 4.0): DataFrame = {
+    val idx = readIndex(spark, path)
+    val cb = idx.cb
+    val dim = cb.m * cb.subDim
+    // same dim guard as search: zip_with would pad a short vector with
+    // nulls and silently store all-null residual codes
+    val guarded = newVecs.select(col("vec_id"), expr(
+      s"""CASE WHEN size(embedding) = $dim THEN embedding
+         |ELSE raise_error(concat('PQ append: vector dim ', size(embedding),
+         |                        ', index expects $dim')) END""".stripMargin)
+      .as("embedding"))
+    val best = guarded
+      .crossJoin(broadcast(idx.ivf.centroids))
+      .withColumn("cdist", expr(
+        """aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid,
+          |  (x, c) -> (x - c) * (x - c)), 0.0D, (a, p) -> a + p)""".stripMargin))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cell"), col("centroid"), col("embedding")),
+        struct(col("cdist"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+        col("b.centroid").as("centroid"), col("b.embedding").as("embedding"))
+      .withColumn("residual", residualCol)
+    val encoded = Pq.encode(
+        best.select(col("vec_id"), col("cell"),
+          col("embedding").as("orig_emb"), col("residual").as("embedding")),
+        cb)
+      .select(col("vec_id"), col("cell"), col("codes"),
+        col("orig_emb").as("embedding"))
+    encoded.write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    val hist = spark.read.parquet(s"$path/codes")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    hist.crossJoin(broadcast(hist.agg(avg(col("n")).as("mean_n"))))
+      .withColumn("skewed", col("n") > col("mean_n") * skewFactor)
+      .select("cell", "n", "skewed")
+  }
+
   /** Open an index written by [[writeIndex]]. The codes frame is the LAZY
     * partitioned scan — nothing is cached; pair with
     * `search(pruneCellScan = true)` so each query batch reads only its

@@ -667,6 +667,79 @@ object AggQueries {
              |    AS pearson_r
              |FROM m""".stripMargin)),
 
+    // M5 through the library path (bdb/Routes.routeDeviation): Euclidean
+    // distance of each row's 9-feature vector from its cluster's centroid,
+    // computed as the broadcast join + codegen'd sqrt-of-squares the
+    // operator ships. Centroids are the per-cluster means of the SAME
+    // deterministic lineitem-derived features a11 gates, so DuckDB
+    // recomputes assignment, centroids, and distance from the raw table —
+    // the KMeans FIT (M2) stays spec-verified by design; the deviation
+    // arithmetic (reference metrics.py:170-182) is what this row gates.
+    // Square-sum order matches routeDeviation's left-assoc featureCols
+    // fold; magnitudes <= ~55 keep cross-engine noise far under round(6).
+    // Graduates M5 from spec-only (GoldenParitySpec) to oracle-gated.
+    QueryDef(
+      "m5_centroid_dist",
+      (s, dir) => {
+        val exprs = Seq[(String, org.apache.spark.sql.Column)](
+          "route_frames" -> col("l_quantity"),
+          "delta_x" -> col("l_discount") * 10,
+          "delta_y" -> col("l_tax") * 10,
+          "route_len" -> (col("l_extendedprice") % 53),
+          "direct_dist" -> col("l_quantity") * 0.5,
+          "straightness" -> col("l_discount"),
+          "mean_speed" -> (col("l_partkey") % 7).cast("double"),
+          "max_speed" -> (col("l_suppkey") % 5).cast("double"),
+          "std_speed" -> col("l_linenumber").cast("double"))
+        val assigned = Tables.lineitem(s, dir).select(
+          Seq(col("l_orderkey"), col("l_linenumber"),
+            (col("l_orderkey") % 12).cast("int").as("route_cluster")) ++
+            exprs.map { case (n, e) => e.as(n) }: _*)
+        graft.bdb.Routes.routeDeviation(assigned)
+          .filter(col("l_orderkey") % 20 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("route_cluster"),
+            round(col("route_deviation"), 6).as("route_deviation"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH assigned AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(l_orderkey % 12 AS INT) AS route_cluster,
+             |    l_quantity AS route_frames,
+             |    l_discount * 10 AS delta_x,
+             |    l_tax * 10 AS delta_y,
+             |    l_extendedprice % 53 AS route_len,
+             |    l_quantity * 0.5 AS direct_dist,
+             |    l_discount AS straightness,
+             |    CAST(l_partkey % 7 AS DOUBLE) AS mean_speed,
+             |    CAST(l_suppkey % 5 AS DOUBLE) AS max_speed,
+             |    CAST(l_linenumber AS DOUBLE) AS std_speed
+             |  FROM lineitem),
+             |cents AS (
+             |  SELECT route_cluster,
+             |    avg(route_frames) AS c_route_frames, avg(delta_x) AS c_delta_x,
+             |    avg(delta_y) AS c_delta_y, avg(route_len) AS c_route_len,
+             |    avg(direct_dist) AS c_direct_dist,
+             |    avg(straightness) AS c_straightness,
+             |    avg(mean_speed) AS c_mean_speed, avg(max_speed) AS c_max_speed,
+             |    avg(std_speed) AS c_std_speed
+             |  FROM assigned GROUP BY 1)
+             |SELECT a.l_orderkey, a.l_linenumber, a.route_cluster,
+             |  round(sqrt(
+             |    (route_frames - c_route_frames) * (route_frames - c_route_frames)
+             |    + (delta_x - c_delta_x) * (delta_x - c_delta_x)
+             |    + (delta_y - c_delta_y) * (delta_y - c_delta_y)
+             |    + (route_len - c_route_len) * (route_len - c_route_len)
+             |    + (direct_dist - c_direct_dist) * (direct_dist - c_direct_dist)
+             |    + (straightness - c_straightness) * (straightness - c_straightness)
+             |    + (mean_speed - c_mean_speed) * (mean_speed - c_mean_speed)
+             |    + (max_speed - c_max_speed) * (max_speed - c_max_speed)
+             |    + (std_speed - c_std_speed) * (std_speed - c_std_speed)), 6)
+             |    AS route_deviation
+             |FROM assigned a JOIN cents c USING (route_cluster)
+             |WHERE a.l_orderkey % 20 = 0
+             |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin)),
+
     // Ordered string aggregation (listagg/string_agg): distinct values
     // sorted then joined — the order-by-inside-agg form made deterministic
     // (collect_set order is undefined, so sort the array before joining).

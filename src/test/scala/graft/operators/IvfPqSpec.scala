@@ -71,6 +71,101 @@ class IvfPqSpec extends SparkSpec {
       s"expected the query-dim error, got: ${ex.getMessage}")
   }
 
+  test("appendToIndex: appended rows are exactly the rebuild encoding, search " +
+    "sees them, pruning survives, skew flags fire") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    val baseVecs = vecs.filter(col("vec_id") < 400).cache()
+    val newVecs = vecs.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val base = IvfPq.build(baseVecs, dim = 64, nLists = 16, m = 16, k = 16)
+    IvfPq.writeIndex(base, path)
+    val report = IvfPq.appendToIndex(spark, path, newVecs)
+
+    // 1. the disk rows for the appended ids must EQUAL the rows build()
+    //    itself would produce for them under the same quantizers — i.e.
+    //    append is the incremental half of the rebuild, bit-for-bit.
+    //    Reference: assign each new vector to its argmin centroid and
+    //    encode the residual with the base codebooks, directly in the spec.
+    val after = IvfPq.readIndex(spark, path)
+    val cents = base.ivf.centroids.collect()
+      .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]]("centroid"))
+    val expect = newVecs.collect().map { r =>
+      val emb = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val (cell, cent) = cents.minBy { case (c, ct) =>
+        val d = emb.zip(ct).map { case (x, ce) => (x.toDouble - ce) * (x.toDouble - ce) }.sum
+        (d, c)
+      }
+      (r.getLong(0), cell, emb.zip(cent).map { case (x, ce) => x.toDouble - ce })
+    }
+    val expectDf = expect.toSeq.toDF("vec_id", "cell", "embedding")
+    val expectCodes = Pq.encode(expectDf, base.cb)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getAs[scala.collection.Seq[Int]]("codes").toSeq)).toMap
+    val gotCodes = after.encoded.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getAs[scala.collection.Seq[Int]]("codes").toSeq)).toMap
+    assert(gotCodes.keySet === expect.map(_._1).toSet,
+      "every appended vector must be on disk exactly once")
+    assert(gotCodes === expectCodes, "appended cells/codes must match the " +
+      "independent argmin-assign + residual-encode reference")
+
+    // 2. search on the appended index FINDS the new vectors: each appended
+    //    vector queried against the index returns itself... it is excluded
+    //    (q_id != vec_id), so instead: the full-probe search over the
+    //    appended index equals brute force over the UNION corpus.
+    val union = baseVecs.unionByName(newVecs)
+    val queries = vecs.filter(col("vec_id").isin(405L, 420L, 3L))
+    val got = IvfPq.search(after, queries, kNN = 5, nProbe = 16,
+        shortlist = 499, pruneCellScan = true)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bf = Ivf.bruteForce(union, queries, k = 5)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === bf, "full-probe search after append must equal brute " +
+      "force over the union corpus")
+
+    // 3. the probe path still prunes directories after the append (same
+    //    descent as PlanAuditSpec: execute, then walk through AQE stages)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def deepScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => deepScans(a.executedPlan)
+      case q: QueryStageExec => deepScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(deepScans)
+    }
+    val pruned = IvfPq.search(after, queries, kNN = 3, nProbe = 2,
+      shortlist = 16, pruneCellScan = true)
+    pruned.count()
+    val codeScans = deepScans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+    assert(codeScans.nonEmpty, "expected file scans over the codes layout")
+    codeScans.foreach(sc => assert(sc.partitionFilters.nonEmpty,
+      s"codes scan missing partition filter: ${sc.metadata}"))
+    val totalFiles = spark.read.parquet(s"$path/codes").inputFiles.length
+    val readFiles = codeScans.map(_.metrics("numFiles").value).max
+    assert(readFiles < totalFiles,
+      s"expected directory pruning after append: read $readFiles of $totalFiles")
+
+    // 4. no skew from a balanced append; a pathological append (everything
+    //    landing in one cell) must flag it
+    assert(report.filter(col("skewed")).count() === 0,
+      "a 50-vector balanced append must not trip the 4x-mean skew flag")
+    val hot = after.encoded.filter(col("vec_id") === 3L).head()
+    val hotEmb = hot.getAs[scala.collection.Seq[Float]]("embedding")
+    val clones = (9000L until 9400L).map(i => (i, hotEmb)).toDF("vec_id", "embedding")
+    val report2 = IvfPq.appendToIndex(spark, path, clones)
+    val hotCell = hot.getAs[Int]("cell")
+    val flagged = report2.filter(col("skewed")).select("cell")
+      .collect().map(_.getInt(0)).toSet
+    assert(flagged.contains(hotCell),
+      s"400 clones into cell $hotCell must trip the skew flag, got $flagged")
+    baseVecs.unpersist()
+  }
+
   test("plan: corpus codes reached by an equi-join on cell, never a cross join") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = IvfPq.search(idx, vecs.filter(col("vec_id") < 3), kNN = 5,
