@@ -130,11 +130,17 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcDir> <dstDir> <k>")
+    require(args.length == 3 || args.length == 4 && args(3) == "--force",
+      "usage: ScaleGen <srcDir> <dstDir> <k> [--force]")
     val spark = graft.GraftSession.builder(
       Runtime.getRuntime.availableProcessors.min(32)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, args(0), args(1), args(2).toInt)
+    // idempotent by default (same marker discipline Bench relies on), so a
+    // CLI staging and a later Bench run share one generation; --force
+    // regenerates unconditionally (and leaves no marker — the next ensure
+    // re-signs it)
+    if (args.length == 4) generate(spark, args(0), args(1), args(2).toInt)
+    else ensure(spark, args(0), args(1), args(2).toInt)
     spark.stop()
   }
 }
