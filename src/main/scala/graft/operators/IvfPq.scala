@@ -69,7 +69,13 @@ object IvfPq {
     * centroid table and the codebook model. [[readIndex]] + `search(...,
     * pruneCellScan = true)` serve from this layout without rebuilding. */
   def writeIndex(idx: Index, path: String): Unit = {
-    idx.encoded.write.partitionBy("cell").mode("overwrite")
+    // second partition level: the ingest batch id (-1 = the base build).
+    // It exists for [[appendStream]]'s exactly-once contract — a replayed
+    // micro-batch dynamically OVERWRITES its own (cell, batch) partitions
+    // instead of appending duplicates. Cell stays the OUTER directory, so
+    // probe-list pruning still prunes whole cell trees.
+    idx.encoded.withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("cell", "ingest_batch").mode("overwrite")
       .parquet(s"$path/codes")
     idx.ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val spark = idx.encoded.sparkSession
@@ -96,7 +102,8 @@ object IvfPq {
     * mean) — the re-cluster signal; when it fires, rebuild with
     * [[build]] + [[writeIndex]]. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newVecs: DataFrame, skewFactor: Double = 4.0): DataFrame = {
+      newVecs: DataFrame, skewFactor: Double = 4.0,
+      batchId: Option[Long] = None): DataFrame = {
     val idx = readIndex(spark, path)
     val cb = idx.cb
     val dim = cb.m * cb.subDim
@@ -124,12 +131,122 @@ object IvfPq {
         cb)
       .select(col("vec_id"), col("cell"), col("codes"),
         col("orig_emb").as("embedding"))
-    encoded.write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+      .withColumn("ingest_batch", lit(batchId.getOrElse(-1L)))
+    // with a batch id (the streaming path): dynamic OVERWRITE of this
+    // batch's (cell, batch) partitions — a foreachBatch replay after a
+    // crash replaces its own rows, never duplicates them. Without one
+    // (ad-hoc batch append): plain append under batch -1.
+    val w = encoded.write.partitionBy("cell", "ingest_batch")
+    (batchId match {
+      case Some(_) => w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      case None => w.mode("append")
+    }).parquet(s"$path/codes")
     val hist = spark.read.parquet(s"$path/codes")
       .groupBy("cell").agg(count(lit(1)).as("n"))
     hist.crossJoin(broadcast(hist.agg(avg(col("n")).as("mean_n"))))
       .withColumn("skewed", col("n") > col("mean_n") * skewFactor)
       .select("cell", "n", "skewed")
+  }
+
+  /** The STREAMING half of index maintenance: follow an unbounded vector
+    * stream into a disk index, one [[appendToIndex]] per micro-batch with
+    * the micro-batch id as the idempotence key — after a crash between the
+    * append and the offset commit, the replayed batch dynamically
+    * OVERWRITES its own (cell, batch) partitions instead of appending
+    * duplicates, so the index is exactly-once with respect to the stream.
+    * `vecStream`: streaming (vec_id, embedding) frame. Skew monitoring is
+    * the caller's loop: run [[appendToIndex]]'s histogram (or
+    * `readIndex` + a groupBy) periodically and [[splitCell]] what it
+    * flags. */
+  def appendStream(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecStream: DataFrame, checkpoint: String,
+      name: String = "ann_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream.queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        // skip empty micro-batches: appendToIndex would still run its
+        // assignment job and histogram against the full index
+        if (!batch.isEmpty)
+          appendToIndex(spark, path, batch.toDF(), batchId = Some(batchId))
+        ()
+      }
+      .start()
+
+  /** Act on [[appendToIndex]]'s skew flag WITHOUT a full rebuild: re-cluster
+    * ONE hot cell in place. Fits `k2` sub-centroids on the cell's stored
+    * original embeddings, gives the sub-cells fresh ids above the current
+    * max, re-encodes the cell's rows against their new centroids (residual
+    * codes must follow the centroid they are residuals OF), and swaps the
+    * layout in crash-ordered steps — the index is SEARCHABLE AND
+    * DUPLICATE-FREE at every crash point:
+    *
+    *  1. write the re-encoded rows into the new cell directories with
+    *     DYNAMIC partition overwrite (unreferenced by the centroid table →
+    *     invisible to every search; a rerun after a crash REPLACES them
+    *     instead of appending duplicates);
+    *  2. atomically replace the centroid table (old cell row out, `k2` new
+    *     rows in) — from this instant probes route to the sub-cells;
+    *  3. delete the old cell directory (until then it is dead data no probe
+    *     can reach: its cell id is no longer in the centroid table).
+    *
+    * Recovery from a crash at any point = rerun `splitCell` (steps are
+    * idempotent through the dynamic overwrite) — except after step 2, when
+    * the split has already logically happened and the rerun fails its
+    * "cell exists" precondition; only the step-3 cleanup remains, and the
+    * stale directory is unreachable in the meantime.
+    *
+    * PQ codebooks are NOT refit (they are index-global); sub-cell residuals
+    * are strictly smaller than the original cell's, so existing codes
+    * quantize them at least as well — same drift contract as
+    * [[appendToIndex]]. Returns the new cell ids. */
+  def splitCell(spark: org.apache.spark.sql.SparkSession, path: String,
+      cell: Int, k2: Int = 2, seed: Long = 42L): Seq[Int] = {
+    require(k2 >= 2, s"a split needs k2 >= 2 sub-cells, got $k2")
+    val idx = readIndex(spark, path)
+    val cents = idx.ivf.centroids.collect()
+    require(cents.exists(_.getInt(0) == cell),
+      s"cell $cell is not in the index's centroid table")
+    val rows = spark.read.parquet(s"$path/codes")
+      .filter(col("cell") === cell)
+      .select("vec_id", "embedding", "ingest_batch")
+    val nRows = rows.count()
+    require(nRows >= k2,
+      s"cell $cell holds $nRows vectors — cannot split into $k2")
+    val maxCell = cents.map(_.getInt(0)).max
+    // sub-quantizer fit on THIS cell only (local KMeans; the heavy part,
+    // and it touches one cell's data, not the corpus)
+    val sub = Ivf.build(rows.select("vec_id", "embedding"), nLists = k2, seed)
+    val shift = maxCell + 1
+    val newCents = sub.centroids
+      .select((col("cell") + lit(shift)).cast("int").as("cell"), col("centroid"))
+    // re-encode against the NEW centroids with the EXISTING codebooks; each
+    // row keeps its original ingest_batch (the layout's second level)
+    val reEncoded = Pq.encode(
+        sub.assigned
+          .join(broadcast(sub.centroids), Seq("cell"))
+          .join(rows.select("vec_id", "ingest_batch"), Seq("vec_id"))
+          .withColumn("residual", residualCol)
+          .select(col("vec_id"), (col("cell") + lit(shift)).cast("int").as("cell"),
+            col("ingest_batch"),
+            col("embedding").as("orig_emb"), col("residual").as("embedding")),
+        idx.cb)
+      .select(col("vec_id"), col("cell"), col("codes"),
+        col("orig_emb").as("embedding"), col("ingest_batch"))
+    // step 1: new dirs, dynamic overwrite (rerun-safe)
+    reEncoded.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "ingest_batch").parquet(s"$path/codes")
+    // step 2: centroid swap — the probe routing flips here, atomically for
+    // readers that open the table after the swap
+    val kept = idx.ivf.centroids.filter(col("cell") =!= cell)
+      .unionByName(newCents)
+    graft.sources.Lake.safeReplace(spark, s"$path/centroids", kept)
+    // step 3: drop the now-unreachable old directory
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes/cell=$cell")
+    val fs = old.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(old, true)
+    (shift until shift + k2).toSeq
   }
 
   /** Open an index written by [[writeIndex]]. The codes frame is the LAZY

@@ -166,6 +166,123 @@ class IvfPqSpec extends SparkSpec {
     baseVecs.unpersist()
   }
 
+  test("appendStream follows a vector stream; batch replays are exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_str").toString
+    val baseVecs = vecs.filter(col("vec_id") < 300).cache()
+    IvfPq.writeIndex(IvfPq.build(baseVecs, dim = 64, nLists = 16, m = 16, k = 16), path)
+    def embRows(lo: Long, hi: Long): Seq[(Long, Seq[Float])] =
+      vecs.filter(col("vec_id") >= lo && col("vec_id") < hi).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toSeq
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = IvfPq.appendStream(spark, path,
+      input.toDF().toDF("vec_id", "embedding"), s"$path/ckpt")
+    try {
+      input.addData(embRows(300, 310): _*)
+      q.processAllAvailable()
+      input.addData(embRows(310, 320): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.read.parquet(s"$path/codes").select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length, "stream must not duplicate")
+    assert(ids.toSet === (0L until 320L).toSet -- (0L until 300L).toSet
+      ++ (0L until 300L).toSet, s"all base + streamed ids present")
+
+    // the idempotence MECHANISM under a forced replay: the same batch id
+    // re-applied overwrites its own partitions instead of appending (this
+    // is what a foreachBatch replay after a crash does)
+    val replay = vecs.filter(col("vec_id") >= 320 && col("vec_id") < 330)
+    IvfPq.appendToIndex(spark, path, replay, batchId = Some(99L))
+    val n1 = spark.read.parquet(s"$path/codes").count()
+    IvfPq.appendToIndex(spark, path, replay, batchId = Some(99L))
+    val n2 = spark.read.parquet(s"$path/codes").count()
+    assert(n1 === n2, s"replayed batch must be a no-op: $n1 -> $n2")
+
+    // search correctness over base + both streamed batches + the replay
+    val union = vecs.filter(col("vec_id") < 330)
+    val queries = vecs.filter(col("vec_id").isin(305L, 315L, 325L, 3L))
+    val after = IvfPq.readIndex(spark, path)
+    val got = IvfPq.search(after, queries, kNN = 5, nProbe = 16,
+        shortlist = 9999, pruneCellScan = true)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bf = Ivf.bruteForce(union, queries, k = 5)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === bf, "search after streamed ingest must equal brute force")
+    baseVecs.unpersist()
+  }
+
+  test("splitCell: a hot cell re-clusters in place — no loss, no dup, search " +
+    "exact, routing swapped") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_split").toString
+    val baseVecs = vecs.filter(col("vec_id") < 400).cache()
+    val base = IvfPq.build(baseVecs, dim = 64, nLists = 16, m = 16, k = 16)
+    IvfPq.writeIndex(base, path)
+    // make one cell hot: 300 near-clones of one vector (small deterministic
+    // jitter so the sub-clustering has structure to find)
+    val seedRow = base.encoded.filter(col("vec_id") === 7L).head()
+    val seedEmb = seedRow.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val hotCell = seedRow.getAs[Int]("cell")
+    val clones = (9000L until 9300L).map { i =>
+      (i, seedEmb.zipWithIndex.map { case (x, j) =>
+        x + (((i + j) % 7).toFloat - 3f) * 1e-3f })
+    }.toDF("vec_id", "embedding")
+    val report = IvfPq.appendToIndex(spark, path, clones)
+    assert(report.filter(col("skewed")).select("cell")
+      .collect().map(_.getInt(0)).contains(hotCell))
+
+    val before = spark.read.parquet(s"$path/codes")
+    val beforeIds = before.select("vec_id").collect().map(_.getLong(0)).toSet
+    val hotBefore = before.filter(col("cell") === hotCell).count()
+
+    val newCells = IvfPq.splitCell(spark, path, hotCell, k2 = 2)
+    assert(newCells.size === 2 && newCells.forall(_ > 15),
+      s"sub-cells must take fresh ids above the old max, got $newCells")
+
+    // centroid table: routing swapped — old id out, the two new ids in
+    val after = IvfPq.readIndex(spark, path)
+    val cellIds = after.ivf.centroids.select("cell")
+      .collect().map(_.getInt(0)).toSet
+    assert(!cellIds.contains(hotCell) && newCells.forall(cellIds.contains))
+    assert(cellIds.size === 17) // 16 - 1 + 2
+
+    // conservation: every vec_id exactly once, old directory gone
+    val afterCodes = spark.read.parquet(s"$path/codes")
+    assert(afterCodes.select("vec_id").collect().map(_.getLong(0)).toSet
+      === beforeIds, "split must neither lose nor duplicate vectors")
+    assert(afterCodes.count() === beforeIds.size)
+    assert(!new java.io.File(s"$path/codes/cell=$hotCell").exists(),
+      "old cell directory must be removed")
+    // the hot mass actually split
+    val subSizes = afterCodes.filter(col("cell").isin(newCells.map(Int.box): _*))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(subSizes.sum === hotBefore && subSizes.forall(_ < hotBefore),
+      s"sub-cells $subSizes must partition the $hotBefore hot rows")
+
+    // exactness anchor survives the split: full-probe search over the
+    // post-split index ≡ brute force over the full corpus
+    val union = baseVecs.unionByName(clones)
+    val queries = vecs.filter(col("vec_id").isin(7L, 11L))
+      .unionByName(clones.filter(col("vec_id") === 9005L))
+    val got = IvfPq.search(after, queries, kNN = 5, nProbe = 17,
+        shortlist = 9999, pruneCellScan = true)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bf = Ivf.bruteForce(union, queries, k = 5)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === bf, "full-probe search after the split must stay exact")
+    baseVecs.unpersist()
+  }
+
   test("plan: corpus codes reached by an equi-join on cell, never a cross join") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = IvfPq.search(idx, vecs.filter(col("vec_id") < 3), kNN = 5,
