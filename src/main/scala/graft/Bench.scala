@@ -189,6 +189,16 @@ object Bench {
       val idx = graft.operators.IvfPq.build(vecs, dim = 64)
       def ivfpqSearch(): Unit =
         graft.operators.IvfPq.search(idx, queries, kNN = 5, nProbe = 4).count()
+      // the SERVING path the 100 TB story ships: index on disk, codes
+      // partitioned by cell, probed cells as a static partition filter —
+      // write + open untimed (index build cost, not search cost)
+      val diskPath = java.nio.file.Files.createTempDirectory("bench_ivfpq")
+        .toString + "/ix"
+      graft.operators.IvfPq.writeIndex(idx, diskPath)
+      val disk = graft.operators.IvfPq.readIndex(spark, diskPath)
+      def ivfpqDisk(): Unit =
+        graft.operators.IvfPq.search(disk, queries, kNN = 5, nProbe = 4,
+          pruneCellScan = true).count()
       val pqCb = graft.operators.Pq.train(vecs, dim = 64, m = 16, k = 16,
         sampleFraction = 0.5)
       val pqEnc = graft.operators.Pq.encode(vecs, pqCb).cache()
@@ -196,11 +206,12 @@ object Bench {
       def pqSearch(): Unit =
         graft.operators.Pq.search(pqEnc, queries, pqCb, k = 5, shortlist = 64)
           .count()
-      ivfpqSearch(); pqSearch() // warm
-      val out = Seq("s_ivfpq_search", "s_pq_search").map { name =>
+      ivfpqSearch(); ivfpqDisk(); pqSearch() // warm
+      val runs = Seq("s_ivfpq_search" -> (() => ivfpqSearch()),
+        "s_ivfpq_disk" -> (() => ivfpqDisk()),
+        "s_pq_search" -> (() => pqSearch()))
+      val out = runs.map { case (name, run) =>
         perQueryCal(name) = probeOnce()
-        val run: () => Unit =
-          if (name == "s_ivfpq_search") () => ivfpqSearch() else () => pqSearch()
         var ts = Seq.empty[Double]
         val (bytes, cpu) = metricsDelta { ts = timeRuns(3)(run()) }
         perQueryShuffle(name) = bytes

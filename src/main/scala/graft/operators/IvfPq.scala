@@ -173,6 +173,34 @@ object IvfPq {
       }
       .start()
 
+  /** Fold the small files streaming ingest accrues back into the base
+    * layout: each micro-batch writes up to one file per touched cell under
+    * its own `ingest_batch=<id>` directory — thousands of KB-files per day
+    * at serving scale — and this rewrites the whole code table as
+    * `ingest_batch=-1` with ONE file per cell (hash-repartitioned on
+    * `cell`, so each cell lands in exactly one task), committed by the
+    * crash-safe staged-rename swap ([[graft.sources.Lake.safeReplace]]).
+    *
+    * SAFETY WINDOW: run only while no [[appendStream]] is active and after
+    * its checkpoint has committed past every ingested batch. A batch
+    * replayed AFTER compaction would re-append rows the compaction already
+    * folded into the base — the same single-writer maintenance-window
+    * contract every layout rewrite in [[graft.sources.Lake]] documents.
+    * Returns (files before, files after). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val before = codes.inputFiles.length
+    val nCells = codes.select("cell").distinct().count().toInt.max(1)
+    val flat = codes
+      .select(col("vec_id"), col("cell"), col("codes"), col("embedding"))
+      .withColumn("ingest_batch", lit(-1L))
+      .repartition(nCells, col("cell"))
+    graft.sources.Lake.safeReplace(spark, s"$path/codes", flat,
+      partitionBy = Seq("cell", "ingest_batch"))
+    (before, spark.read.parquet(s"$path/codes").inputFiles.length)
+  }
+
   /** Act on [[appendToIndex]]'s skew flag WITHOUT a full rebuild: re-cluster
     * ONE hot cell in place. Fits `k2` sub-centroids on the cell's stored
     * original embeddings, gives the sub-cells fresh ids above the current

@@ -52,14 +52,17 @@ object Lake {
     * assumed; a real lakehouse table format replaces this with a metadata
     * pointer swap.
     */
-  def safeReplace(spark: SparkSession, path: String, newData: DataFrame): Unit = {
+  def safeReplace(spark: SparkSession, path: String, newData: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     fs.delete(tmp, true); fs.delete(old, true) // sweep prior crash leftovers
-    newData.write.mode("overwrite").parquet(tmp.toString)
+    val w = newData.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
     require(fs.rename(target, old), s"could not stage $target aside")
     require(fs.rename(tmp, target), s"could not promote $tmp")
     fs.delete(old, true)

@@ -216,6 +216,23 @@ class IvfPqSpec extends SparkSpec {
       .select("q_id", "rank", "vec_id").collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(got === bf, "search after streamed ingest must equal brute force")
+
+    // compaction folds the per-batch small files back into one file per
+    // cell — same rows, same search results, all under ingest_batch=-1
+    val (nBefore, nAfter) = IvfPq.compactIndex(spark, path)
+    assert(nAfter < nBefore, s"compaction must shrink files: $nBefore -> $nAfter")
+    val compacted = spark.read.parquet(s"$path/codes")
+    // partition-dir discovery infers the narrowest numeric type, so the
+    // batch column reads back as int here — compare numerically
+    assert(compacted.select("ingest_batch").distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].longValue).toSeq === Seq(-1L))
+    assert(compacted.select("vec_id").collect().map(_.getLong(0)).toSet
+      === (0L until 330L).toSet, "compaction must preserve the row set")
+    val got2 = IvfPq.search(IvfPq.readIndex(spark, path), queries, kNN = 5,
+        nProbe = 16, shortlist = 9999, pruneCellScan = true)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got2 === bf, "search after compaction must be unchanged")
     baseVecs.unpersist()
   }
 
