@@ -173,6 +173,26 @@ object IvfPq {
       }
       .start()
 
+  /** Sweep code directories whose cell id is no longer in the centroid
+    * table — the step-3 cleanup a crashed [[splitCell]] leaves behind.
+    * Such directories are unreachable (no probe can route to a cell the
+    * centroid table doesn't know), so this only reclaims space and
+    * non-pruned scan bytes; safe to run any time in the single-writer
+    * maintenance window. Returns the removed cell ids. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Int] = {
+    val live = spark.read.parquet(s"$path/centroids")
+      .select("cell").collect().map(_.getInt(0)).toSet
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = fs.listStatus(codes).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix("cell=").toInt))
+      .filterNot { case (_, id) => live.contains(id) }
+    dead.foreach { case (p, _) => fs.delete(p, true) }
+    dead.map(_._2)
+  }
+
   /** Fold the small files streaming ingest accrues back into the base
     * layout: each micro-batch writes up to one file per touched cell under
     * its own `ingest_batch=<id>` directory — thousands of KB-files per day

@@ -297,6 +297,24 @@ class IvfPqSpec extends SparkSpec {
       .select("q_id", "rank", "vec_id").collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(got === bf, "full-probe search after the split must stay exact")
+
+    // a crashed split's leftover (a cell dir the centroid table no longer
+    // references) is unreachable by search and vacuumIndex sweeps it
+    val staleDir = new java.io.File(s"$path/codes/cell=$hotCell/ingest_batch=-1")
+    staleDir.mkdirs()
+    val donor = new java.io.File(s"$path/codes/cell=${newCells.head}/ingest_batch=-1")
+    donor.listFiles().filter(_.getName.endsWith(".parquet")).take(1).foreach {
+      f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(staleDir, f.getName).toPath)
+    }
+    val gotStale = IvfPq.search(IvfPq.readIndex(spark, path), queries, kNN = 5,
+        nProbe = 17, shortlist = 9999, pruneCellScan = true)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotStale === bf, "an unreferenced cell dir must be unreachable")
+    assert(IvfPq.vacuumIndex(spark, path) === Seq(hotCell))
+    assert(!new java.io.File(s"$path/codes/cell=$hotCell").exists())
+    assert(IvfPq.vacuumIndex(spark, path).isEmpty, "vacuum is idempotent")
     baseVecs.unpersist()
   }
 
