@@ -219,6 +219,10 @@ object Bench {
         name -> ts.sorted
       }
       idx.unpersist(); pqEnc.unpersist()
+      // the serialized index copy is bench-local — don't leave one per run
+      // accumulating in the temp dir
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(diskPath).getParentFile)
       out
     } catch {
       case e: Throwable => recordErr("ann_search", e); Seq.empty

@@ -104,8 +104,22 @@ object IvfPq {
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, skewFactor: Double = 4.0,
       batchId: Option[Long] = None): DataFrame = {
-    val idx = readIndex(spark, path)
-    val cb = idx.cb
+    requireBatchLayout(spark, path)
+    val (cents, cb) = readQuantizers(spark, path)
+    appendBatch(spark, path, newVecs, batchId, cents, cb)
+    val hist = spark.read.parquet(s"$path/codes")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    hist.crossJoin(broadcast(hist.agg(avg(col("n")).as("mean_n"))))
+      .withColumn("skewed", col("n") > col("mean_n") * skewFactor)
+      .select("cell", "n", "skewed")
+  }
+
+  /** The write half of [[appendToIndex]], against PRE-LOADED quantizers —
+    * what the streaming path runs per micro-batch, so ingest never pays a
+    * per-batch codes-tree listing or an unread histogram scan. */
+  private def appendBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, batchId: Option[Long],
+      cents: DataFrame, cb: Pq.Codebooks): Unit = {
     val dim = cb.m * cb.subDim
     // same dim guard as search: zip_with would pad a short vector with
     // nulls and silently store all-null residual codes
@@ -115,7 +129,7 @@ object IvfPq {
          |                        ', index expects $dim')) END""".stripMargin)
       .as("embedding"))
     val best = guarded
-      .crossJoin(broadcast(idx.ivf.centroids))
+      .crossJoin(broadcast(cents))
       .withColumn("cdist", expr(
         """aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid,
           |  (x, c) -> (x - c) * (x - c)), 0.0D, (a, p) -> a + p)""".stripMargin))
@@ -141,12 +155,23 @@ object IvfPq {
       case Some(_) => w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       case None => w.mode("append")
     }).parquet(s"$path/codes")
-    val hist = spark.read.parquet(s"$path/codes")
-      .groupBy("cell").agg(count(lit(1)).as("n"))
-    hist.crossJoin(broadcast(hist.agg(avg(col("n")).as("mean_n"))))
-      .withColumn("skewed", col("n") > col("mean_n") * skewFactor)
-      .select("cell", "n", "skewed")
   }
+
+  /** Appending into an index written by the pre-`ingest_batch` layout
+    * (cell-only directories) would create a MIXED-DEPTH partition tree
+    * that breaks every subsequent read of the code table ("conflicting
+    * directory structures") — the append would "succeed" and leave the
+    * on-disk index unreadable. Fail first, with the migration path named:
+    * [[compactIndex]] reads the old layout fine and rewrites it into the
+    * current one. */
+  private def requireBatchLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    require(
+      spark.read.parquet(s"$path/codes").schema.fieldNames
+        .contains("ingest_batch"),
+      s"$path/codes uses the pre-ingest_batch (cell-only) layout; " +
+        "appending would write a mixed-depth partition tree that breaks " +
+        "every read. Run IvfPq.compactIndex(path) once to migrate it.")
 
   /** The STREAMING half of index maintenance: follow an unbounded vector
     * stream into a disk index, one [[appendToIndex]] per micro-batch with
@@ -157,21 +182,33 @@ object IvfPq {
     * `vecStream`: streaming (vec_id, embedding) frame. Skew monitoring is
     * the caller's loop: run [[appendToIndex]]'s histogram (or
     * `readIndex` + a groupBy) periodically and [[splitCell]] what it
-    * flags. */
+    * flags.
+    *
+    * The quantizers (centroids + codebooks) are loaded ONCE at start and
+    * pinned as a LocalRelation — per micro-batch the ingest pays only the
+    * assignment job and the partitioned write, never a codes-tree listing
+    * (which grows with total file count) or a histogram scan nobody reads.
+    * Single-writer contract: do not run [[splitCell]] (which moves
+    * centroids) while the stream is active. */
   def appendStream(spark: org.apache.spark.sql.SparkSession, path: String,
       vecStream: DataFrame, checkpoint: String,
-      name: String = "ann_ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+      name: String = "ann_ingest"): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireBatchLayout(spark, path)
+    val (centsLazy, cb) = readQuantizers(spark, path)
+    val rows = centsLazy.collect()
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), centsLazy.schema)
     vecStream.writeStream.queryName(name)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        // skip empty micro-batches: appendToIndex would still run its
-        // assignment job and histogram against the full index
+        // skip empty micro-batches: the assignment job would still run
         if (!batch.isEmpty)
-          appendToIndex(spark, path, batch.toDF(), batchId = Some(batchId))
+          appendBatch(spark, path, batch.toDF(), Some(batchId), cents, cb)
         ()
       }
       .start()
+  }
 
   /** Sweep code directories whose cell id is no longer in the centroid
     * table — the step-3 cleanup a crashed [[splitCell]] leaves behind.
@@ -206,7 +243,9 @@ object IvfPq {
     * replayed AFTER compaction would re-append rows the compaction already
     * folded into the base — the same single-writer maintenance-window
     * contract every layout rewrite in [[graft.sources.Lake]] documents.
-    * Returns (files before, files after). */
+    * Also the MIGRATION step for indexes written by the pre-ingest_batch
+    * (cell-only) layout: it reads either layout and always writes the
+    * current one. Returns (files before, files after). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) = {
     val codes = spark.read.parquet(s"$path/codes")
@@ -251,6 +290,7 @@ object IvfPq {
   def splitCell(spark: org.apache.spark.sql.SparkSession, path: String,
       cell: Int, k2: Int = 2, seed: Long = 42L): Seq[Int] = {
     require(k2 >= 2, s"a split needs k2 >= 2 sub-cells, got $k2")
+    requireBatchLayout(spark, path)
     val idx = readIndex(spark, path)
     val cents = idx.ivf.centroids.collect()
     require(cents.exists(_.getInt(0) == cell),
@@ -303,6 +343,15 @@ object IvfPq {
     * probed cells' directories. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val codes = spark.read.parquet(s"$path/codes")
+    val (centroids, cb) = readQuantizers(spark, path)
+    Index(Ivf.Index(centroids, codes.select("vec_id", "cell"),
+      nLists = centroids.count().toInt), cb, codes)
+  }
+
+  /** Just the probe-side artifacts (centroid table + codebooks) — what the
+    * append path needs; opening these never lists the codes tree. */
+  private def readQuantizers(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Pq.Codebooks) = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val r = spark.read.parquet(s"$path/codebooks").head()
     // parquet hands back mutable ArraySeq at every nesting level — extract
@@ -310,10 +359,8 @@ object IvfPq {
     val cents = r.getAs[scala.collection.Seq[
         scala.collection.Seq[scala.collection.Seq[Double]]]]("cents")
       .map(_.map(_.toSeq).toSeq).toSeq
-    val cb = Pq.Codebooks(r.getAs[Int]("m"), r.getAs[Int]("k"),
-      r.getAs[Int]("subDim"), cents)
-    Index(Ivf.Index(centroids, codes.select("vec_id", "cell"),
-      nLists = centroids.count().toInt), cb, codes)
+    (centroids, Pq.Codebooks(r.getAs[Int]("m"), r.getAs[Int]("k"),
+      r.getAs[Int]("subDim"), cents))
   }
 
   /** Top-k per query. Plan: broadcast(query × nProbe cells with per-cell ADC

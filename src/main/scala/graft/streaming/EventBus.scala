@@ -31,6 +31,12 @@ object EventBus {
   val wireColumns: Seq[String] =
     Seq("key", "value", "topic", "partition", "offset", "timestamp")
 
+  /** The wire metadata [[parseJson]] KEEPS beside the decoded payload —
+    * the single source of truth for every guard that must reject payload
+    * fields shadowing them ([[parseJson]] itself, `IngestFlow`'s reserved
+    * list). Add a kept column here and both guards follow. */
+  val keptWireCols: Seq[String] = Seq("topic", "partition", "offset")
+
   /** Standard consume step: decode the JSON value payload into typed columns.
     * Keeps the wire metadata (topic/partition/offset/timestamp) alongside —
     * offset is the idempotence key for exactly-once sinks. */
@@ -48,8 +54,7 @@ object EventBus {
       s"wire timestamp alias '$wireTsName' collides with a payload field")
     // the kept wire metadata shares the output namespace with the payload;
     // a clash would produce duplicate columns that fail only on first use
-    val wireClash = valueSchema.fieldNames.toSeq
-      .intersect(Seq("topic", "partition", "offset"))
+    val wireClash = valueSchema.fieldNames.toSeq.intersect(keptWireCols)
     require(wireClash.isEmpty,
       s"payload fields collide with kept wire metadata columns: " +
         s"${wireClash.mkString(", ")} (rename them in the payload schema)")

@@ -121,6 +121,12 @@ object EventStreams {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{BooleanType, LongType}
     val inSchema = events.schema
+    // withColumn would REPLACE an existing column of this name in place
+    // (keeping the row width), so the positional key read below would be
+    // out of bounds — fail with the clash named, like IngestFlow's guard
+    require(!inSchema.fieldNames.contains("__graft_spread"),
+      "tagLateRows reserves the column name __graft_spread for its " +
+        "synthetic shuffle key; rename that input column")
     val outSchema = inSchema.add("late", BooleanType).add("late_by_ms", LongType)
     val tsIdx = inSchema.fieldIndex(tsCol)
     val hashable = inSchema.fields

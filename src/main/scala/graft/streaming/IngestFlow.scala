@@ -53,8 +53,8 @@ object IngestFlow {
     // reserved too: a payload field named `offset` — a very common event
     // field — would otherwise pass this gate and then blow up the first
     // micro-batch with a duplicate-column error after decode.
-    val reserved = Seq("topic", "partition", "offset",
-      "_bus_ts", "late", "late_by_ms", "ingest_batch")
+    val reserved = EventBus.keptWireCols ++
+      Seq("_bus_ts", "late", "late_by_ms", "ingest_batch")
     val clash = valueSchema.fieldNames.toSeq.intersect(reserved)
     require(clash.isEmpty,
       s"payload fields collide with IngestFlow's reserved columns: " +

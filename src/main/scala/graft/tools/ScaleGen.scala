@@ -137,10 +137,15 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     // idempotent by default (same marker discipline Bench relies on), so a
     // CLI staging and a later Bench run share one generation; --force
-    // regenerates unconditionally (and leaves no marker — the next ensure
-    // re-signs it)
-    if (args.length == 4) generate(spark, args(0), args(1), args(2).toInt)
-    else ensure(spark, args(0), args(1), args(2).toInt)
+    // regenerates unconditionally. The old marker is deleted FIRST: a
+    // forced regenerate with different inputs would otherwise leave a
+    // marker that still matches some earlier signature, and a later
+    // ensure() would serve the forced output as if it were that generation
+    if (args.length == 4) {
+      java.nio.file.Files.deleteIfExists(
+        new java.io.File(args(1), "_SCALEGEN_OK").toPath)
+      generate(spark, args(0), args(1), args(2).toInt)
+    } else ensure(spark, args(0), args(1), args(2).toInt)
     spark.stop()
   }
 }

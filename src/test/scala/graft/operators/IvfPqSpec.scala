@@ -318,6 +318,41 @@ class IvfPqSpec extends SparkSpec {
     baseVecs.unpersist()
   }
 
+  test("a pre-ingest_batch (cell-only) index refuses appends and migrates " +
+    "through compactIndex") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_old").toString
+    val baseVecs = vecs.filter(col("vec_id") < 200)
+    val base = IvfPq.build(baseVecs, dim = 64, nLists = 8, m = 16, k = 16)
+    // write the OLD layout by hand: codes partitioned by cell only — an
+    // append here would create a mixed-depth tree that breaks every read
+    base.encoded.write.partitionBy("cell").parquet(s"$path/codes")
+    base.ivf.centroids.write.parquet(s"$path/centroids")
+    import spark.implicits._
+    Seq((base.cb.m, base.cb.k, base.cb.subDim, base.cb.cents))
+      .toDF("m", "k", "subDim", "cents")
+      .coalesce(1).write.parquet(s"$path/codebooks")
+    val newVecs = vecs.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.appendToIndex(spark, path, newVecs)
+    }
+    assert(e.getMessage.contains("compactIndex"),
+      s"the guard must name the migration path: ${e.getMessage}")
+    // migrate, then the same append succeeds and search is exact
+    IvfPq.compactIndex(spark, path)
+    IvfPq.appendToIndex(spark, path, newVecs)
+    val union = vecs.filter(col("vec_id") < 210)
+    val queries = vecs.filter(col("vec_id").isin(3L, 205L))
+    val got = IvfPq.search(IvfPq.readIndex(spark, path), queries, kNN = 5,
+        nProbe = 8, shortlist = 9999, pruneCellScan = true)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bf = Ivf.bruteForce(union, queries, k = 5)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === bf, "post-migration append must serve exact results")
+    base.unpersist()
+  }
+
   test("plan: corpus codes reached by an equi-join on cell, never a cross join") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = IvfPq.search(idx, vecs.filter(col("vec_id") < 3), kNN = 5,
