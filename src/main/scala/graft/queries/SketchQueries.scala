@@ -213,6 +213,46 @@ object SketchQueries {
       None,
       headline = true),
 
+    // Theta-sketch set algebra (operators/Theta): the sketch family's
+    // SET-EXPRESSION member — HLL answers union-distinct only (register
+    // max); theta sketches retain their hash sample, so two of them also
+    // answer INTERSECTION / difference / Jaccard. The pipeline question
+    // this models: how much do two corpus halves overlap (= what would
+    // dedup remove), estimated from KB-scale sketches before paying for
+    // the exact join. Rows-only by design (the estimate is
+    // construction-specific); the EXACT distinct/overlap counts ride
+    // alongside from one pass over the same data, so the artifact
+    // self-audits the estimates, and ThetaSpec pins the error bounds.
+    QueryDef(
+      "a_theta_overlap",
+      (s, dir) => {
+        import graft.operators.ThetaSketch
+        // two overlapping customer populations: orders from the date
+        // halves of the dataset (1995–2001; customers ordering in both
+        // halves are the overlap)
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"),
+            (col("o_orderdate") >= "1998-01-01").as("late_half"))
+        val sketches = o.groupBy("late_half")
+          .agg(ThetaSketch.thetaAgg(xxhash64(col("o_custkey"))).as("sk"))
+        val a = sketches.filter(col("late_half")).select(col("sk").as("sk_a"))
+        val b = sketches.filter(!col("late_half")).select(col("sk").as("sk_b"))
+        val est = a.crossJoin(b).select(
+          round(ThetaSketch.estimateOf(col("sk_a")), 1).as("est_a"),
+          round(ThetaSketch.estimateOf(col("sk_b")), 1).as("est_b"),
+          round(ThetaSketch.intersectOf(col("sk_a"), col("sk_b")), 1)
+            .as("est_overlap"),
+          round(ThetaSketch.jaccardOf(col("sk_a"), col("sk_b")), 4)
+            .as("est_jaccard"))
+        val exact = o.groupBy("o_custkey")
+          .agg(max(when(col("late_half"), 1).otherwise(0)).as("in_a"),
+            max(when(!col("late_half"), 1).otherwise(0)).as("in_b"))
+          .agg(sum(col("in_a")).as("exact_a"), sum(col("in_b")).as("exact_b"),
+            sum(col("in_a") * col("in_b")).as("exact_overlap"))
+        est.crossJoin(exact)
+      },
+      None),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): the classic date-spine
     // gap-fill — generate every day offset of 1995 recursively, left-join
     // daily order counts, emit zeros for silent days. Cross-engine text
