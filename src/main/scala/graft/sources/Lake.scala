@@ -65,6 +65,13 @@ object Lake {
       .parquet(tmp.toString)
     require(fs.rename(target, old), s"could not stage $target aside")
     require(fs.rename(tmp, target), s"could not promote $tmp")
+    // carry the snapshot HISTORY across the rewrite: the old snapshots
+    // become unreadable (their files are gone — readSnapshot says so
+    // loudly), but erasing the record of them would turn that loud failure
+    // into a confusing "no snapshot" for ids the caller knows existed
+    val oldSnaps = new org.apache.hadoop.fs.Path(old, SnapshotDir)
+    if (fs.exists(oldSnaps))
+      fs.rename(oldSnaps, new org.apache.hadoop.fs.Path(target, SnapshotDir))
     fs.delete(old, true)
   }
 
@@ -621,6 +628,131 @@ object Lake {
     safeReplace(spark, path, df.repartition(nFiles))
     graft.Checkpoints.release(df)
     (before, parquetFiles)
+  }
+
+  /** **Snapshots (time travel for append-only tables)** — pin the exact
+    * file set a training run read, so the run is REPRODUCIBLE: re-reading
+    * the snapshot months later returns byte-identical data even though the
+    * table has kept ingesting. The snapshot is a manifest of (relative
+    * path, length) under `_graft_snapshots/` inside the table directory
+    * (underscore-prefixed → invisible to normal parquet reads, the same
+    * convention as FileSkipping's `_graft_stats`), published by atomic
+    * rename. Valid for as long as the table is APPEND-ONLY — the engine's
+    * corpus/sink discipline; a rewriting maintenance pass
+    * ([[safeReplace]], [[compact]], [[upsertByKey]]) invalidates older
+    * snapshots, and [[readSnapshot]] detects that LOUDLY (missing/resized
+    * files named) instead of silently returning different data. A real
+    * lakehouse table format makes snapshots first-class metadata; this is
+    * the same contract expressed with plain directories. Returns the new
+    * snapshot id (monotonic). */
+  def snapshot(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listDataFiles(fs, p)
+      .map { st =>
+        val rel = st.getPath.toString.stripPrefix(
+          fs.makeQualified(p).toString).stripPrefix("/")
+        s"${st.getLen}\t$rel"
+      }.sorted
+    val dir = new org.apache.hadoop.fs.Path(p, SnapshotDir)
+    fs.mkdirs(dir)
+    val id = snapshotIds(fs, p).sorted.lastOption.getOrElse(0L) + 1L
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".snap_$id.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"snap_$id")),
+      s"could not publish snapshot $id")
+    id
+  }
+
+  /** Read the table EXACTLY as it was at `snapId`. Fails loudly if a
+    * rewrite has invalidated the snapshot. Partition columns survive via
+    * `basePath`. */
+  def readSnapshot(spark: SparkSession, path: String, snapId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = snapshotEntries(fs, p, snapId)
+    val broken = entries.filter { case (len, rel) =>
+      val f = new org.apache.hadoop.fs.Path(p, rel)
+      !fs.exists(f) || fs.getFileStatus(f).getLen != len
+    }
+    require(broken.isEmpty,
+      s"snapshot $snapId of $path is no longer readable — a rewrite " +
+        s"(compaction/replace/upsert) changed ${broken.size} of its files: " +
+        broken.take(5).map(_._2).mkString(", "))
+    spark.read.option("basePath", path)
+      .parquet(entries.map { case (_, rel) => s"$path/$rel" }: _*)
+  }
+
+  /** Incremental batch processing WITHOUT streaming: the rows appended
+    * since `snapId` — current data files minus the snapshot's set. The
+    * batch twin of a streaming file source: snapshot after each processing
+    * run, read-appended-since the previous one on the next. */
+  def readAppendedSince(spark: SparkSession, path: String,
+      snapId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = snapshotEntries(fs, p, snapId).map(_._2).toSet
+    val fresh = listDataFiles(fs, p).map { st =>
+      st.getPath.toString.stripPrefix(
+        fs.makeQualified(p).toString).stripPrefix("/")
+    }.filterNot(old.contains)
+    if (fresh.isEmpty)
+      spark.read.parquet(path).limit(0)
+    else spark.read.option("basePath", path)
+      .parquet(fresh.map(rel => s"$path/$rel"): _*)
+  }
+
+  /** Existing snapshot ids, ascending. */
+  def snapshots(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshotIds(fs, p).sorted
+  }
+
+  private val SnapshotDir = "_graft_snapshots"
+
+  private def snapshotIds(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(table, SnapshotDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("snap_")).map(_.stripPrefix("snap_").toLong)
+  }
+
+  private def snapshotEntries(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, snapId: Long): Seq[(Long, String)] = {
+    val f = new org.apache.hadoop.fs.Path(table, s"$SnapshotDir/snap_$snapId")
+    require(fs.exists(f), s"no snapshot $snapId at $table " +
+      s"(have: ${snapshotIds(fs, table).sorted.mkString(", ")})")
+    val in = fs.open(f)
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.commons.io.IOUtils.copy(in, bytes)
+      bytes.toString("UTF-8")
+    } finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(len, rel) = line.split("\t", 2)
+      (len.toLong, rel)
+    }
+  }
+
+  /** Data files of the table: parquet files outside underscore/dot-prefixed
+    * metadata directories (the same visibility rule Spark's own file index
+    * applies). */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val base = fs.makeQualified(table).toString
+    val it = fs.listFiles(table, true)
+    val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
+      val hidden = rel.split("/").exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden && st.getPath.getName.endsWith(".parquet")) out += st
+    }
+    out.result()
   }
 
   /** **Z-order layout**: range-partition + sort rows by the interleaved bits

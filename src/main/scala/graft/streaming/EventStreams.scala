@@ -251,6 +251,44 @@ object EventStreams {
       }
   }
 
+  final case class UserDistinct(user_id: Long, est_distinct: Double)
+
+  /** Streaming per-key distinct-count estimates via a theta sketch in the
+    * state store — the set-cardinality member of the streaming sketch
+    * family ([[runningUserStats]] counts, [[runningUserQuantiles]]
+    * quantiles). State is the serialized sketch (bounded: ≤ k retained
+    * hashes per key regardless of stream length); the update is
+    * insert-if-below-threshold, so arrival order is irrelevant and a
+    * checkpoint-resumed stream continues exactly. Distinctness is over
+    * `event_type` here; any string key works the same way.
+    *
+    * The hash is BIT-IDENTICAL to SQL `xxhash64(string)` (same XXH64 over
+    * the UTF-8 bytes, same seed 42), so these streaming sketches MERGE
+    * with batch-built `ThetaSketch.thetaAgg(xxhash64(col))` sketches —
+    * one sketch family across both halves of a lambda pipeline. */
+  def runningUserDistinct(events: Dataset[Event],
+      k: Int = 256): Dataset[UserDistinct] = {
+    import events.sparkSession.implicits._
+    import graft.operators.ThetaSketch
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Array[Byte], UserDistinct](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Array[Byte]]) =>
+          val sk = state.getOption.map(ThetaSketch.deserialize)
+            .getOrElse(ThetaSketch.empty(k))
+          rows.foreach { ev =>
+            val bytes = ev.event_type.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+            sk.update(org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(bytes,
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                bytes.length, 42L))
+          }
+          state.update(sk.serialize)
+          UserDistinct(userId, sk.estimate)
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `dedup_key` was already seen,
     * with a watermark bounding the dedup state (keys older than the watermark
     * are evicted — the streaming twin of the batch md5 hash-groupBy dedup).

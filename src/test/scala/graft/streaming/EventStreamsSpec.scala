@@ -177,6 +177,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n") === 1L)
   }
 
+  test("runningUserDistinct: sketch state accumulates; hash matches batch xxhash64") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.runningUserDistinct(input.toDS())
+      .writeStream.format("memory").queryName("userdistinct")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(EventStreams.Event(ts(1), 7L, "click", 1.0),
+      EventStreams.Event(ts(2), 7L, "click", 1.0)) // duplicate type
+    q.processAllAvailable()
+    input.addData(EventStreams.Event(ts(3), 7L, "view", 1.0),
+      EventStreams.Event(ts(4), 7L, "purchase", 1.0),
+      EventStreams.Event(ts(5), 8L, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("userdistinct")
+      .groupBy("user_id").agg(max("est_distinct").as("d"))
+      .orderBy("user_id").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows(0).getDouble(1) === 3.0, // exact below k: click/view/purchase
+      "user 7 must accumulate distinct types across micro-batches")
+    assert(rows(1).getDouble(1) === 1.0)
+
+    // the streaming update hashes bit-identically to SQL xxhash64, so a
+    // stream-built sketch merges with a batch-built one: sketch the same
+    // values both ways and compare the serialized bytes
+    import graft.operators.ThetaSketch
+    val vals = Seq("click", "view", "purchase")
+    val batchSketch = ThetaSketch.deserialize(
+      vals.toDF("v").agg(ThetaSketch.thetaAggK(256)(xxhash64(col("v"))))
+        .head.getAs[Array[Byte]](0))
+    val streamStyle = ThetaSketch.empty(256)
+    vals.foreach { v =>
+      val bytes = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      streamStyle.update(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L))
+    }
+    assert(batchSketch.serialize.toSeq === streamStyle.serialize.toSeq,
+      "stream and batch paths must build the identical sketch")
+  }
+
   test("runningUserStats ewma is bit-equal to the batch fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
