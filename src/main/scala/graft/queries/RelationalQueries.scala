@@ -691,6 +691,34 @@ object RelationalQueries {
              |)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Snapshot time travel end-to-end: a staged orders copy is written in
+    // two halves with a Lake.snapshot taken between them; the query reads
+    // THROUGH the snapshot and must return exactly the first half even
+    // though the table has since doubled — hash-gating the listing,
+    // manifest, and pinned-file-list read against DuckDB recomputing the
+    // half from the raw table. The delta twin below gates the complement.
+    QueryDef(
+      "l_snapshot_read",
+      (s, dir) =>
+        graft.sources.Lake
+          .readSnapshot(s, snapshotOrdersPath(s, dir), 1L)
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // The incremental half: readAppendedSince(snapshot 1) must be exactly
+    // the rows appended after it — the no-streaming incremental-batch path.
+    QueryDef(
+      "l_snapshot_delta",
+      (s, dir) =>
+        graft.sources.Lake
+          .readAppendedSince(s, snapshotOrdersPath(s, dir), 1L)
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // SCD type-2 history end-to-end: supplier is bootstrapped as a
     // slowly-changing dimension at t=100, then two deterministic change
     // batches land through Lake.scdMerge (t=200 bumps acctbal for suppkey
@@ -845,6 +873,21 @@ object RelationalQueries {
           .select((col("s_suppkey") + lit(100000L)).as("s_suppkey"),
             col("s_nationkey"), (col("s_acctbal") / lit(2.0)).as("s_acctbal")))
       graft.sources.Lake.scdMerge(s, loc, b300, Seq("s_suppkey"), asOf = 300L)
+    }
+
+  /** orders staged in two halves (even keys, then odd appended) with a
+    * [[graft.sources.Lake.snapshot]] pinned between them — the fixture the
+    * snapshot-read and appended-since-delta oracle rows replay. */
+  private[graft] def snapshotOrdersPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "orders_snap") { loc =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      o.filter(col("o_orderkey") % 2 === 0).write.parquet(loc)
+      val id = graft.sources.Lake.snapshot(s, loc)
+      require(id == 1L, s"fresh staging must yield snapshot 1, got $id")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .write.mode("append").parquet(loc)
     }
 
   /** supplier as a CSV written by the engine's own small-CSV sink, for the
