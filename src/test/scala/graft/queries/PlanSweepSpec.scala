@@ -31,6 +31,7 @@ class PlanSweepSpec extends SparkSpec {
     "s_pq_knn", // ADC scan: broadcast-size query set × compressed code table
     "a_hll_mergeable", // 1-row merged-sketch frame × 1-row direct/exact frame
     "a_tdigest_quantiles", // 1-row merged-digest frame × 1-row exact-percentile frame
+    "a_theta_overlap", // 1-row sketch frames × each other × 1-row exact-count frame (self-audit)
     "s_ivfpq_knn", // bounded query×centroid probe pick; the CODE scan itself is an equi-join on cell (plan-asserted in IvfPqSpec)
     "d_semantic_ivfpq" // same bounded ×nLists-centroid probe pick; candidates reached by the cell equi-join (plan-asserted in ScalableDedupSpec)
   )
