@@ -114,6 +114,34 @@ class OperatorPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: theta sketches are order/split/merge-shape invariant and " +
+    "set algebra respects the lattice") {
+    val genHashes = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    holds(Prop.forAll(genHashes, Gen.choose(16, 64), Gen.choose(0L, 9999L)) {
+      (hs, k, seed) =>
+        // ANY permutation and ANY split/merge tree must yield the identical
+        // sketch — the property that makes partial aggregation legal
+        val rnd = new scala.util.Random(seed)
+        val direct = ThetaSketch.empty(k)
+        hs.foreach(direct.update)
+        val shuffled = rnd.shuffle(hs)
+        val parts = if (shuffled.size < 2) Seq(shuffled)
+          else shuffled.grouped(math.max(1, rnd.nextInt(shuffled.size) + 1)).toSeq
+        val merged = parts.map { p =>
+          val s = ThetaSketch.empty(k); p.foreach(s.update); s
+        }.reduce(_.mergeWith(_))
+        val same = merged.serialize.toSeq == direct.serialize.toSeq
+        // lattice sanity on the SAME sketch: A∩A = A, A\A = 0, J(A,A) = 1
+        val round = ThetaSketch.deserialize(direct.serialize)
+        val selfInter = ThetaSketch.intersectEstimate(direct, round) ==
+          direct.estimate
+        val selfDiff = ThetaSketch.aNotBEstimate(direct, round) == 0.0
+        val selfJac = hs.isEmpty ||
+          ThetaSketch.jaccardEstimate(direct, round) == 1.0
+        same && selfInter && selfDiff && selfJac
+    })
+  }
+
   test("property: connected components labels are closed under the edge set") {
     import spark.implicits._
     val genEdge = for {
