@@ -214,6 +214,51 @@ class IngestFlowSpec extends SparkSpec {
       "a second replay of the same quarantine must be a no-op")
   }
 
+  test("corpus snapshots pinned between ingest sessions survive further " +
+    "ingest and backfill") {
+    // the composition that makes training runs reproducible: snapshot the
+    // corpus after an ingest session; later sessions and quarantine
+    // backfills APPEND (the corpus discipline), so the pinned read is
+    // byte-stable forever — "which corpus did this model train on" has an
+    // answer even while ingestion continues
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val rules = Seq(Checks.Rule("has_id", col("doc_id").isNotNull))
+    def json(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val base = java.nio.file.Files.createTempDirectory("ingest_snap").toString
+    val bus = FileBus(s"$base/bus", "docs")
+    val corpus = s"$base/corpus"
+    bus.append(spark, Seq("p1" -> json(1, "alpha"), "p2" -> json(2, "beta")),
+      0L, t0)
+    val q = IngestFlow.start(spark, bus, docSchema, rules,
+      lateDelay = "10 minutes", quarantinePath = s"$base/q",
+      storePath = s"$base/store", corpusPath = corpus,
+      checkpoint = s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      val snap = graft.sources.Lake.snapshot(spark, corpus)
+      val pinned = graft.sources.Lake.readSnapshot(spark, corpus, snap)
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(pinned === Set("alpha", "beta"))
+
+      // ingestion continues — a later session and a batch backfill append
+      bus.append(spark, Seq("p3" -> json(3, "gamma")), 2L, t0)
+      q.processAllAvailable()
+      import spark.implicits._
+      StreamingDedup.ingestBatch(Seq((4L, "delta")).toDF("doc_id", "text"),
+        s"$base/store", corpus)
+
+      // the live corpus moved; the pinned read did not
+      assert(spark.read.parquet(corpus).count() === 4)
+      assert(graft.sources.Lake.readSnapshot(spark, corpus, snap)
+        .select("text").collect().map(_.getString(0)).toSet === pinned,
+        "a pinned snapshot must be byte-stable under continued ingestion")
+      // and the delta since the snapshot is exactly the later arrivals
+      assert(graft.sources.Lake.readAppendedSince(spark, corpus, snap)
+        .select("text").collect().map(_.getString(0)).toSet
+        === Set("gamma", "delta"))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("quarantine writes are idempotent across micro-batch replays") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("quar").toString + "/q"
