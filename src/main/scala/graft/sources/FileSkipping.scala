@@ -81,7 +81,7 @@ object FileSkipping {
     out.result()
   }
 
-  private def listDataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+  private[sources] def listDataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)

@@ -648,11 +648,13 @@ object Lake {
   def snapshot(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = listDataFiles(fs, p)
-      .map { st =>
-        val rel = st.getPath.toString.stripPrefix(
-          fs.makeQualified(p).toString).stripPrefix("/")
-        s"${st.getLen}\t$rel"
+    val base = fs.makeQualified(p).toString
+    // same distributed listing as the skipping manifest: past 8 top-level
+    // partition dirs the recursive list fans out as a Spark job — at 10⁴+
+    // partitions a driver-serial walk is minutes of metadata RPCs
+    val files = FileSkipping.listDataFiles(spark, path)
+      .map { case (abs, len) =>
+        s"$len\t${abs.stripPrefix(base).stripPrefix("/")}"
       }.sorted
     val dir = new org.apache.hadoop.fs.Path(p, SnapshotDir)
     fs.mkdirs(dir)
@@ -692,11 +694,11 @@ object Lake {
       snapId: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(p).toString
     val old = snapshotEntries(fs, p, snapId).map(_._2).toSet
-    val fresh = listDataFiles(fs, p).map { st =>
-      st.getPath.toString.stripPrefix(
-        fs.makeQualified(p).toString).stripPrefix("/")
-    }.filterNot(old.contains)
+    val fresh = FileSkipping.listDataFiles(spark, path)
+      .map { case (abs, _) => abs.stripPrefix(base).stripPrefix("/") }
+      .filterNot(old.contains)
     if (fresh.isEmpty)
       spark.read.parquet(path).limit(0)
     else spark.read.option("basePath", path)
@@ -735,24 +737,6 @@ object Lake {
       val Array(len, rel) = line.split("\t", 2)
       (len.toLong, rel)
     }
-  }
-
-  /** Data files of the table: parquet files outside underscore/dot-prefixed
-    * metadata directories (the same visibility rule Spark's own file index
-    * applies). */
-  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
-    val base = fs.makeQualified(table).toString
-    val it = fs.listFiles(table, true)
-    val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
-      val hidden = rel.split("/").exists(seg =>
-        seg.startsWith("_") || seg.startsWith("."))
-      if (!hidden && st.getPath.getName.endsWith(".parquet")) out += st
-    }
-    out.result()
   }
 
   /** **Z-order layout**: range-partition + sort rows by the interleaved bits
