@@ -39,8 +39,10 @@ import org.apache.spark.sql.functions.udaf
   * data; any-range overlap questions are answered by merging stored
   * sketches — the same rollup discipline as HLL / CMS / t-digest.
   */
-final class ThetaSketch(val k: Int) extends Serializable {
-  require(k >= 16, s"k must be >= 16, got $k")
+final class ThetaSketch(private var kVar: Int) extends Serializable {
+  require(kVar >= 16, s"k must be >= 16, got $kVar")
+
+  def k: Int = kVar
 
   /** Retained normalized hashes, each < theta; size <= k. */
   private[operators] var retained: java.util.TreeSet[java.lang.Double] =
@@ -60,8 +62,12 @@ final class ThetaSketch(val k: Int) extends Serializable {
     }
   }
 
+  /** Merge; sketches of DIFFERENT k merge to the smaller k (standard KMV
+    * downgrade — the result is exactly the min-k sketch of the union), so
+    * a small streaming-state sketch and a large batch sketch combine
+    * without ceremony. */
   def mergeWith(other: ThetaSketch): ThetaSketch = {
-    require(other.k == k, s"cannot merge sketches with k=$k and k=${other.k}")
+    kVar = math.min(kVar, other.k)
     val t = math.min(theta, other.theta)
     val it = other.retained.iterator()
     while (it.hasNext) {
@@ -138,10 +144,20 @@ object ThetaSketch {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  /** `groupBy(...).agg(thetaAgg(xxhash64(col)))` — sketch a pre-hashed
-    * LONG column (hash upstream with `xxhash64(...)` so it stays inside
-    * whole-stage codegen; NULL hashes are skipped like SQL distinct-agg
-    * null semantics). Default k. */
+  /** NULL-safe upstream hash for [[thetaAgg]]: SQL `xxhash64(NULL)` is NOT
+    * null — it returns the SEED (42), so feeding it directly would count
+    * every nullable column's NULLs as one shared phantom item (and two
+    * disjoint nullable corpora would report nonzero overlap through the
+    * common hash 42). This wraps the codegen'd hash so NULL stays NULL and
+    * the aggregator skips it — SQL distinct-agg null semantics. */
+  def hashCol(c: Column): Column =
+    org.apache.spark.sql.functions.when(c.isNotNull,
+      org.apache.spark.sql.functions.xxhash64(c))
+
+  /** `groupBy(...).agg(thetaAgg(ThetaSketch.hashCol(col)))` — sketch a
+    * pre-hashed LONG column (hashing stays inside whole-stage codegen;
+    * NULL inputs are skipped like SQL distinct-agg null semantics — use
+    * [[hashCol]], not bare `xxhash64`, on nullable columns). Default k. */
   lazy val thetaAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
     thetaAggK(DefaultK)
 

@@ -234,7 +234,8 @@ object SketchQueries {
           .select(col("o_custkey"),
             (col("o_orderdate") >= "1998-01-01").as("late_half"))
         val sketches = o.groupBy("late_half")
-          .agg(ThetaSketch.thetaAgg(xxhash64(col("o_custkey"))).as("sk"))
+          .agg(ThetaSketch.thetaAgg(ThetaSketch.hashCol(col("o_custkey")))
+            .as("sk"))
         val a = sketches.filter(col("late_half")).select(col("sk").as("sk_a"))
         val b = sketches.filter(!col("late_half")).select(col("sk").as("sk_b"))
         val est = a.crossJoin(b).select(

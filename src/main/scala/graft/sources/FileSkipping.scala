@@ -63,10 +63,14 @@ object FileSkipping {
     * before any work starts. */
   private val ParallelListThreshold = 8
 
-  /** All visible `.parquet` data files under `root` as (path, length).
-    * Hidden rule matches Spark's file index: `_`/`.` prefixed names (and
-    * everything below such a directory) are metadata, not data. */
-  private def dataFilesUnder(conf: Configuration, root: String): Seq[(String, Long)] = {
+  /** All visible data files under `root` as (path, length). Hidden rule
+    * matches Spark's file index: `_`/`.` prefixed names (and everything
+    * below such a directory) are metadata, not data. `parquetOnly = false`
+    * keeps EVERY visible file — what an exactness-critical manifest
+    * ([[Lake.snapshot]]) needs, where the stats lister's suffix filter
+    * would silently omit oddly-named data files. */
+  private def dataFilesUnder(conf: Configuration, root: String,
+      parquetOnly: Boolean = true): Seq[(String, Long)] = {
     val p = new Path(root)
     val fs = p.getFileSystem(conf)
     val out = Seq.newBuilder[(String, Long)]
@@ -76,12 +80,14 @@ object FileSkipping {
       val name = st.getPath.getName
       val rel = st.getPath.toString.stripPrefix(fs.makeQualified(p).toString)
       val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-      if (name.endsWith(".parquet") && !hidden) out += ((st.getPath.toString, st.getLen))
+      if (!hidden && (!parquetOnly || name.endsWith(".parquet")))
+        out += ((st.getPath.toString, st.getLen))
     }
     out.result()
   }
 
-  private[sources] def listDataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+  private[sources] def listDataFiles(spark: SparkSession, path: String,
+      parquetOnly: Boolean = true): Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -90,7 +96,7 @@ object FileSkipping {
         st.getPath.getName.startsWith("."))
     val (dirs, files) = top.partition(_.isDirectory)
     val topFiles = files.collect {
-      case st if st.getPath.getName.endsWith(".parquet") =>
+      case st if !parquetOnly || st.getPath.getName.endsWith(".parquet") =>
         (st.getPath.toString, st.getLen)
     }.toSeq
     val nested: Seq[(String, Long)] =
@@ -105,12 +111,13 @@ object FileSkipping {
           .parallelize(dirs.map(_.getPath.toString).toSeq, slices)
           .mapPartitions { it =>
             val c = bc.value.conf
-            it.flatMap(d => dataFilesUnder(c, d))
+            it.flatMap(d => dataFilesUnder(c, d, parquetOnly))
           }
           .collect().toSeq
         bc.destroy()
         listed
-      } else dirs.toSeq.flatMap(d => dataFilesUnder(conf, d.getPath.toString))
+      } else dirs.toSeq.flatMap(d =>
+        dataFilesUnder(conf, d.getPath.toString, parquetOnly))
     topFiles ++ nested
   }
 

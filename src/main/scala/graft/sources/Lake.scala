@@ -71,7 +71,10 @@ object Lake {
     // into a confusing "no snapshot" for ids the caller knows existed
     val oldSnaps = new org.apache.hadoop.fs.Path(old, SnapshotDir)
     if (fs.exists(oldSnaps))
-      fs.rename(oldSnaps, new org.apache.hadoop.fs.Path(target, SnapshotDir))
+      require(fs.rename(oldSnaps,
+        new org.apache.hadoop.fs.Path(target, SnapshotDir)),
+        s"could not carry snapshot history into $target — NOT deleting " +
+          s"the staged copy at $old (recover $SnapshotDir from it)")
     fs.delete(old, true)
   }
 
@@ -651,8 +654,11 @@ object Lake {
     val base = fs.makeQualified(p).toString
     // same distributed listing as the skipping manifest: past 8 top-level
     // partition dirs the recursive list fans out as a Spark job — at 10⁴+
-    // partitions a driver-serial walk is minutes of metadata RPCs
-    val files = FileSkipping.listDataFiles(spark, path)
+    // partitions a driver-serial walk is minutes of metadata RPCs.
+    // parquetOnly = false: a manifest that claims "the exact file set" must
+    // pin EVERY visible file, including oddly-named ones an external writer
+    // left — omitting them would make readSnapshot a silent partial read
+    val files = FileSkipping.listDataFiles(spark, path, parquetOnly = false)
       .map { case (abs, len) =>
         s"$len\t${abs.stripPrefix(base).stripPrefix("/")}"
       }.sorted
@@ -682,7 +688,10 @@ object Lake {
       s"snapshot $snapId of $path is no longer readable — a rewrite " +
         s"(compaction/replace/upsert) changed ${broken.size} of its files: " +
         broken.take(5).map(_._2).mkString(", "))
-    spark.read.option("basePath", path)
+    // a snapshot of a then-empty table (pinned before first ingest) reads
+    // as zero rows with the CURRENT schema, not a schema-inference crash
+    if (entries.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.option("basePath", path)
       .parquet(entries.map { case (_, rel) => s"$path/$rel" }: _*)
   }
 
@@ -695,8 +704,21 @@ object Lake {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.makeQualified(p).toString
-    val old = snapshotEntries(fs, p, snapId).map(_._2).toSet
-    val fresh = FileSkipping.listDataFiles(spark, path)
+    val entries = snapshotEntries(fs, p, snapId)
+    // the same loud-invalidation contract as readSnapshot: after a rewrite
+    // every old file name is gone, so WITHOUT this check the whole
+    // rewritten table would come back as the "delta" and an incremental
+    // consumer would silently double-process the corpus
+    val broken = entries.filter { case (len, rel) =>
+      val f = new org.apache.hadoop.fs.Path(p, rel)
+      !fs.exists(f) || fs.getFileStatus(f).getLen != len
+    }
+    require(broken.isEmpty,
+      s"snapshot $snapId of $path is no longer a valid delta base — a " +
+        s"rewrite changed ${broken.size} of its files: " +
+        broken.take(5).map(_._2).mkString(", "))
+    val old = entries.map(_._2).toSet
+    val fresh = FileSkipping.listDataFiles(spark, path, parquetOnly = false)
       .map { case (abs, _) => abs.stripPrefix(base).stripPrefix("/") }
       .filterNot(old.contains)
     if (fresh.isEmpty)

@@ -75,13 +75,41 @@ class ThetaSpec extends SparkSpec {
       "a sketch intersected with its own copy is itself")
   }
 
+  test("mergeWith downgrades to the smaller k (stream-state × batch sketch)") {
+    // the advertised lambda composition: a k=256 streaming-state sketch
+    // merges with a default-k batch sketch — result is the min-k sketch of
+    // the union, exactly what sketching the union at k=256 would give
+    val small = ThetaSketch.empty(k = 256)
+    (1 to 5000).foreach(i => small.update(hash64(s"m$i")))
+    val big = ThetaSketch.empty(k = 4096)
+    (3000 to 9000).foreach(i => big.update(hash64(s"m$i")))
+    val direct = ThetaSketch.empty(k = 256)
+    (1 to 9000).foreach(i => direct.update(hash64(s"m$i")))
+    val merged = small.mergeWith(big)
+    assert(merged.k === 256)
+    assert(merged.serialize.toSeq === direct.serialize.toSeq,
+      "cross-k merge must equal the min-k sketch of the union")
+  }
+
+  test("NULLs are excluded via hashCol (bare xxhash64 would count the seed)") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("b"), None).toDF("v")
+    val est = df.agg(ThetaSketch.thetaAgg(ThetaSketch.hashCol(col("v"))).as("sk"))
+      .select(ThetaSketch.estimateOf(col("sk"))).head.getDouble(0)
+    assert(est === 2.0, s"NULLs must not count as a phantom item, got $est")
+    // and the footgun this guards: bare xxhash64 DOES produce the seed
+    val bare = df.agg(ThetaSketch.thetaAgg(xxhash64(col("v"))).as("sk"))
+      .select(ThetaSketch.estimateOf(col("sk"))).head.getDouble(0)
+    assert(bare === 3.0, "documents why hashCol exists")
+  }
+
   test("DataFrame rollup: sketch per day, merged estimate vs exact distinct") {
     import spark.implicits._
     // 3 'days' with overlapping user sets — the stored-sketch rollup path
     val rows = (1 to 30000).map(i => (i % 3, s"user${i % 7000}"))
     val df = rows.toDF("day", "uid")
     val daily = df.groupBy("day")
-      .agg(ThetaSketch.thetaAgg(xxhash64(col("uid"))).as("sk"))
+      .agg(ThetaSketch.thetaAgg(ThetaSketch.hashCol(col("uid"))).as("sk"))
     assert(daily.count() === 3)
     val merged = daily.agg(ThetaSketch.thetaMergeAgg(col("sk")).as("sk"))
       .select(ThetaSketch.estimateOf(col("sk")).as("est")).head.getDouble(0)
@@ -90,7 +118,7 @@ class ThetaSpec extends SparkSpec {
       s"rollup estimate $merged vs exact $exact")
     // estimates are deterministic under repartition (hash-set semantics)
     val daily2 = df.repartition(13).groupBy("day")
-      .agg(ThetaSketch.thetaAgg(xxhash64(col("uid"))).as("sk"))
+      .agg(ThetaSketch.thetaAgg(ThetaSketch.hashCol(col("uid"))).as("sk"))
     val merged2 = daily2.agg(ThetaSketch.thetaMergeAgg(col("sk")).as("sk"))
       .select(ThetaSketch.estimateOf(col("sk")).as("est")).head.getDouble(0)
     assert(merged === merged2, "partitioning must not change the sketch")

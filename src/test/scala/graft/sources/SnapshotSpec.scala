@@ -71,6 +71,14 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no longer readable"),
       s"stale snapshot must fail with the invalidation named: ${e.getMessage}")
+    // the DELTA path must refuse too: with every old file name gone, the
+    // whole rewritten table would otherwise come back as the "delta" and
+    // an incremental consumer would silently double-process the corpus
+    val eDelta = intercept[IllegalArgumentException] {
+      Lake.readAppendedSince(spark, path, s1).count()
+    }
+    assert(eDelta.getMessage.contains("no longer a valid delta base"),
+      s"stale delta base must fail loudly: ${eDelta.getMessage}")
     // a fresh snapshot of the compacted table works again
     val s2 = Lake.snapshot(spark, path)
     assert(Lake.readSnapshot(spark, path, s2).count() === 3)
