@@ -764,6 +764,35 @@ object RelationalQueries {
              |WHERE effective_from <= 250
              |  AND (effective_to IS NULL OR effective_to > 250)
              |ORDER BY s_suppkey""".stripMargin)),
+
+    // Incremental materialized-aggregate maintenance end-to-end: a staged
+    // orders copy is written in three thirds; the per-customer aggregate
+    // view is CREATED on the first third and REFRESHED twice, each refresh
+    // folding only the appended files into the mergeable state (exact
+    // decimal sums, min/max, counts) via the snapshot-pinned delta. The
+    // query reads the twice-merged state; the DuckDB oracle recomputes the
+    // same aggregate from the FULL raw table in one shot — a green row
+    // proves staged maintenance is value-identical to full recompute
+    // (the Exact-decimal finalization makes the doubles bit-equal).
+    QueryDef(
+      "l_incr_agg",
+      (s, dir) =>
+        graft.sources.MaterializedAgg.read(s, mviewOrdersPath(s, dir) + "/view")
+          .select(col("o_custkey"), col("cnt"),
+            col("sum_o_totalprice").as("sum_price"),
+            col("avg_o_totalprice").as("avg_price"),
+            col("min_o_totalprice").as("min_price"),
+            col("max_o_totalprice").as("max_price"),
+            col("max_o_orderkey").as("max_key"))
+          .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, count(*) AS cnt,
+             |  ${Exact.sqlDsum("o_totalprice")} AS sum_price,
+             |  ${Exact.sqlDavg("o_totalprice")} AS avg_price,
+             |  min(o_totalprice) AS min_price,
+             |  max(o_totalprice) AS max_price,
+             |  max(o_orderkey) AS max_key
+             |FROM orders GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
   )
 
   /** Stage a derived layout under the warehouse once per JVM per data dir.
@@ -888,6 +917,31 @@ object RelationalQueries {
       require(id == 1L, s"fresh staging must yield snapshot 1, got $id")
       o.filter(col("o_orderkey") % 2 =!= 0)
         .write.mode("append").parquet(loc)
+    }
+
+  /** A base-table copy in three appended thirds with a materialized
+    * per-customer aggregate view maintained across them: created on the
+    * first third, refreshed after each of the two appends. The `l_incr_agg`
+    * row reads the view; its oracle recomputes from the full table. */
+  private[graft] def mviewOrdersPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "orders_mview") { loc =>
+      val table = s"$loc/table"
+      val view = s"$loc/view"
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      o.filter(col("o_orderkey") % 3 === 0).write.parquet(table)
+      graft.sources.MaterializedAgg.create(s, table, view,
+        graft.sources.MaterializedAgg.Spec(
+          groupCols = Seq("o_custkey"),
+          sumCols = Seq("o_totalprice"),
+          minCols = Seq("o_totalprice"),
+          maxCols = Seq("o_totalprice", "o_orderkey")))
+      (1 to 2).foreach { r =>
+        o.filter(col("o_orderkey") % 3 === r)
+          .write.mode("append").parquet(table)
+        graft.sources.MaterializedAgg.refresh(s, view)
+      }
     }
 
   /** supplier as a CSV written by the engine's own small-CSV sink, for the

@@ -727,6 +727,37 @@ object Lake {
       .parquet(fresh.map(rel => s"$path/$rel"): _*)
   }
 
+  /** The rows appended between two snapshots — `toId`'s file set minus
+    * `fromId`'s. Unlike [[readAppendedSince]] this delta is PINNED on both
+    * ends: an incremental consumer that snapshots first and then reads the
+    * from→to difference can never lose rows that land mid-refresh (they are
+    * simply after `toId`, picked up next run) and can re-run the identical
+    * delta after a crash. [[MaterializedAgg.refresh]] is built on exactly
+    * that property. */
+  def readAppendedBetween(spark: SparkSession, path: String,
+      fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId,
+      s"readAppendedBetween: fromId $fromId > toId $toId")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val from = snapshotEntries(fs, p, fromId)
+    val to = snapshotEntries(fs, p, toId)
+    // append-only sanity between the two pins: every old file must appear
+    // unchanged in the newer manifest, else a rewrite happened in between
+    // and the "delta" would silently double-count the rewritten corpus
+    val toSet = to.toSet
+    val broken = from.filterNot(toSet.contains)
+    require(broken.isEmpty,
+      s"snapshots $fromId -> $toId of $path are not append-related — " +
+        s"${broken.size} files of $fromId are missing/resized in $toId: " +
+        broken.take(5).map(_._2).mkString(", "))
+    val old = from.map(_._2).toSet
+    val fresh = to.map(_._2).filterNot(old.contains)
+    if (fresh.isEmpty) readSnapshot(spark, path, toId).limit(0)
+    else spark.read.option("basePath", path)
+      .parquet(fresh.map(rel => s"$path/$rel"): _*)
+  }
+
   /** Existing snapshot ids, ascending. */
   def snapshots(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)

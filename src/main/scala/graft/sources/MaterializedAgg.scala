@@ -1,0 +1,277 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.ThetaSketch
+
+/** **Incremental materialized-aggregate maintenance** — keep a GROUP BY
+  * result current over an append-only table by folding in ONLY the rows
+  * appended since the last refresh, instead of re-scanning the corpus.
+  *
+  * The 100 TB shape this exists for: a per-group dashboard/report over a
+  * corpus that grows by ~0.1 % a day. A full recompute re-shuffles 100 TB
+  * for every refresh; this refresh reads the appended files (pinned by the
+  * [[Lake.snapshot]] / [[Lake.readAppendedBetween]] pair), partial-aggregates
+  * them map-side like any Spark agg, and merges |groups| state rows — cost
+  * O(delta + groups), never O(table). The trick is the standard one
+  * (Iceberg/Materialize-style incremental view maintenance, restricted to
+  * ALGEBRAIC aggregates): every maintained aggregate is kept as a MERGEABLE
+  * partial state, the same discipline as the repo's sketch rollups —
+  *
+  *  - count            → long, merges by sum
+  *  - sum              → exact DECIMAL(38,6) (the [[graft.queries.Exact]]
+  *                       discipline: decimal addition is exact and
+  *                       associative, so staged merging is bit-identical to
+  *                       a one-shot sum; finalized to double the same way)
+  *  - avg              → derived at read time from (decimal sum, non-null
+  *                       count) — never stored, so it merges exactly
+  *  - min / max        → merge by min / max
+  *  - approx distinct  → [[ThetaSketch]] bytes; the KMV merge is
+  *                       bit-identical to sketching the union directly, so
+  *                       a maintained sketch equals a full-recompute sketch
+  *
+  * Non-algebraic aggregates (exact median, exact distinct) are out of
+  * contract by construction — they cannot be maintained from state smaller
+  * than the data; use the t-digest / theta estimates or recompute.
+  *
+  * Crash-safety is the repo's staged-commit pattern: each refresh writes a
+  * fresh `state_<snapId>` directory, then publishes an empty `commit_<snapId>`
+  * marker by atomic rename. The current state is the NEWEST committed id; a
+  * crash at any point leaves the previous state authoritative and the next
+  * refresh redoes the delta from it (snapshot pins make the redo exact, not
+  * approximate). Single-writer per view, like the rest of [[Lake]]'s
+  * maintenance ops. A rewrite of the base table (compaction, upsert) breaks
+  * the append-only contract and refresh fails LOUDLY via
+  * [[Lake.readAppendedBetween]]'s manifest check — recreate the view.
+  */
+object MaterializedAgg {
+
+  /** Which aggregates the view maintains. All referenced columns must exist
+    * in the base table; names must be tab/newline-free (they are stored in
+    * the view's plain-text meta file). */
+  final case class Spec(
+      groupCols: Seq[String],
+      sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil,
+      thetaK: Int = ThetaSketch.DefaultK) {
+    require(groupCols.nonEmpty, "materialized agg needs group columns")
+    private[sources] def allCols: Seq[String] =
+      (groupCols ++ sumCols ++ minCols ++ maxCols ++ distinctCols).distinct
+    allCols.foreach { c =>
+      require(!c.exists(ch => ch == '\t' || ch == '\n' || ch == ','),
+        s"column name '$c' cannot be stored in the view meta")
+    }
+  }
+
+  /** Materialize the view: snapshot the table, aggregate it once, commit
+    * `state_<snapId>`. Returns the snapshot id the state reflects. */
+  def create(spark: SparkSession, tablePath: String, viewPath: String,
+      spec: Spec): Long = {
+    val base = spark.read.parquet(tablePath)
+    val missing = spec.allCols.filterNot(base.columns.contains)
+    require(missing.isEmpty,
+      s"materialized-agg spec references columns $missing absent from $tablePath")
+    val fs = fsOf(spark, viewPath)
+    // committed state, not the meta file, is what makes a view exist — a
+    // create that crashed between meta and commit can simply be re-run
+    currentId(fs, viewPath).foreach { id =>
+      throw new IllegalStateException(
+        s"a materialized view already exists at $viewPath (state $id)")
+    }
+    val snapId = Lake.snapshot(spark, tablePath)
+    writeMeta(fs, viewPath, tablePath, spec)
+    val state = partialState(Lake.readSnapshot(spark, tablePath, snapId), spec)
+    state.write.mode("overwrite").parquet(s"$viewPath/state_$snapId")
+    publishCommit(fs, viewPath, snapId)
+    snapId
+  }
+
+  /** Fold in everything appended since the last committed refresh. Returns
+    * the snapshot id the state now reflects (unchanged when nothing was
+    * appended — the probe snapshot taken to check is left behind; manifests
+    * are KB-scale and [[vacuum]] does not touch the base table). */
+  def refresh(spark: SparkSession, viewPath: String): Long = {
+    val fs = fsOf(spark, viewPath)
+    val (tablePath, spec) = readMeta(fs, viewPath)
+    val cur = currentId(fs, viewPath).getOrElse(
+      throw new IllegalStateException(s"no committed state at $viewPath"))
+    // pin FIRST: rows appended after this instant are cleanly out of this
+    // refresh and cleanly inside the next — nothing can fall between reads
+    val newId = Lake.snapshot(spark, tablePath)
+    val delta = Lake.readAppendedBetween(spark, tablePath, cur, newId)
+    if (delta.isEmpty) return cur
+    val merged = mergeStates(readState(spark, viewPath, cur),
+      partialState(delta.select(spec.allCols.map(col): _*), spec), spec)
+    merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
+    publishCommit(fs, viewPath, newId)
+    newId
+  }
+
+  /** The finalized view: group columns plus `cnt`, `sum_<c>` / `avg_<c>`
+    * (exact-decimal finalization, bit-equal to [[graft.queries.Exact]]'s
+    * one-shot forms), `min_<c>` / `max_<c>`, and `distinct_<c>` (theta
+    * estimate — approximate above k, exact below). Reads |groups| state
+    * rows; never touches the base table. */
+  def read(spark: SparkSession, viewPath: String): DataFrame = {
+    val fs = fsOf(spark, viewPath)
+    val (_, spec) = readMeta(fs, viewPath)
+    val cur = currentId(fs, viewPath).getOrElse(
+      throw new IllegalStateException(s"no committed state at $viewPath"))
+    val st = readState(spark, viewPath, cur)
+    val out: Seq[Column] =
+      spec.groupCols.map(col) ++ Seq(col("__cnt").as("cnt")) ++
+        spec.sumCols.flatMap { c =>
+          Seq(col(s"__sum_$c").cast("double").as(s"sum_$c"),
+            (col(s"__sum_$c").cast("double") / col(s"__cnt_$c")).as(s"avg_$c"))
+        } ++
+        spec.minCols.map(c => col(s"__min_$c").as(s"min_$c")) ++
+        spec.maxCols.map(c => col(s"__max_$c").as(s"max_$c")) ++
+        spec.distinctCols.map(c =>
+          ThetaSketch.estimateOf(col(s"__theta_$c")).as(s"distinct_$c"))
+    st.select(out: _*)
+  }
+
+  /** Snapshot id the committed state reflects (None before [[create]]). */
+  def committedId(spark: SparkSession, viewPath: String): Option[Long] =
+    currentId(fsOf(spark, viewPath), viewPath)
+
+  /** Drop all state directories and markers except the newest committed one
+    * (crashed refreshes and superseded states accumulate otherwise).
+    * Returns the number of directories removed. */
+  def vacuum(spark: SparkSession, viewPath: String): Int = {
+    val fs = fsOf(spark, viewPath)
+    currentId(fs, viewPath) match {
+      case None => 0
+      case Some(keep) =>
+        val root = new org.apache.hadoop.fs.Path(viewPath)
+        var dropped = 0
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          val stale =
+            (n.startsWith("state_") && n.stripPrefix("state_").toLong != keep) ||
+              (n.startsWith("commit_") && n.stripPrefix("commit_").toLong != keep) ||
+              n.startsWith(".") // crashed-publish tmp leftovers
+          if (stale) {
+            require(fs.delete(st.getPath, true), s"could not vacuum ${st.getPath}")
+            if (n.startsWith("state_")) dropped += 1
+          }
+        }
+        dropped
+    }
+  }
+
+  // ---- state construction ------------------------------------------------
+
+  /** One mergeable-state row per group. Runs as an ordinary hash aggregate:
+    * map-side partials over the input files, one exchange on the group key. */
+  private def partialState(df: DataFrame, spec: Spec): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__cnt")) ++
+        spec.sumCols.flatMap { c =>
+          Seq(sum(col(c).cast(graft.queries.Exact.dt)).as(s"__sum_$c"),
+            count(col(c)).as(s"__cnt_$c"))
+        } ++
+        spec.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
+        spec.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
+        spec.distinctCols.map(c =>
+          ThetaSketch.thetaAggK(spec.thetaK)(ThetaSketch.hashCol(col(c)))
+            .as(s"__theta_$c"))
+    df.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two state frames: every stored aggregate is mergeable by
+    * construction, so this is one more hash aggregate over |groups| rows. */
+  private def mergeStates(a: DataFrame, b: DataFrame, spec: Spec): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(sum(col("__cnt")).as("__cnt")) ++
+        spec.sumCols.flatMap { c =>
+          Seq(sum(col(s"__sum_$c")).cast(graft.queries.Exact.dt).as(s"__sum_$c"),
+            sum(col(s"__cnt_$c")).as(s"__cnt_$c"))
+        } ++
+        spec.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
+        spec.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c")) ++
+        spec.distinctCols.map(c =>
+          ThetaSketch.thetaMergeAgg(col(s"__theta_$c")).as(s"__theta_$c"))
+    a.unionByName(b).groupBy(spec.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def readState(spark: SparkSession, viewPath: String,
+      id: Long): DataFrame =
+    spark.read.parquet(s"$viewPath/state_$id")
+
+  // ---- commit protocol ---------------------------------------------------
+
+  private val MetaFile = "_graft_view_meta"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def publishCommit(fs: org.apache.hadoop.fs.FileSystem,
+      viewPath: String, id: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(viewPath, s".commit_$id.tmp")
+    fs.create(tmp, true).close()
+    val dst = new org.apache.hadoop.fs.Path(viewPath, s"commit_$id")
+    if (!fs.exists(dst)) // a redo of a crashed refresh may re-commit the id
+      require(fs.rename(tmp, dst), s"could not publish commit $id at $viewPath")
+    else fs.delete(tmp, false)
+  }
+
+  /** Newest id with BOTH a commit marker and a state directory (a marker
+    * whose state a partial vacuum removed is skipped, not fatal). */
+  private def currentId(fs: org.apache.hadoop.fs.FileSystem,
+      viewPath: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(viewPath)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("commit_")).map(_.stripPrefix("commit_").toLong)
+      .sorted(Ordering[Long].reverse)
+      .find(id => fs.exists(new org.apache.hadoop.fs.Path(viewPath, s"state_$id")))
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, viewPath: String,
+      tablePath: String, spec: Spec): Unit = {
+    require(!tablePath.exists(ch => ch == '\t' || ch == '\n'),
+      s"table path '$tablePath' cannot be stored in the view meta")
+    // a crashed earlier create may have left a meta behind (no committed
+    // state, or create would have refused above) — replace it
+    val dst = new org.apache.hadoop.fs.Path(viewPath, MetaFile)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    val text = Seq(
+      s"table\t$tablePath",
+      s"k\t${spec.thetaK}",
+      s"group\t${spec.groupCols.mkString(",")}",
+      s"sum\t${spec.sumCols.mkString(",")}",
+      s"min\t${spec.minCols.mkString(",")}",
+      s"max\t${spec.maxCols.mkString(",")}",
+      s"distinct\t${spec.distinctCols.mkString(",")}").mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(viewPath, s".$MetaFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, dst),
+      s"could not publish view meta at $viewPath")
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      viewPath: String): (String, Spec) = {
+    val f = new org.apache.hadoop.fs.Path(viewPath, MetaFile)
+    require(fs.exists(f), s"no materialized view at $viewPath")
+    val in = fs.open(f)
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.commons.io.IOUtils.copy(in, bytes)
+      bytes.toString("UTF-8")
+    } finally in.close()
+    val kv = text.split("\n").map { line =>
+      val Array(key, value) = line.split("\t", 2)
+      key -> value
+    }.toMap
+    def cols(key: String): Seq[String] =
+      kv(key).split(",").toSeq.filter(_.nonEmpty)
+    (kv("table"), Spec(cols("group"), cols("sum"), cols("min"), cols("max"),
+      cols("distinct"), kv("k").toInt))
+  }
+}

@@ -1,0 +1,172 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.ThetaSketch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-aggregate maintenance: staged refreshes must be
+  * value-identical to a one-shot recompute (exact for the algebraic
+  * aggregates, sketch-identical for the theta distinct), the commit protocol
+  * must survive crashes and replays, and a base-table rewrite must fail the
+  * refresh loudly instead of double-counting.
+  */
+class MaterializedAggSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  /** One-shot reference aggregate shaped like [[MaterializedAgg.read]]. */
+  private def oneShot(table: DataFrame): DataFrame =
+    table.groupBy("g").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("v").cast(graft.queries.Exact.dt)).cast("double").as("sum_v"),
+      (sum(col("v").cast(graft.queries.Exact.dt)).cast("double") /
+        count(col("v"))).as("avg_v"),
+      min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"))
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("create + two refreshes == one-shot recompute (exact)") {
+    import spark.implicits._
+    val root = tmp("mview")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    def batch(r: Int): DataFrame =
+      (0 until 500).map(i => ((i * 7 + r) % 13, i * 0.37 + r, i % 29))
+        .toDF("g", "v", "u")
+
+    batch(0).write.parquet(table)
+    val id0 = MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v"), minCols = Seq("v"),
+        maxCols = Seq("v"), distinctCols = Seq("u")))
+    assert(MaterializedAgg.committedId(spark, view).contains(id0))
+
+    (1 to 2).foreach { r =>
+      batch(r).write.mode("append").parquet(table)
+      MaterializedAgg.refresh(spark, view)
+    }
+
+    val got = MaterializedAgg.read(spark, view)
+    val want = oneShot(spark.read.parquet(table))
+    assert(rows(got.drop("distinct_u")) === rows(want),
+      "maintained algebraic aggregates must equal a full recompute exactly")
+
+    // the theta merge is bit-identical to sketching the union directly, so
+    // the maintained estimate must EQUAL the direct estimate (here below k,
+    // so both are exact distinct counts)
+    val direct = spark.read.parquet(table).groupBy("g")
+      .agg(ThetaSketch.thetaAgg(ThetaSketch.hashCol(col("u"))).as("sk"))
+      .select(col("g"), ThetaSketch.estimateOf(col("sk")).as("distinct_u"))
+    assert(rows(got.select("g", "distinct_u")) === rows(direct),
+      "maintained sketch estimate must equal the direct-sketch estimate")
+  }
+
+  test("refresh with nothing appended is a committed no-op") {
+    import spark.implicits._
+    val root = tmp("mview_noop")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.0), (2, 2.0)).toDF("g", "v").write.parquet(table)
+    val id0 = MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    assert(MaterializedAgg.refresh(spark, view) === id0,
+      "no appended files -> the committed state id must not move")
+    assert(rows(MaterializedAgg.read(spark, view)) ===
+      rows(oneShot(Seq((1, 1.0), (2, 2.0)).toDF("g", "v"))
+        .select("g", "cnt", "sum_v", "avg_v")))
+  }
+
+  test("crash replay: a lost commit marker re-derives the same state") {
+    import spark.implicits._
+    val root = tmp("mview_crash")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.0), (1, 2.0), (2, 3.0)).toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+
+    Seq((1, 4.0), (3, 5.0)).toDF("g", "v").write.mode("append").parquet(table)
+    val id1 = MaterializedAgg.refresh(spark, view)
+
+    // simulate a crash between the state write and the marker publish:
+    // drop the marker — the previous state becomes authoritative again
+    val fs = new org.apache.hadoop.fs.Path(view)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(view, s"commit_$id1"), false))
+    assert(MaterializedAgg.committedId(spark, view).exists(_ < id1))
+
+    // the redo pins a NEW snapshot and replays the same delta from the old
+    // committed state — converging to the identical result
+    val id2 = MaterializedAgg.refresh(spark, view)
+    assert(id2 > id1)
+    assert(rows(MaterializedAgg.read(spark, view)) ===
+      rows(oneShot(spark.read.parquet(table))
+        .select("g", "cnt", "sum_v", "avg_v")))
+  }
+
+  test("a base-table rewrite fails the refresh loudly") {
+    import spark.implicits._
+    val root = tmp("mview_rewrite")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.0), (2, 2.0)).toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    // compaction rewrites every file: the append-only contract is broken
+    Lake.compact(spark, table, rowsPerFile = 10)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, view)
+    }
+    assert(e.getMessage.contains("not append-related") ||
+      e.getMessage.contains("no longer"),
+      s"refresh after a rewrite must name the broken contract: ${e.getMessage}")
+  }
+
+  test("avg derives from per-column non-null counts, not row counts") {
+    import spark.implicits._
+    val root = tmp("mview_nulls")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, Some(2.0)), (1, None), (1, Some(4.0)), (2, None))
+      .toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    Seq((1, Some(6.0)), (2, None: Option[Double]))
+      .toDF("g", "v").write.mode("append").parquet(table)
+    MaterializedAgg.refresh(spark, view)
+    val got = MaterializedAgg.read(spark, view)
+      .select("g", "cnt", "avg_v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toMap
+    assert(got(1) === ((4L, 4.0)), "avg over {2,4,6} ignoring the null row")
+    assert(got(2)._1 === 2L)
+    assert(got(2)._2 === null, "all-null group -> avg NULL like SQL")
+  }
+
+  test("vacuum keeps only the committed state and reads still serve") {
+    import spark.implicits._
+    val root = tmp("mview_vac")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.0)).toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    (1 to 2).foreach { r =>
+      Seq((r, r.toDouble)).toDF("g", "v").write.mode("append").parquet(table)
+      MaterializedAgg.refresh(spark, view)
+    }
+    val dropped = MaterializedAgg.vacuum(spark, view)
+    assert(dropped === 2, s"two superseded states expected, dropped $dropped")
+    val fs = new org.apache.hadoop.fs.Path(view)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val states = fs.listStatus(new org.apache.hadoop.fs.Path(view))
+      .map(_.getPath.getName).filter(_.startsWith("state_"))
+    assert(states.length === 1)
+    assert(rows(MaterializedAgg.read(spark, view)) ===
+      rows(oneShot(spark.read.parquet(table))
+        .select("g", "cnt", "sum_v", "avg_v")))
+  }
+}
