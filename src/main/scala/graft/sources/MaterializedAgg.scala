@@ -29,6 +29,10 @@ import graft.operators.ThetaSketch
   *  - approx distinct  → [[ThetaSketch]] bytes; the KMV merge is
   *                       bit-identical to sketching the union directly, so
   *                       a maintained sketch equals a full-recompute sketch
+  *  - approx quantiles → [[graft.operators.TDigest]] bytes; digests merge
+  *                       associatively (estimates, not bit-identity — the
+  *                       centroid layout depends on merge order, the error
+  *                       bound does not)
   *
   * Non-algebraic aggregates (exact median, exact distinct) are out of
   * contract by construction — they cannot be maintained from state smaller
@@ -55,10 +59,17 @@ object MaterializedAgg {
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil,
-      thetaK: Int = ThetaSketch.DefaultK) {
+      thetaK: Int = ThetaSketch.DefaultK,
+      quantileCols: Seq[String] = Nil,
+      quantiles: Seq[Double] = Seq(0.5)) {
     require(groupCols.nonEmpty, "materialized agg needs group columns")
+    quantiles.foreach(q => require(q > 0.0 && q < 1.0,
+      s"quantiles must be in (0,1), got $q"))
+    require(quantiles.map(quantileLabel).distinct.size == quantiles.size,
+      s"quantiles $quantiles collide after labeling")
     private[sources] def allCols: Seq[String] =
-      (groupCols ++ sumCols ++ minCols ++ maxCols ++ distinctCols).distinct
+      (groupCols ++ sumCols ++ minCols ++ maxCols ++ distinctCols ++
+        quantileCols).distinct
     allCols.foreach { c =>
       require(!c.exists(ch => ch == '\t' || ch == '\n' || ch == ','),
         s"column name '$c' cannot be stored in the view meta")
@@ -111,9 +122,10 @@ object MaterializedAgg {
 
   /** The finalized view: group columns plus `cnt`, `sum_<c>` / `avg_<c>`
     * (exact-decimal finalization, bit-equal to [[graft.queries.Exact]]'s
-    * one-shot forms), `min_<c>` / `max_<c>`, and `distinct_<c>` (theta
-    * estimate — approximate above k, exact below). Reads |groups| state
-    * rows; never touches the base table. */
+    * one-shot forms), `min_<c>` / `max_<c>`, `distinct_<c>` (theta
+    * estimate — approximate above k, exact below), and `p<q>_<c>` t-digest
+    * quantiles (`p50_x`, `p99_9_x`). Reads |groups| state rows; never
+    * touches the base table. */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val fs = fsOf(spark, viewPath)
     val (_, spec) = readMeta(fs, viewPath)
@@ -129,7 +141,10 @@ object MaterializedAgg {
         spec.minCols.map(c => col(s"__min_$c").as(s"min_$c")) ++
         spec.maxCols.map(c => col(s"__max_$c").as(s"max_$c")) ++
         spec.distinctCols.map(c =>
-          ThetaSketch.estimateOf(col(s"__theta_$c")).as(s"distinct_$c"))
+          ThetaSketch.estimateOf(col(s"__theta_$c")).as(s"distinct_$c")) ++
+        spec.quantileCols.flatMap(c => spec.quantiles.map(q =>
+          graft.operators.TDigest.quantileOf(col(s"__td_$c"), q)
+            .as(s"p${quantileLabel(q)}_$c")))
     st.select(out: _*)
   }
 
@@ -177,7 +192,10 @@ object MaterializedAgg {
         spec.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
         spec.distinctCols.map(c =>
           ThetaSketch.thetaAggK(spec.thetaK)(ThetaSketch.hashCol(col(c)))
-            .as(s"__theta_$c"))
+            .as(s"__theta_$c")) ++
+        spec.quantileCols.map(c =>
+          graft.operators.TDigest.tdigestAgg(col(c).cast("double"))
+            .as(s"__td_$c"))
     df.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -193,7 +211,10 @@ object MaterializedAgg {
         spec.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
         spec.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c")) ++
         spec.distinctCols.map(c =>
-          ThetaSketch.thetaMergeAgg(col(s"__theta_$c")).as(s"__theta_$c"))
+          ThetaSketch.thetaMergeAgg(col(s"__theta_$c")).as(s"__theta_$c")) ++
+        spec.quantileCols.map(c =>
+          graft.operators.TDigest.tdigestMergeAgg(col(s"__td_$c"))
+            .as(s"__td_$c"))
     a.unionByName(b).groupBy(spec.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -203,6 +224,15 @@ object MaterializedAgg {
     spark.read.parquet(s"$viewPath/state_$id")
 
   // ---- commit protocol ---------------------------------------------------
+
+  /** Column-name-safe label for a quantile: p0.5→"50", p0.999→"99_9". */
+  private def quantileLabel(q: Double): String = {
+    // snap to a 1e-4-of-a-percent grid first: double q*100 can land a hair
+    // off (0.29*100 = 28.999...), which would leak into the column name
+    val s = BigDecimal(q * 100).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+    s.replace(".", "_")
+  }
 
   private val MetaFile = "_graft_view_meta"
 
@@ -247,7 +277,9 @@ object MaterializedAgg {
       s"sum\t${spec.sumCols.mkString(",")}",
       s"min\t${spec.minCols.mkString(",")}",
       s"max\t${spec.maxCols.mkString(",")}",
-      s"distinct\t${spec.distinctCols.mkString(",")}").mkString("\n")
+      s"distinct\t${spec.distinctCols.mkString(",")}",
+      s"quantilecols\t${spec.quantileCols.mkString(",")}",
+      s"quantiles\t${spec.quantiles.mkString(",")}").mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(viewPath, s".$MetaFile.tmp")
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
@@ -270,8 +302,12 @@ object MaterializedAgg {
       key -> value
     }.toMap
     def cols(key: String): Seq[String] =
-      kv(key).split(",").toSeq.filter(_.nonEmpty)
+      kv.getOrElse(key, "").split(",").toSeq.filter(_.nonEmpty)
     (kv("table"), Spec(cols("group"), cols("sum"), cols("min"), cols("max"),
-      cols("distinct"), kv("k").toInt))
+      cols("distinct"), kv("k").toInt,
+      cols("quantilecols"), cols("quantiles").map(_.toDouble) match {
+        case Nil => Seq(0.5)
+        case qs => qs
+      }))
   }
 }

@@ -146,6 +146,33 @@ class MaterializedAggSpec extends SparkSpec {
     assert(got(2)._2 === null, "all-null group -> avg NULL like SQL")
   }
 
+  test("maintained t-digest quantiles track exact percentiles") {
+    import spark.implicits._
+    val root = tmp("mview_q")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    // values 1..10000 split across two appends in interleaved order, so
+    // each refresh's digest sees the full value range, not a sorted run
+    val all = (1 to 10000).map(i => ("g", i.toDouble))
+    all.filter(_._2.toInt % 2 == 0).toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), quantileCols = Seq("v"),
+        quantiles = Seq(0.5, 0.99)))
+    all.filter(_._2.toInt % 2 == 1).toDF("g", "v")
+      .write.mode("append").parquet(table)
+    MaterializedAgg.refresh(spark, view)
+
+    val r = MaterializedAgg.read(spark, view)
+    assert(r.columns.toSet === Set("g", "cnt", "p50_v", "p99_v"))
+    val row = r.collect().head
+    val p50 = row.getAs[Double]("p50_v")
+    val p99 = row.getAs[Double]("p99_v")
+    assert(math.abs(p50 - 5000.0) < 100.0,
+      s"p50 of 1..10000 should be ~5000, got $p50")
+    assert(math.abs(p99 - 9900.0) < 100.0,
+      s"p99 of 1..10000 should be ~9900, got $p99")
+  }
+
   test("vacuum keeps only the committed state and reads still serve") {
     import spark.implicits._
     val root = tmp("mview_vac")
