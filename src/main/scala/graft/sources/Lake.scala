@@ -736,6 +736,17 @@ object Lake {
     * that property. */
   def readAppendedBetween(spark: SparkSession, path: String,
       fromId: Long, toId: Long): DataFrame = {
+    val fresh = appendedFilesBetween(spark, path, fromId, toId)
+    if (fresh.isEmpty) readSnapshot(spark, path, toId).limit(0)
+    else spark.read.option("basePath", path)
+      .parquet(fresh.map(rel => s"$path/$rel"): _*)
+  }
+
+  /** The file-set difference behind [[readAppendedBetween]] (relative
+    * paths), manifest-metadata only — lets an incremental consumer detect
+    * "nothing appended" without planning (or scanning) anything. */
+  private[sources] def appendedFilesBetween(spark: SparkSession, path: String,
+      fromId: Long, toId: Long): Seq[String] = {
     require(fromId <= toId,
       s"readAppendedBetween: fromId $fromId > toId $toId")
     val p = new org.apache.hadoop.fs.Path(path)
@@ -752,10 +763,7 @@ object Lake {
         s"${broken.size} files of $fromId are missing/resized in $toId: " +
         broken.take(5).map(_._2).mkString(", "))
     val old = from.map(_._2).toSet
-    val fresh = to.map(_._2).filterNot(old.contains)
-    if (fresh.isEmpty) readSnapshot(spark, path, toId).limit(0)
-    else spark.read.option("basePath", path)
-      .parquet(fresh.map(rel => s"$path/$rel"): _*)
+    to.map(_._2).filterNot(old.contains)
   }
 
   /** Existing snapshot ids, ascending. */

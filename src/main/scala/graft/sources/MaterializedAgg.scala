@@ -111,8 +111,10 @@ object MaterializedAgg {
     // pin FIRST: rows appended after this instant are cleanly out of this
     // refresh and cleanly inside the next — nothing can fall between reads
     val newId = Lake.snapshot(spark, tablePath)
+    // manifest-metadata no-op check: nothing appended → nothing scanned
+    if (Lake.appendedFilesBetween(spark, tablePath, cur, newId).isEmpty)
+      return cur
     val delta = Lake.readAppendedBetween(spark, tablePath, cur, newId)
-    if (delta.isEmpty) return cur
     val merged = mergeStates(readState(spark, viewPath, cur),
       partialState(delta.select(spec.allCols.map(col): _*), spec), spec)
     merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")

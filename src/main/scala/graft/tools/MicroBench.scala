@@ -47,6 +47,65 @@ object MicroBench {
       println(f"bloom_compare: rows $nPlain  plain ${bPlain / 1024.0}%.1f KiB  " +
         f"bloom ${bBloom / 1024.0}%.1f KiB  (${bPlain.toDouble / math.max(bBloom, 1)}%.1fx)")
     }
+    // Refresh-vs-recompute A/B for the materialized aggregate view: after a
+    // 1 % append, how much does keeping the view current cost relative to
+    // recomputing it from scratch? Bytes READ is the number that scales —
+    // the refresh reads the appended files plus |groups| state rows; the
+    // recompute reads the table. Wall time at toy SF undersells the gap
+    // (scheduling floor); the read-bytes ratio is the 100 TB claim.
+    if (args.contains("mview_compare")) {
+      import org.apache.spark.sql.functions._
+      val inputBytes = new java.util.concurrent.atomic.AtomicLong
+      val inputRecords = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            inputBytes.addAndGet(
+              st.stageInfo.taskMetrics.inputMetrics.bytesRead)
+            inputRecords.addAndGet(
+              st.stageInfo.taskMetrics.inputMetrics.recordsRead)
+          }
+        })
+      def timed(body: => Unit): (Double, Long) = {
+        inputBytes.set(0L)
+        inputRecords.set(0L)
+        val t0 = System.nanoTime()
+        body
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        (dt, inputRecords.get)
+      }
+      // two group cardinalities: per-customer (state ~10 % of rows — the
+      // WORST case for the view) and per-status (a handful of groups — the
+      // dashboard case the operator exists for)
+      Seq("o_custkey", "o_orderstatus").foreach { g =>
+        val root = java.nio.file.Files.createTempDirectory("mview_mb").toString
+        val table = s"$root/t"
+        val view = s"$root/v"
+        val o = graft.sources.Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        o.filter(pmod(col("o_orderkey"), lit(100)) =!= 0).write.parquet(table)
+        graft.sources.MaterializedAgg.create(spark, table, view,
+          graft.sources.MaterializedAgg.Spec(Seq(g),
+            sumCols = Seq("o_totalprice"), minCols = Seq("o_totalprice"),
+            maxCols = Seq("o_totalprice")))
+        o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+          .write.mode("append").parquet(table)
+        val (tRef, rRef) =
+          timed(graft.sources.MaterializedAgg.refresh(spark, view))
+        val (tFull, rFull) = timed {
+          spark.read.parquet(table).groupBy(g)
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("o_totalprice").cast(graft.queries.Exact.dt)).as("s"),
+              min("o_totalprice"), max("o_totalprice"))
+            .write.mode("overwrite").parquet(s"$root/full")
+        }
+        println(f"mview_compare[$g%s]: 1%% append — refresh $tRef%.2f s / " +
+          f"$rRef%d rows read; recompute $tFull%.2f s / $rFull%d rows " +
+          f"read; row ratio ${rFull.toDouble / math.max(rRef, 1)}%.1fx")
+      }
+    }
     args.foreach { name =>
       Registry.all.find(_.name == name).foreach { q =>
         q.run(spark, dir).count() // warmup

@@ -146,6 +146,35 @@ class MaterializedAggSpec extends SparkSpec {
     assert(got(2)._2 === null, "all-null group -> avg NULL like SQL")
   }
 
+  test("composes with a streaming parquet sink (append-only by construction)") {
+    import spark.implicits._
+    val root = tmp("mview_stream")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, Double)]
+    val q = mem.toDF().toDF("g", "v").writeStream
+      .format("parquet").option("path", table)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      mem.addData((1, 1.0), (2, 2.0))
+      q.processAllAvailable()
+      // the sink's _spark_metadata log is top-level underscore-prefixed, so
+      // the snapshot manifest ignores it like any other lake metadata
+      MaterializedAgg.create(spark, table, view,
+        MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+      mem.addData((1, 3.0), (3, 4.0))
+      q.processAllAvailable()
+      MaterializedAgg.refresh(spark, view)
+    } finally q.stop()
+    assert(rows(MaterializedAgg.read(spark, view)) ===
+      rows(oneShot(spark.read.parquet(table))
+        .select("g", "cnt", "sum_v", "avg_v")),
+      "view maintained across micro-batch appends must equal a full read")
+  }
+
   test("maintained t-digest quantiles track exact percentiles") {
     import spark.implicits._
     val root = tmp("mview_q")
