@@ -766,6 +766,22 @@ object Lake {
     to.map(_._2).filterNot(old.contains)
   }
 
+  /** Drop one snapshot's manifest. Retention companion to [[snapshot]]: a
+    * manifest lists EVERY data file, so at lake scale each one is O(files)
+    * bytes and a consumer that pins per refresh ([[MaterializedAgg]])
+    * accumulates them without bound unless superseded pins are dropped.
+    * Only drop ids you created and no longer serve — a dropped id fails
+    * future [[readSnapshot]]/[[readAppendedBetween]] calls loudly (id
+    * listed as absent), it never silently changes data. No-op on a missing
+    * id (drops are idempotent / crash-replayable). */
+  def dropSnapshot(spark: SparkSession, path: String, snapId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(p, s"$SnapshotDir/snap_$snapId")
+    if (fs.exists(f)) require(fs.delete(f, false),
+      s"could not drop snapshot $snapId at $path")
+  }
+
   /** Existing snapshot ids, ascending. */
   def snapshots(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)

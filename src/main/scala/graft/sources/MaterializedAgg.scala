@@ -100,10 +100,19 @@ object MaterializedAgg {
   }
 
   /** Fold in everything appended since the last committed refresh. Returns
-    * the snapshot id the state now reflects (unchanged when nothing was
-    * appended — the probe snapshot taken to check is left behind; manifests
-    * are KB-scale and [[vacuum]] does not touch the base table). */
-  def refresh(spark: SparkSession, viewPath: String): Long = {
+    * the snapshot id the state now reflects.
+    *
+    * Snapshot retention: each refresh pins a fresh table snapshot, and a
+    * manifest is O(table files) bytes — at lake scale an hourly refresh
+    * accumulates them without bound. `dropSuperseded = true` drops the
+    * previous pin's manifest (and a no-op probe's) AFTER the new state is
+    * committed, keeping exactly one view-owned pin alive; leave it false
+    * when other consumers time-travel to the ids this view created. A
+    * crash between commit and drop leaks at most that one manifest
+    * (bounded per crash, not per refresh; [[Lake.dropSnapshot]] is
+    * idempotent, so sweeping leftovers manually is safe). */
+  def refresh(spark: SparkSession, viewPath: String,
+      dropSuperseded: Boolean = false): Long = {
     val fs = fsOf(spark, viewPath)
     val (tablePath, spec) = readMeta(fs, viewPath)
     val cur = currentId(fs, viewPath).getOrElse(
@@ -112,13 +121,16 @@ object MaterializedAgg {
     // refresh and cleanly inside the next — nothing can fall between reads
     val newId = Lake.snapshot(spark, tablePath)
     // manifest-metadata no-op check: nothing appended → nothing scanned
-    if (Lake.appendedFilesBetween(spark, tablePath, cur, newId).isEmpty)
+    if (Lake.appendedFilesBetween(spark, tablePath, cur, newId).isEmpty) {
+      if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, newId)
       return cur
+    }
     val delta = Lake.readAppendedBetween(spark, tablePath, cur, newId)
     val merged = mergeStates(readState(spark, viewPath, cur),
       partialState(delta.select(spec.allCols.map(col): _*), spec), spec)
     merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
     publishCommit(fs, viewPath, newId)
+    if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, cur)
     newId
   }
 

@@ -202,6 +202,32 @@ class MaterializedAggSpec extends SparkSpec {
       s"p99 of 1..10000 should be ~9900, got $p99")
   }
 
+  test("dropSuperseded retains exactly one view-owned table snapshot") {
+    import spark.implicits._
+    val root = tmp("mview_drop")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.0)).toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    (1 to 3).foreach { r =>
+      Seq((r, r.toDouble)).toDF("g", "v").write.mode("append").parquet(table)
+      MaterializedAgg.refresh(spark, view, dropSuperseded = true)
+    }
+    // a no-op probe pin is dropped too
+    MaterializedAgg.refresh(spark, view, dropSuperseded = true)
+    val ids = Lake.snapshots(spark, table)
+    assert(ids.size === 1,
+      s"superseded manifests must be dropped, table still has $ids")
+    assert(MaterializedAgg.committedId(spark, view).contains(ids.head))
+    // the surviving pin still drives the next real refresh
+    Seq((9, 9.0)).toDF("g", "v").write.mode("append").parquet(table)
+    MaterializedAgg.refresh(spark, view, dropSuperseded = true)
+    assert(rows(MaterializedAgg.read(spark, view)) ===
+      rows(oneShot(spark.read.parquet(table))
+        .select("g", "cnt", "sum_v", "avg_v")))
+  }
+
   test("vacuum keeps only the committed state and reads still serve") {
     import spark.implicits._
     val root = tmp("mview_vac")
