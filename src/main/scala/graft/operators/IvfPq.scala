@@ -306,6 +306,16 @@ object IvfPq {
     // and it touches one cell's data, not the corpus)
     val sub = Ivf.build(rows.select("vec_id", "embedding"), nLists = k2, seed)
     val shift = maxCell + 1
+    // MLlib KMeans can return FEWER than k2 centers (a cell hot with
+    // near-duplicate vectors has fewer distinct points than k2) — abort
+    // BEFORE any write rather than report a split that changed nothing,
+    // and return the ids actually produced, never a ghost range
+    val subCells = sub.centroids.select("cell").collect()
+      .map(_.getInt(0)).sorted
+    require(subCells.length >= 2,
+      s"cell $cell cannot be split: KMeans found only ${subCells.length} " +
+        s"distinct center(s) among $nRows vectors — the cell is hot with " +
+        "(near-)duplicates; dedup it instead of splitting")
     val newCents = sub.centroids
       .select((col("cell") + lit(shift)).cast("int").as("cell"), col("centroid"))
     // re-encode against the NEW centroids with the EXISTING codebooks; each
@@ -334,7 +344,7 @@ object IvfPq {
     val old = new org.apache.hadoop.fs.Path(s"$path/codes/cell=$cell")
     val fs = old.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(old, true)
-    (shift until shift + k2).toSeq
+    subCells.map(_ + shift).toSeq
   }
 
   /** Open an index written by [[writeIndex]]. The codes frame is the LAZY

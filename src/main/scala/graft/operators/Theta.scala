@@ -49,6 +49,14 @@ final class ThetaSketch(private var kVar: Int) extends Serializable {
     new java.util.TreeSet[java.lang.Double]()
   private[operators] var theta: Double = 1.0
 
+  /** True only for an Aggregator ZERO buffer that has absorbed no input.
+    * The merge aggregator must distinguish "nothing yet" (adopt the other
+    * side verbatim, k included) from a REAL empty sketch (mergeWith, which
+    * correctly downgrades k to the smaller side) — inferring zero-ness from
+    * `retained.isEmpty && theta == 1.0` conflates the two and makes a
+    * mixed-k merge's result k depend on encounter order. */
+  private[operators] var isZeroBuffer: Boolean = false
+
   /** Map a 64-bit hash to an exact double in [0,1): the top 53 bits as a
     * dyadic fraction — deterministic, uniform, equality-safe. */
   private def norm(h: Long): Double = (h >>> 11) * ThetaSketch.Scale
@@ -98,6 +106,12 @@ object ThetaSketch {
   val DefaultK = 4096
 
   def empty(k: Int = DefaultK): ThetaSketch = new ThetaSketch(k)
+
+  private def zeroBuffer(): ThetaSketch = {
+    val s = new ThetaSketch(DefaultK)
+    s.isZeroBuffer = true
+    s
+  }
 
   def deserialize(bytes: Array[Byte]): ThetaSketch = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -178,15 +192,15 @@ object ThetaSketch {
     * path: merge per-partition sketches without touching raw data. */
   lazy val thetaMergeAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new Aggregator[Array[Byte], ThetaSketch, Array[Byte]] {
-      def zero: ThetaSketch = ThetaSketch.empty()
+      def zero: ThetaSketch = ThetaSketch.zeroBuffer()
       def reduce(b: ThetaSketch, bytes: Array[Byte]): ThetaSketch =
         if (bytes == null) b
-        else if (b.retained.isEmpty && b.theta == 1.0)
+        else if (b.isZeroBuffer)
           ThetaSketch.deserialize(bytes) // adopt the first sketch's k
         else b.mergeWith(ThetaSketch.deserialize(bytes))
       def merge(a: ThetaSketch, b: ThetaSketch): ThetaSketch =
-        if (a.retained.isEmpty && a.theta == 1.0) b
-        else if (b.retained.isEmpty && b.theta == 1.0) a
+        if (a.isZeroBuffer) b
+        else if (b.isZeroBuffer) a
         else a.mergeWith(b)
       def finish(s: ThetaSketch): Array[Byte] = s.serialize
       def bufferEncoder: Encoder[ThetaSketch] = Encoders.kryo[ThetaSketch]

@@ -63,18 +63,23 @@ object Lake {
     val w = newData.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
-    require(fs.rename(target, old), s"could not stage $target aside")
-    require(fs.rename(tmp, target), s"could not promote $tmp")
     // carry the snapshot HISTORY across the rewrite: the old snapshots
     // become unreadable (their files are gone — readSnapshot says so
     // loudly), but erasing the record of them would turn that loud failure
-    // into a confusing "no snapshot" for ids the caller knows existed
-    val oldSnaps = new org.apache.hadoop.fs.Path(old, SnapshotDir)
-    if (fs.exists(oldSnaps))
-      require(fs.rename(oldSnaps,
-        new org.apache.hadoop.fs.Path(target, SnapshotDir)),
-        s"could not carry snapshot history into $target — NOT deleting " +
-          s"the staged copy at $old (recover $SnapshotDir from it)")
+    // into a confusing "no snapshot" for ids the caller knows existed.
+    // COPIED into the staged dir BEFORE the swap, so the promote carries
+    // data and history together: a crash at any point leaves either the
+    // old table (history in place) or the new one (history carried).
+    // (Renaming it out of __old AFTER the swap — the previous scheme —
+    // left a window where the history lived only in __old, which the next
+    // call's leftover sweep would silently destroy.)
+    val liveSnaps = new org.apache.hadoop.fs.Path(target, SnapshotDir)
+    if (fs.exists(liveSnaps))
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, liveSnaps, fs,
+        new org.apache.hadoop.fs.Path(tmp, SnapshotDir), false, conf),
+        s"could not carry snapshot history into $tmp")
+    require(fs.rename(target, old), s"could not stage $target aside")
+    require(fs.rename(tmp, target), s"could not promote $tmp")
     fs.delete(old, true)
   }
 
@@ -664,7 +669,7 @@ object Lake {
       }.sorted
     val dir = new org.apache.hadoop.fs.Path(p, SnapshotDir)
     fs.mkdirs(dir)
-    val id = snapshotIds(fs, p).sorted.lastOption.getOrElse(0L) + 1L
+    val id = mintedIds(fs, p).sorted.lastOption.getOrElse(0L) + 1L
     val tmp = new org.apache.hadoop.fs.Path(dir, s".snap_$id.tmp")
     val out = fs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
@@ -680,17 +685,10 @@ object Lake {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = snapshotEntries(fs, p, snapId)
-    val broken = entries.filter { case (len, rel) =>
-      val f = new org.apache.hadoop.fs.Path(p, rel)
-      !fs.exists(f) || fs.getFileStatus(f).getLen != len
-    }
-    require(broken.isEmpty,
-      s"snapshot $snapId of $path is no longer readable — a rewrite " +
-        s"(compaction/replace/upsert) changed ${broken.size} of its files: " +
-        broken.take(5).map(_._2).mkString(", "))
+    requireIntact(spark, path, entries, snapId, "is no longer readable")
     // a snapshot of a then-empty table (pinned before first ingest) reads
     // as zero rows with the CURRENT schema, not a schema-inference crash
-    if (entries.isEmpty) spark.read.parquet(path).limit(0)
+    if (entries.isEmpty) emptyLike(spark, path, s"snapshot $snapId")
     else spark.read.option("basePath", path)
       .parquet(entries.map { case (_, rel) => s"$path/$rel" }: _*)
   }
@@ -703,28 +701,55 @@ object Lake {
       snapId: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = fs.makeQualified(p).toString
     val entries = snapshotEntries(fs, p, snapId)
     // the same loud-invalidation contract as readSnapshot: after a rewrite
     // every old file name is gone, so WITHOUT this check the whole
     // rewritten table would come back as the "delta" and an incremental
-    // consumer would silently double-process the corpus
-    val broken = entries.filter { case (len, rel) =>
-      val f = new org.apache.hadoop.fs.Path(p, rel)
-      !fs.exists(f) || fs.getFileStatus(f).getLen != len
-    }
-    require(broken.isEmpty,
-      s"snapshot $snapId of $path is no longer a valid delta base — a " +
-        s"rewrite changed ${broken.size} of its files: " +
-        broken.take(5).map(_._2).mkString(", "))
+    // consumer would silently double-process the corpus. requireIntact
+    // returns the current file map it validated against — the delta is its
+    // complement, no second listing.
+    val current =
+      requireIntact(spark, path, entries, snapId, "is no longer a valid delta base")
     val old = entries.map(_._2).toSet
-    val fresh = FileSkipping.listDataFiles(spark, path, parquetOnly = false)
-      .map { case (abs, _) => abs.stripPrefix(base).stripPrefix("/") }
-      .filterNot(old.contains)
-    if (fresh.isEmpty)
-      spark.read.parquet(path).limit(0)
+    val fresh = current.keys.filterNot(old.contains).toSeq.sorted
+    if (fresh.isEmpty) emptyLike(spark, path, s"delta since snapshot $snapId")
     else spark.read.option("basePath", path)
       .parquet(fresh.map(rel => s"$path/$rel"): _*)
+  }
+
+  /** Validate a manifest against ONE distributed listing (never a serial
+    * exists/length RPC per file — at 10⁴+ files that is minutes of driver
+    * metadata calls). Returns the (relative path → length) map of the
+    * table's current files for callers that need the complement. */
+  private def requireIntact(spark: SparkSession, path: String,
+      entries: Seq[(Long, String)], snapId: Long, what: String):
+      Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(p).toString
+    val current = FileSkipping.listDataFiles(spark, path, parquetOnly = false)
+      .map { case (abs, len) =>
+        abs.stripPrefix(base).stripPrefix("/") -> len
+      }.toMap
+    val broken = entries.filter { case (len, rel) =>
+      !current.get(rel).contains(len)
+    }
+    require(broken.isEmpty,
+      s"snapshot $snapId of $path $what — a rewrite " +
+        s"(compaction/replace/upsert) changed ${broken.size} of its files: " +
+        broken.take(5).map(_._2).mkString(", "))
+    current
+  }
+
+  /** Zero rows with the table's CURRENT schema; fails with a named message
+    * (instead of Spark's schema-inference error) when the table is still
+    * empty and there is no schema to borrow. */
+  private def emptyLike(spark: SparkSession, path: String,
+      what: String): DataFrame = {
+    require(FileSkipping.listDataFiles(spark, path).nonEmpty,
+      s"$what of $path is empty and the table has no data files yet to " +
+        "borrow a schema from — read it after first ingest")
+    spark.read.parquet(path).limit(0)
   }
 
   /** The rows appended between two snapshots — `toId`'s file set minus
@@ -737,9 +762,19 @@ object Lake {
   def readAppendedBetween(spark: SparkSession, path: String,
       fromId: Long, toId: Long): DataFrame = {
     val fresh = appendedFilesBetween(spark, path, fromId, toId)
-    if (fresh.isEmpty) readSnapshot(spark, path, toId).limit(0)
-    else spark.read.option("basePath", path)
-      .parquet(fresh.map(rel => s"$path/$rel"): _*)
+    if (fresh.isEmpty) emptyLike(spark, path, s"delta $fromId -> $toId")
+    else readFileSubset(spark, path, fresh)
+  }
+
+  /** An explicit file-subset read with partition columns intact. Callers
+    * that already hold a validated relative-path list (e.g. a refresh that
+    * probed [[appendedFilesBetween]]) read it directly instead of
+    * re-deriving the same list from the manifests. */
+  private[sources] def readFileSubset(spark: SparkSession, path: String,
+      rels: Seq[String]): DataFrame = {
+    require(rels.nonEmpty, s"empty file subset for $path")
+    spark.read.option("basePath", path)
+      .parquet(rels.map(rel => s"$path/$rel"): _*)
   }
 
   /** The file-set difference behind [[readAppendedBetween]] (relative
@@ -771,15 +806,22 @@ object Lake {
     * bytes and a consumer that pins per refresh ([[MaterializedAgg]])
     * accumulates them without bound unless superseded pins are dropped.
     * Only drop ids you created and no longer serve — a dropped id fails
-    * future [[readSnapshot]]/[[readAppendedBetween]] calls loudly (id
-    * listed as absent), it never silently changes data. No-op on a missing
+    * future [[readSnapshot]]/[[readAppendedBetween]] calls loudly (named as
+    * dropped), it never silently changes data: a zero-byte `gone_<id>`
+    * tombstone replaces the manifest, so [[snapshot]] can never re-mint the
+    * id over different content. Written tombstone-first, so a crash
+    * mid-drop leaves the id readable, never reusable. No-op on a missing
     * id (drops are idempotent / crash-replayable). */
   def dropSnapshot(spark: SparkSession, path: String, snapId: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val f = new org.apache.hadoop.fs.Path(p, s"$SnapshotDir/snap_$snapId")
-    if (fs.exists(f)) require(fs.delete(f, false),
-      s"could not drop snapshot $snapId at $path")
+    if (fs.exists(f)) {
+      fs.create(new org.apache.hadoop.fs.Path(p,
+        s"$SnapshotDir/gone_$snapId"), true).close()
+      require(fs.delete(f, false),
+        s"could not drop snapshot $snapId at $path")
+    }
   }
 
   /** Existing snapshot ids, ascending. */
@@ -799,11 +841,31 @@ object Lake {
       .filter(_.startsWith("snap_")).map(_.stripPrefix("snap_").toLong)
   }
 
+  /** Ids that must never be minted again: live manifests PLUS tombstones of
+    * dropped ones. Without the tombstones, dropping the newest id would let
+    * the next [[snapshot]] re-mint it over different content — a consumer
+    * holding the dropped id would silently read the wrong file set instead
+    * of failing loudly. */
+  private def mintedIds(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(table, SnapshotDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("snap_") => n.stripPrefix("snap_").toLong
+      case n if n.startsWith("gone_") => n.stripPrefix("gone_").toLong
+    }
+  }
+
   private def snapshotEntries(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, snapId: Long): Seq[(Long, String)] = {
     val f = new org.apache.hadoop.fs.Path(table, s"$SnapshotDir/snap_$snapId")
-    require(fs.exists(f), s"no snapshot $snapId at $table " +
-      s"(have: ${snapshotIds(fs, table).sorted.mkString(", ")})")
+    if (!fs.exists(f)) {
+      val dropped = fs.exists(new org.apache.hadoop.fs.Path(table,
+        s"$SnapshotDir/gone_$snapId"))
+      require(!dropped, s"snapshot $snapId at $table was dropped (retention)")
+      require(false, s"no snapshot $snapId at $table " +
+        s"(have: ${snapshotIds(fs, table).sorted.mkString(", ")})")
+    }
     val in = fs.open(f)
     val text = try {
       val bytes = new java.io.ByteArrayOutputStream()

@@ -120,12 +120,14 @@ object MaterializedAgg {
     // pin FIRST: rows appended after this instant are cleanly out of this
     // refresh and cleanly inside the next — nothing can fall between reads
     val newId = Lake.snapshot(spark, tablePath)
-    // manifest-metadata no-op check: nothing appended → nothing scanned
-    if (Lake.appendedFilesBetween(spark, tablePath, cur, newId).isEmpty) {
+    // one manifest diff serves both the no-op check (metadata-only: nothing
+    // appended → nothing planned or scanned) and the delta read itself
+    val fresh = Lake.appendedFilesBetween(spark, tablePath, cur, newId)
+    if (fresh.isEmpty) {
       if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, newId)
       return cur
     }
-    val delta = Lake.readAppendedBetween(spark, tablePath, cur, newId)
+    val delta = Lake.readFileSubset(spark, tablePath, fresh)
     val merged = mergeStates(readState(spark, viewPath, cur),
       partialState(delta.select(spec.allCols.map(col): _*), spec), spec)
     merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")

@@ -276,13 +276,19 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[Array[Byte]]) =>
           val sk = state.getOption.map(ThetaSketch.deserialize)
             .getOrElse(ThetaSketch.empty(k))
+          // null event_type is SKIPPED, matching the batch side's
+          // ThetaSketch.hashCol null semantics (a bare getBytes would NPE
+          // inside the state function and crash-loop the whole query on
+          // one poisoned event)
           rows.foreach { ev =>
-            val bytes = ev.event_type.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8)
-            sk.update(org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashUnsafeBytes(bytes,
-                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-                bytes.length, 42L))
+            if (ev.event_type != null) {
+              val bytes = ev.event_type.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              sk.update(org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(bytes,
+                  org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                  bytes.length, 42L))
+            }
           }
           state.update(sk.serialize)
           UserDistinct(userId, sk.estimate)

@@ -104,6 +104,9 @@ object MicroBench {
         println(f"mview_compare[$g%s]: 1%% append — refresh $tRef%.2f s / " +
           f"$rRef%d rows read; recompute $tFull%.2f s / $rFull%d rows " +
           f"read; row ratio ${rFull.toDouble / math.max(rRef, 1)}%.1fx")
+        // don't accumulate an orders-sized copy per run (same discipline
+        // as the ann bench's temp index)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       }
     }
     args.foreach { name =>

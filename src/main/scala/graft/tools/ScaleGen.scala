@@ -68,8 +68,13 @@ object ScaleGen {
     * DIRECTORIES too, so a table rewritten in place with the same entry set
     * still moves the signature; top-level mtimes alone would not). */
   private def signature(src: String, k: Int): String = {
+    // skip hidden/metadata entries (_SUCCESS, _graft_stats manifests,
+    // crash leftovers) by the same _/. rule the lake readers use — a
+    // stats-manifest rebuild under the source must not flip the signature
+    // and force a minutes-long regeneration of identical data
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
+      if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+      else if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
       else Seq(f)
     val files = walk(new java.io.File(src))

@@ -91,6 +91,28 @@ class ThetaSpec extends SparkSpec {
       "cross-k merge must equal the min-k sketch of the union")
   }
 
+  test("merge-agg of an EMPTY small-k sketch downgrades k in any row order") {
+    import spark.implicits._
+    // regression: the rollup aggregator used to infer its zero buffer from
+    // emptiness, so a genuinely EMPTY k=256 sketch (all-null slice) was
+    // "adopted over" when it arrived first — result k depended on row
+    // order. Both orders must now give the k=256 sketch of the union.
+    val emptySmall = ThetaSketch.empty(k = 256).serialize
+    val big = ThetaSketch.empty(k = 4096)
+    (1 to 5000).foreach(i => big.update(hash64(s"o$i")))
+    val direct = ThetaSketch.empty(k = 256)
+    (1 to 5000).foreach(i => direct.update(hash64(s"o$i")))
+    def rollup(first: Array[Byte], second: Array[Byte]): Array[Byte] =
+      Seq(first, second).toDF("sk").coalesce(1)
+        .agg(ThetaSketch.thetaMergeAgg(col("sk")).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+    val ab = rollup(emptySmall, big.serialize)
+    val ba = rollup(big.serialize, emptySmall)
+    assert(ab.toSeq === ba.toSeq, "merge result must not depend on row order")
+    assert(ab.toSeq === direct.serialize.toSeq,
+      "an empty sketch still contributes its k to the downgrade")
+  }
+
   test("NULLs are excluded via hashCol (bare xxhash64 would count the seed)") {
     import spark.implicits._
     val df = Seq(Some("a"), None, Some("b"), None).toDF("v")

@@ -88,4 +88,50 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("no snapshot 99"))
   }
+
+  test("dropped snapshot ids are never re-minted and fail loudly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("snap_drop")
+      .toString + "/t"
+    Seq((1L, 10)).toDF("id", "v").write.parquet(path)
+    val s1 = Lake.snapshot(spark, path)
+    val s2 = Lake.snapshot(spark, path)
+    // drop the NEWEST id — without the tombstone the next snapshot would
+    // re-mint s2 over a different file set, silently changing data for any
+    // consumer that recorded it
+    Lake.dropSnapshot(spark, path, s2)
+    Lake.dropSnapshot(spark, path, s2) // idempotent
+    assert(Lake.snapshots(spark, path) === Seq(s1), "live ids only")
+    Seq((2L, 20)).toDF("id", "v").write.mode("append").parquet(path)
+    val s3 = Lake.snapshot(spark, path)
+    assert(s3 > s2, s"dropped id $s2 must never be reused, got $s3")
+    val e = intercept[IllegalArgumentException] {
+      Lake.readSnapshot(spark, path, s2)
+    }
+    assert(e.getMessage.contains("dropped"),
+      s"a dropped id must be named as dropped: ${e.getMessage}")
+    // the surviving pin still reads its original file set
+    assert(Lake.readSnapshot(spark, path, s1).count() === 1)
+  }
+
+  test("a snapshot of a STILL-empty table fails with a named message") {
+    val path = java.nio.file.Files.createTempDirectory("snap_empty")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val s1 = Lake.snapshot(spark, path)
+    val e = intercept[IllegalArgumentException] {
+      Lake.readSnapshot(spark, path, s1)
+    }
+    assert(e.getMessage.contains("no data files yet"),
+      s"empty-table snapshot read must be named, not a schema-inference " +
+        s"crash: ${e.getMessage}")
+    // once data lands, the pinned-empty snapshot reads as zero rows with
+    // the CURRENT schema
+    import spark.implicits._
+    Seq((1L, 10)).toDF("id", "v").write.mode("append").parquet(path)
+    val zero = Lake.readSnapshot(spark, path, s1)
+    assert(zero.count() === 0 && zero.columns.toSeq === Seq("id", "v"))
+  }
 }

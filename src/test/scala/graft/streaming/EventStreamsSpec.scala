@@ -189,6 +189,9 @@ class EventStreamsSpec extends SparkSpec {
     q.processAllAvailable()
     input.addData(EventStreams.Event(ts(3), 7L, "view", 1.0),
       EventStreams.Event(ts(4), 7L, "purchase", 1.0),
+      // null event_type must be SKIPPED (batch hashCol semantics), not NPE
+      // the state function into a permanent crash loop on replay
+      EventStreams.Event(ts(6), 7L, null, 1.0),
       EventStreams.Event(ts(5), 8L, "view", 1.0))
     q.processAllAvailable()
     val rows = spark.table("userdistinct")
