@@ -26,6 +26,56 @@ object Joins {
       .drop(mt)
   }
 
+  /** What [[estimateEquiJoinSize]] measured per side and concluded. */
+  final case class JoinSizeEstimate(
+      rowsLeft: Long, rowsRight: Long,
+      distinctLeft: Double, distinctRight: Double,
+      keyOverlap: Double, estimatedRows: Double)
+
+  /** **Join-size preflight**: estimate |L ⋈ R| on an equi-key WITHOUT
+    * running the join, from one cheap aggregation pass per side — the
+    * routing input for "broadcast or shuffle?", "how many shuffle
+    * partitions?", and "is this join worth running at all?" decisions that
+    * at 100 TB must be made before paying for the join, not after.
+    *
+    * Per side: total rows + a [[ThetaSketch]] of the key domain (KB-scale,
+    * map-side partial merge like any agg). The theta retained samples give
+    * the key-domain OVERLAP — the quantity HLL cannot answer — and
+    * rows/distinct gives each side's mean key multiplicity, so
+    *
+    *   |L ⋈ R| ≈ overlap × (rowsL / distinctL) × (rowsR / distinctR)
+    *
+    * Exact under per-key-uniform multiplicities (e.g. FK joins where every
+    * key matches ~equally often); a heavily skewed side makes this an
+    * UNDERestimate (E[aᵢ·bᵢ] ≥ E[a]·E[b] for positively correlated
+    * multiplicities) — treat the answer as a floor when skew is known, or
+    * check [[Skew.hotKeys]] first. Error on the overlap itself is the
+    * sketch's RSE ≈ 1/√(k−1). NULL keys never join and are excluded
+    * ([[ThetaSketch.hashCol]] semantics).
+    */
+  def estimateEquiJoinSize(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      k: Int = ThetaSketch.DefaultK): JoinSizeEstimate = {
+    import org.apache.spark.sql.functions.{count, lit, col}
+    def side(df: DataFrame, key: String): (Long, Long, ThetaSketch) = {
+      val r = df.agg(count(lit(1)).as("n"), count(col(key)).as("nk"),
+        ThetaSketch.thetaAggK(k)(ThetaSketch.hashCol(col(key))).as("sk"))
+        .head()
+      (r.getAs[Long]("n"), r.getAs[Long]("nk"),
+        ThetaSketch.deserialize(r.getAs[Array[Byte]]("sk")))
+    }
+    val (nL, nkL, skL) = side(left, leftKey)
+    val (nR, nkR, skR) = side(right, rightKey)
+    val dL = skL.estimate
+    val dR = skR.estimate
+    val overlap = ThetaSketch.intersectEstimate(skL, skR)
+    // multiplicities over NON-NULL key rows only (null rows never join)
+    val est =
+      if (dL == 0.0 || dR == 0.0) 0.0
+      else overlap * (nkL / dL) * (nkR / dR)
+    JoinSizeEstimate(nL, nR, dL, dR, overlap, est)
+  }
+
   /** J9 — join on the intersection of available key columns, resolved at
     * plan-build time (reference: bdb2026/preprocess.py:244-248 merges on
     * whichever of (game_id, play_id, nfl_id, frame_id) both frames carry).

@@ -97,4 +97,50 @@ class JoinsSpec extends SparkSpec {
       Joins.asOfJoin(l, r, Seq("k"), "t", "rt")
     }
   }
+
+  test("estimateEquiJoinSize preflights an FK join within sketch error") {
+    import spark.implicits._
+    // FK shape: 20k fact rows over 500 keys (40 each), dim has 1 row per
+    // key for keys 0..799 (500 overlap) — exact join size = 20k
+    val fact = (0 until 20000).map(i => (i % 500L, i)).toDF("fk", "x")
+    val dim = (0L until 800L).map(j => (j, s"d$j")).toDF("pk", "name")
+    val exact = fact.join(dim, fact("fk") === dim("pk")).count()
+    val e = Joins.estimateEquiJoinSize(fact, dim, "fk", "pk")
+    assert(exact === 20000L)
+    // 500/800 distinct keys are far below k=4096, so every sketch quantity
+    // is EXACT here and the estimate must equal the true size
+    assert(e.distinctLeft === 500.0 && e.distinctRight === 800.0)
+    assert(e.keyOverlap === 500.0)
+    assert(e.estimatedRows === exact.toDouble,
+      s"below-k estimate must be exact, got ${e.estimatedRows}")
+    assert(e.rowsLeft === 20000L && e.rowsRight === 800L)
+  }
+
+  test("estimateEquiJoinSize: disjoint keys -> ~0; null keys excluded") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((10L, "p"), (11L, "q")).toDF("k", "v")
+    assert(Joins.estimateEquiJoinSize(a, b, "k", "k").estimatedRows === 0.0)
+    val withNulls = Seq(Some(1L), None, None).map(k => (k, "z")).toDF("k", "v")
+    val est = Joins.estimateEquiJoinSize(withNulls, a, "k", "k")
+    assert(est.distinctLeft === 1.0, "null keys must not count as a key")
+    assert(est.estimatedRows === 1.0,
+      "one non-null row matching one dim key joins once")
+  }
+
+  test("estimateEquiJoinSize stays within RSE bounds above k") {
+    import spark.implicits._
+    // 60k distinct keys per side with 30k overlapping, 2 rows per key on
+    // the left — above k=4096 the sketch estimates; 5*RSE is the spec'd
+    // envelope (matches ThetaSpec's bound discipline)
+    val l = (0 until 120000).map(i => (i % 60000L, i)).toDF("k", "x")
+    val r = (30000L until 90000L).map(j => (j, j)).toDF("k", "y")
+    val e = Joins.estimateEquiJoinSize(l, r, "k", "k")
+    val exactJoin = 60000.0 // 30k overlap keys x 2 left rows x 1 right row
+    val rse = 1.0 / math.sqrt(4096 - 1)
+    // the intersection estimate compounds two sketches' error; give it the
+    // same 5x envelope ThetaSpec pins for set expressions
+    assert(math.abs(e.estimatedRows - exactJoin) <= exactJoin * 5 * rse,
+      s"estimate ${e.estimatedRows} strayed past 5*RSE of $exactJoin")
+  }
 }
