@@ -852,8 +852,40 @@ object Lake {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
       case n if n.startsWith("snap_") => n.stripPrefix("snap_").toLong
-      case n if n.startsWith("gone_") => n.stripPrefix("gone_").toLong
+      case n if n.startsWith("gone_") && !n.startsWith("gone_upto_") =>
+        n.stripPrefix("gone_").toLong
+      case n if n.startsWith("gone_upto_") =>
+        n.stripPrefix("gone_upto_").toLong
     }
+  }
+
+  /** Fold individual drop tombstones into one `gone_upto_<maxId>` marker —
+    * a per-refresh drop discipline otherwise accumulates one empty inode
+    * per drop forever. Crash-safe: the folded marker is created BEFORE the
+    * tombstones it covers are deleted, and ids ≤ an upto-marker count as
+    * minted exactly like individual tombstones. Ids covered only by an
+    * upto-marker lose the per-id "was dropped" message (reads report "no
+    * snapshot" instead) — the never-reuse guarantee is what matters and is
+    * preserved. Returns the number of tombstones folded away. */
+  def compactSnapshotTombstones(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(p, SnapshotDir)
+    if (!fs.exists(dir)) return 0
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val singles = names.filter(n =>
+      n.startsWith("gone_") && !n.startsWith("gone_upto_"))
+    val uptos = names.filter(_.startsWith("gone_upto_"))
+    if (singles.isEmpty && uptos.size <= 1) return 0
+    val hwm = (singles.map(_.stripPrefix("gone_").toLong) ++
+      uptos.map(_.stripPrefix("gone_upto_").toLong)).max
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"gone_upto_$hwm"), true)
+      .close()
+    var folded = 0
+    (singles ++ uptos.filter(_ != s"gone_upto_$hwm")).foreach { n =>
+      if (fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)) folded += 1
+    }
+    folded
   }
 
   private def snapshotEntries(fs: org.apache.hadoop.fs.FileSystem,

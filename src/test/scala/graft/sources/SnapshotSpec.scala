@@ -114,6 +114,27 @@ class SnapshotSpec extends SparkSpec {
     assert(Lake.readSnapshot(spark, path, s1).count() === 1)
   }
 
+  test("tombstone compaction folds drops into one marker, ids stay unmintable") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("snap_tomb")
+      .toString + "/t"
+    Seq((1L, 10)).toDF("id", "v").write.parquet(path)
+    val keep = Lake.snapshot(spark, path)
+    val dropped = (1 to 3).map(_ => Lake.snapshot(spark, path))
+    dropped.foreach(Lake.dropSnapshot(spark, path, _))
+    assert(Lake.compactSnapshotTombstones(spark, path) === 3)
+    assert(Lake.compactSnapshotTombstones(spark, path) === 0, "idempotent")
+    assert(Lake.snapshots(spark, path) === Seq(keep))
+    // the folded marker still blocks re-minting every covered id
+    val next = Lake.snapshot(spark, path)
+    assert(next > dropped.max, s"folded ids must stay unmintable, got $next")
+    // and a read of a folded-away id fails (as absent, not silently served)
+    val e = intercept[IllegalArgumentException] {
+      Lake.readSnapshot(spark, path, dropped.head)
+    }
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
   test("a snapshot of a STILL-empty table fails with a named message") {
     val path = java.nio.file.Files.createTempDirectory("snap_empty")
       .toString + "/t"
