@@ -147,7 +147,10 @@ object MaterializedAgg {
     val (_, spec) = readMeta(fs, viewPath)
     val cur = currentId(fs, viewPath).getOrElse(
       throw new IllegalStateException(s"no committed state at $viewPath"))
-    val st = readState(spark, viewPath, cur)
+    finalizeState(readState(spark, viewPath, cur), spec)
+  }
+
+  private def finalizeState(st: DataFrame, spec: Spec): DataFrame = {
     val out: Seq[Column] =
       spec.groupCols.map(col) ++ Seq(col("__cnt").as("cnt")) ++
         spec.sumCols.flatMap { c =>
@@ -167,6 +170,34 @@ object MaterializedAgg {
   /** Snapshot id the committed state reflects (None before [[create]]). */
   def committedId(spark: SparkSession, viewPath: String): Option[Long] =
     currentId(fsOf(spark, viewPath), viewPath)
+
+  /** Every committed state id still on disk, ascending — each is readable
+    * via [[readAt]] until [[vacuum]] drops the superseded ones. */
+  def committedIds(spark: SparkSession, viewPath: String): Seq[Long] = {
+    val fs = fsOf(spark, viewPath)
+    val root = new org.apache.hadoop.fs.Path(viewPath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("commit_")).map(_.stripPrefix("commit_").toLong)
+      .filter(id =>
+        fs.exists(new org.apache.hadoop.fs.Path(viewPath, s"state_$id")))
+      .sorted.toSeq
+  }
+
+  /** Time travel for the VIEW: the finalized aggregate exactly as of an
+    * earlier committed refresh — "what did the dashboard say before
+    * yesterday's ingest" without recomputing anything (each refresh keeps
+    * its whole state directory until [[vacuum]]; a vacuumed id fails
+    * loudly here). The table-side twin is [[Lake.readSnapshot]]. */
+  def readAt(spark: SparkSession, viewPath: String, snapId: Long): DataFrame = {
+    val fs = fsOf(spark, viewPath)
+    require(committedIds(spark, viewPath).contains(snapId),
+      s"no committed state $snapId at $viewPath " +
+        s"(have: ${committedIds(spark, viewPath).mkString(", ")} — " +
+        "superseded states are dropped by vacuum)")
+    val (_, spec) = readMeta(fs, viewPath)
+    finalizeState(readState(spark, viewPath, snapId), spec)
+  }
 
   /** Drop all state directories and markers except the newest committed one
     * (crashed refreshes and superseded states accumulate otherwise).

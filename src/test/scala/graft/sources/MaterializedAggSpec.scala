@@ -202,6 +202,32 @@ class MaterializedAggSpec extends SparkSpec {
       s"p99 of 1..10000 should be ~9900, got $p99")
   }
 
+  test("readAt time-travels the view to any committed refresh") {
+    import spark.implicits._
+    val root = tmp("mview_at")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.0), (2, 2.0)).toDF("g", "v").write.parquet(table)
+    val id0 = MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    val before = rows(MaterializedAgg.read(spark, view))
+    Seq((1, 10.0), (3, 3.0)).toDF("g", "v").write.mode("append").parquet(table)
+    val id1 = MaterializedAgg.refresh(spark, view)
+    assert(MaterializedAgg.committedIds(spark, view) === Seq(id0, id1))
+    assert(rows(MaterializedAgg.readAt(spark, view, id0)) === before,
+      "the pre-ingest state must read back exactly")
+    assert(rows(MaterializedAgg.readAt(spark, view, id1)) ===
+      rows(MaterializedAgg.read(spark, view)))
+    // vacuumed states fail loudly, current still serves
+    MaterializedAgg.vacuum(spark, view)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.readAt(spark, view, id0)
+    }
+    assert(e.getMessage.contains("vacuum"))
+    assert(rows(MaterializedAgg.readAt(spark, view, id1)) ===
+      rows(MaterializedAgg.read(spark, view)))
+  }
+
   test("dropSuperseded retains exactly one view-owned table snapshot") {
     import spark.implicits._
     val root = tmp("mview_drop")
