@@ -254,6 +254,41 @@ class MaterializedAggSpec extends SparkSpec {
         .select("g", "cnt", "sum_v", "avg_v")))
   }
 
+  test("property: ANY append sequence folds to the one-shot aggregate") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // arbitrary batch count/sizes/keys, null values included — the staged
+    // fold must equal the one-shot recompute for every history, not just
+    // the crafted fixtures above
+    val genBatch = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 6)
+      v <- Gen.option(Gen.chooseNum(-1e6, 1e6))
+    } yield (g, v))
+    val gen = Gen.resize(60, Gen.nonEmptyListOf(genBatch))
+      .map(_.take(4)) // bound refresh count: each trial runs real Spark jobs
+    val r = check(Parameters.default.withMinSuccessfulTests(5),
+      Prop.forAll(gen) { batches =>
+        val root = tmp("mview_prop")
+        val table = s"$root/t"
+        val view = s"$root/v"
+        batches.head.toDF("g", "v").write.parquet(table)
+        MaterializedAgg.create(spark, table, view,
+          MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v"),
+            minCols = Seq("v"), maxCols = Seq("v")))
+        batches.tail.foreach { b =>
+          b.toDF("g", "v").write.mode("append").parquet(table)
+          MaterializedAgg.refresh(spark, view, dropSuperseded = true)
+        }
+        val got = rows(MaterializedAgg.read(spark, view))
+        val want = rows(oneShot(spark.read.parquet(table)))
+        val ok = got == want
+        if (!ok) println(s"MISMATCH for ${batches.map(_.size)}:\n$got\n$want")
+        ok
+      })
+    assert(r.passed, r.status.toString)
+  }
+
   test("vacuum keeps only the committed state and reads still serve") {
     import spark.implicits._
     val root = tmp("mview_vac")
