@@ -128,8 +128,26 @@ object MaterializedAgg {
       return cur
     }
     val delta = Lake.readFileSubset(spark, tablePath, fresh)
-    val merged = mergeStates(readState(spark, viewPath, cur),
-      partialState(delta.select(spec.allCols.map(col): _*), spec), spec)
+    // drift preflight, in the repo's SchemaCompat spirit: appended files
+    // with a missing or RETYPED spec column must fail HERE with the column
+    // named, not as a union/analysis error deep in the merge plan
+    val missingCols = spec.allCols.filterNot(delta.columns.contains)
+    require(missingCols.isEmpty,
+      s"refresh: appended files at $tablePath lack spec columns " +
+        s"$missingCols (schema drift — the view was defined against a " +
+        "different table shape)")
+    val state = readState(spark, viewPath, cur)
+    val deltaState = partialState(delta.select(spec.allCols.map(col): _*), spec)
+    val drifted = state.schema.fields.flatMap { f =>
+      deltaState.schema.fields.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .map(g => s"${f.name}: state ${f.dataType.simpleString} vs " +
+          s"appended ${g.dataType.simpleString}")
+    }
+    require(drifted.isEmpty,
+      s"refresh: appended files at $tablePath retype maintained columns — " +
+        s"${drifted.mkString("; ")} (recreate the view for the new types)")
+    val merged = mergeStates(state, deltaState, spec)
     merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
     publishCommit(fs, viewPath, newId)
     if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, cur)

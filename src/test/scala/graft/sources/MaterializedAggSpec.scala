@@ -107,6 +107,57 @@ class MaterializedAggSpec extends SparkSpec {
         .select("g", "cnt", "sum_v", "avg_v")))
   }
 
+  test("multi-column group keys maintain like any other view") {
+    import spark.implicits._
+    val root = tmp("mview_multi")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0))
+      .toDF("g", "h", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g", "h"), sumCols = Seq("v")))
+    Seq((1, "a", 4.0), (2, "b", 5.0))
+      .toDF("g", "h", "v").write.mode("append").parquet(table)
+    MaterializedAgg.refresh(spark, view)
+    val want = spark.read.parquet(table).groupBy("g", "h").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("v").cast(graft.queries.Exact.dt)).cast("double").as("sum_v"),
+      (sum(col("v").cast(graft.queries.Exact.dt)).cast("double") /
+        count(col("v"))).as("avg_v"))
+    assert(rows(MaterializedAgg.read(spark, view)) === rows(want))
+  }
+
+  test("appended-file schema drift fails refresh with the column named") {
+    import spark.implicits._
+    val root = tmp("mview_drift")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.0)).toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    // a producer drops the value column entirely
+    Seq(Tuple1(2)).toDF("g").write.mode("append").parquet(table)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, view)
+    }
+    assert(e.getMessage.contains("v") && e.getMessage.contains("drift"),
+      s"missing column must be named up front: ${e.getMessage}")
+    // a producer retypes the GROUP column (int -> string): the partial
+    // state still builds, so this must be caught by the typed comparison
+    val root2 = tmp("mview_drift2")
+    val table2 = s"$root2/t"
+    val view2 = s"$root2/v"
+    Seq((1, 1.0)).toDF("g", "v").write.parquet(table2)
+    MaterializedAgg.create(spark, table2, view2,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    Seq(("x", 2.0)).toDF("g", "v").write.mode("append").parquet(table2)
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, view2)
+    }
+    assert(e2.getMessage.contains("g:") && e2.getMessage.contains("retype"),
+      s"retyped column must be named with both types: ${e2.getMessage}")
+  }
+
   test("a base-table rewrite fails the refresh loudly") {
     import spark.implicits._
     val root = tmp("mview_rewrite")
