@@ -57,15 +57,43 @@ object Joins {
       leftKey: String, rightKey: String,
       k: Int = ThetaSketch.DefaultK): JoinSizeEstimate = {
     import org.apache.spark.sql.functions.{count, lit, col}
+    import org.apache.spark.sql.types._
+    // xxhash64 hashes VALUES THROUGH THEIR TYPE (a 4-byte int and an
+    // 8-byte long holding the same number hash differently), so mixed-type
+    // keys — the common int-FK-vs-long-PK case, which the real join
+    // happily coerces and matches — would estimate overlap ~0. Normalize
+    // both sides to one type first; refuse combinations the join itself
+    // would only match through lossy coercion.
+    val lt = left.schema(leftKey).dataType
+    val rt = right.schema(rightKey).dataType
+    def integral(t: DataType): Boolean =
+      t == ByteType || t == ShortType || t == IntegerType || t == LongType
+    val common: Option[String] =
+      if (lt == rt) None
+      else if (integral(lt) && integral(rt)) Some("long")
+      else if (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType])
+        Some("double") // doubles above 2^53 can collide; fine for an estimate
+      else throw new IllegalArgumentException(
+        s"estimateEquiJoinSize: key types ${lt.simpleString} vs " +
+          s"${rt.simpleString} have no hash-stable common form — cast the " +
+          "keys to one type first")
     def side(df: DataFrame, key: String): (Long, Long, ThetaSketch) = {
+      val kc = common.map(col(key).cast).getOrElse(col(key))
       val r = df.agg(count(lit(1)).as("n"), count(col(key)).as("nk"),
-        ThetaSketch.thetaAggK(k)(ThetaSketch.hashCol(col(key))).as("sk"))
+        ThetaSketch.thetaAggK(k)(ThetaSketch.hashCol(kc)).as("sk"))
         .head()
       (r.getAs[Long]("n"), r.getAs[Long]("nk"),
         ThetaSketch.deserialize(r.getAs[Array[Byte]]("sk")))
     }
-    val (nL, nkL, skL) = side(left, leftKey)
-    val (nR, nkR, skR) = side(right, rightKey)
+    // the two sides are independent full scans — overlap them instead of
+    // paying scanL + scanR sequentially for a "cheap" preflight
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fL = Future(side(left, leftKey))
+    val fR = Future(side(right, rightKey))
+    val (nL, nkL, skL) = Await.result(fL, Duration.Inf)
+    val (nR, nkR, skR) = Await.result(fR, Duration.Inf)
     val dL = skL.estimate
     val dR = skR.estimate
     val overlap = ThetaSketch.intersectEstimate(skL, skR)

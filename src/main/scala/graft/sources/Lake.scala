@@ -879,8 +879,12 @@ object Lake {
     if (singles.isEmpty && uptos.size <= 1) return 0
     val hwm = (singles.map(_.stripPrefix("gone_").toLong) ++
       uptos.map(_.stripPrefix("gone_upto_").toLong)).max
-    fs.create(new org.apache.hadoop.fs.Path(dir, s"gone_upto_$hwm"), true)
-      .close()
+    // create ONLY if absent: create(overwrite=true) deletes the existing
+    // marker before recreating it on some filesystems, and a crash inside
+    // that window would lose the high-water mark — making folded ids
+    // mintable again, the exact guarantee the tombstones protect
+    val marker = new org.apache.hadoop.fs.Path(dir, s"gone_upto_$hwm")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
     var folded = 0
     (singles ++ uptos.filter(_ != s"gone_upto_$hwm")).foreach { n =>
       if (fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)) folded += 1

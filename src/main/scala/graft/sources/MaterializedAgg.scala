@@ -71,7 +71,8 @@ object MaterializedAgg {
       (groupCols ++ sumCols ++ minCols ++ maxCols ++ distinctCols ++
         quantileCols).distinct
     allCols.foreach { c =>
-      require(!c.exists(ch => ch == '\t' || ch == '\n' || ch == ','),
+      require(!c.exists(ch =>
+        ch == '\t' || ch == '\n' || ch == ',' || ch == ':'),
         s"column name '$c' cannot be stored in the view meta")
     }
   }
@@ -92,7 +93,13 @@ object MaterializedAgg {
         s"a materialized view already exists at $viewPath (state $id)")
     }
     val snapId = Lake.snapshot(spark, tablePath)
-    writeMeta(fs, viewPath, tablePath, spec)
+    // record the spec columns' types as of create: refresh adapts appended
+    // files to THESE (or fails with the drift named) — without the record,
+    // a retyped value column would be erased by the aggregation casts and
+    // silently corrupt the maintained sums
+    val recordedTypes = spec.allCols
+      .map(c => c -> base.schema(c).dataType.catalogString)
+    writeMeta(fs, viewPath, tablePath, spec, recordedTypes)
     val state = partialState(Lake.readSnapshot(spark, tablePath, snapId), spec)
     state.write.mode("overwrite").parquet(s"$viewPath/state_$snapId")
     publishCommit(fs, viewPath, snapId)
@@ -114,44 +121,89 @@ object MaterializedAgg {
   def refresh(spark: SparkSession, viewPath: String,
       dropSuperseded: Boolean = false): Long = {
     val fs = fsOf(spark, viewPath)
-    val (tablePath, spec) = readMeta(fs, viewPath)
+    val (tablePath, spec, recordedTypes) = readMeta(fs, viewPath)
     val cur = currentId(fs, viewPath).getOrElse(
       throw new IllegalStateException(s"no committed state at $viewPath"))
     // pin FIRST: rows appended after this instant are cleanly out of this
     // refresh and cleanly inside the next — nothing can fall between reads
     val newId = Lake.snapshot(spark, tablePath)
-    // one manifest diff serves both the no-op check (metadata-only: nothing
-    // appended → nothing planned or scanned) and the delta read itself
-    val fresh = Lake.appendedFilesBetween(spark, tablePath, cur, newId)
-    if (fresh.isEmpty) {
-      if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, newId)
-      return cur
+    // a pin that never commits is garbage — drop it on ANY failure below
+    // (drift, IO), or a failing scheduled refresh would leak an
+    // O(table-files) manifest per attempt
+    try {
+      // one manifest diff serves both the no-op check (metadata-only:
+      // nothing appended → nothing planned or scanned) and the delta read
+      val fresh = Lake.appendedFilesBetween(spark, tablePath, cur, newId)
+      if (fresh.isEmpty) {
+        if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, newId)
+        return cur
+      }
+      val delta = Lake.readFileSubset(spark, tablePath, fresh)
+      val state = readState(spark, viewPath, cur)
+      val deltaState = partialState(adaptDelta(delta, spec, recordedTypes,
+        tablePath), spec)
+      // backstop for views whose meta predates recorded types: any residual
+      // type disagreement must fail NAMED, not as a union error mid-plan
+      val drifted = state.schema.fields.flatMap { f =>
+        deltaState.schema.fields.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(g => s"${f.name}: state ${f.dataType.simpleString} vs " +
+            s"appended ${g.dataType.simpleString}")
+      }
+      require(drifted.isEmpty,
+        s"refresh: appended files at $tablePath retype maintained columns — " +
+          s"${drifted.mkString("; ")} (recreate the view for the new types)")
+      val merged = mergeStates(state, deltaState, spec)
+      merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
+      publishCommit(fs, viewPath, newId)
+      if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, cur)
+      newId
+    } catch {
+      case t: Throwable =>
+        try Lake.dropSnapshot(spark, tablePath, newId)
+        catch { case _: Throwable => () } // keep the original failure
+        throw t
     }
-    val delta = Lake.readFileSubset(spark, tablePath, fresh)
-    // drift preflight, in the repo's SchemaCompat spirit: appended files
-    // with a missing or RETYPED spec column must fail HERE with the column
-    // named, not as a union/analysis error deep in the merge plan
+  }
+
+  /** Adapt appended files to the view's RECORDED column types, or fail with
+    * the drift named. Missing columns fail outright. Type differences are
+    * adapted when the cast is semantics-preserving — `Cast.canUpCast`
+    * (numeric widening, int→long etc.) or any atomic type into a recorded
+    * STRING column (partition-value inference drift: a delta subset whose
+    * partition values all look numeric reads as int where the full table
+    * inferred string) — and refused otherwise (e.g. a sum column retyped to
+    * string, which the aggregation casts would silently null-corrupt). */
+  private def adaptDelta(delta: DataFrame, spec: Spec,
+      recorded: Map[String, org.apache.spark.sql.types.DataType],
+      tablePath: String): DataFrame = {
     val missingCols = spec.allCols.filterNot(delta.columns.contains)
     require(missingCols.isEmpty,
       s"refresh: appended files at $tablePath lack spec columns " +
         s"$missingCols (schema drift — the view was defined against a " +
         "different table shape)")
-    val state = readState(spark, viewPath, cur)
-    val deltaState = partialState(delta.select(spec.allCols.map(col): _*), spec)
-    val drifted = state.schema.fields.flatMap { f =>
-      deltaState.schema.fields.find(_.name == f.name)
-        .filter(_.dataType != f.dataType)
-        .map(g => s"${f.name}: state ${f.dataType.simpleString} vs " +
-          s"appended ${g.dataType.simpleString}")
+    import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
+    def simple(t: org.apache.spark.sql.types.DataType): Boolean =
+      !t.isInstanceOf[StructType] && !t.isInstanceOf[ArrayType] &&
+        !t.isInstanceOf[MapType]
+    val adapted = spec.allCols.map { c =>
+      val have = delta.schema(c).dataType
+      recorded.get(c) match {
+        case None => col(c) // pre-types meta: the schema backstop guards
+        case Some(want) if have == want => col(c)
+        case Some(want)
+            if org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(have, want) ||
+              (want == StringType && simple(have)) =>
+          col(c).cast(want).as(c)
+        case Some(want) =>
+          throw new IllegalArgumentException(
+            s"refresh: appended files at $tablePath retype column $c — " +
+              s"recorded ${want.simpleString}, appended ${have.simpleString}" +
+              " (schema drift; recreate the view for the new type)")
+      }
     }
-    require(drifted.isEmpty,
-      s"refresh: appended files at $tablePath retype maintained columns — " +
-        s"${drifted.mkString("; ")} (recreate the view for the new types)")
-    val merged = mergeStates(state, deltaState, spec)
-    merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
-    publishCommit(fs, viewPath, newId)
-    if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, cur)
-    newId
+    delta.select(adapted: _*)
   }
 
   /** The finalized view: group columns plus `cnt`, `sum_<c>` / `avg_<c>`
@@ -162,7 +214,7 @@ object MaterializedAgg {
     * touches the base table. */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val fs = fsOf(spark, viewPath)
-    val (_, spec) = readMeta(fs, viewPath)
+    val (_, spec, _) = readMeta(fs, viewPath)
     val cur = currentId(fs, viewPath).getOrElse(
       throw new IllegalStateException(s"no committed state at $viewPath"))
     finalizeState(readState(spark, viewPath, cur), spec)
@@ -213,7 +265,7 @@ object MaterializedAgg {
       s"no committed state $snapId at $viewPath " +
         s"(have: ${committedIds(spark, viewPath).mkString(", ")} — " +
         "superseded states are dropped by vacuum)")
-    val (_, spec) = readMeta(fs, viewPath)
+    val (_, spec, _) = readMeta(fs, viewPath)
     finalizeState(readState(spark, viewPath, snapId), spec)
   }
 
@@ -328,7 +380,8 @@ object MaterializedAgg {
   }
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, viewPath: String,
-      tablePath: String, spec: Spec): Unit = {
+      tablePath: String, spec: Spec,
+      recordedTypes: Seq[(String, String)]): Unit = {
     require(!tablePath.exists(ch => ch == '\t' || ch == '\n'),
       s"table path '$tablePath' cannot be stored in the view meta")
     // a crashed earlier create may have left a meta behind (no committed
@@ -344,7 +397,11 @@ object MaterializedAgg {
       s"max\t${spec.maxCols.mkString(",")}",
       s"distinct\t${spec.distinctCols.mkString(",")}",
       s"quantilecols\t${spec.quantileCols.mkString(",")}",
-      s"quantiles\t${spec.quantiles.mkString(",")}").mkString("\n")
+      s"quantiles\t${spec.quantiles.mkString(",")}",
+      // col:catalogString pairs; catalogString is DDL-parseable and never
+      // contains tab/newline for the atomic types a spec can reference
+      s"types\t${recordedTypes.map { case (c, t) => s"$c:$t" }.mkString(",")}")
+      .mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(viewPath, s".$MetaFile.tmp")
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
@@ -352,8 +409,8 @@ object MaterializedAgg {
       s"could not publish view meta at $viewPath")
   }
 
-  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
-      viewPath: String): (String, Spec) = {
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem, viewPath: String):
+      (String, Spec, Map[String, org.apache.spark.sql.types.DataType]) = {
     val f = new org.apache.hadoop.fs.Path(viewPath, MetaFile)
     require(fs.exists(f), s"no materialized view at $viewPath")
     val in = fs.open(f)
@@ -368,11 +425,15 @@ object MaterializedAgg {
     }.toMap
     def cols(key: String): Seq[String] =
       kv.getOrElse(key, "").split(",").toSeq.filter(_.nonEmpty)
+    val types = cols("types").map { pair =>
+      val Array(c, t) = pair.split(":", 2)
+      c -> org.apache.spark.sql.types.DataType.fromDDL(t)
+    }.toMap
     (kv("table"), Spec(cols("group"), cols("sum"), cols("min"), cols("max"),
       cols("distinct"), kv("k").toInt,
       cols("quantilecols"), cols("quantiles").map(_.toDouble) match {
         case Nil => Seq(0.5)
         case qs => qs
-      }))
+      }), types)
   }
 }

@@ -128,6 +128,22 @@ class JoinsSpec extends SparkSpec {
       "one non-null row matching one dim key joins once")
   }
 
+  test("estimateEquiJoinSize: mixed int/long keys hash through one type") {
+    import spark.implicits._
+    // the real join coerces int-FK vs long-PK and matches; an un-normalized
+    // hash would see two disjoint domains and estimate ~0
+    val fact = (0 until 1000).map(i => (i % 50, i)).toDF("fk", "x") // int key
+    val dim = (0L until 50L).map(j => (j, s"d$j")).toDF("pk", "n")  // long key
+    val e = Joins.estimateEquiJoinSize(fact, dim, "fk", "pk")
+    assert(e.keyOverlap === 50.0 && e.estimatedRows === 1000.0,
+      s"int-vs-long keys must estimate like the coerced join: $e")
+    // lossy combinations are refused, not silently near-zero
+    val s = Seq(("1", 1)).toDF("k", "x")
+    intercept[IllegalArgumentException] {
+      Joins.estimateEquiJoinSize(s, dim, "k", "pk")
+    }
+  }
+
   test("estimateEquiJoinSize stays within RSE bounds above k") {
     import spark.implicits._
     // 60k distinct keys per side with 30k overlapping, 2 rows per key on

@@ -142,8 +142,8 @@ class MaterializedAggSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("v") && e.getMessage.contains("drift"),
       s"missing column must be named up front: ${e.getMessage}")
-    // a producer retypes the GROUP column (int -> string): the partial
-    // state still builds, so this must be caught by the typed comparison
+    // a producer retypes the GROUP column (int -> string, not losslessly
+    // adaptable): refused with the column and both types named
     val root2 = tmp("mview_drift2")
     val table2 = s"$root2/t"
     val view2 = s"$root2/v"
@@ -154,8 +154,58 @@ class MaterializedAggSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       MaterializedAgg.refresh(spark, view2)
     }
-    assert(e2.getMessage.contains("g:") && e2.getMessage.contains("retype"),
+    assert(e2.getMessage.contains("column g") &&
+      e2.getMessage.contains("recorded int") &&
+      e2.getMessage.contains("appended string"),
       s"retyped column must be named with both types: ${e2.getMessage}")
+
+    // a SUM column retyped to string would be ERASED by the aggregation
+    // casts (sum(cast(v)) nulls the uncastable) — the recorded type must
+    // refuse it up front instead of silently corrupting the state
+    val root3 = tmp("mview_drift3")
+    val table3 = s"$root3/t"
+    val view3 = s"$root3/v"
+    Seq((1, 1.0)).toDF("g", "v").write.parquet(table3)
+    MaterializedAgg.create(spark, table3, view3,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    Seq((1, "oops")).toDF("g", "v").write.mode("append").parquet(table3)
+    val e3 = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, view3)
+    }
+    assert(e3.getMessage.contains("column v") &&
+      e3.getMessage.contains("recorded double"),
+      s"retyped sum column must be refused, not null-corrupted: ${e3.getMessage}")
+  }
+
+  test("recorded types adapt benign drift: numeric widening and string groups") {
+    import spark.implicits._
+    // sum column recorded double, appended as int: canUpCast widens it
+    val root = tmp("mview_widen")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.5), (2, 2.0)).toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    Seq((1, 10)).toDF("g", "v").write.mode("append").parquet(table)
+    MaterializedAgg.refresh(spark, view)
+    val bySum = MaterializedAgg.read(spark, view).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("sum_v")).toMap
+    assert(bySum === Map(1 -> 11.5, 2 -> 2.0))
+
+    // group column recorded string, appended file infers it as int (the
+    // partition-value inference drift): adapted into the recorded type
+    val root2 = tmp("mview_strgroup")
+    val table2 = s"$root2/t"
+    val view2 = s"$root2/v"
+    Seq(("1", 1.0), ("x", 2.0)).toDF("g", "v").write.parquet(table2)
+    MaterializedAgg.create(spark, table2, view2,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    Seq((1, 10.0)).toDF("g", "v").write.mode("append").parquet(table2)
+    MaterializedAgg.refresh(spark, view2)
+    val byG = MaterializedAgg.read(spark, view2).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("sum_v")).toMap
+    assert(byG === Map("1" -> 11.0, "x" -> 2.0),
+      "int-inferred group values must fold into the recorded string group")
   }
 
   test("a base-table rewrite fails the refresh loudly") {
