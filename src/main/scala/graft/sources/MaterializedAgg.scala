@@ -398,9 +398,11 @@ object MaterializedAgg {
       s"distinct\t${spec.distinctCols.mkString(",")}",
       s"quantilecols\t${spec.quantileCols.mkString(",")}",
       s"quantiles\t${spec.quantiles.mkString(",")}",
-      // col:catalogString pairs; catalogString is DDL-parseable and never
-      // contains tab/newline for the atomic types a spec can reference
-      s"types\t${recordedTypes.map { case (c, t) => s"$c:$t" }.mkString(",")}")
+      // col:catalogString pairs, ';'-joined: catalogString is DDL-parseable
+      // and, unlike a plain comma join, survives complex types whose
+      // rendering itself contains commas (struct<a:int,b:int>); no Spark
+      // type string contains ';', and column names cannot contain ':'
+      s"types\t${recordedTypes.map { case (c, t) => s"$c:$t" }.mkString(";")}")
       .mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(viewPath, s".$MetaFile.tmp")
     val out = fs.create(tmp, true)
@@ -425,10 +427,11 @@ object MaterializedAgg {
     }.toMap
     def cols(key: String): Seq[String] =
       kv.getOrElse(key, "").split(",").toSeq.filter(_.nonEmpty)
-    val types = cols("types").map { pair =>
-      val Array(c, t) = pair.split(":", 2)
-      c -> org.apache.spark.sql.types.DataType.fromDDL(t)
-    }.toMap
+    val types = kv.getOrElse("types", "").split(";").toSeq
+      .filter(_.nonEmpty).map { pair =>
+        val Array(c, t) = pair.split(":", 2)
+        c -> org.apache.spark.sql.types.DataType.fromDDL(t)
+      }.toMap
     (kv("table"), Spec(cols("group"), cols("sum"), cols("min"), cols("max"),
       cols("distinct"), kv("k").toInt,
       cols("quantilecols"), cols("quantiles").map(_.toDouble) match {

@@ -208,6 +208,31 @@ class MaterializedAggSpec extends SparkSpec {
       "int-inferred group values must fold into the recorded string group")
   }
 
+  test("complex-typed spec columns round-trip the meta (struct group key)") {
+    import spark.implicits._
+    // struct<a:int,b:int> renders with COMMAS — the meta's recorded-types
+    // line must survive that (';' pair separator), or refresh would fail
+    // parsing its own meta
+    val root = tmp("mview_struct")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1, 1.0), (1, 2, 2.0), (1, 1, 3.0))
+      .toDF("a", "b", "v")
+      .select(struct(col("a"), col("b")).as("g"), col("v"))
+      .write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    Seq((1, 1, 4.0)).toDF("a", "b", "v")
+      .select(struct(col("a"), col("b")).as("g"), col("v"))
+      .write.mode("append").parquet(table)
+    MaterializedAgg.refresh(spark, view)
+    val got = MaterializedAgg.read(spark, view)
+      .select(col("g.a"), col("g.b"), col("cnt"), col("sum_v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map((1, 1) -> ((3L, 8.0)), (1, 2) -> ((1L, 2.0))))
+  }
+
   test("a base-table rewrite fails the refresh loudly") {
     import spark.implicits._
     val root = tmp("mview_rewrite")
