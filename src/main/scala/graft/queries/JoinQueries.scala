@@ -364,5 +364,37 @@ object JoinQueries {
               |  ${Exact.sqlDsum("o_totalprice")} AS sum_price
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // Join-size preflight, SELF-AUDITED: the theta-sketch estimate
+    // (overlap × mean multiplicities, one agg pass per side) is emitted
+    // BESIDE the exact join count, and the query itself gates the
+    // accuracy — exact equality while the key domains are below the
+    // sketch size (the sf0.01 regime), ≤10 % relative error above it (the
+    // sf1 regime; sketch RSE compounds to a few %). Rows-only by design:
+    // the estimate is the operator, the exact count is the audit.
+    QueryDef(
+      "j_size_preflight",
+      (s, dir) => {
+        import s.implicits._
+        val orders = Tables.orders(s, dir)
+        val customer = Tables.customer(s, dir)
+        val e = graft.operators.Joins.estimateEquiJoinSize(
+          orders, customer, "o_custkey", "c_custkey")
+        val exact = orders.join(customer,
+          orders("o_custkey") === customer("c_custkey")).count()
+        val relErr =
+          if (exact == 0L) 0.0
+          else math.abs(e.estimatedRows - exact) / exact.toDouble
+        val belowK = e.distinctLeft <= 4096 && e.distinctRight <= 4096
+        require(if (belowK) e.estimatedRows == exact.toDouble
+                else relErr <= 0.10,
+          s"join-size preflight drifted: est ${e.estimatedRows} vs exact " +
+            s"$exact (relErr $relErr, belowK=$belowK)")
+        Seq((e.rowsLeft, e.rowsRight, e.distinctLeft, e.distinctRight,
+          e.keyOverlap, e.estimatedRows, exact, relErr))
+          .toDF("rows_left", "rows_right", "distinct_left", "distinct_right",
+            "key_overlap", "estimated_rows", "exact_rows", "rel_err")
+      },
+      None),
   )
 }
