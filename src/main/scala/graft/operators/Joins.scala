@@ -54,33 +54,52 @@ object Joins {
     * ([[ThetaSketch.hashCol]] semantics).
     */
   def estimateEquiJoinSize(left: DataFrame, right: DataFrame,
-      leftKey: String, rightKey: String,
+      leftKey: String, rightKey: String): JoinSizeEstimate =
+    estimateEquiJoinSize(left, right, Seq(leftKey), Seq(rightKey))
+
+  def estimateEquiJoinSize(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, k: Int): JoinSizeEstimate =
+    estimateEquiJoinSize(left, right, Seq(leftKey), Seq(rightKey), k)
+
+  /** Multi-key form: positions pair up (`leftKeys(i)` joins `rightKeys(i)`),
+    * the composite key is hashed as a tuple, and — SQL join semantics — a
+    * row with ANY null key component never joins and is excluded. */
+  def estimateEquiJoinSize(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
       k: Int = ThetaSketch.DefaultK): JoinSizeEstimate = {
-    import org.apache.spark.sql.functions.{count, lit, col}
+    import org.apache.spark.sql.functions.{count, lit, col, when, xxhash64}
     import org.apache.spark.sql.types._
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"estimateEquiJoinSize: key lists must pair up, got $leftKeys / $rightKeys")
     // xxhash64 hashes VALUES THROUGH THEIR TYPE (a 4-byte int and an
     // 8-byte long holding the same number hash differently), so mixed-type
     // keys — the common int-FK-vs-long-PK case, which the real join
     // happily coerces and matches — would estimate overlap ~0. Normalize
-    // both sides to one type first; refuse combinations the join itself
+    // each position to one type; refuse combinations the join itself
     // would only match through lossy coercion.
-    val lt = left.schema(leftKey).dataType
-    val rt = right.schema(rightKey).dataType
     def integral(t: DataType): Boolean =
       t == ByteType || t == ShortType || t == IntegerType || t == LongType
-    val common: Option[String] =
-      if (lt == rt) None
-      else if (integral(lt) && integral(rt)) Some("long")
-      else if (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType])
-        Some("double") // doubles above 2^53 can collide; fine for an estimate
-      else throw new IllegalArgumentException(
-        s"estimateEquiJoinSize: key types ${lt.simpleString} vs " +
-          s"${rt.simpleString} have no hash-stable common form — cast the " +
-          "keys to one type first")
-    def side(df: DataFrame, key: String): (Long, Long, ThetaSketch) = {
-      val kc = common.map(col(key).cast).getOrElse(col(key))
-      val r = df.agg(count(lit(1)).as("n"), count(col(key)).as("nk"),
-        ThetaSketch.thetaAggK(k)(ThetaSketch.hashCol(kc)).as("sk"))
+    val commons: Seq[Option[String]] =
+      leftKeys.zip(rightKeys).map { case (lk, rk) =>
+        val lt = left.schema(lk).dataType
+        val rt = right.schema(rk).dataType
+        if (lt == rt) None
+        else if (integral(lt) && integral(rt)) Some("long")
+        else if (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType])
+          Some("double") // doubles above 2^53 can collide; fine for an estimate
+        else throw new IllegalArgumentException(
+          s"estimateEquiJoinSize: key types ${lt.simpleString} vs " +
+            s"${rt.simpleString} at position ($lk, $rk) have no hash-stable " +
+            "common form — cast the keys to one type first")
+      }
+    def side(df: DataFrame, keys: Seq[String]): (Long, Long, ThetaSketch) = {
+      val kcs = keys.zip(commons).map { case (kc, c) =>
+        c.map(col(kc).cast).getOrElse(col(kc))
+      }
+      val allSet = keys.map(col(_).isNotNull).reduce(_ && _)
+      val r = df.agg(count(lit(1)).as("n"),
+        count(when(allSet, lit(1))).as("nk"),
+        ThetaSketch.thetaAggK(k)(when(allSet, xxhash64(kcs: _*))).as("sk"))
         .head()
       (r.getAs[Long]("n"), r.getAs[Long]("nk"),
         ThetaSketch.deserialize(r.getAs[Array[Byte]]("sk")))
@@ -90,8 +109,8 @@ object Joins {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val fL = Future(side(left, leftKey))
-    val fR = Future(side(right, rightKey))
+    val fL = Future(side(left, leftKeys))
+    val fR = Future(side(right, rightKeys))
     val (nL, nkL, skL) = Await.result(fL, Duration.Inf)
     val (nR, nkR, skR) = Await.result(fR, Duration.Inf)
     val dL = skL.estimate

@@ -144,6 +144,28 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("estimateEquiJoinSize: composite keys tuple-hash; null components excluded") {
+    import spark.implicits._
+    // 1000 fact rows over 100 (a,b) pairs (10 each); dim holds those 100
+    // pairs plus 20 non-matching ones — exact join = 1000
+    val fact = (0 until 1000).map(i => (i % 10, (i / 10) % 10, i))
+      .toDF("a", "b", "x")
+    val dim = ((0 until 10).flatMap(a => (0 until 10).map(b => (a, b))) ++
+      (10 until 30).map(a => (a, 0))).map { case (a, b) => (a, b, s"$a-$b") }
+      .toDF("a2", "b2", "name")
+    val e = Joins.estimateEquiJoinSize(fact, dim, Seq("a", "b"), Seq("a2", "b2"))
+    assert(e.distinctLeft === 100.0 && e.distinctRight === 120.0)
+    assert(e.keyOverlap === 100.0 && e.estimatedRows === 1000.0,
+      s"below-k composite estimate must be exact: $e")
+    // a null in ANY key component keeps the row out (SQL join semantics)
+    val withNull = Seq((Some(1), Some(1), 0), (Some(1), None, 1))
+      .map { case (a, b, x) => (a, b, x) }.toDF("a", "b", "x")
+    val en = Joins.estimateEquiJoinSize(withNull, dim, Seq("a", "b"),
+      Seq("a2", "b2"))
+    assert(en.distinctLeft === 1.0 && en.estimatedRows === 1.0,
+      s"null-component rows must not count: $en")
+  }
+
   test("estimateEquiJoinSize stays within RSE bounds above k") {
     import spark.implicits._
     // 60k distinct keys per side with 30k overlapping, 2 rows per key on
