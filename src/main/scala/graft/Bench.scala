@@ -181,6 +181,9 @@ object Bench {
     // fits, which would swamp the engine signal) — build OUTSIDE the timed
     // region, then time search only.
     val calAnn = calibrate()
+    // bench-local serialized index copy: deleted in the finally so a failed
+    // run doesn't leak one bench_ivfpq temp dir per attempt
+    var annTmp: java.io.File = null
     val annResults = try {
       import org.apache.spark.sql.functions.col
       val vecs = graft.sources.Tables.embeddings(spark, sfDir)
@@ -194,6 +197,7 @@ object Bench {
       // write + open untimed (index build cost, not search cost)
       val diskPath = java.nio.file.Files.createTempDirectory("bench_ivfpq")
         .toString + "/ix"
+      annTmp = new java.io.File(diskPath).getParentFile
       graft.operators.IvfPq.writeIndex(idx, diskPath)
       val disk = graft.operators.IvfPq.readIndex(spark, diskPath)
       def ivfpqDisk(): Unit =
@@ -219,13 +223,12 @@ object Bench {
         name -> ts.sorted
       }
       idx.unpersist(); pqEnc.unpersist()
-      // the serialized index copy is bench-local — don't leave one per run
-      // accumulating in the temp dir
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(diskPath).getParentFile)
       out
     } catch {
       case e: Throwable => recordErr("ann_search", e); Seq.empty
+    } finally {
+      if (annTmp != null)
+        org.apache.commons.io.FileUtils.deleteQuietly(annTmp)
     }
 
     // Tokenizer-apply bench: training is a model build (K driver-fetch

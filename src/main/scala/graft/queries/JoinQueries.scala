@@ -386,7 +386,10 @@ object JoinQueries {
           if (exact == 0L) 0.0
           else math.abs(e.estimatedRows - exact) / exact.toDouble
         val belowK = e.distinctLeft <= 4096 && e.distinctRight <= 4096
-        require(if (belowK) e.estimatedRows == exact.toDouble
+        // below k the sketch is exact, but overlap × (nk/d) recombines in
+        // floating point — gate on a tiny relative tolerance, not ==, so a
+        // non-representable multiplicity ratio can't fail a correct estimator
+        require(if (belowK) relErr <= 1e-12
                 else relErr <= 0.10,
           s"join-size preflight drifted: est ${e.estimatedRows} vs exact " +
             s"$exact (relErr $relErr, belowK=$belowK)")

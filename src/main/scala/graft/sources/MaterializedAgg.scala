@@ -74,6 +74,29 @@ object MaterializedAgg {
       require(!c.exists(ch =>
         ch == '\t' || ch == '\n' || ch == ',' || ch == ':'),
         s"column name '$c' cannot be stored in the view meta")
+      // the state frame's mergeable columns live under the __ prefix — a
+      // spec column there would shadow or duplicate them inside
+      // partialState/mergeStates and fail confusingly mid-plan
+      require(!c.startsWith("__"),
+        s"column name '$c' collides with the view's reserved __-prefixed " +
+          "state namespace")
+    }
+    // group columns pass through to BOTH the state and the finalized view
+    // verbatim — one named like a finalized alias (cnt, sum_<c>, p50_<c>)
+    // would produce duplicate/ambiguous output columns
+    private[sources] def finalizedNames: Seq[String] =
+      Seq("cnt") ++
+        sumCols.flatMap(c => Seq(s"sum_$c", s"avg_$c")) ++
+        minCols.map(c => s"min_$c") ++ maxCols.map(c => s"max_$c") ++
+        distinctCols.map(c => s"distinct_$c") ++
+        quantileCols.flatMap(c => quantiles.map(q =>
+          s"p${quantileLabel(q)}_$c"))
+    locally {
+      val clash = groupCols.filter(finalizedNames.contains)
+      require(clash.isEmpty,
+        s"group columns ${clash.mkString(", ")} collide with the view's " +
+          "finalized output names (cnt / sum_<c> / avg_<c> / min_<c> / " +
+          "max_<c> / distinct_<c> / p<q>_<c>) — rename them upstream")
     }
   }
 
@@ -93,17 +116,27 @@ object MaterializedAgg {
         s"a materialized view already exists at $viewPath (state $id)")
     }
     val snapId = Lake.snapshot(spark, tablePath)
-    // record the spec columns' types as of create: refresh adapts appended
-    // files to THESE (or fails with the drift named) — without the record,
-    // a retyped value column would be erased by the aggregation casts and
-    // silently corrupt the maintained sums
-    val recordedTypes = spec.allCols
-      .map(c => c -> base.schema(c).dataType.catalogString)
-    writeMeta(fs, viewPath, tablePath, spec, recordedTypes)
-    val state = partialState(Lake.readSnapshot(spark, tablePath, snapId), spec)
-    state.write.mode("overwrite").parquet(s"$viewPath/state_$snapId")
-    publishCommit(fs, viewPath, snapId)
-    snapId
+    // same pin-rollback discipline as refresh: a failure after the snapshot
+    // (bad data, IO) must drop the freshly minted manifest, or every failed
+    // create attempt leaks an O(table-files) pin
+    try {
+      // record the spec columns' types as of create: refresh adapts appended
+      // files to THESE (or fails with the drift named) — without the record,
+      // a retyped value column would be erased by the aggregation casts and
+      // silently corrupt the maintained sums
+      val recordedTypes = spec.allCols
+        .map(c => c -> base.schema(c).dataType.catalogString)
+      writeMeta(fs, viewPath, tablePath, spec, recordedTypes)
+      val state = partialState(Lake.readSnapshot(spark, tablePath, snapId), spec)
+      state.write.mode("overwrite").parquet(s"$viewPath/state_$snapId")
+      publishCommit(fs, viewPath, snapId)
+      snapId
+    } catch {
+      case t: Throwable =>
+        try Lake.dropSnapshot(spark, tablePath, snapId)
+        catch { case _: Throwable => () } // keep the original failure
+        throw t
+    }
   }
 
   /** Fold in everything appended since the last committed refresh. Returns
