@@ -68,15 +68,34 @@ object BloomJoin {
     * estimate to skip that job when one is known (e.g. a dim-table row
     * count from table stats). */
   def build(small: DataFrame, key: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): Bloom =
+    buildOnCols(small, Seq(key), fpp, expectedItems)
+
+  /** One Column carrying the (possibly composite) key: the column itself for
+    * a single key, the struct of the columns otherwise. `xxhash64` hashes a
+    * struct by its field VALUES in order (names don't participate), so a
+    * probe-side struct matches iff its fields match position-by-position in
+    * value AND type — hence [[Joins.routed]] gates the bloom regime on exact
+    * per-position type equality. */
+  private[operators] def compositeKey(cols: Seq[Column]): Column =
+    if (cols.size == 1) cols.head else struct(cols: _*)
+
+  /** Composite-key form of [[build]]: rows with ANY null key component are
+    * excluded (they cannot match an equi-join). Probe with [[mightContain]]
+    * over [[compositeKey]] of same-typed columns. */
+  def buildOnCols(small: DataFrame, keys: Seq[String], fpp: Double = 0.01,
       expectedItems: Long = -1L): Bloom = {
-    val keyed = small.select(col(key)).where(col(key).isNotNull)
+    require(keys.nonEmpty, "bloom build needs at least one key column")
+    val keyed = small
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(compositeKey(keys.map(col)).as("__bloom_key"))
     val n = if (expectedItems >= 0) math.max(expectedItems, 1L)
             else math.max(keyed.distinct().count(), 1L)
     val m = optimalNumBits(n, fpp)
     val k = optimalK(n, m)
     import small.sparkSession.implicits._
     val words = keyed
-      .select(explode(positions(col(key), k, m)).as("p"))
+      .select(explode(positions(col("__bloom_key"), k, m)).as("p"))
       .as[Long].rdd
       .treeAggregate(new Array[Long](((m + 63) / 64).toInt))(
         (w, p) => { w((p >>> 6).toInt) |= 1L << (p & 63); w },

@@ -123,6 +123,154 @@ object Joins {
     JoinSizeEstimate(nL, nR, dL, dR, overlap, est)
   }
 
+  /** Thresholds for [[routed]]'s strategy pick. Row-based on purpose: the
+    * preflight measures rows, not bytes, and a row threshold composes with
+    * whatever row width the caller knows. At 100 TB tune `broadcastMaxRows`
+    * to what one executor comfortably holds hashed (~the
+    * `autoBroadcastJoinThreshold` budget / row width). */
+  final case class RouteConfig(
+      broadcastMaxRows: Long = 500000,
+      skewHotFraction: Double = 0.20,
+      nSalts: Int = 16,
+      bloomMaxMatchFraction: Double = 0.30,
+      bloomFpp: Double = 0.01,
+      sketchK: Int = ThetaSketch.DefaultK)
+
+  /** What [[routed]] decided and why — the audit trail the 100 TB operator
+    * wants in the job log next to the join it priced. `bigSideHotFraction`
+    * is only measured when the broadcast short-circuit didn't fire (it costs
+    * one key-column agg pass over the big side). */
+  final case class RouteDecision(strategy: String, reason: String,
+      estimate: JoinSizeEstimate, bigSideHotFraction: Option[Double])
+
+  final case class RoutedJoin(df: DataFrame, decision: RouteDecision)
+
+  /** **Routed inner equi-join**: run the [[estimateEquiJoinSize]] preflight
+    * (plus, when it matters, a hot-key probe) and pick the physical strategy
+    * a 100 TB operator would pick by hand — the composition the preflight /
+    * [[Skew]] / [[BloomJoin]] diagnostics were built for:
+    *
+    *  1. **broadcast** — one side fits an executor hash table
+    *     (`rows <= broadcastMaxRows`): no shuffle at all;
+    *  2. **salted** — the big side's hottest key holds more than
+    *     `skewHotFraction` of its rows: a shuffle would bottleneck on one
+    *     reducer no matter the partition count, so scatter the hot keys over
+    *     `nSalts` sub-keys ([[Skew]]'s mechanics, both key names preserved);
+    *  3. **bloom** — few of the big side's keys can match
+    *     (`overlap / distinct_big <= bloomMaxMatchFraction`): prune the big
+    *     side with a bloom filter of the small side's keys BEFORE its
+    *     shuffle ([[BloomJoin]]; requires exact per-position key-type match,
+    *     since the probe hashes values through their type);
+    *  4. **shuffle** — otherwise: the plain exchange-both-sides join, with
+    *     AQE handling moderate skew at runtime.
+    *
+    * All regimes produce EXACTLY the rows of
+    * `left.join(right, zip(leftKeys, rightKeys) map (_ === _), "inner")` with
+    * the same left-then-right column order. Inner joins only: null-keyed
+    * rows are dropped up front on both sides (they cannot appear in an inner
+    * result, and a hot NULL shuffles like any hot key — the single most
+    * common real-world skew), and the salt/bloom rewrites are
+    * row-preserving only for inner semantics. Self-joins must alias one
+    * side first (the `frame(col)` disambiguation needs distinct lineages).
+    *
+    * Preflight cost: one concurrent agg pass per side (KB-scale results),
+    * plus one key-frequency agg over the big side when broadcast didn't
+    * short-circuit — all map-side-partial, priced for a decision that moves
+    * terabytes. The decision and its inputs are returned (and logged at
+    * INFO) rather than buried. */
+  def routed(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      config: RouteConfig = RouteConfig()): RoutedJoin = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit, max, rand, sequence}
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"routed: key lists must pair up, got $leftKeys / $rightKeys")
+    val l = left.where(leftKeys.map(col(_).isNotNull).reduce(_ && _))
+    val r = right.where(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+    def cond(lf: DataFrame, rf: DataFrame) =
+      leftKeys.zip(rightKeys).map { case (a, b) => lf(a) === rf(b) }
+        .reduce(_ && _)
+    val e = estimateEquiJoinSize(l, r, leftKeys, rightKeys, config.sketchK)
+    val leftBig = e.rowsLeft >= e.rowsRight
+    val (nBig, nSmall, dBig) =
+      if (leftBig) (e.rowsLeft, e.rowsRight, e.distinctLeft)
+      else (e.rowsRight, e.rowsLeft, e.distinctRight)
+    val (big, bigKeys, small, smallKeys) =
+      if (leftBig) (l, leftKeys, r, rightKeys) else (r, rightKeys, l, leftKeys)
+    // preserve left-then-right output order whichever side is big
+    def ordered(bigDf: DataFrame, smallDf: DataFrame,
+        extra: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      val (lf, rf) = if (leftBig) (bigDf, smallDf) else (smallDf, bigDf)
+      val c = extra.map(cond(lf, rf) && _).getOrElse(cond(lf, rf))
+      lf.join(rf, c, "inner")
+    }
+
+    val decision: (String, String, Option[Double], () => DataFrame) =
+      if (nSmall <= config.broadcastMaxRows)
+        ("broadcast",
+          s"small side $nSmall rows <= broadcastMaxRows ${config.broadcastMaxRows}",
+          None,
+          () => ordered(big, broadcast(small)))
+      else {
+        // the hot-key probe: one map-side-partial agg over the big side's
+        // key columns (sample it upstream if even that is too dear)
+        val hotCnt =
+          if (nBig == 0) 0L
+          else big.groupBy(bigKeys.map(col): _*)
+            .agg(count(lit(1)).as("__c")).agg(max(col("__c")))
+            .head().getLong(0)
+        val hot = if (nBig == 0) 0.0 else hotCnt.toDouble / nBig
+        val typesMatch = leftKeys.zip(rightKeys).forall { case (a, b) =>
+          l.schema(a).dataType == r.schema(b).dataType }
+        val matchFrac = if (dBig == 0.0) 0.0 else e.keyOverlap / dBig
+        if (hot > config.skewHotFraction)
+          ("salted",
+            f"hottest big-side key holds $hot%.3f of $nBig rows " +
+              f"(> ${config.skewHotFraction}%.3f); ${config.nSalts} salts",
+            Some(hot),
+            () => {
+              val bs = "__route_salt_b"; val ss = "__route_salt_s"
+              // rand only routes rows across reducers, never changes results
+              val bigS = big.withColumn(bs,
+                (rand(42) * config.nSalts).cast("int"))
+              val smallS = small.withColumn(ss,
+                explode(sequence(lit(0), lit(config.nSalts - 1))))
+              ordered(bigS, smallS, Some(bigS(bs) === smallS(ss)))
+                .drop(bs, ss)
+            })
+        else if (typesMatch && matchFrac <= config.bloomMaxMatchFraction)
+          ("bloom",
+            f"key overlap ${e.keyOverlap}%.0f / big-side distinct $dBig%.0f " +
+              f"= $matchFrac%.3f <= ${config.bloomMaxMatchFraction}%.3f: " +
+              "bloom-prune the big side before its shuffle",
+            Some(hot),
+            () => {
+              val dSmall = if (leftBig) e.distinctRight else e.distinctLeft
+              // sketch already measured the small side's distinct keys —
+              // skip bloom build's own distinct-count job
+              val bloom = BloomJoin.buildOnCols(small, smallKeys,
+                config.bloomFpp,
+                expectedItems = math.max(math.ceil(dSmall).toLong, 1L))
+              val bigF = big.where(BloomJoin.mightContain(
+                BloomJoin.compositeKey(bigKeys.map(col)), bloom))
+              ordered(bigF, small)
+            })
+        else
+          ("shuffle",
+            f"no regime fired (hot $hot%.3f, matchFrac $matchFrac%.3f, " +
+              s"typesMatch $typesMatch): plain exchange join, AQE handles " +
+              "moderate skew",
+            Some(hot),
+            () => ordered(big, small))
+      }
+
+    val (strategy, reason, hotFrac, run) = decision
+    val d = RouteDecision(strategy, reason, e, hotFrac)
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Joins").info(
+      s"routed join [$strategy]: $reason; est ${e.estimatedRows} rows " +
+        s"(L ${e.rowsLeft} x R ${e.rowsRight})")
+    RoutedJoin(run(), d)
+  }
+
   /** J9 — join on the intersection of available key columns, resolved at
     * plan-build time (reference: bdb2026/preprocess.py:244-248 merges on
     * whichever of (game_id, play_id, nfl_id, frame_id) both frames carry).

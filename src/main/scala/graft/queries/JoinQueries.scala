@@ -399,5 +399,53 @@ object JoinQueries {
             "key_overlap", "estimated_rows", "exact_rows", "rel_err")
       },
       None),
+
+    // ROUTED join: the preflight/skew/bloom diagnostics composed into the
+    // decision they were built for. The query forces all FOUR regimes on the
+    // same fixture (orders ⋈ one nation's customers — naturally broadcast;
+    // thresholds force shuffle / salted / bloom), REQUIRES each router pick
+    // to be the forced regime, and requires every regime's aggregate to be
+    // row-identical before emitting it — so the oracle hash gates all four
+    // physical rewrites at once against the plain DuckDB join.
+    QueryDef(
+      "j_routed",
+      (s, dir) => {
+        import graft.operators.Joins
+        import graft.operators.Joins.RouteConfig
+        val orders = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir).filter(col("c_nationkey") === 1)
+        def agg(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("c_custkey")
+            .agg(count(lit(1)).as("n_orders"),
+              Exact.dsum(col("o_totalprice")).as("sum_price"))
+            .orderBy("c_custkey")
+        val regimes = Seq(
+          "broadcast" -> RouteConfig(),
+          "shuffle" -> RouteConfig(broadcastMaxRows = 0,
+            skewHotFraction = 1.1, bloomMaxMatchFraction = 0.0),
+          "salted" -> RouteConfig(broadcastMaxRows = 0,
+            skewHotFraction = 0.0),
+          "bloom" -> RouteConfig(broadcastMaxRows = 0,
+            skewHotFraction = 1.1, bloomMaxMatchFraction = 1.0))
+        val results = regimes.map { case (want, cfg) =>
+          val rj = Joins.routed(orders, cust,
+            Seq("o_custkey"), Seq("c_custkey"), cfg)
+          require(rj.decision.strategy == want,
+            s"routing drifted: forced $want, router picked " +
+              s"${rj.decision.strategy} (${rj.decision.reason})")
+          (want, agg(rj.df))
+        }
+        val base = results.head._2.collect().toSeq
+        results.tail.foreach { case (name, df) =>
+          require(df.collect().toSeq == base,
+            s"routed regime $name result differs from ${results.head._1}")
+        }
+        results.head._2
+      },
+      Some(s"""SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  ${Exact.sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |WHERE c_nationkey = 1
+              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
   )
 }

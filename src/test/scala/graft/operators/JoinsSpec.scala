@@ -181,4 +181,88 @@ class JoinsSpec extends SparkSpec {
     assert(math.abs(e.estimatedRows - exactJoin) <= exactJoin * 5 * rse,
       s"estimate ${e.estimatedRows} strayed past 5*RSE of $exactJoin")
   }
+
+  test("routed: every regime reproduces the plain inner join exactly") {
+    import spark.implicits._
+    // fact: 2000 rows over 200 keys (10 each); dim: keys 0..49 — natural
+    // match fraction 50/200 = 0.25, under the default bloom gate
+    val fact = (0 until 2000).map(i => (i % 200L, i)).toDF("fk", "x")
+    val dim = (0L until 50L).map(j => (j, s"d$j")).toDF("pk", "name")
+    val plain = fact.join(dim, fact("fk") === dim("pk"), "inner")
+      .orderBy("x").collect().toSeq
+    def run(cfg: Joins.RouteConfig, want: String): Unit = {
+      val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"), cfg)
+      assert(rj.decision.strategy === want,
+        s"wanted $want: ${rj.decision.reason}")
+      // identical output schema across regimes (left-then-right, no
+      // salt/helper columns leaking)
+      assert(rj.df.columns.toSeq === Seq("fk", "x", "pk", "name"))
+      assert(rj.df.orderBy("x").collect().toSeq === plain,
+        s"regime $want diverged from the plain join")
+    }
+    run(Joins.RouteConfig(), "broadcast")
+    run(Joins.RouteConfig(broadcastMaxRows = 0, skewHotFraction = 1.1,
+      bloomMaxMatchFraction = 0.0), "shuffle")
+    run(Joins.RouteConfig(broadcastMaxRows = 0, skewHotFraction = 0.0),
+      "salted")
+    run(Joins.RouteConfig(broadcastMaxRows = 0), "bloom") // natural 0.25
+  }
+
+  test("routed: skew detection fires on a genuinely hot key; null keys drop") {
+    import spark.implicits._
+    // one key holds half the big side; nulls are the OTHER classic hot key —
+    // both must route to salted and produce inner-join-exact rows
+    val hot = ((0 until 1000).map(i => (Some(7L), i)) ++
+      (1000 until 2000).map(i => (Some(i.toLong % 100L), i)) ++
+      (2000 until 2500).map(i => (Option.empty[Long], i)))
+      .toDF("fk", "x")
+    val dim = (0L until 100L).map(j => (j, s"d$j")).toDF("pk", "name")
+    val plain = hot.join(dim, hot("fk") === dim("pk"), "inner")
+      .orderBy("x").collect().toSeq
+    val rj = Joins.routed(hot, dim, Seq("fk"), Seq("pk"),
+      Joins.RouteConfig(broadcastMaxRows = 0))
+    // 1000 of 2000 NON-NULL rows share key 7 -> hot fraction 0.5 > 0.2
+    assert(rj.decision.strategy === "salted", rj.decision.reason)
+    assert(rj.decision.bigSideHotFraction.exists(h => h > 0.45 && h < 0.55),
+      s"hot fraction should be ~0.5 of non-null rows: ${rj.decision}")
+    assert(rj.df.orderBy("x").collect().toSeq === plain)
+  }
+
+  test("routed: mixed-type keys skip the bloom regime but still join right") {
+    import spark.implicits._
+    // int FK vs long PK: the join coerces and matches, but the bloom probe
+    // hashes through the type — router must fall to shuffle, not mis-prune
+    val fact = (0 until 2000).map(i => (i % 200, i)).toDF("fk", "x") // int
+    val dim = (0L until 50L).map(j => (j, s"d$j")).toDF("pk", "name") // long
+    val plain = fact.join(dim, fact("fk") === dim("pk"), "inner")
+      .orderBy("x").collect().toSeq
+    val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"),
+      Joins.RouteConfig(broadcastMaxRows = 0))
+    assert(rj.decision.strategy === "shuffle",
+      s"type-mismatched keys must not bloom: ${rj.decision.reason}")
+    assert(rj.df.orderBy("x").collect().toSeq === plain)
+  }
+
+  test("routed: composite keys route through bloom and match exactly") {
+    import spark.implicits._
+    val fact = (0 until 2000).map(i => (i % 20, (i / 20) % 10, i))
+      .toDF("a", "b", "x") // 200 (a,b) pairs
+    val dim = (0 until 5).flatMap(a => (0 until 10).map(b => (a, b, s"$a-$b")))
+      .toDF("a2", "b2", "name") // 50 pairs -> match fraction 0.25
+    val plain = fact.join(dim,
+      fact("a") === dim("a2") && fact("b") === dim("b2"), "inner")
+      .orderBy("x").collect().toSeq
+    val rj = Joins.routed(fact, dim, Seq("a", "b"), Seq("a2", "b2"),
+      Joins.RouteConfig(broadcastMaxRows = 0))
+    assert(rj.decision.strategy === "bloom", rj.decision.reason)
+    assert(rj.df.orderBy("x").collect().toSeq === plain)
+  }
+
+  test("routed rejects mismatched key lists") {
+    import spark.implicits._
+    val a = Seq((1L, 1)).toDF("k", "x")
+    intercept[IllegalArgumentException] {
+      Joins.routed(a, a.toDF("k2", "y"), Seq("k"), Seq.empty)
+    }
+  }
 }

@@ -305,6 +305,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(composed.count() === plain.count())
   }
 
+  test("routed join: each regime's physical shape actually engages") {
+    import graft.operators.Joins
+    import graft.operators.Joins.RouteConfig
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir).filter(col("c_nationkey") === 1)
+    def route(cfg: RouteConfig, want: String) = {
+      val rj = Joins.routed(orders, cust,
+        Seq("o_custkey"), Seq("c_custkey"), cfg)
+      assert(rj.decision.strategy === want, rj.decision.reason)
+      executedPlan(rj.df)
+    }
+    // broadcast regime: the join must BE a broadcast hash join
+    val bPlan = route(RouteConfig(), "broadcast")
+    def descend(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => descend(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        descend(q.plan)
+      case other => other.children.flatMap(descend)
+    })
+    assert(descend(bPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "broadcast regime did not plan a BroadcastHashJoinExec")
+    // salted regime: the salt must be IN the join keys (visible in the
+    // physical condition/partitioning, even though it is dropped after)
+    val sPlan = route(RouteConfig(broadcastMaxRows = 0, skewHotFraction = 0.0),
+      "salted")
+    assert(descend(sPlan).map(_.toString).exists(_.contains("__route_salt")),
+      "salted regime's salt column never reached the physical join")
+    // bloom regime: the big side must carry the membership probe (the
+    // xxhash64 -> shiftright word test) as a filter BEFORE the join
+    val fPlan = route(RouteConfig(broadcastMaxRows = 0, skewHotFraction = 1.1,
+      bloomMaxMatchFraction = 1.0), "bloom")
+    val probe = descend(fPlan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.toString
+    }
+    assert(probe.exists(s => s.contains("xxhash64") && s.contains("shiftright")
+      && s.contains("o_custkey")),
+      "bloom regime's membership probe is not a filter on the big side")
+  }
+
   test("runtime bloom-filter pruning reaches the fact scan on shuffle joins") {
     // When a fact-dim join is too big to broadcast, Spark's runtime row-level
     // filtering builds a bloom filter from the SELECTIVE dim side and probes
