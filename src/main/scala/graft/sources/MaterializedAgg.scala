@@ -100,15 +100,61 @@ object MaterializedAgg {
     }
   }
 
+  /** How long a writer lease may sit untouched before another writer may
+    * take it over — generous against the longest plausible refresh, since a
+    * takeover of a LIVE writer would reintroduce the very interleaving the
+    * lease exists to prevent. */
+  val DefaultLeaseStaleMs: Long = 15 * 60 * 1000L
+
+  private val LeaseFile = "_graft_view_lock"
+
+  /** Enforce the single-writer-per-view contract: acquire a create-exclusive
+    * lease file for the duration of `body`, failing the second writer LOUDLY
+    * (naming the lease) instead of letting two refreshes interleave — the
+    * newest-committed-id rule keeps readers consistent either way, but the
+    * losing writer's work would be silently discarded and its pinned
+    * manifest leaked. Acquisition order matters: the lease is taken BEFORE
+    * any snapshot pin, so a refused writer pins nothing.
+    *
+    * Crash story: a writer that dies holds the lease until `staleMs` passes,
+    * then the next writer deletes-and-recreates it (the recreate is
+    * create-exclusive, so two simultaneous takeovers still serialize on
+    * filesystems with atomic create — HDFS and object stores with
+    * conditional writes; the local dev FS approximates it). */
+  private def withLease[T](fs: org.apache.hadoop.fs.FileSystem,
+      viewPath: String, op: String, staleMs: Long)(body: => T): T = {
+    val root = new org.apache.hadoop.fs.Path(viewPath)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(viewPath, LeaseFile)
+    if (fs.exists(lock)) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      if (age > staleMs) fs.delete(lock, false) // crashed writer: take over
+    }
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"$op: another writer holds the lease $lock — materialized views " +
+            s"are single-writer; a crashed writer's lease can be taken over " +
+            s"after ${staleMs / 1000}s idle", e)
+      }
+    try {
+      out.write(s"$op@${System.currentTimeMillis()}".getBytes("UTF-8"))
+    } finally out.close()
+    try body finally fs.delete(lock, false)
+  }
+
   /** Materialize the view: snapshot the table, aggregate it once, commit
     * `state_<snapId>`. Returns the snapshot id the state reflects. */
   def create(spark: SparkSession, tablePath: String, viewPath: String,
-      spec: Spec): Long = {
+      spec: Spec, leaseStaleMs: Long = DefaultLeaseStaleMs): Long = {
     val base = spark.read.parquet(tablePath)
     val missing = spec.allCols.filterNot(base.columns.contains)
     require(missing.isEmpty,
       s"materialized-agg spec references columns $missing absent from $tablePath")
     val fs = fsOf(spark, viewPath)
+    withLease(fs, viewPath, "create", leaseStaleMs) {
     // committed state, not the meta file, is what makes a view exist — a
     // create that crashed between meta and commit can simply be re-run
     currentId(fs, viewPath).foreach { id =>
@@ -137,6 +183,7 @@ object MaterializedAgg {
         catch { case _: Throwable => () } // keep the original failure
         throw t
     }
+    }
   }
 
   /** Fold in everything appended since the last committed refresh. Returns
@@ -152,13 +199,16 @@ object MaterializedAgg {
     * (bounded per crash, not per refresh; [[Lake.dropSnapshot]] is
     * idempotent, so sweeping leftovers manually is safe). */
   def refresh(spark: SparkSession, viewPath: String,
-      dropSuperseded: Boolean = false): Long = {
+      dropSuperseded: Boolean = false,
+      leaseStaleMs: Long = DefaultLeaseStaleMs): Long = {
     val fs = fsOf(spark, viewPath)
     val (tablePath, spec, recordedTypes) = readMeta(fs, viewPath)
+    withLease(fs, viewPath, "refresh", leaseStaleMs) {
     val cur = currentId(fs, viewPath).getOrElse(
       throw new IllegalStateException(s"no committed state at $viewPath"))
-    // pin FIRST: rows appended after this instant are cleanly out of this
-    // refresh and cleanly inside the next — nothing can fall between reads
+    // pin FIRST (but after the lease): rows appended after this instant are
+    // cleanly out of this refresh and cleanly inside the next — nothing can
+    // fall between reads
     val newId = Lake.snapshot(spark, tablePath)
     // a pin that never commits is garbage — drop it on ANY failure below
     // (drift, IO), or a failing scheduled refresh would leak an
@@ -169,33 +219,35 @@ object MaterializedAgg {
       val fresh = Lake.appendedFilesBetween(spark, tablePath, cur, newId)
       if (fresh.isEmpty) {
         if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, newId)
-        return cur
+        cur
+      } else {
+        val delta = Lake.readFileSubset(spark, tablePath, fresh)
+        val state = readState(spark, viewPath, cur)
+        val deltaState = partialState(adaptDelta(delta, spec, recordedTypes,
+          tablePath), spec)
+        // backstop for views whose meta predates recorded types: any residual
+        // type disagreement must fail NAMED, not as a union error mid-plan
+        val drifted = state.schema.fields.flatMap { f =>
+          deltaState.schema.fields.find(_.name == f.name)
+            .filter(_.dataType != f.dataType)
+            .map(g => s"${f.name}: state ${f.dataType.simpleString} vs " +
+              s"appended ${g.dataType.simpleString}")
+        }
+        require(drifted.isEmpty,
+          s"refresh: appended files at $tablePath retype maintained columns — " +
+            s"${drifted.mkString("; ")} (recreate the view for the new types)")
+        val merged = mergeStates(state, deltaState, spec)
+        merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
+        publishCommit(fs, viewPath, newId)
+        if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, cur)
+        newId
       }
-      val delta = Lake.readFileSubset(spark, tablePath, fresh)
-      val state = readState(spark, viewPath, cur)
-      val deltaState = partialState(adaptDelta(delta, spec, recordedTypes,
-        tablePath), spec)
-      // backstop for views whose meta predates recorded types: any residual
-      // type disagreement must fail NAMED, not as a union error mid-plan
-      val drifted = state.schema.fields.flatMap { f =>
-        deltaState.schema.fields.find(_.name == f.name)
-          .filter(_.dataType != f.dataType)
-          .map(g => s"${f.name}: state ${f.dataType.simpleString} vs " +
-            s"appended ${g.dataType.simpleString}")
-      }
-      require(drifted.isEmpty,
-        s"refresh: appended files at $tablePath retype maintained columns — " +
-          s"${drifted.mkString("; ")} (recreate the view for the new types)")
-      val merged = mergeStates(state, deltaState, spec)
-      merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
-      publishCommit(fs, viewPath, newId)
-      if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, cur)
-      newId
     } catch {
       case t: Throwable =>
         try Lake.dropSnapshot(spark, tablePath, newId)
         catch { case _: Throwable => () } // keep the original failure
         throw t
+    }
     }
   }
 
@@ -304,9 +356,13 @@ object MaterializedAgg {
 
   /** Drop all state directories and markers except the newest committed one
     * (crashed refreshes and superseded states accumulate otherwise).
+    * Takes the writer lease: an unguarded vacuum racing an in-flight refresh
+    * would sweep the staged `state_<newId>` directory out from under it.
     * Returns the number of directories removed. */
-  def vacuum(spark: SparkSession, viewPath: String): Int = {
+  def vacuum(spark: SparkSession, viewPath: String,
+      leaseStaleMs: Long = DefaultLeaseStaleMs): Int = {
     val fs = fsOf(spark, viewPath)
+    withLease(fs, viewPath, "vacuum", leaseStaleMs) {
     currentId(fs, viewPath) match {
       case None => 0
       case Some(keep) =>
@@ -324,6 +380,7 @@ object MaterializedAgg {
           }
         }
         dropped
+    }
     }
   }
 

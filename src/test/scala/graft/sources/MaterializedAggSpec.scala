@@ -438,4 +438,62 @@ class MaterializedAggSpec extends SparkSpec {
       rows(oneShot(spark.read.parquet(table))
         .select("g", "cnt", "sum_v", "avg_v")))
   }
+
+  test("single-writer lease: an interleaved second refresher fails by name, pins nothing") {
+    import spark.implicits._
+    val root = tmp("mview_lease")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.0)).toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    Seq((2, 2.0)).toDF("g", "v").write.mode("append").parquet(table)
+    val fs = new org.apache.hadoop.fs.Path(view)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(view, "_graft_view_lock")
+    // writer A is mid-refresh: its lease is on disk (the deterministic
+    // interleave — the lease is taken before anything else a refresh does)
+    fs.create(lock, false).close()
+    val pinsBefore = Lake.snapshots(spark, table)
+    val e = intercept[IllegalStateException] {
+      MaterializedAgg.refresh(spark, view)
+    }
+    assert(e.getMessage.contains("lease") && e.getMessage.contains("refresh"),
+      s"second writer must fail naming the lease: ${e.getMessage}")
+    // the loser pinned NOTHING: lease acquisition precedes the snapshot pin
+    assert(Lake.snapshots(spark, table) === pinsBefore,
+      "a lease-refused refresh must not leak a snapshot manifest")
+    // vacuum is a writer too
+    intercept[IllegalStateException] { MaterializedAgg.vacuum(spark, view) }
+    // writer A finishes (lease released) -> the next refresh proceeds
+    fs.delete(lock, false)
+    MaterializedAgg.refresh(spark, view)
+    assert(rows(MaterializedAgg.read(spark, view)) ===
+      rows(oneShot(spark.read.parquet(table))
+        .select("g", "cnt", "sum_v", "avg_v")))
+    assert(!fs.exists(lock), "a finished refresh must release its lease")
+  }
+
+  test("single-writer lease: a crashed writer's stale lease is taken over") {
+    import spark.implicits._
+    val root = tmp("mview_lease_stale")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    Seq((1, 1.0)).toDF("g", "v").write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    Seq((2, 2.0)).toDF("g", "v").write.mode("append").parquet(table)
+    val fs = new org.apache.hadoop.fs.Path(view)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(view, "_graft_view_lock")
+    fs.create(lock, false).close()
+    // age the lease past the staleness horizon (a crashed writer's leftovers)
+    val old = System.currentTimeMillis() - 60000L
+    fs.setTimes(lock, old, old)
+    MaterializedAgg.refresh(spark, view, leaseStaleMs = 30000L)
+    assert(rows(MaterializedAgg.read(spark, view)) ===
+      rows(oneShot(spark.read.parquet(table))
+        .select("g", "cnt", "sum_v", "avg_v")))
+    assert(!fs.exists(lock), "takeover must still release the lease at the end")
+  }
 }
