@@ -793,6 +793,33 @@ object RelationalQueries {
              |  max(o_orderkey) AS max_key
              |FROM orders GROUP BY o_custkey
              |ORDER BY o_custkey""".stripMargin)),
+
+    // JOINED incremental view maintenance: the per-nation revenue view is
+    // GROUP BY over orders ⋈ customer, maintained by enriching each
+    // snapshot-pinned DELTA with the broadcast dimension (pinned by its own
+    // snapshot) before partial aggregation — the dashboard-over-a-join
+    // shape, refreshed at O(delta + groups) instead of re-joining the
+    // corpus. Staged like l_incr_agg (create on a third, two append+refresh
+    // rounds); the DuckDB oracle recomputes the join+aggregate from the
+    // full raw tables in one shot.
+    QueryDef(
+      "l_incr_agg_join",
+      (s, dir) =>
+        graft.sources.MaterializedAgg.read(s, mviewJoinPath(s, dir) + "/view")
+          .select(col("c_nationkey"), col("cnt"),
+            col("sum_o_totalprice").as("sum_price"),
+            col("avg_o_totalprice").as("avg_price"),
+            col("min_o_totalprice").as("min_price"),
+            col("max_o_totalprice").as("max_price"))
+          .orderBy("c_nationkey"),
+      Some(s"""SELECT c_nationkey, count(*) AS cnt,
+             |  ${Exact.sqlDsum("o_totalprice")} AS sum_price,
+             |  ${Exact.sqlDavg("o_totalprice")} AS avg_price,
+             |  min(o_totalprice) AS min_price,
+             |  max(o_totalprice) AS max_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
   )
 
   /** Stage a derived layout under the warehouse once per JVM per data dir.
@@ -937,6 +964,36 @@ object RelationalQueries {
           sumCols = Seq("o_totalprice"),
           minCols = Seq("o_totalprice"),
           maxCols = Seq("o_totalprice", "o_orderkey")))
+      (1 to 2).foreach { r =>
+        o.filter(col("o_orderkey") % 3 === r)
+          .write.mode("append").parquet(table)
+        graft.sources.MaterializedAgg.refresh(s, view)
+      }
+    }
+
+  /** The joined-IVM fixture: orders fact staged in three thirds with a
+    * customer dimension pinned beside it; the per-nation view is created on
+    * the first third and refreshed across the two appends, each delta
+    * broadcast-enriched with the pinned dimension before partial agg. */
+  private[graft] def mviewJoinPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "orders_mview_join") { loc =>
+      val table = s"$loc/table"
+      val dim = s"$loc/dim"
+      val view = s"$loc/view"
+      Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        .write.parquet(dim)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      o.filter(col("o_orderkey") % 3 === 0).write.parquet(table)
+      graft.sources.MaterializedAgg.create(s, table, view,
+        graft.sources.MaterializedAgg.Spec(
+          groupCols = Seq("c_nationkey"),
+          sumCols = Seq("o_totalprice"),
+          minCols = Seq("o_totalprice"),
+          maxCols = Seq("o_totalprice"),
+          dim = Some(graft.sources.MaterializedAgg.DimSpec(dim,
+            Seq("o_custkey"), Seq("c_custkey"), Seq("c_nationkey")))))
       (1 to 2).foreach { r =>
         o.filter(col("o_orderkey") % 3 === r)
           .write.mode("append").parquet(table)

@@ -717,6 +717,30 @@ object Lake {
       .parquet(fresh.map(rel => s"$path/$rel"): _*)
   }
 
+  /** Metadata-only diff of the table's CURRENT files against a pinned
+    * manifest: (appended, rewrittenOrRemoved) relative paths. Both empty
+    * means the table is bit-identical to the snapshot — the freshness check
+    * [[MaterializedAgg]] runs on a pinned DIMENSION before trusting
+    * per-delta enrichment (unlike [[readSnapshot]]'s intact check, an
+    * APPEND also counts as change here). One distributed listing, no scan. */
+  def driftSinceSnapshot(spark: SparkSession, path: String,
+      snapId: Long): (Seq[String], Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = snapshotEntries(fs, p, snapId)
+    val base = fs.makeQualified(p).toString
+    val current = FileSkipping.listDataFiles(spark, path, parquetOnly = false)
+      .map { case (abs, len) =>
+        abs.stripPrefix(base).stripPrefix("/") -> len
+      }.toMap
+    val broken = entries.filter { case (len, rel) =>
+      !current.get(rel).contains(len)
+    }.map(_._2).sorted
+    val old = entries.map(_._2).toSet
+    val appended = current.keys.filterNot(old.contains).toSeq.sorted
+    (appended, broken)
+  }
+
   /** Validate a manifest against ONE distributed listing (never a serial
     * exists/length RPC per file — at 10⁴+ files that is minutes of driver
     * metadata calls). Returns the (relative path → length) map of the

@@ -50,9 +50,48 @@ import graft.operators.ThetaSketch
   */
 object MaterializedAgg {
 
+  /** Optional broadcast-dimension enrich for JOINED views: the maintained
+    * aggregate is `GROUP BY` over `fact ⋈ dim`, with the join applied to
+    * each DELTA before partial aggregation. That per-delta rewrite is only
+    * correct against a FROZEN dimension (a join distributes over a union of
+    * fact batches, but only when the other operand doesn't move), so the
+    * dimension is pinned by its own [[Lake.snapshot]] at create/rebase time
+    * and [[MaterializedAgg.refresh]] REFUSES loudly when the dimension has
+    * changed since its pin — [[MaterializedAgg.rebase]] is the repair path
+    * that adopts the new dimension with one full recompute.
+    *
+    * `dimCols` are the dimension columns brought into the enriched frame
+    * (usable as group or value columns in the [[Spec]]); they must not
+    * collide with fact column names. `joinType` is `inner` or `left` — both
+    * are per-fact-row enrichments and therefore IVM-safe; right/full outer
+    * are not decomposable per delta and are rejected. At 100 TB the
+    * dimension side is broadcast: the fact delta never shuffles for the
+    * enrich. */
+  final case class DimSpec(
+      dimPath: String,
+      factKeys: Seq[String],
+      dimKeys: Seq[String],
+      dimCols: Seq[String],
+      joinType: String = "inner") {
+    require(factKeys.nonEmpty && factKeys.size == dimKeys.size,
+      s"dim join keys must pair up, got $factKeys / $dimKeys")
+    require(dimCols.nonEmpty, "a dim enrich that brings in no columns is a no-op")
+    require(Set("inner", "left", "left_outer", "leftouter")
+        .contains(joinType.toLowerCase.replace(" ", "")),
+      s"dim enrich supports inner/left only (got '$joinType'): right/full " +
+        "outer are not decomposable per delta")
+    require(!dimPath.exists(ch => ch == '\t' || ch == '\n'),
+      s"dim path '$dimPath' cannot be stored in the view meta")
+    (factKeys ++ dimKeys ++ dimCols).foreach { c =>
+      require(!c.exists(ch =>
+        ch == '\t' || ch == '\n' || ch == ',' || ch == ':'),
+        s"dim column name '$c' cannot be stored in the view meta")
+    }
+  }
+
   /** Which aggregates the view maintains. All referenced columns must exist
-    * in the base table; names must be tab/newline-free (they are stored in
-    * the view's plain-text meta file). */
+    * in the base table (or, with [[DimSpec]], in `dimCols`); names must be
+    * tab/newline-free (they are stored in the view's plain-text meta file). */
   final case class Spec(
       groupCols: Seq[String],
       sumCols: Seq[String] = Nil,
@@ -61,7 +100,8 @@ object MaterializedAgg {
       distinctCols: Seq[String] = Nil,
       thetaK: Int = ThetaSketch.DefaultK,
       quantileCols: Seq[String] = Nil,
-      quantiles: Seq[Double] = Seq(0.5)) {
+      quantiles: Seq[Double] = Seq(0.5),
+      dim: Option[DimSpec] = None) {
     require(groupCols.nonEmpty, "materialized agg needs group columns")
     quantiles.foreach(q => require(q > 0.0 && q < 1.0,
       s"quantiles must be in (0,1), got $q"))
@@ -150,9 +190,7 @@ object MaterializedAgg {
   def create(spark: SparkSession, tablePath: String, viewPath: String,
       spec: Spec, leaseStaleMs: Long = DefaultLeaseStaleMs): Long = {
     val base = spark.read.parquet(tablePath)
-    val missing = spec.allCols.filterNot(base.columns.contains)
-    require(missing.isEmpty,
-      s"materialized-agg spec references columns $missing absent from $tablePath")
+    validateSpecColumns(spark, base, tablePath, spec)
     val fs = fsOf(spark, viewPath)
     withLease(fs, viewPath, "create", leaseStaleMs) {
     // committed state, not the meta file, is what makes a view exist — a
@@ -162,18 +200,28 @@ object MaterializedAgg {
         s"a materialized view already exists at $viewPath (state $id)")
     }
     val snapId = Lake.snapshot(spark, tablePath)
-    // same pin-rollback discipline as refresh: a failure after the snapshot
-    // (bad data, IO) must drop the freshly minted manifest, or every failed
+    // same pin-rollback discipline as refresh: a failure after the snapshots
+    // (bad data, IO) must drop the freshly minted manifests, or every failed
     // create attempt leaks an O(table-files) pin
+    var dimSnap: Option[Long] = None
     try {
+      dimSnap = spec.dim.map(d => Lake.snapshot(spark, d.dimPath))
+      val dimRead = spec.dim.map(d =>
+        d -> Lake.readSnapshot(spark, d.dimPath, dimSnap.get))
       // record the spec columns' types as of create: refresh adapts appended
       // files to THESE (or fails with the drift named) — without the record,
       // a retyped value column would be erased by the aggregation casts and
-      // silently corrupt the maintained sums
-      val recordedTypes = spec.allCols
-        .map(c => c -> base.schema(c).dataType.catalogString)
-      writeMeta(fs, viewPath, tablePath, spec, recordedTypes)
-      val state = partialState(Lake.readSnapshot(spark, tablePath, snapId), spec)
+      // silently corrupt the maintained sums. Dim-sourced columns are
+      // recorded from the pinned dim (they can only move via rebase).
+      val recordedTypes = recordTypes(base, dimRead, spec)
+      writeMeta(fs, viewPath, tablePath, spec, recordedTypes,
+        dimSnap.map(id => Seq(snapId -> id)).getOrElse(Nil))
+      val full = Lake.readSnapshot(spark, tablePath, snapId)
+      val enriched = dimRead match {
+        case Some((d, dimDf)) => enrich(full, dimDf, d)
+        case None => full
+      }
+      val state = partialState(enriched, spec)
       state.write.mode("overwrite").parquet(s"$viewPath/state_$snapId")
       publishCommit(fs, viewPath, snapId)
       snapId
@@ -181,9 +229,68 @@ object MaterializedAgg {
       case t: Throwable =>
         try Lake.dropSnapshot(spark, tablePath, snapId)
         catch { case _: Throwable => () } // keep the original failure
+        for (d <- spec.dim; id <- dimSnap)
+          try Lake.dropSnapshot(spark, d.dimPath, id)
+          catch { case _: Throwable => () }
         throw t
     }
     }
+  }
+
+  /** Columns the FACT side must supply: every spec column not brought in by
+    * the dim enrich, plus the enrich's fact-side join keys. */
+  private def factSideCols(spec: Spec): Seq[String] = spec.dim match {
+    case None => spec.allCols
+    case Some(d) =>
+      (spec.allCols.filterNot(d.dimCols.contains) ++ d.factKeys).distinct
+  }
+
+  private def validateSpecColumns(spark: SparkSession, base: DataFrame,
+      tablePath: String, spec: Spec): Unit = {
+    spec.dim.foreach { d =>
+      val missFact = d.factKeys.filterNot(base.columns.contains)
+      require(missFact.isEmpty,
+        s"dim enrich fact keys $missFact absent from $tablePath")
+      val dimBase = spark.read.parquet(d.dimPath)
+      val missDim = (d.dimKeys ++ d.dimCols).filterNot(dimBase.columns.contains)
+      require(missDim.isEmpty,
+        s"dim enrich columns $missDim absent from ${d.dimPath}")
+      // a dim column shadowing a fact column would make every downstream
+      // reference ambiguous — refuse at create, not mid-plan
+      val shadow = d.dimCols.filter(base.columns.contains)
+      require(shadow.isEmpty,
+        s"dim columns $shadow also exist on the fact table $tablePath — " +
+          "rename them on one side before creating the view")
+    }
+    val missing = spec.allCols.filterNot(c =>
+      base.columns.contains(c) || spec.dim.exists(_.dimCols.contains(c)))
+    require(missing.isEmpty,
+      s"materialized-agg spec references columns $missing absent from " +
+        s"$tablePath${spec.dim.map(d => s" and ${d.dimPath}").getOrElse("")}")
+  }
+
+  private def recordTypes(base: DataFrame,
+      dimRead: Option[(DimSpec, DataFrame)],
+      spec: Spec): Seq[(String, String)] =
+    factSideCols(spec).filter(base.columns.contains)
+      .map(c => c -> base.schema(c).dataType.catalogString) ++
+      dimRead.toSeq.flatMap { case (d, dimDf) =>
+        (spec.allCols.filter(d.dimCols.contains))
+          .map(c => c -> dimDf.schema(c).dataType.catalogString)
+      }
+
+  /** The broadcast-dimension enrich: fact rows gain `dimCols`; join-key-only
+    * dim columns are dropped after the join. The dim side is broadcast —
+    * the fact side never shuffles for this. */
+  private def enrich(fact: DataFrame, dimDf: DataFrame,
+      d: DimSpec): DataFrame = {
+    val dimSel = dimDf.select((d.dimKeys ++ d.dimCols).distinct.map(col): _*)
+    val joinCond = d.factKeys.zip(d.dimKeys)
+      .map { case (f, k) => fact(f) === dimSel(k) }.reduce(_ && _)
+    val joined = fact.join(
+      org.apache.spark.sql.functions.broadcast(dimSel), joinCond, d.joinType)
+    d.dimKeys.filterNot(d.dimCols.contains).distinct
+      .foldLeft(joined)((df, k) => df.drop(dimSel(k)))
   }
 
   /** Fold in everything appended since the last committed refresh. Returns
@@ -202,10 +309,27 @@ object MaterializedAgg {
       dropSuperseded: Boolean = false,
       leaseStaleMs: Long = DefaultLeaseStaleMs): Long = {
     val fs = fsOf(spark, viewPath)
-    val (tablePath, spec, recordedTypes) = readMeta(fs, viewPath)
+    val (tablePath, spec, recordedTypes, dimSnaps) = readMeta(fs, viewPath)
     withLease(fs, viewPath, "refresh", leaseStaleMs) {
     val cur = currentId(fs, viewPath).getOrElse(
       throw new IllegalStateException(s"no committed state at $viewPath"))
+    // joined view: per-delta enrichment is only valid against the dim AS OF
+    // its pin — ANY dim change (append included) invalidates the whole
+    // maintained state, not just this delta, so refuse loudly with the
+    // repair path named rather than serve a half-old half-new join
+    val dimPin: Option[(DimSpec, Long)] = spec.dim.map { d =>
+      val pin = dimSnapFor(dimSnaps, cur).getOrElse(
+        throw new IllegalStateException(
+          s"view $viewPath has a dim enrich but no dim pin covering state " +
+            s"$cur — corrupt meta; re-run rebase"))
+      val (appended, broken) = Lake.driftSinceSnapshot(spark, d.dimPath, pin)
+      require(appended.isEmpty && broken.isEmpty,
+        s"refresh: dimension ${d.dimPath} changed since its pin $pin " +
+          s"(${appended.size} appended, ${broken.size} rewritten/removed " +
+          "files) — a per-delta join against a moved dimension would " +
+          "corrupt the view; run MaterializedAgg.rebase to adopt it")
+      d -> pin
+    }
     // pin FIRST (but after the lease): rows appended after this instant are
     // cleanly out of this refresh and cleanly inside the next — nothing can
     // fall between reads
@@ -223,8 +347,13 @@ object MaterializedAgg {
       } else {
         val delta = Lake.readFileSubset(spark, tablePath, fresh)
         val state = readState(spark, viewPath, cur)
-        val deltaState = partialState(adaptDelta(delta, spec, recordedTypes,
-          tablePath), spec)
+        val adapted = adaptDelta(delta, spec, recordedTypes, tablePath)
+        val enrichedDelta = dimPin match {
+          case Some((d, pin)) =>
+            enrich(adapted, Lake.readSnapshot(spark, d.dimPath, pin), d)
+          case None => adapted
+        }
+        val deltaState = partialState(enrichedDelta, spec)
         // backstop for views whose meta predates recorded types: any residual
         // type disagreement must fail NAMED, not as a union error mid-plan
         val drifted = state.schema.fields.flatMap { f =>
@@ -262,7 +391,8 @@ object MaterializedAgg {
   private def adaptDelta(delta: DataFrame, spec: Spec,
       recorded: Map[String, org.apache.spark.sql.types.DataType],
       tablePath: String): DataFrame = {
-    val missingCols = spec.allCols.filterNot(delta.columns.contains)
+    val needed = factSideCols(spec)
+    val missingCols = needed.filterNot(delta.columns.contains)
     require(missingCols.isEmpty,
       s"refresh: appended files at $tablePath lack spec columns " +
         s"$missingCols (schema drift — the view was defined against a " +
@@ -271,7 +401,7 @@ object MaterializedAgg {
     def simple(t: org.apache.spark.sql.types.DataType): Boolean =
       !t.isInstanceOf[StructType] && !t.isInstanceOf[ArrayType] &&
         !t.isInstanceOf[MapType]
-    val adapted = spec.allCols.map { c =>
+    val adapted = needed.map { c =>
       val have = delta.schema(c).dataType
       recorded.get(c) match {
         case None => col(c) // pre-types meta: the schema backstop guards
@@ -299,7 +429,7 @@ object MaterializedAgg {
     * touches the base table. */
   def read(spark: SparkSession, viewPath: String): DataFrame = {
     val fs = fsOf(spark, viewPath)
-    val (_, spec, _) = readMeta(fs, viewPath)
+    val (_, spec, _, _) = readMeta(fs, viewPath)
     val cur = currentId(fs, viewPath).getOrElse(
       throw new IllegalStateException(s"no committed state at $viewPath"))
     finalizeState(readState(spark, viewPath, cur), spec)
@@ -350,7 +480,7 @@ object MaterializedAgg {
       s"no committed state $snapId at $viewPath " +
         s"(have: ${committedIds(spark, viewPath).mkString(", ")} — " +
         "superseded states are dropped by vacuum)")
-    val (_, spec, _) = readMeta(fs, viewPath)
+    val (_, spec, _, _) = readMeta(fs, viewPath)
     finalizeState(readState(spark, viewPath, snapId), spec)
   }
 
@@ -469,16 +599,39 @@ object MaterializedAgg {
       .find(id => fs.exists(new org.apache.hadoop.fs.Path(viewPath, s"state_$id")))
   }
 
+  /** The dim pin governing a given committed state: the newest pin minted
+    * at or before that state (refreshes commit new state ids without new
+    * dim pins; rebases append a pin at their own state id — a rebase that
+    * crashed after its meta write but before its commit leaves a pin with
+    * stateId > every committed id, which this lookup correctly ignores). */
+  private def dimSnapFor(dimSnaps: Seq[(Long, Long)],
+      stateId: Long): Option[Long] = {
+    val applicable = dimSnaps.filter(_._1 <= stateId)
+    if (applicable.isEmpty) None else Some(applicable.maxBy(_._1)._2)
+  }
+
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, viewPath: String,
       tablePath: String, spec: Spec,
-      recordedTypes: Seq[(String, String)]): Unit = {
+      recordedTypes: Seq[(String, String)],
+      dimSnaps: Seq[(Long, Long)]): Unit = {
     require(!tablePath.exists(ch => ch == '\t' || ch == '\n'),
       s"table path '$tablePath' cannot be stored in the view meta")
     // a crashed earlier create may have left a meta behind (no committed
     // state, or create would have refused above) — replace it
     val dst = new org.apache.hadoop.fs.Path(viewPath, MetaFile)
     if (fs.exists(dst)) fs.delete(dst, false)
-    val text = Seq(
+    val dimLines = spec.dim.toSeq.flatMap { d =>
+      Seq(
+        s"dimtable\t${d.dimPath}",
+        s"dimfactkeys\t${d.factKeys.mkString(",")}",
+        s"dimkeys\t${d.dimKeys.mkString(",")}",
+        s"dimcols\t${d.dimCols.mkString(",")}",
+        s"dimjoin\t${d.joinType}",
+        // stateId:dimSnapId pairs — the pin HISTORY, so readAt-era states
+        // keep their provenance across rebases
+        s"dimsnaps\t${dimSnaps.map { case (s, i) => s"$s:$i" }.mkString(";")}")
+    }
+    val text = (Seq(
       s"table\t$tablePath",
       s"k\t${spec.thetaK}",
       s"group\t${spec.groupCols.mkString(",")}",
@@ -492,7 +645,8 @@ object MaterializedAgg {
       // and, unlike a plain comma join, survives complex types whose
       // rendering itself contains commas (struct<a:int,b:int>); no Spark
       // type string contains ';', and column names cannot contain ':'
-      s"types\t${recordedTypes.map { case (c, t) => s"$c:$t" }.mkString(";")}")
+      s"types\t${recordedTypes.map { case (c, t) => s"$c:$t" }.mkString(";")}") ++
+      dimLines)
       .mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(viewPath, s".$MetaFile.tmp")
     val out = fs.create(tmp, true)
@@ -502,7 +656,8 @@ object MaterializedAgg {
   }
 
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem, viewPath: String):
-      (String, Spec, Map[String, org.apache.spark.sql.types.DataType]) = {
+      (String, Spec, Map[String, org.apache.spark.sql.types.DataType],
+        Seq[(Long, Long)]) = {
     val f = new org.apache.hadoop.fs.Path(viewPath, MetaFile)
     require(fs.exists(f), s"no materialized view at $viewPath")
     val in = fs.open(f)
@@ -522,11 +677,88 @@ object MaterializedAgg {
         val Array(c, t) = pair.split(":", 2)
         c -> org.apache.spark.sql.types.DataType.fromDDL(t)
       }.toMap
+    val dim = kv.get("dimtable").map { p =>
+      DimSpec(p, cols("dimfactkeys"), cols("dimkeys"), cols("dimcols"),
+        kv.getOrElse("dimjoin", "inner"))
+    }
+    val dimSnaps = kv.getOrElse("dimsnaps", "").split(";").toSeq
+      .filter(_.nonEmpty).map { pair =>
+        val Array(s, i) = pair.split(":", 2)
+        s.toLong -> i.toLong
+      }
     (kv("table"), Spec(cols("group"), cols("sum"), cols("min"), cols("max"),
       cols("distinct"), kv("k").toInt,
       cols("quantilecols"), cols("quantiles").map(_.toDouble) match {
         case Nil => Seq(0.5)
         case qs => qs
-      }), types)
+      }, dim), types, dimSnaps)
+  }
+
+  /** Full recompute under the view's identity: re-pin the CURRENT table
+    * (and, for joined views, the CURRENT dimension), rebuild the state in
+    * one shot, and commit it as a new refresh — keeping the view's id
+    * history (earlier states stay [[readAt]]-readable with their own dim
+    * provenance until [[vacuum]]). This is the repair path for everything
+    * incremental maintenance correctly refuses: a moved dimension, a
+    * rewritten/compacted base table, deletions, or recorded-type drift —
+    * one O(table) recompute instead of a silent wrong answer.
+    *
+    * Crash discipline: the new dim pin is recorded in the meta BEFORE the
+    * state commit, tagged with the new state id; until `commit_<newId>`
+    * publishes, every reader and refresher resolves the OLD pin (see
+    * [[dimSnapFor]]), so a crash anywhere leaves the previous state
+    * authoritative and consistent. Returns the new state id. */
+  def rebase(spark: SparkSession, viewPath: String,
+      dropSuperseded: Boolean = false,
+      leaseStaleMs: Long = DefaultLeaseStaleMs): Long = {
+    val fs = fsOf(spark, viewPath)
+    val (tablePath, spec, oldTypes, dimSnaps) = readMeta(fs, viewPath)
+    withLease(fs, viewPath, "rebase", leaseStaleMs) {
+    val cur = currentId(fs, viewPath).getOrElse(
+      throw new IllegalStateException(s"no committed state at $viewPath"))
+    val newId = Lake.snapshot(spark, tablePath)
+    var dimSnap: Option[Long] = None
+    try {
+      dimSnap = spec.dim.map(d => Lake.snapshot(spark, d.dimPath))
+      val base = Lake.readSnapshot(spark, tablePath, newId)
+      val dimRead = spec.dim.map(d =>
+        d -> Lake.readSnapshot(spark, d.dimPath, dimSnap.get))
+      // a rebase is a full recompute: legal type drift (widening, or even a
+      // recreate-worthy retype) folds in here, so re-record from what IS
+      validateSpecColumns(spark, base, tablePath, spec)
+      val recordedTypes = recordTypes(base, dimRead, spec)
+      writeMeta(fs, viewPath, tablePath, spec, recordedTypes,
+        dimSnaps ++ dimSnap.map(id => newId -> id).toSeq)
+      val enriched = dimRead match {
+        case Some((d, dimDf)) => enrich(base, dimDf, d)
+        case None => base
+      }
+      partialState(enriched, spec)
+        .write.mode("overwrite").parquet(s"$viewPath/state_$newId")
+      publishCommit(fs, viewPath, newId)
+      if (dropSuperseded) {
+        Lake.dropSnapshot(spark, tablePath, cur)
+        for (d <- spec.dim; old <- dimSnapFor(dimSnaps, cur)
+            if !dimSnap.contains(old))
+          Lake.dropSnapshot(spark, d.dimPath, old)
+      }
+      newId
+    } catch {
+      case t: Throwable =>
+        try Lake.dropSnapshot(spark, tablePath, newId)
+        catch { case _: Throwable => () } // keep the original failure
+        for (d <- spec.dim; id <- dimSnap)
+          try Lake.dropSnapshot(spark, d.dimPath, id)
+          catch { case _: Throwable => () }
+        // roll the meta back too: a dangling pin pair referencing the
+        // just-dropped dim manifest would otherwise be resolved by a LATER
+        // committed state's provenance lookup and fail misdiagnosed
+        try writeMeta(fs, viewPath, tablePath, spec,
+          oldTypes.toSeq.map { case (c, dt) => c -> dt.catalogString },
+          dimSnaps)
+        catch { case _: Throwable => () }
+        throw t
+    }
+    }
   }
 }

@@ -439,6 +439,115 @@ class MaterializedAggSpec extends SparkSpec {
         .select("g", "cnt", "sum_v", "avg_v")))
   }
 
+  test("joined view: per-delta broadcast enrich folds to the one-shot join+aggregate") {
+    import spark.implicits._
+    val root = tmp("mview_join")
+    val table = s"$root/t"
+    val dimT = s"$root/d"
+    val view = s"$root/v"
+    // dim: 40 keys -> 4 nations; fact batches reference keys 0..39
+    (0 until 40).map(k => (k.toLong, s"n${k % 4}")).toDF("ck", "nation")
+      .write.parquet(dimT)
+    def batch(r: Int): DataFrame =
+      (0 until 500).map(i => ((i * 7 + r) % 40L, i * 0.37 + r, i % 29))
+        .toDF("fk", "v", "u")
+    batch(0).write.parquet(table)
+    val spec = MaterializedAgg.Spec(Seq("nation"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"), distinctCols = Seq("u"),
+      dim = Some(MaterializedAgg.DimSpec(dimT,
+        Seq("fk"), Seq("ck"), Seq("nation"))))
+    MaterializedAgg.create(spark, table, view, spec)
+    (1 to 2).foreach { r =>
+      batch(r).write.mode("append").parquet(table)
+      MaterializedAgg.refresh(spark, view)
+    }
+    val oneShotJoin = spark.read.parquet(table)
+      .join(spark.read.parquet(dimT),
+        col("fk") === col("ck"), "inner")
+      .groupBy("nation").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("v").cast(graft.queries.Exact.dt)).cast("double").as("sum_v"),
+        (sum(col("v").cast(graft.queries.Exact.dt)).cast("double") /
+          count(col("v"))).as("avg_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val got = MaterializedAgg.read(spark, view)
+    assert(rows(got.drop("distinct_u")) === rows(oneShotJoin),
+      "maintained joined aggregates must equal a one-shot join+recompute")
+  }
+
+  test("joined view: a moved dimension refuses refresh loudly; rebase adopts it") {
+    import spark.implicits._
+    val root = tmp("mview_join_drift")
+    val table = s"$root/t"
+    val dimT = s"$root/d"
+    val view = s"$root/v"
+    (0 until 10).map(k => (k.toLong, s"n${k % 2}")).toDF("ck", "nation")
+      .write.parquet(dimT)
+    def batch(r: Int): DataFrame =
+      (0 until 100).map(i => ((i + r) % 10L, i * 1.0 + r)).toDF("fk", "v")
+    batch(0).write.parquet(table)
+    val spec = MaterializedAgg.Spec(Seq("nation"), sumCols = Seq("v"),
+      dim = Some(MaterializedAgg.DimSpec(dimT,
+        Seq("fk"), Seq("ck"), Seq("nation"))))
+    MaterializedAgg.create(spark, table, view, spec)
+    batch(1).write.mode("append").parquet(table)
+    MaterializedAgg.refresh(spark, view)
+    // the dimension moves (an append is a change too: per-delta enrichment
+    // against it would split history across two dim versions)
+    Seq((10L, "n9")).toDF("ck", "nation").write.mode("append").parquet(dimT)
+    batch(2).write.mode("append").parquet(table)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, view)
+    }
+    assert(e.getMessage.contains("rebase") && e.getMessage.contains(dimT),
+      s"dim drift must name the repair path: ${e.getMessage}")
+    // rebase: one full recompute against the CURRENT dim, then incremental
+    // maintenance resumes
+    val beforeIds = MaterializedAgg.committedIds(spark, view)
+    MaterializedAgg.rebase(spark, view)
+    assert(MaterializedAgg.committedIds(spark, view).size === beforeIds.size + 1,
+      "rebase must commit a NEW state id, keeping history")
+    def oneShot(): Set[String] = rows(spark.read.parquet(table)
+      .join(spark.read.parquet(dimT), col("fk") === col("ck"), "inner")
+      .groupBy("nation").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("v").cast(graft.queries.Exact.dt)).cast("double").as("sum_v"),
+        (sum(col("v").cast(graft.queries.Exact.dt)).cast("double") /
+          count(col("v"))).as("avg_v")))
+    assert(rows(MaterializedAgg.read(spark, view)) === oneShot())
+    // and refreshes keep working against the new pin
+    batch(3).write.mode("append").parquet(table)
+    MaterializedAgg.refresh(spark, view)
+    assert(rows(MaterializedAgg.read(spark, view)) === oneShot())
+    // history: the pre-rebase state still time-travels
+    assert(MaterializedAgg.readAt(spark, view, beforeIds.last).count() > 0)
+  }
+
+  test("rebase repairs a rewritten (e.g. deletion-compacted) base table") {
+    import spark.implicits._
+    val root = tmp("mview_rebase_rw")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    (0 until 200).map(i => (i % 7, i * 0.5)).toDF("g", "v")
+      .write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    // a delete rewrites the table: refresh correctly refuses (append-only
+    // contract), rebase is the documented repair
+    val survivors = spark.read.parquet(table).filter(col("g") =!= 3)
+      .collect().toSeq
+    val schema = spark.read.parquet(table).schema
+    Lake.safeReplace(spark,
+      table, spark.createDataFrame(
+        java.util.Arrays.asList(survivors: _*), schema))
+    intercept[Exception] { MaterializedAgg.refresh(spark, view) }
+    MaterializedAgg.rebase(spark, view)
+    assert(rows(MaterializedAgg.read(spark, view)) ===
+      rows(oneShot(spark.read.parquet(table))
+        .select("g", "cnt", "sum_v", "avg_v")),
+      "rebased view must reflect the post-delete table exactly")
+  }
+
   test("single-writer lease: an interleaved second refresher fails by name, pins nothing") {
     import spark.implicits._
     val root = tmp("mview_lease")
