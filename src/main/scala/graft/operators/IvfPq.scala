@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
 object IvfPq {
 
   /** `encoded`: (vec_id, cell, codes, embedding) — codes are PQ codes of the
-    * residual; embedding retained for the re-rank. */
-  final case class Index(ivf: Ivf.Index, cb: Pq.Codebooks, encoded: DataFrame) {
+    * residual; embedding retained for the re-rank. `deleted`: the disk
+    * index's tombstone set (vec_id), excluded from every search until
+    * [[compactIndex]] physically purges the rows. */
+  final case class Index(ivf: Ivf.Index, cb: Pq.Codebooks, encoded: DataFrame,
+      deleted: Option[DataFrame] = None) {
     /** Release the cached code table (the index's executor-storage footprint).
       * Searches after this recompute the encode lineage per action. */
     def unpersist(): Unit = { encoded.unpersist(); () }
@@ -210,6 +213,43 @@ object IvfPq {
       .start()
   }
 
+  /** **Deletion** (the right-to-be-forgotten path for a disk index): record
+    * the vec_ids as TOMBSTONES under `<path>/deleted` — O(ids) appended
+    * bytes, no index file touched — and every subsequent search (via
+    * [[readIndex]]) anti-joins them out before scoring, so a deleted vector
+    * can never be served again from the moment this returns. The rows'
+    * bytes still exist on disk until [[compactIndex]] runs, which PURGES
+    * tombstoned rows during its rewrite and then clears the tombstone set —
+    * the same soft-delete-then-merge-purge lifecycle Lucene/FAISS-style
+    * systems use, because an immediate per-delete rewrite of cell
+    * partitions would turn every GDPR request into an O(cell) write.
+    *
+    * Semantics: deleting an id not in the index is a harmless no-op
+    * (anti-join); deletes are idempotent. A vec_id RE-INGESTED after its
+    * delete but before a purge stays invisible — the tombstone wins; run
+    * [[compactIndex]] first if an id must be reusable. The crash story is
+    * the parquet committer's: a failed append publishes nothing.
+    *
+    * `ids`: any frame with a `vec_id` column. Returns the number of
+    * tombstones written. */
+  def deleteVectors(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Long = {
+    require(ids.columns.contains("vec_id"),
+      "deleteVectors needs a vec_id column")
+    val tomb = ids.select("vec_id").where(col("vec_id").isNotNull).distinct()
+    val n = tomb.count()
+    if (n > 0) tomb.write.mode("append").parquet(s"$path/deleted")
+    n
+  }
+
+  /** The tombstone set of a disk index, if any delete ever ran. */
+  private def readDeleted(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/deleted")) else None
+  }
+
   /** Sweep code directories whose cell id is no longer in the centroid
     * table — the step-3 cleanup a crashed [[splitCell]] leaves behind.
     * Such directories are unreachable (no probe can route to a cell the
@@ -251,12 +291,26 @@ object IvfPq {
     val codes = spark.read.parquet(s"$path/codes")
     val before = codes.inputFiles.length
     val nCells = codes.select("cell").distinct().count().toInt.max(1)
-    val flat = codes
+    // the merge-purge half of [[deleteVectors]]: tombstoned rows are
+    // dropped from the rewrite, then the tombstone set is cleared — in
+    // that order, so a crash in between leaves tombstones that exclude
+    // nothing (already purged) rather than rows that should be excluded
+    val deleted = readDeleted(spark, path)
+    val live = deleted match {
+      case Some(d) =>
+        codes.join(d.select("vec_id"), Seq("vec_id"), "left_anti")
+      case None => codes
+    }
+    val flat = live
       .select(col("vec_id"), col("cell"), col("codes"), col("embedding"))
       .withColumn("ingest_batch", lit(-1L))
       .repartition(nCells, col("cell"))
     graft.sources.Lake.safeReplace(spark, s"$path/codes", flat,
       partitionBy = Seq("cell", "ingest_batch"))
+    if (deleted.isDefined) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/deleted")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     (before, spark.read.parquet(s"$path/codes").inputFiles.length)
   }
 
@@ -355,7 +409,8 @@ object IvfPq {
     val codes = spark.read.parquet(s"$path/codes")
     val (centroids, cb) = readQuantizers(spark, path)
     Index(Ivf.Index(centroids, codes.select("vec_id", "cell"),
-      nLists = centroids.count().toInt), cb, codes)
+      nLists = centroids.count().toInt), cb, codes,
+      deleted = readDeleted(spark, path))
   }
 
   /** Just the probe-side artifacts (centroid table + codebooks) — what the
@@ -413,7 +468,7 @@ object IvfPq {
       .withColumn("tbl", expr(Pq.adcTableExpr(cb, "q_resid")))
       .select("q_id", "q_emb", "cell", "tbl")
 
-    val (probesF, enc) =
+    val (probesF, enc0) =
       if (!pruneCellScan) (probes, idx.encoded)
       else {
         // Pin ONE evaluation of the probe frame: the cells list below and
@@ -435,6 +490,12 @@ object IvfPq {
           if (cells.isEmpty) idx.encoded.filter(lit(false))
           else idx.encoded.filter(col("cell").isInCollection(cells)))
       }
+    // tombstoned vectors are out BEFORE scoring (shortlist and re-rank
+    // alike): a deleted vector must never displace a live neighbor
+    val enc = idx.deleted match {
+      case Some(d) => enc0.join(d.select("vec_id"), Seq("vec_id"), "left_anti")
+      case None => enc0
+    }
 
     // cell EQUI-join: each probed (query, cell) pair scans only that cell
     val adcW = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))

@@ -372,4 +372,51 @@ class IvfPqSpec extends SparkSpec {
     assert(onCodes.isEmpty,
       s"code scan must be an equi-join on cell, found: ${onCodes.map(_.nodeName)}")
   }
+
+  test("deleteVectors: tombstoned ids vanish from search; compact purges them") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_del")
+      .toString + "/ix"
+    IvfPq.writeIndex(idx, path)
+    val disk = IvfPq.readIndex(spark, path)
+    val queries = vecs.filter(col("vec_id") < 5)
+    // ground truth BEFORE deletion names the ids we'll delete: the top-1
+    // neighbors themselves, so the exclusion visibly changes results
+    val top1 = Ivf.bruteForce(vecs, queries, k = 1)
+      .select("vec_id").collect().map(_.getLong(0)).distinct.toSeq
+    val n = IvfPq.deleteVectors(spark, path,
+      (top1 ++ Seq(999999L)).toDF("vec_id")) // unknown id: harmless no-op
+    assert(n === top1.size + 1)
+    // full-probe search on the reopened index ≡ brute force on SURVIVORS
+    val survivors = vecs.filter(!col("vec_id").isInCollection(top1))
+    val after = IvfPq.readIndex(spark, path)
+    def results(ix: IvfPq.Index) =
+      IvfPq.search(ix, queries, kNN = 5, nProbe = 16, shortlist = 499,
+          pruneCellScan = true)
+        .select("q_id", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = results(after)
+    val bf = Ivf.bruteForce(survivors, queries, k = 5)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === bf,
+      "post-delete search must equal brute force on the surviving set")
+    assert(!got.values.exists(top1.contains),
+      "a deleted vector must never be served")
+    // deletes are idempotent
+    IvfPq.deleteVectors(spark, path, top1.toDF("vec_id"))
+    assert(results(IvfPq.readIndex(spark, path)) === bf)
+    // compact purges the bytes and clears tombstones; results unchanged
+    IvfPq.compactIndex(spark, path)
+    val codesLeft = spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id").isInCollection(top1)).count()
+    assert(codesLeft === 0, "compaction must physically purge tombstoned rows")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted")),
+      "compaction must clear the now-redundant tombstone set")
+    assert(results(IvfPq.readIndex(spark, path)) === bf)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(path).getParentFile)
+  }
 }
