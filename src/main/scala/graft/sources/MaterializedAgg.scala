@@ -694,6 +694,63 @@ object MaterializedAgg {
       }, dim), types, dimSnaps)
   }
 
+  /** What one [[maintenanceCycle]] did, for the operator's log. */
+  final case class MaintenanceReport(
+      committed: Map[String, Long],
+      statesVacuumed: Int,
+      tombstonesFolded: Int,
+      compaction: Option[(Int, Int)])
+
+  /** **The retention maintenance loop**, composed: the steps a scheduled
+    * (e.g. hourly) maintainer runs so that a table plus its materialized
+    * views stay fresh AND bounded in inodes forever —
+    *
+    *  1. without compaction (the common cycle): `refresh(dropSuperseded)`
+    *     each view — fold the delta, keep exactly one view-owned table pin;
+    *  2. with `compactRowsPerFile` set (the periodic cycle, when streaming
+    *     appends have accumulated small files): [[Lake.compact]] FIRST,
+    *     then [[rebase]] each view — the FENCE, because compaction rewrites
+    *     the table and invalidates every pinned snapshot, so an incremental
+    *     refresh across it would fail (correctly, loudly); the rebase
+    *     re-pins and recomputes under the view's identity. View READS are
+    *     unaffected throughout — they serve the committed state, never the
+    *     table;
+    *  3. [[vacuum]] each view — drop superseded state directories (the
+    *     retention decision: after this, [[readAt]] history is gone);
+    *  4. [[Lake.compactSnapshotTombstones]] — fold the drop tombstones the
+    *     dropSuperseded discipline accrues into one high-water marker.
+    *
+    * Inode budget at steady state, per cycle count: O(1) — one state dir,
+    * one commit marker, and one meta per view; one live manifest per
+    * view-owned pin plus one folded tombstone marker per table (fact and
+    * dim alike). Joined views re-pin their dimension only
+    * at rebase; compact a DIMENSION table separately and follow it with a
+    * rebase of its views (same fence, dim-side). Single-writer: the cycle
+    * takes each view's lease through the calls it composes. */
+  def maintenanceCycle(spark: SparkSession, tablePath: String,
+      viewPaths: Seq[String], compactRowsPerFile: Option[Long] = None,
+      leaseStaleMs: Long = DefaultLeaseStaleMs): MaintenanceReport = {
+    val compaction = compactRowsPerFile.map { rows =>
+      Lake.compact(spark, tablePath, rows)
+    }
+    val committed = viewPaths.map { v =>
+      v -> (compaction match {
+        case Some(_) => rebase(spark, v, dropSuperseded = true, leaseStaleMs)
+        case None => refresh(spark, v, dropSuperseded = true, leaseStaleMs)
+      })
+    }.toMap
+    val vacuumed = viewPaths.map(v => vacuum(spark, v, leaseStaleMs)).sum
+    // fold drop tombstones on the table AND on every joined view's
+    // dimension — rebases drop superseded dim pins too, and an unfolded
+    // dim-side tombstone is one inode of growth per compacting cycle
+    val dimTables = viewPaths.flatMap { v =>
+      readMeta(fsOf(spark, v), v)._2.dim.map(_.dimPath)
+    }.distinct
+    val folded = (tablePath +: dimTables)
+      .map(Lake.compactSnapshotTombstones(spark, _)).sum
+    MaintenanceReport(committed, vacuumed, folded, compaction)
+  }
+
   /** Full recompute under the view's identity: re-pin the CURRENT table
     * (and, for joined views, the CURRENT dimension), rebuild the state in
     * one shot, and commit it as a new refresh — keeping the view's id

@@ -548,6 +548,85 @@ class MaterializedAggSpec extends SparkSpec {
       "rebased view must reflect the post-delete table exactly")
   }
 
+  test("retention maintenance loop: two full cycles, inodes bounded, reads correct throughout") {
+    import spark.implicits._
+    val root = tmp("mview_loop")
+    val table = s"$root/t"
+    val dimT = s"$root/d"
+    val vPlain = s"$root/v_plain"
+    val vJoin = s"$root/v_join"
+    (0 until 20).map(k => (k.toLong, s"n${k % 3}")).toDF("ck", "nation")
+      .write.parquet(dimT)
+    def batch(r: Int): DataFrame =
+      (0 until 300).map(i => ((i + r) % 20L, i * 0.11 + r)).toDF("fk", "v")
+    batch(0).write.parquet(table)
+    MaterializedAgg.create(spark, table, vPlain,
+      MaterializedAgg.Spec(Seq("fk"), sumCols = Seq("v")))
+    MaterializedAgg.create(spark, table, vJoin,
+      MaterializedAgg.Spec(Seq("nation"), sumCols = Seq("v"),
+        dim = Some(MaterializedAgg.DimSpec(dimT,
+          Seq("fk"), Seq("ck"), Seq("nation")))))
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def inodes(path: String): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      var n = 0
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+    def checkReads(): Unit = {
+      assert(rows(MaterializedAgg.read(spark, vPlain)) ===
+        rows(spark.read.parquet(table).groupBy("fk").agg(
+          count(lit(1)).as("cnt"),
+          sum(col("v").cast(graft.queries.Exact.dt)).cast("double").as("sum_v"),
+          (sum(col("v").cast(graft.queries.Exact.dt)).cast("double") /
+            count(col("v"))).as("avg_v"))))
+      assert(rows(MaterializedAgg.read(spark, vJoin)) ===
+        rows(spark.read.parquet(table)
+          .join(spark.read.parquet(dimT), col("fk") === col("ck"), "inner")
+          .groupBy("nation").agg(
+            count(lit(1)).as("cnt"),
+            sum(col("v").cast(graft.queries.Exact.dt)).cast("double").as("sum_v"),
+            (sum(col("v").cast(graft.queries.Exact.dt)).cast("double") /
+              count(col("v"))).as("avg_v"))))
+    }
+
+    // the full loop, TWICE: common (refresh) cycles accumulating appends,
+    // then a periodic compacting cycle with its rebase fence
+    var steadyInodes = -1
+    (1 to 2).foreach { loop =>
+      (1 to 2).foreach { r =>
+        batch(loop * 10 + r).write.mode("append").parquet(table)
+        val rep = MaterializedAgg.maintenanceCycle(spark, table,
+          Seq(vPlain, vJoin))
+        assert(rep.compaction.isEmpty)
+        checkReads()
+      }
+      val rep = MaterializedAgg.maintenanceCycle(spark, table,
+        Seq(vPlain, vJoin), compactRowsPerFile = Some(10000L))
+      assert(rep.compaction.isDefined)
+      checkReads()
+      // steady state: the inode count after each full loop must not grow
+      val n = inodes(root)
+      if (steadyInodes < 0) steadyInodes = n
+      else assert(n <= steadyInodes,
+        s"inode count grew across loops: $steadyInodes -> $n")
+    }
+    // the budget the scaladoc promises: one state dir + commit + meta per
+    // view; one live table manifest PER VIEW (each view owns its pin) plus
+    // one folded tombstone marker per table side
+    Seq(vPlain, vJoin).foreach { v =>
+      val states = fs.listStatus(new org.apache.hadoop.fs.Path(v))
+        .map(_.getPath.getName).filter(_.startsWith("state_"))
+      assert(states.length === 1, s"$v keeps ${states.length} states")
+    }
+    assert(Lake.snapshots(spark, table).size === 2,
+      "each of the two views owns exactly one live table pin")
+    assert(Lake.snapshots(spark, dimT).size === 1,
+      "the joined view owns exactly one live dim pin")
+  }
+
   test("single-writer lease: an interleaved second refresher fails by name, pins nothing") {
     import spark.implicits._
     val root = tmp("mview_lease")
