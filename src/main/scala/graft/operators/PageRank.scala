@@ -59,12 +59,27 @@ object PageRank {
 
   val Unit: Long = 1_000_000_000_000L // pico-units of rank mass
 
+  /** Below these, the iteration runs DRIVER-LOCAL (see [[runScoped]]): the
+    * collapsed inputs are |V| state rows and ≤|V|² weighted pairs — for an
+    * event-type transition graph that is dozens of rows no matter how many
+    * petabytes of events produced them, and a 49-stage distributed
+    * iteration over it is pure scheduling latency (profiled: ~0.8 executor-
+    * CPU-s against 2.4 s wall, the rest inter-stage gaps). The heavy part —
+    * collapsing O(|E|) raw edges to weighted pairs — is always distributed. */
+  val SmallGraphMaxNodes: Int = 4096
+  val SmallGraphMaxPairs: Long = 1L << 18
+
   /** @param edges (src, dst) rows; column names configurable
+    * @param localMaxNodes node-count threshold for the driver-local
+    *        iteration (bit-identical to the distributed path — spec-pinned);
+    *        pass 0 to force the distributed iteration
     * @return (node, rank) for every node appearing as src or dst, rank in
     *         [0, 1] doubles summing to ~1 */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
-    runBounded(edges, iterations, damping, srcCol, dstCol, tol = None)._1
+      srcCol: String = "src", dstCol: String = "dst",
+      localMaxNodes: Int = SmallGraphMaxNodes): DataFrame =
+    runBounded(edges, iterations, damping, srcCol, dstCol, tol = None,
+      localMaxNodes)._1
 
   /** [[run]] with CONVERGENCE-BASED termination: iterate until the L1 rank
     * delta between consecutive rounds drops to `tol` or below (rank-mass
@@ -78,13 +93,16 @@ object PageRank {
     * number of rounds actually run. */
   def runUntilConverged(edges: DataFrame, tol: Double, maxIterations: Int,
       damping: Double = 0.85, srcCol: String = "src",
-      dstCol: String = "dst"): (DataFrame, Int) = {
+      dstCol: String = "dst",
+      localMaxNodes: Int = SmallGraphMaxNodes): (DataFrame, Int) = {
     require(tol > 0, s"tol must be > 0, got $tol")
-    runBounded(edges, maxIterations, damping, srcCol, dstCol, Some(tol))
+    runBounded(edges, maxIterations, damping, srcCol, dstCol, Some(tol),
+      localMaxNodes)
   }
 
   private def runBounded(edges: DataFrame, iterations: Int, damping: Double,
-      srcCol: String, dstCol: String, tol: Option[Double]): (DataFrame, Int) = {
+      srcCol: String, dstCol: String, tol: Option[Double],
+      localMaxNodes: Int): (DataFrame, Int) = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     // The iteration scopes session confs (a data-sized shuffle-partition
@@ -119,7 +137,8 @@ object PageRank {
       iso.conf.set("spark.sql.shuffle.partitions",
         partitionCountFor(eIso.select(col(srcCol), col(dstCol))).toString)
       val (res, rounds) =
-        runScoped(eIso, iterations, damping, srcCol, dstCol, tol)
+        runScoped(eIso, iterations, damping, srcCol, dstCol, tol,
+          localMaxNodes)
       res.createOrReplaceGlobalTempView(outView)
       (caller.table(s"global_temp.$outView"), rounds)
     } finally {
@@ -134,8 +153,38 @@ object PageRank {
   private val viewIds = new java.util.concurrent.atomic.AtomicLong
 
   private def runScoped(edges: DataFrame, iterations: Int, damping: Double,
-      srcCol: String, dstCol: String, tol: Option[Double]): (DataFrame, Int) = {
-    val (stateBase, eP, n) = prepare(edges, srcCol, dstCol)
+      srcCol: String, dstCol: String, tol: Option[Double],
+      localMaxNodes: Int): (DataFrame, Int) = {
+    // convergence threshold in exact pico-units (floor: any delta strictly
+    // below tol·Unit stops — the comparison itself is integer-exact)
+    val tolPico = tol.map(t => (t * Unit).toLong)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // the multigraph collapse is the FIRST job either way (see prepare);
+    // running it as the probe shares its cache with whichever path wins
+    val pairs = e0.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    pairs.persist()
+    val nPairs = pairs.count()
+    if (localMaxNodes > 0 && nPairs <= SmallGraphMaxPairs) {
+      // SMALL-GRAPH fast path: collect the collapsed pairs (bounded by the
+      // gate), derive nodes/degrees on the driver, iterate locally —
+      // bit-identical arithmetic (spec-pinned against the distributed
+      // path), zero node-layout jobs and zero per-round stages
+      val es = pairs.collect()
+      val nodeType = e0.schema("src").dataType
+      val distinctNodes = {
+        val s = new java.util.HashSet[Any]()
+        es.foreach { r => s.add(r.get(0)); s.add(r.get(1)) }
+        s.size()
+      }
+      if (distinctNodes <= localMaxNodes) {
+        pairs.unpersist(false)
+        return runLocal(edges.sparkSession, es, nodeType, damping,
+          iterations, tolPico)
+      }
+    }
+    val (stateBase, eP, n) = prepareFromPairs(pairs,
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    pairs.unpersist(false)
     if (n == 0) {
       // materialize BEFORE releasing the inputs it reads from
       val empty = stateBase.select(col("node"))
@@ -144,9 +193,6 @@ object PageRank {
       return (empty, 0)
     }
     val nD = n.toDouble
-    // convergence threshold in exact pico-units (floor: any delta strictly
-    // below tol·Unit stops — the comparison itself is integer-exact)
-    val tolPico = tol.map(t => (t * Unit).toLong)
 
     // r0 = round(Unit / N) pico each; deg rides along so no per-round
     // ranks⋈deg join is ever needed
@@ -194,6 +240,89 @@ object PageRank {
     (result, rounds)
   }
 
+  /** Spark's `round(double)` (HALF_UP via the canonical
+    * `BigDecimal.valueOf` decimal rendering) — the local iteration must use
+    * the IDENTICAL rounding primitive or it silently forks from the
+    * distributed path and the DuckDB oracle. */
+  private def roundHU(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** The driver-local iteration: same pico-unit arithmetic as [[step]],
+    * operation for operation — long sums (order-free, exact), double
+    * divisions of identical operands, [[roundHU]] where the plan has
+    * `round(...)`. Input is the COLLECTED collapsed pair list (src, dst, w)
+    * — the one O(|E|) pass stays distributed; nodes and degrees derive on
+    * the driver, and everything after is O(rounds × pairs) arithmetic on
+    * dozens-to-thousands of rows. */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+      es: Array[org.apache.spark.sql.Row],
+      nodeType: org.apache.spark.sql.types.DataType, damping: Double,
+      iterations: Int, tolPico: Option[Long]): (DataFrame, Int) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType)))
+    // nodes in first-seen order (src then dst per pair); index for arrays
+    val idx = new java.util.LinkedHashMap[Any, Int]()
+    es.foreach { r =>
+      if (!idx.containsKey(r.get(0))) idx.put(r.get(0), idx.size())
+      if (!idx.containsKey(r.get(1))) idx.put(r.get(1), idx.size())
+    }
+    val n = idx.size()
+    if (n == 0)
+      return (spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema), 0)
+    val nodes = new Array[Any](n)
+    idx.forEach((k, i) => nodes(i) = k)
+    val srcI = es.map(r => idx.get(r.get(0)).intValue())
+    val dstI = es.map(r => idx.get(r.get(1)).intValue())
+    val w = es.map(_.getLong(2))
+    val degArr = new Array[Long](n) // 0 = dangling (deg >= 1 otherwise)
+    var e = 0
+    while (e < srcI.length) { degArr(srcI(e)) += w(e); e += 1 }
+
+    val nD = n.toDouble
+    var r = Array.fill(n)(roundHU(Unit.toDouble / nD))
+    val oneMinusD = 1.0 - damping
+    var rounds = 0
+    var converged = false
+    while (rounds < iterations && !converged) {
+      var dang = 0L
+      var i = 0
+      while (i < n) { if (degArr(i) == 0L) dang += r(i); i += 1 }
+      val inMc = new Array[Long](n)
+      e = 0
+      while (e < srcI.length) {
+        val u = srcI(e)
+        // w * round(r/deg): Divide(long,long) is double division in the plan
+        inMc(dstI(e)) += w(e) * roundHU(r(u).toDouble / degArr(u).toDouble)
+        e += 1
+      }
+      val rNew = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        // round((1-d)*Unit/N + d*(in + dang/N)) — same association as step()
+        rNew(i) = roundHU(oneMinusD * Unit.toDouble / nD +
+          damping * (inMc(i).toDouble + dang.toDouble / nD))
+        i += 1
+      }
+      rounds += 1
+      tolPico.foreach { tp =>
+        var d = 0L; var j = 0
+        while (j < n) { d += math.abs(rNew(j) - r(j)); j += 1 }
+        if (d <= tp) converged = true
+      }
+      r = rNew
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.zipWithIndex.map { case (nd, i) =>
+        org.apache.spark.sql.Row(nd, r(i).toDouble / Unit.toDouble)
+      }: _*)
+    (spark.createDataFrame(rows, schema), rounds)
+  }
+
   /** Static per-round inputs, built once: `stateBase` = (node, deg-or-null)
     * hash-partitioned by `node`; `eP` = (src, dst, w) hash-partitioned by
     * `src`; both pinned to the session shuffle-partition count (explicit
@@ -203,11 +332,6 @@ object PageRank {
   private[graft] def prepare(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): (DataFrame, DataFrame, Long) = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // the CURRENT session shuffle-partition count — under run() that is the
-    // data-sized scoped value — so the explicit repartitions here and every
-    // per-round groupBy land on the same partitioning and no round needs a
-    // requirement re-shuffle
-    val numP = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // COLLAPSE the multigraph once: duplicate (src,dst) edges become one
     // weighted edge. Rank-exact, not an approximation — every duplicate
     // contributes the IDENTICAL rounded value round(r_mc/deg), so summing
@@ -216,10 +340,26 @@ object PageRank {
     // 10^7 edge rows over ~10 node types at sf1) shrink every round from
     // O(|E|) to O(|distinct pairs|); a simple graph has w=1 everywhere and
     // pays only this one extra upfront exchange, which the iteration
-    // amortizes.
-    val eP = materialize(e0.groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
-      .repartition(numP, col("src")))
+    // amortizes. (Under run() the collapse is the small-path PROBE and its
+    // cache is handed to prepareFromPairs directly.)
+    val pairs = e0.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    pairs.persist()
+    pairs.count()
+    val out = prepareFromPairs(pairs,
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    pairs.unpersist(false)
+    out
+  }
+
+  /** The node-co-partitioned layout from an already-collapsed (and
+    * persisted) weighted pair frame. `numP` is the CURRENT session
+    * shuffle-partition count — under run() that is the data-sized scoped
+    * value — so the explicit repartitions here and every per-round groupBy
+    * land on the same partitioning and no round needs a requirement
+    * re-shuffle. */
+  private def prepareFromPairs(pairs: DataFrame,
+      numP: Int): (DataFrame, DataFrame, Long) = {
+    val eP = materialize(pairs.repartition(numP, col("src")))
     val nodes = eP.select(col("src").as("node"))
       .unionByName(eP.select(col("dst").as("node"))).distinct()
     val deg = eP.groupBy(col("src").as("node")).agg(sum(col("w")).as("deg"))

@@ -131,4 +131,37 @@ class PageRankSpec extends SparkSpec {
     val uniform = ranks(Seq(("a", "b"), ("b", "c"), ("c", "a")), 0)
     uniform.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-9))
   }
+
+  test("driver-local small-graph path is BIT-identical to the distributed iteration") {
+    // multigraph with dangling nodes and uneven degrees — every arithmetic
+    // branch of a round (dangling redistribution, weighted contributions,
+    // rounding) exercised; the audit graph's shape (37×41 keys, dup edges)
+    val edges = spark.range(400).selectExpr(
+      "concat('n', id % 37) AS src", "concat('n', (id * 7) % 41) AS dst")
+    def collectRanks(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r =>
+        r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+    val local = collectRanks(PageRank.run(edges, iterations = 8))
+    val dist = collectRanks(PageRank.run(edges, iterations = 8,
+      localMaxNodes = 0)) // force the distributed iteration
+    assert(local.keySet === dist.keySet)
+    local.foreach { case (v, r) =>
+      // bit-identity, not tolerance: same pico-longs, same final division
+      assert(java.lang.Double.doubleToLongBits(r) ===
+        java.lang.Double.doubleToLongBits(dist(v)),
+        s"$v: local $r != distributed ${dist(v)}")
+    }
+    // the convergence-terminated form too: same ranks AND same round count
+    val (lDf, lRounds) = PageRank.runUntilConverged(edges, tol = 1e-6,
+      maxIterations = 24)
+    val (dDf, dRounds) = PageRank.runUntilConverged(edges, tol = 1e-6,
+      maxIterations = 24, localMaxNodes = 0)
+    assert(lRounds === dRounds,
+      "the exact BIGINT stopping rule must fire on the same round")
+    val (lr, dr) = (collectRanks(lDf), collectRanks(dDf))
+    lr.foreach { case (v, r) =>
+      assert(java.lang.Double.doubleToLongBits(r) ===
+        java.lang.Double.doubleToLongBits(dr(v)), s"$v: $r vs ${dr(v)}")
+    }
+  }
 }
