@@ -820,6 +820,29 @@ object RelationalQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
+
+    // EXACT RETRACTION end-to-end: a fifth of the staged orders are deleted
+    // from the table AND retracted from the maintained count/sum view —
+    // O(deleted + groups), never a recompute — then the view must
+    // hash-match DuckDB's one-shot aggregate over the SURVIVORS. Decimal
+    // sums make the fold-out bit-exact; the query also proves the
+    // integrity gates (negative-count, total-count audit) pass on a
+    // correct deleted set.
+    QueryDef(
+      "l_incr_agg_retract",
+      (s, dir) =>
+        graft.sources.MaterializedAgg.read(s,
+            mviewRetractPath(s, dir) + "/view")
+          .select(col("o_custkey"), col("cnt"),
+            col("sum_o_totalprice").as("sum_price"),
+            col("avg_o_totalprice").as("avg_price"))
+          .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, count(*) AS cnt,
+             |  ${Exact.sqlDsum("o_totalprice")} AS sum_price,
+             |  ${Exact.sqlDavg("o_totalprice")} AS avg_price
+             |FROM orders WHERE o_orderkey % 5 <> 0
+             |GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
   )
 
   /** Stage a derived layout under the warehouse once per JVM per data dir.
@@ -999,6 +1022,28 @@ object RelationalQueries {
           .write.mode("append").parquet(table)
         graft.sources.MaterializedAgg.refresh(s, view)
       }
+    }
+
+  /** The retraction fixture: full orders staged, the view created over it,
+    * then every fifth order (by key) deleted from the table AND retracted
+    * from the view. The deleted set is derived from the RAW source table —
+    * the staged copy is rewritten by the delete, so a lazy frame over it
+    * would re-evaluate to the wrong rows. */
+  private[graft] def mviewRetractPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCopy(s, dir, "orders_mview_retract") { loc =>
+      val table = s"$loc/table"
+      val view = s"$loc/view"
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      o.write.parquet(table)
+      graft.sources.MaterializedAgg.create(s, table, view,
+        graft.sources.MaterializedAgg.Spec(
+          groupCols = Seq("o_custkey"), sumCols = Seq("o_totalprice")))
+      val gone = o.filter(col("o_orderkey") % 5 === 0)
+      graft.sources.Lake.deleteByKey(s, table,
+        gone.select("o_orderkey"), Seq("o_orderkey"))
+      graft.sources.MaterializedAgg.retract(s, view, gone)
     }
 
   /** supplier as a CSV written by the engine's own small-CSV sink, for the

@@ -694,6 +694,98 @@ object MaterializedAgg {
       }, dim), types, dimSnaps)
   }
 
+  /** **Exact retraction** — the O(deleted + groups) delete repair, for
+    * views whose every aggregate RETRACTS exactly: counts and decimal sums
+    * (addition of the negation is exact and associative, so folding the
+    * deleted rows OUT is bit-identical to recomputing without them).
+    * min/max/theta/t-digest cannot retract from state smaller than the
+    * data — specs carrying them are refused by name (use [[rebase]]), as
+    * are joined views (retraction against a pinned dimension adds failure
+    * modes rebase doesn't have).
+    *
+    * Flow: the caller first removes the rows from the base table
+    * ([[Lake.deleteByKey]] or any rewrite), then passes the SAME rows here.
+    * Retract pins the post-delete table as the view's new base (appends
+    * after that instant fold in on the next refresh), folds the negated
+    * partial state of `deleted` into the current state, drops groups whose
+    * count reaches zero, and commits — crash-safe like any refresh.
+    *
+    * Integrity is NOT taken on faith: (a) any group whose count or
+    * non-null count would go negative fails the whole retract loudly
+    * (the caller passed rows that were never in the view), and (b) the
+    * retracted state's total row count must equal the pinned table's row
+    * count (a parquet-footer count — cheap at any scale), which catches a
+    * wrong deleted set size and writes that landed inside the
+    * delete→retract window. Single-writer window discipline applies like
+    * every maintenance op. Returns the new state id. */
+  def retract(spark: SparkSession, viewPath: String, deleted: DataFrame,
+      dropSuperseded: Boolean = false,
+      leaseStaleMs: Long = DefaultLeaseStaleMs): Long = {
+    val fs = fsOf(spark, viewPath)
+    val (tablePath, spec, recordedTypes, _) = readMeta(fs, viewPath)
+    val nonRetractable =
+      (if (spec.minCols.nonEmpty) Seq(s"min(${spec.minCols.mkString(",")})") else Nil) ++
+      (if (spec.maxCols.nonEmpty) Seq(s"max(${spec.maxCols.mkString(",")})") else Nil) ++
+      (if (spec.distinctCols.nonEmpty) Seq(s"distinct(${spec.distinctCols.mkString(",")})") else Nil) ++
+      (if (spec.quantileCols.nonEmpty) Seq(s"quantiles(${spec.quantileCols.mkString(",")})") else Nil)
+    require(nonRetractable.isEmpty,
+      s"retract: view at $viewPath maintains ${nonRetractable.mkString("; ")} " +
+        "— min/max/sketch state cannot retract exactly; run rebase instead")
+    require(spec.dim.isEmpty,
+      s"retract: view at $viewPath is a joined view — run rebase instead")
+    withLease(fs, viewPath, "retract", leaseStaleMs) {
+    val cur = currentId(fs, viewPath).getOrElse(
+      throw new IllegalStateException(s"no committed state at $viewPath"))
+    // pin the POST-delete table: this becomes the view's new base
+    val newId = Lake.snapshot(spark, tablePath)
+    try {
+      val negated = {
+        val del = partialState(
+          adaptDelta(deleted, spec, recordedTypes, tablePath), spec)
+        val flipped: Seq[Column] = spec.groupCols.map(col) ++
+          Seq((-col("__cnt")).as("__cnt")) ++
+          spec.sumCols.flatMap { c =>
+            Seq((-col(s"__sum_$c")).cast(graft.queries.Exact.dt).as(s"__sum_$c"),
+              (-col(s"__cnt_$c")).as(s"__cnt_$c"))
+          }
+        del.select(flipped: _*)
+      }
+      val merged = mergeStates(readState(spark, viewPath, cur), negated, spec)
+        .localCheckpoint(true) // validate ONCE, then write the same rows
+      try {
+        val negCols = col("__cnt") < 0 ||
+          spec.sumCols.map(c => col(s"__cnt_$c") < 0)
+            .foldLeft(lit(false))(_ || _)
+        val bad = merged.filter(negCols).count()
+        require(bad == 0,
+          s"retract: $bad group(s) would go NEGATIVE — the deleted rows " +
+            s"were not (all) in the view at $viewPath; nothing committed")
+        val kept = merged.filter(col("__cnt") > 0)
+        // total-count audit vs the pinned table (parquet footer count):
+        // catches a wrong deleted set size and writes that landed inside
+        // the delete->retract window
+        val stateRows = kept.agg(coalesce(sum(col("__cnt")), lit(0L)))
+          .head().getLong(0)
+        val tableRows = Lake.readSnapshot(spark, tablePath, newId).count()
+        require(stateRows == tableRows,
+          s"retract: retracted state totals $stateRows rows but the " +
+            s"post-delete table snapshot $newId holds $tableRows — the " +
+            "deleted set does not match what left the table (or writes " +
+            "landed mid-retract); nothing committed, run rebase")
+        kept.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
+        publishCommit(fs, viewPath, newId)
+        if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, cur)
+        newId
+      } finally graft.Checkpoints.release(merged)
+    } catch {
+      case t: Throwable =>
+        try Lake.dropSnapshot(spark, tablePath, newId)
+        catch { case _: Throwable => () } // keep the original failure
+        throw t
+    }
+    }
+  }
+
   /** What one [[maintenanceCycle]] did, for the operator's log. */
   final case class MaintenanceReport(
       committed: Map[String, Long],

@@ -627,6 +627,88 @@ class MaterializedAggSpec extends SparkSpec {
       "the joined view owns exactly one live dim pin")
   }
 
+  test("retract: exact O(deleted+groups) delete repair for count/sum views") {
+    import spark.implicits._
+    val root = tmp("mview_retract")
+    val table = s"$root/t"
+    val view = s"$root/v"
+    val docs = (0 until 300).map(i => (i % 7, i * 0.31, i.toLong))
+      .toDF("g", "v", "id")
+    docs.write.parquet(table)
+    MaterializedAgg.create(spark, table, view,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    // delete every row of group 3 plus half of group 5 — one group vanishes
+    val gone = docs.filter(col("g") === 3 ||
+      (col("g") === 5 && col("id") % 2 === 0))
+    Lake.deleteByKey(spark, table, gone.select("id"), Seq("id"))
+    MaterializedAgg.retract(spark, view, gone)
+    val got = MaterializedAgg.read(spark, view)
+    assert(got.filter(col("g") === 3).count() === 0,
+      "a fully-retracted group must leave the view")
+    assert(rows(got) === rows(oneShot(spark.read.parquet(table))
+      .select("g", "cnt", "sum_v", "avg_v")),
+      "retracted state must equal a one-shot recompute over survivors")
+    // incremental maintenance RESUMES from the post-delete pin
+    Seq((3, 9.0, 999L)).toDF("g", "v", "id")
+      .write.mode("append").parquet(table)
+    MaterializedAgg.refresh(spark, view)
+    assert(rows(MaterializedAgg.read(spark, view)) ===
+      rows(oneShot(spark.read.parquet(table))
+        .select("g", "cnt", "sum_v", "avg_v")))
+  }
+
+  test("retract refuses what cannot retract, and fails loudly on a wrong deleted set") {
+    import spark.implicits._
+    val root = tmp("mview_retract_guard")
+    val table = s"$root/t"
+    // min/max state cannot retract -> refused by name
+    Seq((1, 1.0)).toDF("g", "v").write.parquet(table)
+    val vMin = s"$root/v_min"
+    MaterializedAgg.create(spark, table, vMin,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v"), minCols = Seq("v")))
+    val eMin = intercept[IllegalArgumentException] {
+      MaterializedAgg.retract(spark, vMin, Seq((1, 1.0)).toDF("g", "v"))
+    }
+    assert(eMin.getMessage.contains("min(v)") &&
+      eMin.getMessage.contains("rebase"))
+    // a deleted set that was never in the view -> negative count, loud, no commit
+    val table2 = s"$root/t2"
+    val v2 = s"$root/v2"
+    (0 until 50).map(i => (i % 3, i * 1.0)).toDF("g", "v")
+      .write.parquet(table2)
+    MaterializedAgg.create(spark, table2, v2,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    val id0 = MaterializedAgg.committedId(spark, v2).get
+    val eNeg = intercept[IllegalArgumentException] {
+      MaterializedAgg.retract(spark, v2,
+        (0 until 100).map(i => (9, i * 1.0)).toDF("g", "v")) // group 9 never existed
+    }
+    assert(eNeg.getMessage.contains("NEGATIVE"), eNeg.getMessage)
+    assert(MaterializedAgg.committedId(spark, v2).contains(id0),
+      "a refused retract must commit nothing")
+    // count audit: rows appended inside the delete->retract window -> loud
+    val docs3 = (0 until 60).map(i => (i % 2, 1.0, i.toLong)).toDF("g", "v", "id")
+    val table3 = s"$root/t3"
+    val v3 = s"$root/v3"
+    docs3.write.parquet(table3)
+    MaterializedAgg.create(spark, table3, v3,
+      MaterializedAgg.Spec(Seq("g"), sumCols = Seq("v")))
+    val gone3 = docs3.filter(col("id") < 10)
+    Lake.deleteByKey(spark, table3, gone3.select("id"), Seq("id"))
+    // a write lands before the retract pins — the audit must catch it
+    Seq((0, 1.0, 777L)).toDF("g", "v", "id")
+      .write.mode("append").parquet(table3)
+    val eAudit = intercept[IllegalArgumentException] {
+      MaterializedAgg.retract(spark, v3, gone3)
+    }
+    assert(eAudit.getMessage.contains("does not match"), eAudit.getMessage)
+    // rebase is the named recovery — and it works
+    MaterializedAgg.rebase(spark, v3)
+    assert(rows(MaterializedAgg.read(spark, v3)) ===
+      rows(oneShot(spark.read.parquet(table3))
+        .select("g", "cnt", "sum_v", "avg_v")))
+  }
+
   test("single-writer lease: an interleaved second refresher fails by name, pins nothing") {
     import spark.implicits._
     val root = tmp("mview_lease")
