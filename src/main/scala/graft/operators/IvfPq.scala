@@ -230,6 +230,11 @@ object IvfPq {
     * [[compactIndex]] first if an id must be reusable. The crash story is
     * the parquet committer's: a failed append publishes nothing.
     *
+    * Concurrency: tombstones live in their own directory, disjoint from
+    * the codes tree — a delete is safe beside a live [[appendStream]] (the
+    * single-writer maintenance window applies to LAYOUT rewrites:
+    * [[compactIndex]], [[splitCell]] — not to this).
+    *
     * `ids`: any frame with a `vec_id` column. Returns the number of
     * tombstones written. */
   def deleteVectors(spark: org.apache.spark.sql.SparkSession, path: String,

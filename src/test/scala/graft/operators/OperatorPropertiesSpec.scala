@@ -173,4 +173,39 @@ class OperatorPropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  test("property: routed join equals the plain inner join under ANY regime it picks") {
+    import spark.implicits._
+    // random multiplicities, overlap fractions, hot keys, and nulls; random
+    // thresholds force different regimes — whatever the router picks, the
+    // result set must be the plain join's
+    val gen = for {
+      nKeys <- Gen.choose(5, 80)
+      mult <- Gen.choose(1, 12)
+      dimFrac <- Gen.choose(0.1, 1.0)
+      hotRows <- Gen.choose(0, 300)
+      nullRows <- Gen.choose(0, 40)
+      bMax <- Gen.oneOf(0L, 1000000L)
+      skew <- Gen.oneOf(0.0, 0.2, 1.1)
+      bloomF <- Gen.oneOf(0.0, 0.3, 1.0)
+    } yield (nKeys, mult, dimFrac, hotRows, nullRows, bMax, skew, bloomF)
+    holds(Prop.forAll(gen) {
+      case (nKeys, mult, dimFrac, hotRows, nullRows, bMax, skew, bloomF) =>
+        val factRows =
+          (0 until nKeys * mult).map(i => (Some((i % nKeys).toLong), i)) ++
+          (0 until hotRows).map(i => (Some(0L), 100000 + i)) ++
+          (0 until nullRows).map(i => (Option.empty[Long], 200000 + i))
+        val fact = factRows.toDF("fk", "x")
+        val dim = (0L until math.max(1, (nKeys * dimFrac).toInt).toLong)
+          .map(j => (j, s"d$j")).toDF("pk", "name")
+        val cfg = Joins.RouteConfig(broadcastMaxRows = bMax,
+          skewHotFraction = skew, bloomMaxMatchFraction = bloomF)
+        val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"), cfg)
+        val got = rj.df.orderBy("x", "pk").collect().toSeq
+        val want = fact.join(dim, fact("fk") === dim("pk"), "inner")
+          .orderBy("x", "pk").collect().toSeq
+        (got == want) :| s"regime ${rj.decision.strategy} diverged " +
+          s"(${rj.decision.reason})"
+    })
+  }
 }
