@@ -109,6 +109,46 @@ object MicroBench {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       }
     }
+    if (args.contains("routed_compare")) {
+      // price the router: decision cost (preflight + hot probe) vs the join
+      // it routes, and each regime end-to-end vs the plain join — the
+      // "priced for a decision that moves terabytes" claim, measured
+      import org.apache.spark.sql.functions._
+      import graft.operators.Joins
+      val orders = graft.sources.Tables.orders(spark, dir)
+      val cust = graft.sources.Tables.customer(spark, dir)
+      def t(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def med(body: => Unit): Double = {
+        body // warm
+        (1 to 3).map(_ => t(body)).sorted.apply(1)
+      }
+      val tPlain = med(orders.join(cust,
+        orders("o_custkey") === cust("c_custkey")).count())
+      val tPreflight = med(Joins.estimateEquiJoinSize(
+        orders, cust, "o_custkey", "c_custkey"))
+      val regimes = Seq(
+        "broadcast" -> Joins.RouteConfig(),
+        "shuffle" -> Joins.RouteConfig(broadcastMaxRows = 0,
+          skewHotFraction = 1.1, bloomMaxMatchFraction = 0.0),
+        "salted" -> Joins.RouteConfig(broadcastMaxRows = 0,
+          skewHotFraction = 0.0),
+        "bloom" -> Joins.RouteConfig(broadcastMaxRows = 0,
+          skewHotFraction = 1.1, bloomMaxMatchFraction = 1.0))
+      println(f"routed_compare: plain join $tPlain%.3f s; " +
+        f"preflight alone $tPreflight%.3f s")
+      regimes.foreach { case (want, cfg) =>
+        val tr = med {
+          val rj = Joins.routed(orders, cust,
+            Seq("o_custkey"), Seq("c_custkey"), cfg)
+          require(rj.decision.strategy == want, rj.decision.reason)
+          rj.df.count()
+        }
+        println(f"routed_compare: regime $want%-9s end-to-end $tr%.3f s " +
+          f"(decision + join; plain $tPlain%.3f)")
+      }
+    }
     args.foreach { name =>
       Registry.all.find(_.name == name).foreach { q =>
         q.run(spark, dir).count() // warmup

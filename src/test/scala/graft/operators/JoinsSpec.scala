@@ -265,4 +265,20 @@ class JoinsSpec extends SparkSpec {
       Joins.routed(a, a.toDF("k2", "y"), Seq("k"), Seq.empty)
     }
   }
+
+  test("routed: empty and all-null sides produce the empty join, no crash") {
+    import spark.implicits._
+    val fact = (0 until 100).map(i => (i.toLong % 10, i)).toDF("fk", "x")
+    val emptyDim = Seq.empty[(Long, String)].toDF("pk", "name")
+    // every regime-ish config must survive a zero-key side
+    Seq(Joins.RouteConfig(), Joins.RouteConfig(broadcastMaxRows = 0))
+      .foreach { cfg =>
+        val rj = Joins.routed(fact, emptyDim, Seq("fk"), Seq("pk"), cfg)
+        assert(rj.df.count() === 0, rj.decision.reason)
+      }
+    val nullDim = Seq((Option.empty[Long], "z")).toDF("pk", "name")
+    val rj = Joins.routed(fact, nullDim, Seq("fk"), Seq("pk"),
+      Joins.RouteConfig(broadcastMaxRows = 0))
+    assert(rj.df.count() === 0, rj.decision.reason)
+  }
 }
