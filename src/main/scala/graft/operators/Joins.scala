@@ -26,11 +26,16 @@ object Joins {
       .drop(mt)
   }
 
-  /** What [[estimateEquiJoinSize]] measured per side and concluded. */
+  /** What [[estimateEquiJoinSize]] measured per side and concluded.
+    * `nonNullLeft`/`nonNullRight`: rows whose every key component is
+    * non-null (the only rows an equi-join can match); the difference from
+    * `rowsLeft`/`rowsRight` is the null-keyed mass an OUTER join must
+    * preserve — [[routed]]'s null-split input. */
   final case class JoinSizeEstimate(
       rowsLeft: Long, rowsRight: Long,
       distinctLeft: Double, distinctRight: Double,
-      keyOverlap: Double, estimatedRows: Double)
+      keyOverlap: Double, estimatedRows: Double,
+      nonNullLeft: Long, nonNullRight: Long)
 
   /** **Join-size preflight**: estimate |L ⋈ R| on an equi-key WITHOUT
     * running the join, from one cheap aggregation pass per side — the
@@ -120,7 +125,7 @@ object Joins {
     val est =
       if (dL == 0.0 || dR == 0.0) 0.0
       else overlap * (nkL / dL) * (nkR / dR)
-    JoinSizeEstimate(nL, nR, dL, dR, overlap, est)
+    JoinSizeEstimate(nL, nR, dL, dR, overlap, est, nkL, nkR)
   }
 
   /** Thresholds for [[routed]]'s strategy pick. Row-based on purpose: the
@@ -165,13 +170,16 @@ object Joins {
     *     AQE handling moderate skew at runtime.
     *
     * All regimes produce EXACTLY the rows of
-    * `left.join(right, zip(leftKeys, rightKeys) map (_ === _), "inner")` with
-    * the same left-then-right column order. Inner joins only: null-keyed
+    * `left.join(right, zip(leftKeys, rightKeys) map (_ === _), joinType)`
+    * with the same left-then-right column order. For INNER joins null-keyed
     * rows are dropped up front on both sides (they cannot appear in an inner
     * result, and a hot NULL shuffles like any hot key — the single most
-    * common real-world skew), and the salt/bloom rewrites are
-    * row-preserving only for inner semantics. Self-joins must alias one
-    * side first (the `frame(col)` disambiguation needs distinct lineages).
+    * common real-world skew). `joinType = "left"` routes with the
+    * outer-sound subset of moves — see [[routedLeft]]: right-only
+    * broadcast/bloom, left-big-only salting, and the left-side null mass
+    * SPLIT around the join instead of shuffled. Right/full outer are
+    * rejected (no sound rewrites). Self-joins must alias one side first
+    * (the `frame(col)` disambiguation needs distinct lineages).
     *
     * Preflight cost: one concurrent agg pass per side (KB-scale results),
     * plus one key-frequency agg over the big side when broadcast didn't
@@ -180,10 +188,24 @@ object Joins {
     * INFO) rather than buried. */
   def routed(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      config: RouteConfig = RouteConfig()): RoutedJoin = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit, max, rand, sequence}
+      config: RouteConfig = RouteConfig(),
+      joinType: String = "inner"): RoutedJoin = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"routed: key lists must pair up, got $leftKeys / $rightKeys")
+    joinType.toLowerCase.replaceAll("[ _]", "") match {
+      case "inner" => routedInner(left, right, leftKeys, rightKeys, config)
+      case "left" | "leftouter" =>
+        routedLeft(left, right, leftKeys, rightKeys, config)
+      case other => throw new IllegalArgumentException(
+        s"routed supports inner and left(_outer) joins, got '$other' — " +
+          "right/full outer have no sound salt/bloom/null rewrites")
+    }
+  }
+
+  private def routedInner(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      config: RouteConfig): RoutedJoin = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit, max, rand, sequence}
     val l = left.where(leftKeys.map(col(_).isNotNull).reduce(_ && _))
     val r = right.where(rightKeys.map(col(_).isNotNull).reduce(_ && _))
     def cond(lf: DataFrame, rf: DataFrame) =
@@ -268,6 +290,120 @@ object Joins {
     org.slf4j.LoggerFactory.getLogger("graft.operators.Joins").info(
       s"routed join [$strategy]: $reason; est ${e.estimatedRows} rows " +
         s"(L ${e.rowsLeft} x R ${e.rowsRight})")
+    RoutedJoin(run(), d)
+  }
+
+  /** LEFT-OUTER routing. The sound moves differ from inner's:
+    *
+    *  - only the RIGHT side may broadcast (a broadcast hash join cannot
+    *    build the preserved side);
+    *  - salting requires the BIG side to be the left (the replicated side
+    *    must be the non-preserved one, or unmatched rows duplicate);
+    *  - the bloom prefilter may only cut the RIGHT side (no false
+    *    negatives ⇒ every matching right row survives; dropped rows could
+    *    never match, and unmatched right rows don't appear in a left join
+    *    anyway) — so it fires when the big side is the right;
+    *  - left-side NULL keys are PRESERVED, not dropped — and they are the
+    *    classic outer-join skew (every null hashes to one partition), so
+    *    in the shuffled regimes the null-keyed rows are SPLIT around the
+    *    join entirely and unioned back null-extended: they never reach an
+    *    exchange. Right-side null keys drop (they can never match).
+    */
+  private def routedLeft(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      config: RouteConfig): RoutedJoin = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit, max, rand, sequence}
+    val r = right.where(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+    val lKeyed = left.where(leftKeys.map(col(_).isNotNull).reduce(_ && _))
+    def cond(lf: DataFrame, rf: DataFrame) =
+      leftKeys.zip(rightKeys).map { case (a, b) => lf(a) === rf(b) }
+        .reduce(_ && _)
+    // preflight on the UNFILTERED left: rowsLeft − nonNullLeft is the
+    // null-keyed mass the split must route around
+    val e = estimateEquiJoinSize(left, r, leftKeys, rightKeys, config.sketchK)
+    val nullLeft = e.rowsLeft - e.nonNullLeft
+    // run the keyed join, then union the null-keyed rows back
+    // null-extended — positionally: both sides are leftCols ++ rightCols
+    def withNullSplit(build: DataFrame => DataFrame): DataFrame = {
+      val joined = build(lKeyed)
+      if (nullLeft == 0L) joined
+      else {
+        val lNull = left.where(leftKeys.map(col(_).isNull).reduce(_ || _))
+        val extended = lNull.select(
+          left.columns.map(lNull(_)) ++
+            r.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+        joined.union(extended)
+      }
+    }
+
+    val decision: (String, String, Option[Double], () => DataFrame) =
+      if (e.nonNullRight <= config.broadcastMaxRows)
+        ("broadcast",
+          s"right side ${e.nonNullRight} matchable rows <= broadcastMaxRows " +
+            s"${config.broadcastMaxRows} (the only broadcastable side of a " +
+            "left join)",
+          None,
+          // no exchange ⇒ no split needed: null-keyed rows stream through
+          () => left.join(broadcast(r), cond(left, r), "left"))
+      else {
+        val leftBig = e.nonNullLeft >= e.nonNullRight
+        val (big, bigKeys, nBig) =
+          if (leftBig) (lKeyed, leftKeys, e.nonNullLeft)
+          else (r, rightKeys, e.nonNullRight)
+        val hotCnt =
+          if (nBig == 0) 0L
+          else big.groupBy(bigKeys.map(col): _*)
+            .agg(count(lit(1)).as("__c")).agg(max(col("__c")))
+            .head().getLong(0)
+        val hot = if (nBig == 0) 0.0 else hotCnt.toDouble / nBig
+        val typesMatch = leftKeys.zip(rightKeys).forall { case (a, b) =>
+          left.schema(a).dataType == r.schema(b).dataType }
+        val matchFracRight =
+          if (e.distinctRight == 0.0) 0.0 else e.keyOverlap / e.distinctRight
+        if (leftBig && hot > config.skewHotFraction)
+          ("salted",
+            f"hottest left-side key holds $hot%.3f of $nBig matchable rows " +
+              f"(> ${config.skewHotFraction}%.3f); ${config.nSalts} salts; " +
+              s"$nullLeft null-keyed rows split around the join",
+            Some(hot),
+            () => withNullSplit { lk =>
+              val bs = "__route_salt_b"; val ss = "__route_salt_s"
+              val lS = lk.withColumn(bs, (rand(42) * config.nSalts).cast("int"))
+              val rS = r.withColumn(ss,
+                explode(sequence(lit(0), lit(config.nSalts - 1))))
+              // each left row carries ONE salt -> preserved exactly once
+              lS.join(rS, cond(lS, rS) && lS(bs) === rS(ss), "left")
+                .drop(bs, ss)
+            })
+        else if (!leftBig && typesMatch &&
+            matchFracRight <= config.bloomMaxMatchFraction)
+          ("bloom",
+            f"key overlap ${e.keyOverlap}%.0f / right distinct " +
+              f"${e.distinctRight}%.0f = $matchFracRight%.3f <= " +
+              f"${config.bloomMaxMatchFraction}%.3f: bloom-prune the big " +
+              s"right side; $nullLeft null-keyed rows split around the join",
+            Some(hot),
+            () => withNullSplit { lk =>
+              val bloom = BloomJoin.buildOnCols(lk, leftKeys, config.bloomFpp,
+                expectedItems = math.max(math.ceil(e.distinctLeft).toLong, 1L))
+              val rF = r.where(BloomJoin.mightContain(
+                BloomJoin.compositeKey(rightKeys.map(col)), bloom))
+              lk.join(rF, cond(lk, rF), "left")
+            })
+        else
+          ("shuffle",
+            f"no regime fired (leftBig $leftBig, hot $hot%.3f, " +
+              f"matchFracRight $matchFracRight%.3f, typesMatch $typesMatch); " +
+              s"$nullLeft null-keyed rows split around the join",
+            Some(hot),
+            () => withNullSplit(lk => lk.join(r, cond(lk, r), "left")))
+      }
+
+    val (strategy, reason, hotFrac, run) = decision
+    val d = RouteDecision(strategy, reason, e, hotFrac)
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Joins").info(
+      s"routed left join [$strategy]: $reason; est ${e.estimatedRows} " +
+        s"matched rows (L ${e.rowsLeft} x R ${e.rowsRight})")
     RoutedJoin(run(), d)
   }
 

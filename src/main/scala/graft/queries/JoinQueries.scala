@@ -447,5 +447,51 @@ object JoinQueries {
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |WHERE c_nationkey = 1
               |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // LEFT-OUTER routing: the outer-sound regime subset (right-only
+    // broadcast, left-big salting, plain shuffle — the left side's hot-NULL
+    // mass is split around the join, never shuffled) forced on one fixture;
+    // unmatched orders must survive null-extended into the COALESCE(-1)
+    // group identically across regimes, hash-gated vs DuckDB's LEFT JOIN.
+    QueryDef(
+      "j_routed_left",
+      (s, dir) => {
+        import graft.operators.Joins
+        import graft.operators.Joins.RouteConfig
+        val orders = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir).filter(col("c_nationkey") === 1)
+        def agg(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(coalesce(col("c_custkey"), lit(-1L)).as("ckey"))
+            .agg(count(lit(1)).as("n_orders"),
+              Exact.dsum(col("o_totalprice")).as("sum_price"))
+            .orderBy("ckey")
+        val regimes = Seq(
+          "broadcast" -> RouteConfig(),
+          "salted" -> RouteConfig(broadcastMaxRows = 0,
+            skewHotFraction = 0.0),
+          "shuffle" -> RouteConfig(broadcastMaxRows = 0,
+            skewHotFraction = 1.1, bloomMaxMatchFraction = 0.0))
+        val results = regimes.map { case (want, cfg) =>
+          val rj = Joins.routed(orders, cust,
+            Seq("o_custkey"), Seq("c_custkey"), cfg, "left")
+          require(rj.decision.strategy == want,
+            s"left routing drifted: forced $want, router picked " +
+              s"${rj.decision.strategy} (${rj.decision.reason})")
+          (want, agg(rj.df))
+        }
+        val base = results.head._2.collect().toSeq
+        results.tail.foreach { case (name, df) =>
+          require(df.collect().toSeq == base,
+            s"routed left regime $name differs from ${results.head._1}")
+        }
+        results.head._2
+      },
+      Some(s"""SELECT COALESCE(c_custkey, -1) AS ckey,
+              |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+              |  ${Exact.sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders LEFT JOIN
+              |  (SELECT * FROM customer WHERE c_nationkey = 1) c
+              |  ON o_custkey = c_custkey
+              |GROUP BY 1 ORDER BY ckey""".stripMargin)),
   )
 }

@@ -266,6 +266,65 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("routed left join: every regime reproduces the plain left join, nulls preserved") {
+    import spark.implicits._
+    // fact with null keys (must be PRESERVED, null-extended) and a hot key
+    val fact = ((0 until 2000).map(i => (Some(i.toLong % 200), i)) ++
+      (2000 until 2300).map(i => (Option.empty[Long], i)) ++
+      (2300 until 3300).map(i => (Some(7L), i)))
+      .toDF("fk", "x")
+    val dim = (0L until 50L).map(j => (j, s"d$j")).toDF("pk", "name")
+    val plain = fact.join(dim, fact("fk") === dim("pk"), "left")
+      .orderBy("x", "pk").collect().toSeq
+    def run(cfg: Joins.RouteConfig, want: String): Unit = {
+      val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"), cfg, "left")
+      assert(rj.decision.strategy === want,
+        s"wanted $want: ${rj.decision.reason}")
+      assert(rj.df.columns.toSeq === Seq("fk", "x", "pk", "name"))
+      assert(rj.df.orderBy("x", "pk").collect().toSeq === plain,
+        s"left regime $want diverged from the plain left join")
+    }
+    run(Joins.RouteConfig(), "broadcast")
+    // hot key 7 holds 1000+10 of 3010 matchable rows (0.34 > 0.2) -> salted
+    run(Joins.RouteConfig(broadcastMaxRows = 0), "salted")
+    run(Joins.RouteConfig(broadcastMaxRows = 0, skewHotFraction = 1.1,
+      bloomMaxMatchFraction = 0.0), "shuffle")
+    // bloom fires only when the RIGHT side is the big one
+    val bigDim = (0L until 5000L).map(j => (j, s"d$j")).toDF("pk", "name")
+    val plainBig = fact.join(bigDim, fact("fk") === bigDim("pk"), "left")
+      .orderBy("x", "pk").collect().toSeq
+    val rj = Joins.routed(fact, bigDim, Seq("fk"), Seq("pk"),
+      Joins.RouteConfig(broadcastMaxRows = 0, skewHotFraction = 1.1), "left")
+    assert(rj.decision.strategy === "bloom", rj.decision.reason)
+    assert(rj.df.orderBy("x", "pk").collect().toSeq === plainBig)
+    // and the right-side prefilter never turned a match into a null row
+    assert(rj.df.filter(org.apache.spark.sql.functions.col("pk").isNotNull).count() ===
+      fact.join(bigDim, fact("fk") === bigDim("pk"), "inner").count())
+  }
+
+  test("routed left join: the null mass never reaches the exchange (split shape)") {
+    import spark.implicits._
+    val fact = ((0 until 500).map(i => (Some(i.toLong % 50), i)) ++
+      (500 until 900).map(i => (Option.empty[Long], i))).toDF("fk", "x")
+    val dim = (0L until 50L).map(j => (j, s"d$j")).toDF("pk", "name")
+    val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"),
+      Joins.RouteConfig(broadcastMaxRows = 0, skewHotFraction = 1.1,
+        bloomMaxMatchFraction = 0.0), "left")
+    assert(rj.decision.strategy === "shuffle")
+    assert(rj.decision.reason.contains("400 null-keyed rows split"))
+    rj.df.count()
+    // the plan must be UNION(join(non-null-filtered left, ...), null rows):
+    // the analyzed plan keeps both the split filters and the union (the
+    // optimizer folds them into LocalTableScan for in-memory fixtures, so
+    // the executed plan's text can't carry them)
+    val analyzed = rj.df.queryExecution.analyzed.toString
+    assert(analyzed.contains("isnotnull(fk"),
+      "null split missing: no isnotnull(fk) filter under the join")
+    assert(analyzed.contains("Union"), "null split missing its union branch")
+    assert(analyzed.contains("isnull(fk"),
+      "null split missing the null-mass branch filter")
+  }
+
   test("routed: empty and all-null sides produce the empty join, no crash") {
     import spark.implicits._
     val fact = (0 until 100).map(i => (i.toLong % 10, i)).toDF("fk", "x")

@@ -188,9 +188,10 @@ class OperatorPropertiesSpec extends SparkSpec {
       bMax <- Gen.oneOf(0L, 1000000L)
       skew <- Gen.oneOf(0.0, 0.2, 1.1)
       bloomF <- Gen.oneOf(0.0, 0.3, 1.0)
-    } yield (nKeys, mult, dimFrac, hotRows, nullRows, bMax, skew, bloomF)
+      jt <- Gen.oneOf("inner", "left")
+    } yield (nKeys, mult, dimFrac, hotRows, nullRows, bMax, skew, bloomF, jt)
     holds(Prop.forAll(gen) {
-      case (nKeys, mult, dimFrac, hotRows, nullRows, bMax, skew, bloomF) =>
+      case (nKeys, mult, dimFrac, hotRows, nullRows, bMax, skew, bloomF, jt) =>
         val factRows =
           (0 until nKeys * mult).map(i => (Some((i % nKeys).toLong), i)) ++
           (0 until hotRows).map(i => (Some(0L), 100000 + i)) ++
@@ -200,11 +201,11 @@ class OperatorPropertiesSpec extends SparkSpec {
           .map(j => (j, s"d$j")).toDF("pk", "name")
         val cfg = Joins.RouteConfig(broadcastMaxRows = bMax,
           skewHotFraction = skew, bloomMaxMatchFraction = bloomF)
-        val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"), cfg)
+        val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"), cfg, jt)
         val got = rj.df.orderBy("x", "pk").collect().toSeq
-        val want = fact.join(dim, fact("fk") === dim("pk"), "inner")
+        val want = fact.join(dim, fact("fk") === dim("pk"), jt)
           .orderBy("x", "pk").collect().toSeq
-        (got == want) :| s"regime ${rj.decision.strategy} diverged " +
+        (got == want) :| s"$jt regime ${rj.decision.strategy} diverged " +
           s"(${rj.decision.reason})"
     })
   }
