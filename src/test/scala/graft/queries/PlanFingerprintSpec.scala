@@ -32,9 +32,10 @@ class PlanFingerprintSpec extends SparkSpec {
     "e_sessionize" -> Fp(2, 0, 0, 0),
     "e_interval_join" -> Fp(2, 1, 0, 0),
     "e_asof_join" -> Fp(3, 0, 0, 0),
-    // weighted-collapse round-10 rebase: the final state frame now derives
-    // from the collapsed pair table and the last exchange folded away
-    "e_pagerank_types" -> Fp(0, 0, 0, 0),
+    // round-12 small-graph fast path: the result is a driver-computed
+    // LocalRelation; the one exchange is the query's ORDER BY over those
+    // dozens of rows (reviewed — the iteration itself plans ZERO stages)
+    "e_pagerank_types" -> Fp(1, 0, 0, 0),
     "t_fingerprint" -> Fp(1, 0, 0, 0),
     "t_pack" -> Fp(2, 0, 0, 0),
     "d_contamination" -> Fp(5, 5, 0, 0),
