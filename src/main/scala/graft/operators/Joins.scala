@@ -30,12 +30,16 @@ object Joins {
     * `nonNullLeft`/`nonNullRight`: rows whose every key component is
     * non-null (the only rows an equi-join can match); the difference from
     * `rowsLeft`/`rowsRight` is the null-keyed mass an OUTER join must
-    * preserve — [[routed]]'s null-split input. */
+    * preserve — [[routed]]'s null-split input. `maxKeyRowsLeft/Right`:
+    * UPPER bound on any single key's row count (Misra–Gries, measured in
+    * the same pass — [[routed]]'s skew signal; error ≤ nonNull/(m+1) with
+    * m = [[HeavyHitters.DefaultM]]). */
   final case class JoinSizeEstimate(
       rowsLeft: Long, rowsRight: Long,
       distinctLeft: Double, distinctRight: Double,
       keyOverlap: Double, estimatedRows: Double,
-      nonNullLeft: Long, nonNullRight: Long)
+      nonNullLeft: Long, nonNullRight: Long,
+      maxKeyRowsLeft: Long, maxKeyRowsRight: Long)
 
   /** **Join-size preflight**: estimate |L ⋈ R| on an equi-key WITHOUT
     * running the join, from one cheap aggregation pass per side — the
@@ -97,17 +101,23 @@ object Joins {
             s"${rt.simpleString} at position ($lk, $rk) have no hash-stable " +
             "common form — cast the keys to one type first")
       }
-    def side(df: DataFrame, keys: Seq[String]): (Long, Long, ThetaSketch) = {
+    def side(df: DataFrame, keys: Seq[String]): (Long, Long, ThetaSketch, MGSketch) = {
       val kcs = keys.zip(commons).map { case (kc, c) =>
         c.map(col(kc).cast).getOrElse(col(kc))
       }
       val allSet = keys.map(col(_).isNotNull).reduce(_ && _)
+      // theta (distinct domain + overlap) AND Misra–Gries (per-key skew)
+      // ride the SAME hashed expression in the SAME pass: the routing
+      // decision never scans a side twice
+      val hashed = when(allSet, xxhash64(kcs: _*))
       val r = df.agg(count(lit(1)).as("n"),
         count(when(allSet, lit(1))).as("nk"),
-        ThetaSketch.thetaAggK(k)(when(allSet, xxhash64(kcs: _*))).as("sk"))
+        ThetaSketch.thetaAggK(k)(hashed).as("sk"),
+        HeavyHitters.mgAgg(hashed).as("mg"))
         .head()
       (r.getAs[Long]("n"), r.getAs[Long]("nk"),
-        ThetaSketch.deserialize(r.getAs[Array[Byte]]("sk")))
+        ThetaSketch.deserialize(r.getAs[Array[Byte]]("sk")),
+        HeavyHitters.deserialize(r.getAs[Array[Byte]]("mg")))
     }
     // the two sides are independent full scans — overlap them instead of
     // paying scanL + scanR sequentially for a "cheap" preflight
@@ -116,8 +126,8 @@ object Joins {
     import scala.concurrent.duration.Duration
     val fL = Future(side(left, leftKeys))
     val fR = Future(side(right, rightKeys))
-    val (nL, nkL, skL) = Await.result(fL, Duration.Inf)
-    val (nR, nkR, skR) = Await.result(fR, Duration.Inf)
+    val (nL, nkL, skL, mgL) = Await.result(fL, Duration.Inf)
+    val (nR, nkR, skR, mgR) = Await.result(fR, Duration.Inf)
     val dL = skL.estimate
     val dR = skR.estimate
     val overlap = ThetaSketch.intersectEstimate(skL, skR)
@@ -125,7 +135,8 @@ object Joins {
     val est =
       if (dL == 0.0 || dR == 0.0) 0.0
       else overlap * (nkL / dL) * (nkR / dR)
-    JoinSizeEstimate(nL, nR, dL, dR, overlap, est, nkL, nkR)
+    JoinSizeEstimate(nL, nR, dL, dR, overlap, est, nkL, nkR,
+      mgL.maxFrequencyUpperBound, mgR.maxFrequencyUpperBound)
   }
 
   /** Thresholds for [[routed]]'s strategy pick. Row-based on purpose: the
@@ -181,10 +192,10 @@ object Joins {
     * rejected (no sound rewrites). Self-joins must alias one side first
     * (the `frame(col)` disambiguation needs distinct lineages).
     *
-    * Preflight cost: one concurrent agg pass per side (KB-scale results),
-    * plus one key-frequency agg over the big side when broadcast didn't
-    * short-circuit — all map-side-partial, priced for a decision that moves
-    * terabytes. The decision and its inputs are returned (and logged at
+    * Preflight cost: ONE concurrent agg pass per side (KB-scale results) —
+    * the theta key sketch AND the Misra–Gries skew signal ride the same
+    * hashed expression, so the hot-key question costs no second scan of
+    * the big side. The decision and its inputs are returned (and logged at
     * INFO) rather than buried. */
   def routed(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
@@ -205,7 +216,7 @@ object Joins {
   private def routedInner(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       config: RouteConfig): RoutedJoin = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit, max, rand, sequence}
+    import org.apache.spark.sql.functions.{broadcast, col, explode, lit, rand, sequence}
     val l = left.where(leftKeys.map(col(_).isNotNull).reduce(_ && _))
     val r = right.where(rightKeys.map(col(_).isNotNull).reduce(_ && _))
     def cond(lf: DataFrame, rf: DataFrame) =
@@ -233,21 +244,18 @@ object Joins {
           None,
           () => ordered(big, broadcast(small)))
       else {
-        // the hot-key probe: one map-side-partial agg over the big side's
-        // key columns (sample it upstream if even that is too dear)
-        val hotCnt =
-          if (nBig == 0) 0L
-          else big.groupBy(bigKeys.map(col): _*)
-            .agg(count(lit(1)).as("__c")).agg(max(col("__c")))
-            .head().getLong(0)
+        // the skew signal comes FREE from the preflight's Misra–Gries pass
+        // (upper bound — over-salting is safe, a missed hot key is not)
+        val hotCnt = if (leftBig) e.maxKeyRowsLeft else e.maxKeyRowsRight
         val hot = if (nBig == 0) 0.0 else hotCnt.toDouble / nBig
         val typesMatch = leftKeys.zip(rightKeys).forall { case (a, b) =>
           l.schema(a).dataType == r.schema(b).dataType }
         val matchFrac = if (dBig == 0.0) 0.0 else e.keyOverlap / dBig
         if (hot > config.skewHotFraction)
           ("salted",
-            f"hottest big-side key holds $hot%.3f of $nBig rows " +
-              f"(> ${config.skewHotFraction}%.3f); ${config.nSalts} salts",
+            f"hottest big-side key holds <= $hot%.3f of $nBig rows (MG " +
+              f"upper bound > ${config.skewHotFraction}%.3f); " +
+              s"${config.nSalts} salts",
             Some(hot),
             () => {
               val bs = "__route_salt_b"; val ss = "__route_salt_s"
@@ -312,7 +320,7 @@ object Joins {
   private def routedLeft(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       config: RouteConfig): RoutedJoin = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit, max, rand, sequence}
+    import org.apache.spark.sql.functions.{broadcast, col, explode, lit, rand, sequence}
     val r = right.where(rightKeys.map(col(_).isNotNull).reduce(_ && _))
     val lKeyed = left.where(leftKeys.map(col(_).isNotNull).reduce(_ && _))
     def cond(lf: DataFrame, rf: DataFrame) =
@@ -347,14 +355,9 @@ object Joins {
           () => left.join(broadcast(r), cond(left, r), "left"))
       else {
         val leftBig = e.nonNullLeft >= e.nonNullRight
-        val (big, bigKeys, nBig) =
-          if (leftBig) (lKeyed, leftKeys, e.nonNullLeft)
-          else (r, rightKeys, e.nonNullRight)
-        val hotCnt =
-          if (nBig == 0) 0L
-          else big.groupBy(bigKeys.map(col): _*)
-            .agg(count(lit(1)).as("__c")).agg(max(col("__c")))
-            .head().getLong(0)
+        val nBig = if (leftBig) e.nonNullLeft else e.nonNullRight
+        // skew signal free from the preflight's Misra–Gries pass
+        val hotCnt = if (leftBig) e.maxKeyRowsLeft else e.maxKeyRowsRight
         val hot = if (nBig == 0) 0.0 else hotCnt.toDouble / nBig
         val typesMatch = leftKeys.zip(rightKeys).forall { case (a, b) =>
           left.schema(a).dataType == r.schema(b).dataType }
@@ -362,8 +365,9 @@ object Joins {
           if (e.distinctRight == 0.0) 0.0 else e.keyOverlap / e.distinctRight
         if (leftBig && hot > config.skewHotFraction)
           ("salted",
-            f"hottest left-side key holds $hot%.3f of $nBig matchable rows " +
-              f"(> ${config.skewHotFraction}%.3f); ${config.nSalts} salts; " +
+            f"hottest left-side key holds <= $hot%.3f of $nBig matchable " +
+              f"rows (MG upper bound > ${config.skewHotFraction}%.3f); " +
+              s"${config.nSalts} salts; " +
               s"$nullLeft null-keyed rows split around the join",
             Some(hot),
             () => withNullSplit { lk =>

@@ -182,6 +182,40 @@ object SketchQueries {
       },
       None),
 
+    // Misra–Gries heavy hitters, ORACLE-GATED through its own guarantee:
+    // the sketch (one pass, m counters) yields candidate key hashes that
+    // PROVABLY cover every key above the error bound; the exact pass then
+    // counts ONLY candidate rows (map-side hash filter, ≤ m-key agg state)
+    // and keeps those above the threshold. Because candidates ⊇ true heavy
+    // hitters, the filtered-exact result IS the true heavy-hitter set —
+    // which DuckDB recomputes with a full GROUP BY/HAVING. A green row
+    // hash-gates the completeness guarantee itself, cross-engine. The
+    // same sketch is what Joins.routed's skew decision reads, in-pass.
+    QueryDef(
+      "a_heavy_hitters",
+      (s, dir) => {
+        import graft.operators.HeavyHitters
+        val ev = Tables.eventsUs(s, dir).select(col("event_type"))
+        val sk = HeavyHitters.deserialize(
+          ev.agg(HeavyHitters.mgAgg(HeavyHitters.hashCol(col("event_type"))))
+            .head().getAs[Array[Byte]](0))
+        val total = sk.totalItems
+        // threshold total/16: comfortably above the n/(m+1) error at m=64
+        val cands = sk.candidatesAbove(total / 16)
+        require(cands.nonEmpty, "fixture lost its heavy event types")
+        ev.filter(col("event_type").isNotNull &&
+            xxhash64(col("event_type")).isInCollection(cands))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * lit(16L) > lit(total))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM events
+             |GROUP BY event_type
+             |HAVING COUNT(*) * 16 > (SELECT COUNT(*) FROM events)
+             |ORDER BY event_type""".stripMargin)),
+
     // Mergeable t-digest quantiles — the third leg of the sketch-rollup
     // architecture (HLL = distinct, CMS = frequency, t-digest = quantiles):
     // sketch ONCE per day, answer "p50/p99 over any day range" by MERGING
