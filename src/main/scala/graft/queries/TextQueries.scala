@@ -542,7 +542,7 @@ object TextQueries {
             expr("CAST(round(round(ln(c + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
             expr("CAST(round(round(ln(CAST(tot + vocab AS DOUBLE)), 6) * 1e6) AS BIGINT)")
               .as("norm_mc"))
-        terms.join(lp, Seq("t"))
+        terms.join(broadcast(lp), Seq("t"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             (round((sum(col("lc_mc")) - count(lit(1)) * first(col("norm_mc")))
@@ -574,9 +574,29 @@ object TextQueries {
     // when its unigram mix is normal). Same cross-engine discipline as
     // t_unigram_lm: transcendental inputs are small integers, 6-dp values
     // become exact BIGINT micro-units, and the per-doc mean rounds in
-    // micro-space where true ties are exact dyadic .5 doubles. Scale: one
-    // bigram-count agg + a broadcastable (a,b)-keyed table (≤|V|²); docs
-    // with fewer than 2 tokens carry no bigrams and drop out (documented).
+    // micro-space where true ties are exact dyadic .5 doubles.
+    //
+    // Scale (rebuilt after the r12 bench caught AQE occasionally planning
+    // the scoring join as a full-stream string-pair sort-merge — a 25× cpu
+    // blowup at sf1): the exploded bigram stream feeds exactly ONE
+    // aggregation. Its distinct-pair result is bounded by |V|² and must be
+    // broadcast-sized for the scoring probe anyway, so it is pinned as a
+    // LocalRelation (bounded `take`, gated at MaxPairs) and ctx / vocab /
+    // lp all derive from the pin — without it, inner-join null filters
+    // push asymmetrically into each consumer and AQE exchange reuse cannot
+    // dedupe the subtrees (measured: 5 Generate nodes, 0 ReusedExchange).
+    // The scoring pass then re-derives bigrams as a pipelined map
+    // (recompute-over-materialize: a second tokenize pass is cheaper at
+    // 100 TB than caching or shuffling a stream-sized intermediate) and
+    // probes lp as an EXPLICIT broadcast — the hint, not stats, decides.
+    // The vocabulary needs no third full-corpus explode: in a ≥2-token doc
+    // every token borders a bigram, so distinct tokens = distinct pair
+    // endpoints ∪ the tokens of 1-token docs (a cheap filtered scan that
+    // explodes nothing). Net: 3 corpus scans (2 with explode), zero
+    // stream-sized exchanges. Above MaxPairs the broadcastable-lp premise
+    // is void and the plan degrades to stats-driven shuffle joins with the
+    // full-explode vocabulary. Docs with fewer than 2 tokens carry no
+    // bigrams and drop out (documented).
     QueryDef(
       "t_bigram_lm",
       (s, dir) => {
@@ -589,16 +609,31 @@ object TextQueries {
             "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))"))
             .as("bg"))
           .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-        val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        val cabAgg = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        import s.implicits._
+        val MaxPairs = 1 << 22 // ~4M pairs ≈ the broadcast-size premise
+        val pinned = cabAgg.as[(String, String, Long)].take(MaxPairs + 1)
+        val (cab, vocab) =
+          if (pinned.length <= MaxPairs) {
+            val local = s.createDataset(pinned.toIndexedSeq).toDF("a", "b", "cab")
+            val singles = docs.select(expr(toks).as("tk"))
+              .filter(size(col("tk")) === 1)
+              .select(element_at(col("tk"), 1).as("t"))
+            val v = local.select(col("a").as("t"))
+              .union(local.select(col("b").as("t")))
+              .union(singles)
+              .agg(count_distinct(col("t")).as("v"))
+            (local, v)
+          } else // premise void: stats-driven plan, full-explode vocabulary
+            (cabAgg, docs.select(explode(expr(toks)).as("t"))
+              .agg(count_distinct(col("t")).as("v")))
         val ctx = cab.groupBy("a").agg(sum("cab").as("ca"))
-        val vocab = docs.select(explode(expr(toks)).as("t"))
-          .agg(count_distinct(col("t")).as("v"))
-        val lp = cab.join(ctx, "a").crossJoin(vocab)
+        val lp = cab.join(broadcast(ctx), "a").crossJoin(vocab)
           .select(col("a"), col("b"),
             expr("CAST(round(round(ln(cab + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
             expr("CAST(round(round(ln(CAST(ca + v AS DOUBLE)), 6) * 1e6) AS BIGINT)")
               .as("ctx_mc"))
-        bigrams.join(lp, Seq("a", "b"))
+        bigrams.join(broadcast(lp), Seq("a", "b"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
             (round((sum(col("lc_mc")) - sum(col("ctx_mc"))).cast("double")

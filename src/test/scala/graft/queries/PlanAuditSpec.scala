@@ -347,6 +347,37 @@ class PlanAuditSpec extends SparkSpec {
       "bloom regime's membership probe is not a filter on the big side")
   }
 
+  test("t_bigram_lm: single stream derivation, lp broadcast, no sort-merge") {
+    // Round-13 hardening (r12 VERDICT #2): the scoring job must (a) derive
+    // the exploded bigram stream exactly ONCE — the pair/ctx/vocab stats
+    // come from the LocalRelation pin, not re-explosions — (b) probe lp via
+    // BROADCAST hash join (AQE stats once degraded this to a full-stream
+    // string-pair sort-merge: the 25× sf1 cpu blowup), and (c) contain no
+    // sort-merge join anywhere.
+    val plan = executedPlan(run("t_bigram_lm"))
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: nodes(q.plan)
+      case other => p +: (other.children ++ other.subqueries).flatMap(nodes)
+    }
+    val all = nodes(plan)
+    val gens = all.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.size === 1,
+      s"scoring job must explode the corpus exactly once, got ${gens.size}")
+    val smj = all.collect { case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }
+    assert(smj.isEmpty, "sort-merge join crept back into the LM scoring plan")
+    val bhj = all.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.exists(_.leftKeys.size == 2),
+      "the (a,b) scoring probe must be a broadcast hash join")
+    val pins = all.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }
+    assert(pins.nonEmpty, "pair-table LocalRelation pin missing from the plan")
+  }
+
   test("runtime bloom-filter pruning reaches the fact scan on shuffle joins") {
     // When a fact-dim join is too big to broadcast, Spark's runtime row-level
     // filtering builds a bloom filter from the SELECTIVE dim side and probes

@@ -39,7 +39,10 @@ class PlanFingerprintSpec extends SparkSpec {
     "t_fingerprint" -> Fp(1, 0, 0, 0),
     "t_pack" -> Fp(2, 0, 0, 0),
     "d_contamination" -> Fp(5, 5, 0, 0),
-    "t_bigram_lm" -> Fp(7, 2, 0, 1),
+    // round-13 rebuild: the pair table is pinned as a LocalRelation and lp
+    // is an explicit broadcast — the scoring job is 1 Generate / 0 SMJ; the
+    // 5 exchanges are the tiny ctx/vocab aggs + the per-doc agg + order
+    "t_bigram_lm" -> Fp(5, 2, 0, 1),
     "t_chunk" -> Fp(1, 0, 0, 0),
     "t_bpe_train" -> Fp(1, 0, 0, 0),
     "d_simhash_banded" -> Fp(4, 0, 0, 0),
