@@ -154,8 +154,9 @@ object Joins {
 
   /** What [[routed]] decided and why — the audit trail the 100 TB operator
     * wants in the job log next to the join it priced. `bigSideHotFraction`
-    * is only measured when the broadcast short-circuit didn't fire (it costs
-    * one key-column agg pass over the big side). */
+    * comes for free from the preflight's single Misra–Gries pass (no second
+    * scan exists); it is simply not reported when the broadcast
+    * short-circuit fires before the big side is preflighted. */
   final case class RouteDecision(strategy: String, reason: String,
       estimate: JoinSizeEstimate, bigSideHotFraction: Option[Double])
 

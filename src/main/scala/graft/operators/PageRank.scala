@@ -164,7 +164,12 @@ object PageRank {
     val pairs = e0.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     pairs.persist()
     val nPairs = pairs.count()
-    if (localMaxNodes > 0 && nPairs <= SmallGraphMaxPairs) {
+    // the local path declares its node column as src's type, while the
+    // distributed path WIDENS mixed src/dst types via unionByName — so
+    // mixed-type edges must take the distributed iteration or the two
+    // paths would fork (or createDataFrame would reject the rows)
+    val typesAgree = e0.schema("src").dataType == e0.schema("dst").dataType
+    if (localMaxNodes > 0 && typesAgree && nPairs <= SmallGraphMaxPairs) {
       // SMALL-GRAPH fast path: collect the collapsed pairs (bounded by the
       // gate), derive nodes/degrees on the driver, iterate locally —
       // bit-identical arithmetic (spec-pinned against the distributed

@@ -191,6 +191,11 @@ object SketchQueries {
     // which DuckDB recomputes with a full GROUP BY/HAVING. A green row
     // hash-gates the completeness guarantee itself, cross-engine. The
     // same sketch is what Joins.routed's skew decision reads, in-pass.
+    // NULL discipline (both engines): the sketch never sees null keys
+    // (hashCol(null) is null and the agg skips it), so the oracle's total
+    // is COUNT(event_type) and its groups exclude the NULL group — the
+    // threshold and group sets stay aligned even if the fixture gains
+    // null event_type rows.
     QueryDef(
       "a_heavy_hitters",
       (s, dir) => {
@@ -212,8 +217,9 @@ object SketchQueries {
       },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
              |FROM events
+             |WHERE event_type IS NOT NULL
              |GROUP BY event_type
-             |HAVING COUNT(*) * 16 > (SELECT COUNT(*) FROM events)
+             |HAVING COUNT(*) * 16 > (SELECT COUNT(event_type) FROM events)
              |ORDER BY event_type""".stripMargin)),
 
     // Mergeable t-digest quantiles — the third leg of the sketch-rollup

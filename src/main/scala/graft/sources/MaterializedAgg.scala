@@ -160,8 +160,14 @@ object MaterializedAgg {
     * then the next writer deletes-and-recreates it (the recreate is
     * create-exclusive, so two simultaneous takeovers still serialize on
     * filesystems with atomic create — HDFS and object stores with
-    * conditional writes; the local dev FS approximates it). */
-  private def withLease[T](fs: org.apache.hadoop.fs.FileSystem,
+    * conditional writes; the local dev FS approximates it).
+    *
+    * Liveness story (r12 ADVICE): a LIVE writer whose operation runs longer
+    * than `staleMs` (a 100 TB rebase) must not look crashed, so a daemon
+    * heartbeat touches the lease's mtime every `staleMs / 3` for the
+    * duration of `body` — a second writer's stale check then always sees a
+    * fresh lease while the holder is alive, regardless of operation length. */
+  private[sources] def withLease[T](fs: org.apache.hadoop.fs.FileSystem,
       viewPath: String, op: String, staleMs: Long)(body: => T): T = {
     val root = new org.apache.hadoop.fs.Path(viewPath)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -182,7 +188,23 @@ object MaterializedAgg {
     try {
       out.write(s"$op@${System.currentTimeMillis()}".getBytes("UTF-8"))
     } finally out.close()
-    try body finally fs.delete(lock, false)
+    val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val heartbeat = new Thread(() => {
+      while (beating.get()) {
+        try Thread.sleep(math.max(staleMs / 3, 250L))
+        catch { case _: InterruptedException => () }
+        if (beating.get())
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: Throwable => () } // transient FS hiccup: next beat retries
+      }
+    }, s"graft-view-lease-heartbeat")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    try body finally {
+      beating.set(false)
+      heartbeat.interrupt()
+      fs.delete(lock, false)
+    }
   }
 
   /** Materialize the view: snapshot the table, aggregate it once, commit
@@ -336,8 +358,11 @@ object MaterializedAgg {
     val newId = Lake.snapshot(spark, tablePath)
     // a pin that never commits is garbage — drop it on ANY failure below
     // (drift, IO), or a failing scheduled refresh would leak an
-    // O(table-files) manifest per attempt
-    try {
+    // O(table-files) manifest per attempt. The rollback scope ends at
+    // publishCommit (atomic tmp-create + rename — a throw from it means
+    // NOT committed): post-commit cleanup runs after the try, warn-only.
+    var committed = false
+    val out = try {
       // one manifest diff serves both the no-op check (metadata-only:
       // nothing appended → nothing planned or scanned) and the delta read
       val fresh = Lake.appendedFilesBetween(spark, tablePath, cur, newId)
@@ -368,15 +393,19 @@ object MaterializedAgg {
         val merged = mergeStates(state, deltaState, spec)
         merged.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
         publishCommit(fs, viewPath, newId)
-        if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, cur)
+        committed = true
         newId
       }
     } catch {
       case t: Throwable =>
-        try Lake.dropSnapshot(spark, tablePath, newId)
-        catch { case _: Throwable => () } // keep the original failure
+        if (!committed)
+          try Lake.dropSnapshot(spark, tablePath, newId)
+          catch { case _: Throwable => () } // keep the original failure
         throw t
     }
+    if (committed && dropSuperseded)
+      dropSupersededPin(spark, tablePath, cur, "refresh")
+    out
     }
   }
 
@@ -577,6 +606,21 @@ object MaterializedAgg {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Post-commit cleanup must never trigger rollback of committed
+    * resources (r12 ADVICE): once `commit_<id>` is published, a failure
+    * dropping the SUPERSEDED pin leaks at most that one manifest —
+    * bounded, idempotent to sweep — and is reported, not thrown (and
+    * never answered by dropping the pin the new state depends on). */
+  private def dropSupersededPin(spark: SparkSession, path: String, id: Long,
+      op: String): Unit =
+    try Lake.dropSnapshot(spark, path, id)
+    catch {
+      case t: Throwable =>
+        System.err.println(s"[materialized-agg] $op: post-commit cleanup " +
+          s"failed for superseded snapshot $id at $path — pin leaked, " +
+          s"sweep with Lake.dropSnapshot ($t)")
+    }
+
   private def publishCommit(fs: org.apache.hadoop.fs.FileSystem,
       viewPath: String, id: Long): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(viewPath, s".commit_$id.tmp")
@@ -738,7 +782,10 @@ object MaterializedAgg {
       throw new IllegalStateException(s"no committed state at $viewPath"))
     // pin the POST-delete table: this becomes the view's new base
     val newId = Lake.snapshot(spark, tablePath)
-    try {
+    // same rollback discipline as refresh: the scope ends at the atomic
+    // publishCommit; post-commit cleanup is warn-only outside the try
+    var committed = false
+    val out = try {
       val negated = {
         val del = partialState(
           adaptDelta(deleted, spec, recordedTypes, tablePath), spec)
@@ -774,15 +821,19 @@ object MaterializedAgg {
             "landed mid-retract); nothing committed, run rebase")
         kept.write.mode("overwrite").parquet(s"$viewPath/state_$newId")
         publishCommit(fs, viewPath, newId)
-        if (dropSuperseded) Lake.dropSnapshot(spark, tablePath, cur)
+        committed = true
         newId
       } finally graft.Checkpoints.release(merged)
     } catch {
       case t: Throwable =>
-        try Lake.dropSnapshot(spark, tablePath, newId)
-        catch { case _: Throwable => () } // keep the original failure
+        if (!committed)
+          try Lake.dropSnapshot(spark, tablePath, newId)
+          catch { case _: Throwable => () } // keep the original failure
         throw t
     }
+    if (committed && dropSuperseded)
+      dropSupersededPin(spark, tablePath, cur, "retract")
+    out
     }
   }
 
@@ -867,7 +918,11 @@ object MaterializedAgg {
       throw new IllegalStateException(s"no committed state at $viewPath"))
     val newId = Lake.snapshot(spark, tablePath)
     var dimSnap: Option[Long] = None
-    try {
+    // rollback scope ends at the atomic publishCommit: a post-commit
+    // cleanup failure must neither drop the pins the committed state
+    // depends on nor roll the meta back under it (warn-only, outside)
+    var committed = false
+    val out = try {
       dimSnap = spec.dim.map(d => Lake.snapshot(spark, d.dimPath))
       val base = Lake.readSnapshot(spark, tablePath, newId)
       val dimRead = spec.dim.map(d =>
@@ -885,29 +940,33 @@ object MaterializedAgg {
       partialState(enriched, spec)
         .write.mode("overwrite").parquet(s"$viewPath/state_$newId")
       publishCommit(fs, viewPath, newId)
-      if (dropSuperseded) {
-        Lake.dropSnapshot(spark, tablePath, cur)
-        for (d <- spec.dim; old <- dimSnapFor(dimSnaps, cur)
-            if !dimSnap.contains(old))
-          Lake.dropSnapshot(spark, d.dimPath, old)
-      }
+      committed = true
       newId
     } catch {
       case t: Throwable =>
-        try Lake.dropSnapshot(spark, tablePath, newId)
-        catch { case _: Throwable => () } // keep the original failure
-        for (d <- spec.dim; id <- dimSnap)
-          try Lake.dropSnapshot(spark, d.dimPath, id)
+        if (!committed) {
+          try Lake.dropSnapshot(spark, tablePath, newId)
+          catch { case _: Throwable => () } // keep the original failure
+          for (d <- spec.dim; id <- dimSnap)
+            try Lake.dropSnapshot(spark, d.dimPath, id)
+            catch { case _: Throwable => () }
+          // roll the meta back too: a dangling pin pair referencing the
+          // just-dropped dim manifest would otherwise be resolved by a LATER
+          // committed state's provenance lookup and fail misdiagnosed
+          try writeMeta(fs, viewPath, tablePath, spec,
+            oldTypes.toSeq.map { case (c, dt) => c -> dt.catalogString },
+            dimSnaps)
           catch { case _: Throwable => () }
-        // roll the meta back too: a dangling pin pair referencing the
-        // just-dropped dim manifest would otherwise be resolved by a LATER
-        // committed state's provenance lookup and fail misdiagnosed
-        try writeMeta(fs, viewPath, tablePath, spec,
-          oldTypes.toSeq.map { case (c, dt) => c -> dt.catalogString },
-          dimSnaps)
-        catch { case _: Throwable => () }
+        }
         throw t
     }
+    if (dropSuperseded) {
+      dropSupersededPin(spark, tablePath, cur, "rebase")
+      for (d <- spec.dim; old <- dimSnapFor(dimSnaps, cur)
+          if !dimSnap.contains(old))
+        dropSupersededPin(spark, d.dimPath, old, "rebase (old dim pin)")
+    }
+    out
     }
   }
 }

@@ -744,6 +744,31 @@ class MaterializedAggSpec extends SparkSpec {
     assert(!fs.exists(lock), "a finished refresh must release its lease")
   }
 
+  test("single-writer lease: heartbeat keeps a LIVE long operation's lease " +
+      "fresh past the stale horizon") {
+    // r12 ADVICE: without a heartbeat, any legitimate operation longer than
+    // leaseStaleMs (plausible for a 100 TB rebase) would let a second
+    // writer "take over" a LIVE writer's lease — the exact interleaving
+    // the lease exists to prevent. The body below outlives the horizon 3×;
+    // a second writer probing mid-body must still be refused.
+    val root = tmp("mview_lease_heartbeat")
+    val view = s"$root/v"
+    val fs = new org.apache.hadoop.fs.Path(view)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staleMs = 600L
+    MaterializedAgg.withLease(fs, view, "refresh", staleMs) {
+      Thread.sleep(staleMs * 3)
+      val e = intercept[IllegalStateException] {
+        MaterializedAgg.withLease(fs, view, "refresh", staleMs)(())
+      }
+      assert(e.getMessage.contains("lease"),
+        s"live-but-long holder must keep its lease: ${e.getMessage}")
+    }
+    // released on exit: the next writer proceeds
+    MaterializedAgg.withLease(fs, view, "refresh", staleMs)(())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(view, "_graft_view_lock")))
+  }
+
   test("single-writer lease: a crashed writer's stale lease is taken over") {
     import spark.implicits._
     val root = tmp("mview_lease_stale")
