@@ -275,12 +275,17 @@ object JoinQueries {
     // The same star chain over CO-BUCKETED fact tables: lineitem and orders
     // pre-bucketed + pre-sorted on the order key at write time, so the
     // fact-fact join needs no exchange and no sort — the remaining shuffles
-    // are the (tiny) aggregate and final order.
+    // are the (tiny) aggregate and final order. The MERGE hint pins that
+    // plan: at bench SFs the orders side is under the broadcast threshold
+    // and the optimizer would otherwise demonstrate nothing (a BHJ that
+    // rebuilds a full-fact hash relation every run — the r12 "no shuffle,
+    // 6× cpu" profile); at 100 TB no fact side broadcasts and the
+    // co-located sort-free merge IS the plan either way.
     QueryDef(
       "j_star_chain_bucketed",
       (s, dir) => {
         val (li, or) = bucketedFacts(s, dir)
-        starChain(s, dir, li, or)
+        starChain(s, dir, li, or.hint("MERGE"))
       },
       Some(starChainSql),
       headline = true),

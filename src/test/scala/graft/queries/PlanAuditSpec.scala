@@ -66,6 +66,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(smj.isEmpty, "dimension chain should not sort-merge at this scale")
   }
 
+  test("j_star_chain_bucketed: the fact-fact merge join has NO exchange and " +
+      "NO sort beneath it") {
+    // The bucketed variant's entire reason to exist: both facts were
+    // written bucketed+sorted on the order key (one file per bucket), so
+    // the pinned MERGE join must consume the layout as-is — a Sort or
+    // ShuffleExchange under it means the write-time layout was wasted.
+    val plan = executedPlan(run("j_star_chain_bucketed"))
+    def descend(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: descend(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: descend(q.plan)
+      case other => p +: (other.children ++ other.subqueries).flatMap(descend)
+    }
+    val smj = descend(plan).collect {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.size === 1, s"expected the pinned fact-fact merge, got ${smj.size}")
+    val below = smj.head.children.flatMap(descend)
+    val bad = below.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(bad.isEmpty,
+      s"bucketed layout not consumed: ${bad.map(_.nodeName).mkString(", ")}")
+  }
+
   test("Packing.pack: running-sum window is partitioned, never one global partition") {
     import org.apache.spark.sql.functions._
     val docs = spark.range(1000)

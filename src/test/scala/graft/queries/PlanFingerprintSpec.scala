@@ -23,7 +23,11 @@ class PlanFingerprintSpec extends SparkSpec {
   private val pinned = Map(
     "j7_nearest_in_group" -> Fp(2, 1, 0, 0),
     "j_star_chain" -> Fp(4, 3, 0, 0),
-    "j_star_chain_bucketed" -> Fp(2, 4, 0, 0),
+    // round-13 MERGE pin: the fact-fact edge is the co-bucketed SORT-FREE
+    // sort-merge join (PlanAuditSpec asserts no Sort/Exchange under it) —
+    // without the pin, bench SFs broadcast the whole orders fact and the
+    // query demonstrates nothing
+    "j_star_chain_bucketed" -> Fp(2, 3, 1, 0),
     "q1_pricing_summary" -> Fp(2, 0, 0, 0),
     "a2_residual_stats" -> Fp(2, 0, 0, 0),
     "a_rollup" -> Fp(2, 0, 0, 0),
