@@ -270,6 +270,15 @@ object Bench {
     val sf1Med = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val sf1Shuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val sf1Cpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // r12 VERDICT #1: the 3-run cpu window hid a single 25× run. Each sf1
+    // run now records its OWN wall / cpu / shuffle / post-AQE plan
+    // fingerprint ("e4b3s0n0") — a one-in-three replan or recompute storm
+    // is attributable to the run (and the plan) it happened in, and
+    // `sf1_unstable` on the adjudication line names any query whose
+    // per-run cpu spread exceeds 3× (above a 2 s floor so toy-cost queries
+    // don't flag on listener noise).
+    val sf1Runs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val sf1Unstable = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var sf1Dir = ""
     // Deadline guard: the section adds minutes (one-time generation +
     // staging + 36 timed runs). On an idle box the main loop ends well
@@ -304,17 +313,38 @@ object Bench {
             catch { case _: Throwable => () }
             perQueryCal(s"sf1:$name") = probeOnce()
             var times = List.empty[Double]
-            val (bytes, cpu) = metricsDelta {
-              (1 to 3).foreach { _ =>
+            var runRecs = List.empty[String]
+            var runCpus = List.empty[Double]
+            var bytesTot = 0L
+            var cpuTot = 0.0
+            (1 to 3).foreach { _ =>
+              var wall = -1.0
+              var fp = "error"
+              val (bytes, cpu) = metricsDelta {
                 val t0 = System.nanoTime()
                 try {
-                  q.run(spark, sf1Dir).count()
-                  times ::= (System.nanoTime() - t0) / 1e9
+                  // mirror of Dataset.count(): the grouped frame is OURS, so
+                  // after collect() its finalized AQE plan is readable —
+                  // count() itself hides its queryExecution
+                  val counted = q.run(spark, sf1Dir).groupBy().count()
+                  counted.collect()
+                  wall = (System.nanoTime() - t0) / 1e9
+                  times ::= wall
+                  fp = graft.queries.PlanFingerprints.ofExecuted(counted).brief
                 } catch { case e: Throwable => recordErr(s"sf1:$name", e) }
               }
+              bytesTot += bytes
+              cpuTot += cpu
+              runCpus ::= cpu
+              runRecs ::= s"""{"wall":${r3(wall)},"cpu_s":${r3(cpu)},""" +
+                s""""shuffle_bytes":$bytes,"fp":"$fp"}"""
             }
-            sf1Shuffle(name) = bytes
-            sf1Cpu(name) = cpu
+            sf1Runs(name) = runRecs.reverse.mkString("[", ",", "]")
+            if (runCpus.nonEmpty && runCpus.max > 3 * math.max(runCpus.min, 0.001) &&
+                runCpus.max - runCpus.min > 2.0)
+              sf1Unstable(name) = runCpus.reverse.map(r3).mkString("[", ",", "]")
+            sf1Shuffle(name) = bytesTot
+            sf1Cpu(name) = cpuTot
             val sorted = times.sorted
             if (sorted.nonEmpty) {
               sf1Min(name) = sorted.head
@@ -368,9 +398,12 @@ object Bench {
           .mkString("{", ",", "}")
       val sf1Sh = sf1Shuffle.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val sf1RunsJson = sf1Runs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       val sf1Json = s"""{"dir":${JsonText.quote(sf1Dir)},""" +
         s""""queries_min":${dmap(sf1Min)},"queries_median":${dmap(sf1Med)},""" +
-        s""""shuffle_bytes":$sf1Sh,"cpu_s":${dmap(sf1Cpu)}}"""
+        s""""shuffle_bytes":$sf1Sh,"cpu_s":${dmap(sf1Cpu)},""" +
+        s""""runs":$sf1RunsJson}"""
       // cpu_s: executor-CPU seconds over the query's 3 timed runs — the
       // box-speed-invariant per-query number round-over-round compares
       // should read first (wall time needs the calibration ratio)
@@ -396,6 +429,8 @@ object Bench {
         s""""n_queries":${clean.size},"n_failed":${Registry.headline.size - clean.size - nPartial},""" +
         s""""n_partial":$nPartial,""" +
         s""""sf1_total":${r3(sf1Min.values.sum)},"sf1_n":${sf1Min.size},""" +
+        s""""sf1_unstable":${sf1Unstable.map { case (k, v) =>
+          "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""cpu_total_s":${r3(perQueryCpu.values.sum)},""" +
         s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"envelope":$CalIdleEnvelope},""" +
         s""""flagged":$flaggedJson,"contended":$contended,"value":${r3(total)}}"""

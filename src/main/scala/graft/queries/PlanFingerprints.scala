@@ -14,13 +14,25 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 object PlanFingerprints {
 
   final case class Fp(exchanges: Int, broadcastJoins: Int, sortMergeJoins: Int,
-      nestedLoops: Int)
+      nestedLoops: Int) {
+    /** Compact run-stamp form for bench artifacts: `e4b3s0n0`. */
+    def brief: String = s"e${exchanges}b${broadcastJoins}s$sortMergeJoins" +
+      s"n$nestedLoops"
+  }
 
   /** Execute `df` (finalizing AQE via its OWN queryExecution — the PlanPeek
     * discipline) and count the plan's shape nodes, descending through query
     * stages so AQE's reuse wrappers don't hide exchanges. */
   def of(df: DataFrame): Fp = {
     df.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    ofExecuted(df)
+  }
+
+  /** Fingerprint a frame that the caller ALREADY executed (its AQE plan is
+    * final) without re-running it — what [[graft.Bench]] uses to stamp each
+    * timed sf1 run with the plan it actually got, so a one-in-three AQE
+    * replan (the r12 cpu-blowup suspect) is attributable run-by-run. */
+  def ofExecuted(df: DataFrame): Fp = {
     def descend(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
       case a: AdaptiveSparkPlanExec => descend(a.executedPlan)
       case q: QueryStageExec => descend(q.plan)

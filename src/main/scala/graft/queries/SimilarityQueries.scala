@@ -146,6 +146,25 @@ object SimilarityQueries {
             .mkString(" + ")} AS bucket
        |  FROM pd)""".stripMargin
 
+  /** Brute-force L2 top-10 for query vecs (vec_id < QN) over the FULL
+    * embeddings table — the oracle for the exact-degradation ANN entries.
+    * Distance is the same sequential fold [[graft.operators.Ivf]] scores
+    * with (prepended-zero list_reduce ≡ `aggregate(zip_with(...))`), so
+    * every double is bit-identical cross-engine. */
+  private val sqlBruteL2 =
+    s"""WITH l2 AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |    ${sqlFoldSum("list_transform(list_zip(a.embedding, b.embedding), " +
+           "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+           "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))")} AS l2_dist
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $QN)
+       |SELECT q_id, CAST(rnk AS INT) AS "rank", vec_id, l2_dist FROM (
+       |  SELECT q_id, vec_id, l2_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2_dist, vec_id) AS rnk
+       |  FROM l2) WHERE rnk <= 10
+       |ORDER BY q_id, "rank"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k per query vector — the ANN correctness baseline.
@@ -287,6 +306,49 @@ object SimilarityQueries {
         res
       },
       None),
+
+    // PQ / IVF-PQ re-rank layer, ORACLE-GATED through exact degradation
+    // (r12 VERDICT #6 — the same move a_heavy_hitters made for MG): with an
+    // uncapped shortlist (and, for IVF, every cell probed) the composed
+    // index path — coarse assignment, cell equi-join, ADC table build and
+    // decode, shortlist window, exact re-rank — must produce EXACTLY the
+    // brute-force L2 top-k, INDEPENDENT of the trained codebooks: the
+    // sketch only orders what the full shortlist keeps anyway, so KMeans
+    // randomness cannot reach the output. DuckDB recomputes brute force
+    // with the same sequential-fold distance, so a green row hash-gates
+    // every deterministic layer of the ANN pipeline; the pruning benefit
+    // itself (what the capped twins exercise) stays spec-verified via the
+    // recall gates in PqSpec / IvfPqSpec.
+    QueryDef(
+      "s_pq_knn_exact",
+      (s, dir) => {
+        val vecs = graft.sources.Tables.embeddings(s, dir)
+          .select("vec_id", "embedding")
+        val cb = graft.operators.Pq.train(vecs, dim = 64, m = 16, k = 16,
+          sampleFraction = 0.5)
+        val enc = graft.operators.Pq.encode(vecs, cb)
+        val queries = vecs.filter(col("vec_id") < QN)
+        graft.operators.Pq.search(enc, queries, cb, k = 10,
+            shortlist = Int.MaxValue)
+          .orderBy("q_id", "rank")
+      },
+      Some(sqlBruteL2)),
+
+    QueryDef(
+      "s_ivfpq_knn_exact",
+      (s, dir) => {
+        val vecs = graft.sources.Tables.embeddings(s, dir)
+          .select("vec_id", "embedding")
+        val idx = graft.operators.IvfPq.build(vecs, dim = 64, nLists = 16)
+        val res = graft.operators.IvfPq.search(idx,
+            vecs.filter(col("vec_id") < QN), kNN = 10, nProbe = 16,
+            shortlist = Int.MaxValue)
+          .orderBy("q_id", "rank")
+          .localCheckpoint(true) // same pin-then-free as s_ivfpq_knn
+        idx.unpersist()
+        res
+      },
+      Some(sqlBruteL2)),
 
     // Semantic dedup THROUGH the IVF-PQ index (round-6 VERDICT #3): near-dup
     // candidate generation cell-pruned by the coarse quantizer instead of
