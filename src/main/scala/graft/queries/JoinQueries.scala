@@ -223,7 +223,15 @@ object JoinQueries {
           .select(col("c_custkey"), col("c_nationkey").as("nk"), col("c_acctbal"))
         val sup = Tables.supplier(s, dir)
           .select(col("s_nationkey").as("nk"), col("s_acctbal"))
-        cust.join(broadcast(sup), Seq("nk"))
+        // The engine's own hot join runs THROUGH the router (r12 VERDICT
+        // #7): the one-pass-per-side preflight prices the join, picks
+        // broadcast here (supplier is dimension-sized at every bench SF —
+        // RoutedPickSpec asserts the decision, the fingerprint pins the
+        // physical shape), and would flip to salt/bloom/shuffle unchanged
+        // in code the day the inputs outgrow the hint a human would have
+        // hardcoded.
+        graft.operators.Joins
+          .routed(cust, sup, Seq("nk"), Seq("nk")).df
           .groupBy("c_custkey")
           .agg(
             count(lit(1)).as("n_sup"),

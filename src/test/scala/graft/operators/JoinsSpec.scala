@@ -325,6 +325,23 @@ class JoinsSpec extends SparkSpec {
       "null split missing the null-mass branch filter")
   }
 
+  test("j7_nearest_in_group's inputs route to broadcast (the registry query " +
+      "now runs THROUGH the router)") {
+    // r12 VERDICT #7: a real benched query uses routed() as its plan. Pin
+    // the decision the router makes on j7's actual inputs so a config or
+    // preflight change that silently flips the regime fails here, next to
+    // the fingerprint pin that guards the physical shape.
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("nk"), col("c_acctbal"))
+    val sup = graft.sources.Tables.supplier(spark, dir)
+      .select(col("s_nationkey").as("nk"), col("s_acctbal"))
+    val rj = Joins.routed(cust, sup, Seq("nk"), Seq("nk"))
+    assert(rj.decision.strategy === "broadcast", rj.decision.reason)
+    assert(rj.decision.estimate.rowsRight <= Joins.RouteConfig().broadcastMaxRows)
+  }
+
   test("routed: empty and all-null sides produce the empty join, no crash") {
     import spark.implicits._
     val fact = (0 until 100).map(i => (i.toLong % 10, i)).toDF("fk", "x")
