@@ -57,8 +57,17 @@ def compare(name, spark_df, duck_df):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # optional: --json <path> writes a driver-shaped artifact (same per-query
+    # record shape as CORRECTNESS_r*.json) alongside the text report — used
+    # to commit the sf1 sweep as CORRECTNESS_sf1_r13.json (r12 VERDICT #4)
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -71,23 +80,41 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
     npass = nfail = 0
+    record = {}
     for name in names:
         if only and name not in only:
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); nfail += 1; continue
+            print(f"FAIL {name}: no spark output"); nfail += 1
+            record[name] = dict(rows_match=False, schema_match=False,
+                                hash_match=False, spark_rows=0,
+                                oracle_rows=None, err="no spark output")
+            continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
                              ignore_index=True)
         if name not in oracles:
             status = "ROWS" if len(spark_df) > 0 else "EMPTY!"
             print(f"{status} {name}: rows={len(spark_df)} (no oracle)")
+            record[name] = dict(rows_match=None, schema_match=None,
+                                hash_match=None, spark_rows=len(spark_df),
+                                oracle_rows=None, err="no_oracle")
             continue
         try:
             duck_df = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}"); nfail += 1; continue
+            print(f"FAIL {name}: oracle error: {e}"); nfail += 1
+            record[name] = dict(rows_match=None, schema_match=None,
+                                hash_match=None, spark_rows=len(spark_df),
+                                oracle_rows=None, err=f"oracle error: {e}")
+            continue
         problems = compare(name, spark_df, duck_df)
+        schema_ok = not any(p.startswith("schema:") for p in problems)
+        rows_ok = schema_ok and not any(p.startswith("rows:") for p in problems)
+        record[name] = dict(rows_match=rows_ok, schema_match=schema_ok,
+                            hash_match=not problems, spark_rows=len(spark_df),
+                            oracle_rows=len(duck_df),
+                            err="; ".join(problems) if problems else None)
         if problems:
             nfail += 1
             print(f"FAIL {name}:")
@@ -96,6 +123,10 @@ def main():
         else:
             npass += 1
             print(f"PASS {name} ({len(spark_df)} rows)")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(record)} entries)")
     print(f"\n{npass} pass, {nfail} fail")
     sys.exit(1 if nfail else 0)
 

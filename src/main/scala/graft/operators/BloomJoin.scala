@@ -93,28 +93,45 @@ object BloomJoin {
             else math.max(keyed.distinct().count(), 1L)
     val m = optimalNumBits(n, fpp)
     val k = optimalK(n, m)
-    import small.sparkSession.implicits._
-    val words = keyed
-      .select(explode(positions(col("__bloom_key"), k, m)).as("p"))
-      .as[Long].rdd
-      .treeAggregate(new Array[Long](((m + 63) / 64).toInt))(
-        (w, p) => { w((p >>> 6).toInt) |= 1L << (p & 63); w },
-        (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+    // Primitive build pass (r13): the positions stay an ARRAY column
+    // consumed through toRdd's UnsafeRows — no explode into n×k rows and no
+    // per-position Long boxing (the previous `.as[Long].rdd.treeAggregate`
+    // materialized ~10M boxed longs for a 1.5M-key build). One local bitset
+    // per partition, OR-merged up a tree.
+    val posDf = keyed.select(positions(col("__bloom_key"), k, m).as("p"))
+    val nWords = ((m + 63) / 64).toInt
+    val words = posDf.queryExecution.toRdd.mapPartitions { it =>
+      val w = new Array[Long](nWords)
+      while (it.hasNext) {
+        val arr = it.next().getArray(0)
+        var i = 0
+        val cnt = arr.numElements()
+        while (i < cnt) {
+          val p = arr.getLong(i)
+          w((p >>> 6).toInt) |= 1L << (p & 63)
+          i += 1
+        }
+      }
+      Iterator.single(w)
+    }.treeAggregate(new Array[Long](nWords))( // tolerates an EMPTY rdd
+      (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
     Bloom(words, m, k)
   }
 
-  /** Membership test as a pure built-in-function Column (codegen'd). The
-    * bitset literal rides the task binary; `call_function` is used where the
-    * Scala wrappers only accept Int shift literals. */
+  /** Membership test as a codegen'd Column: the SAME `xxhash64`-chained
+    * position expressions the build side used, probed through
+    * [[graft.functions.BloomBitTest]] — the bitset rides the expression as
+    * a referenced object (O(1) plan size), NOT an array literal. The
+    * literal form made the driver's optimizer re-traverse k copies of an
+    * up-to-2M-element array per Catalyst pass, which at a 1.5M-key filter
+    * dominated the whole join (r13 `routed_fixtures` measurement). */
   def mightContain(key: Column, bloom: Bloom): Column = {
-    val wordsLit = lit(bloom.words)
+    import org.apache.spark.sql.graft.ColumnBridge
     (0 until bloom.k).map { i =>
       val pos = pmod(xxhash64(lit(i), key), lit(bloom.m))
-      val word = call_function("element_at", wordsLit,
-        call_function("shiftright", pos, lit(6)).cast("int") + lit(1))
-      val bit = call_function("shiftright", word,
-        pos.bitwiseAND(lit(63L)).cast("int"))
-      bit.bitwiseAND(lit(1L)) === lit(1L)
+      ColumnBridge.column(graft.functions.BloomBitTest(
+        bloom.words, ColumnBridge.expression(pos)))
     }.reduce(_ && _)
   }
 

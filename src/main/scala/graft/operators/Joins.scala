@@ -75,7 +75,22 @@ object Joins {
     * row with ANY null key component never joins and is excluded. */
   def estimateEquiJoinSize(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      k: Int = ThetaSketch.DefaultK): JoinSizeEstimate = {
+      k: Int = ThetaSketch.DefaultK): JoinSizeEstimate =
+    preflight(left, right, leftKeys, rightKeys, k).estimate
+
+  /** Everything one preflight pass learned. Beyond the public estimate:
+    * the per-side Misra–Gries sketches (whose candidate HASHES drive
+    * hot-key-only salting — the sketch hashes through [[hashCols]], the
+    * cast-normalized key columns, so a filter built from the same columns
+    * partitions rows consistently on both sides) . */
+  private[operators] final case class Preflight(estimate: JoinSizeEstimate,
+      mgLeft: MGSketch, mgRight: MGSketch,
+      hashColsLeft: Seq[org.apache.spark.sql.Column],
+      hashColsRight: Seq[org.apache.spark.sql.Column])
+
+  private[operators] def preflight(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      k: Int = ThetaSketch.DefaultK): Preflight = {
     import org.apache.spark.sql.functions.{count, lit, col, when, xxhash64}
     import org.apache.spark.sql.types._
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
@@ -101,10 +116,12 @@ object Joins {
             s"${rt.simpleString} at position ($lk, $rk) have no hash-stable " +
             "common form — cast the keys to one type first")
       }
-    def side(df: DataFrame, keys: Seq[String]): (Long, Long, ThetaSketch, MGSketch) = {
-      val kcs = keys.zip(commons).map { case (kc, c) =>
+    def hashCols(keys: Seq[String]): Seq[org.apache.spark.sql.Column] =
+      keys.zip(commons).map { case (kc, c) =>
         c.map(col(kc).cast).getOrElse(col(kc))
       }
+    def side(df: DataFrame, keys: Seq[String]): (Long, Long, ThetaSketch, MGSketch) = {
+      val kcs = hashCols(keys)
       val allSet = keys.map(col(_).isNotNull).reduce(_ && _)
       // theta (distinct domain + overlap) AND Misra–Gries (per-key skew)
       // ride the SAME hashed expression in the SAME pass: the routing
@@ -135,8 +152,10 @@ object Joins {
     val est =
       if (dL == 0.0 || dR == 0.0) 0.0
       else overlap * (nkL / dL) * (nkR / dR)
-    JoinSizeEstimate(nL, nR, dL, dR, overlap, est, nkL, nkR,
-      mgL.maxFrequencyUpperBound, mgR.maxFrequencyUpperBound)
+    Preflight(
+      JoinSizeEstimate(nL, nR, dL, dR, overlap, est, nkL, nkR,
+        mgL.maxFrequencyUpperBound, mgR.maxFrequencyUpperBound),
+      mgL, mgR, hashCols(leftKeys), hashCols(rightKeys))
   }
 
   /** Thresholds for [[routed]]'s strategy pick. Row-based on purpose: the
@@ -223,7 +242,8 @@ object Joins {
     def cond(lf: DataFrame, rf: DataFrame) =
       leftKeys.zip(rightKeys).map { case (a, b) => lf(a) === rf(b) }
         .reduce(_ && _)
-    val e = estimateEquiJoinSize(l, r, leftKeys, rightKeys, config.sketchK)
+    val pf = preflight(l, r, leftKeys, rightKeys, config.sketchK)
+    val e = pf.estimate
     val leftBig = e.rowsLeft >= e.rowsRight
     val (nBig, nSmall, dBig) =
       if (leftBig) (e.rowsLeft, e.rowsRight, e.distinctLeft)
@@ -252,21 +272,59 @@ object Joins {
         val typesMatch = leftKeys.zip(rightKeys).forall { case (a, b) =>
           l.schema(a).dataType == r.schema(b).dataType }
         val matchFrac = if (dBig == 0.0) 0.0 else e.keyOverlap / dBig
+        // HOT-KEY-ONLY salting (r13 pricing fix): the r12 form salted every
+        // key — exploding the whole small side ×nSalts, which the
+        // routed_fixtures run measured at 6× the plain shuffle's wall on a
+        // 550k-row dim. The MG sketch already names the hot keys' HASHES
+        // for free, so only rows whose key hashes into that candidate set
+        // are salted; everything else takes the plain exchange join and the
+        // two branches union. The split predicate is a deterministic
+        // function of the (cast-normalized) key on BOTH sides, so each key
+        // joins in exactly one branch; an MG hash collision merely salts an
+        // innocent key — over-salting is safe, a missed hot key is not:
+        // any key truly above skewHotFraction·n ≥ n/(m+1) is tracked and
+        // listed (the MG guarantee). An EMPTY candidate list despite the
+        // upper bound firing means decrement noise, not a real hot key —
+        // reachable only through degenerate forced thresholds below the MG
+        // error floor, where the conservative whole-side salt is kept.
+        val mgBig = if (leftBig) pf.mgLeft else pf.mgRight
+        val nBigKeyed = if (leftBig) e.nonNullLeft else e.nonNullRight
+        lazy val hotHashes = mgBig.candidatesAbove(
+          math.max((config.skewHotFraction * nBigKeyed).toLong, 1L))
         if (hot > config.skewHotFraction)
           ("salted",
             f"hottest big-side key holds <= $hot%.3f of $nBig rows (MG " +
               f"upper bound > ${config.skewHotFraction}%.3f); " +
-              s"${config.nSalts} salts",
+              (if (hotHashes.nonEmpty)
+                s"${hotHashes.size} hot key(s) over ${config.nSalts} salts"
+              else s"no MG candidate above the threshold (decrement noise) " +
+                s"— whole-side salt over ${config.nSalts} salts"),
             Some(hot),
             () => {
+              import org.apache.spark.sql.functions.xxhash64
               val bs = "__route_salt_b"; val ss = "__route_salt_s"
-              // rand only routes rows across reducers, never changes results
-              val bigS = big.withColumn(bs,
-                (rand(42) * config.nSalts).cast("int"))
-              val smallS = small.withColumn(ss,
-                explode(sequence(lit(0), lit(config.nSalts - 1))))
-              ordered(bigS, smallS, Some(bigS(bs) === smallS(ss)))
-                .drop(bs, ss)
+              def saltAll(bigIn: DataFrame, smallIn: DataFrame): DataFrame = {
+                // rand only routes rows across reducers, never changes results
+                val bigS = bigIn.withColumn(bs,
+                  (rand(42) * config.nSalts).cast("int"))
+                val smallS = smallIn.withColumn(ss,
+                  explode(sequence(lit(0), lit(config.nSalts - 1))))
+                ordered(bigS, smallS, Some(bigS(bs) === smallS(ss)))
+                  .drop(bs, ss)
+              }
+              if (hotHashes.isEmpty) saltAll(big, small)
+              else {
+                val (bigKcs, smallKcs) =
+                  if (leftBig) (pf.hashColsLeft, pf.hashColsRight)
+                  else (pf.hashColsRight, pf.hashColsLeft)
+                val hotB = xxhash64(bigKcs: _*).isInCollection(hotHashes)
+                val hotS = xxhash64(smallKcs: _*).isInCollection(hotHashes)
+                // positional union: both branches are bigCols ++ smallCols
+                // in identical order (duplicate key NAMES are legal here,
+                // so a by-name union would refuse)
+                saltAll(big.where(hotB), small.where(hotS))
+                  .union(ordered(big.where(!hotB), small.where(!hotS)))
+              }
             })
         else if (typesMatch && matchFrac <= config.bloomMaxMatchFraction)
           ("bloom",
@@ -329,7 +387,8 @@ object Joins {
         .reduce(_ && _)
     // preflight on the UNFILTERED left: rowsLeft − nonNullLeft is the
     // null-keyed mass the split must route around
-    val e = estimateEquiJoinSize(left, r, leftKeys, rightKeys, config.sketchK)
+    val pf = preflight(left, r, leftKeys, rightKeys, config.sketchK)
+    val e = pf.estimate
     val nullLeft = e.rowsLeft - e.nonNullLeft
     // run the keyed join, then union the null-keyed rows back
     // null-extended — positionally: both sides are leftCols ++ rightCols
@@ -364,21 +423,42 @@ object Joins {
           left.schema(a).dataType == r.schema(b).dataType }
         val matchFracRight =
           if (e.distinctRight == 0.0) 0.0 else e.keyOverlap / e.distinctRight
+        // same hot-key-only discipline as the inner route (r13): only the
+        // MG-named hot keys salt; the key predicate partitions BOTH sides,
+        // so each preserved left row appears in exactly one branch. Empty
+        // candidates despite the bound firing (decrement noise under a
+        // degenerate forced threshold) keep the conservative whole-side salt.
+        lazy val hotHashes = pf.mgLeft.candidatesAbove(
+          math.max((config.skewHotFraction * e.nonNullLeft).toLong, 1L))
         if (leftBig && hot > config.skewHotFraction)
           ("salted",
             f"hottest left-side key holds <= $hot%.3f of $nBig matchable " +
               f"rows (MG upper bound > ${config.skewHotFraction}%.3f); " +
+              (if (hotHashes.nonEmpty) s"${hotHashes.size} hot key(s) over "
+              else "no MG candidate above the threshold — whole-side salt over ") +
               s"${config.nSalts} salts; " +
               s"$nullLeft null-keyed rows split around the join",
             Some(hot),
             () => withNullSplit { lk =>
+              import org.apache.spark.sql.functions.xxhash64
               val bs = "__route_salt_b"; val ss = "__route_salt_s"
-              val lS = lk.withColumn(bs, (rand(42) * config.nSalts).cast("int"))
-              val rS = r.withColumn(ss,
-                explode(sequence(lit(0), lit(config.nSalts - 1))))
-              // each left row carries ONE salt -> preserved exactly once
-              lS.join(rS, cond(lS, rS) && lS(bs) === rS(ss), "left")
-                .drop(bs, ss)
+              def saltAll(lIn: DataFrame, rIn: DataFrame): DataFrame = {
+                val lS = lIn.withColumn(bs, (rand(42) * config.nSalts).cast("int"))
+                val rS = rIn.withColumn(ss,
+                  explode(sequence(lit(0), lit(config.nSalts - 1))))
+                // each left row carries ONE salt -> preserved exactly once
+                lS.join(rS, cond(lS, rS) && lS(bs) === rS(ss), "left")
+                  .drop(bs, ss)
+              }
+              if (hotHashes.isEmpty) saltAll(lk, r)
+              else {
+                val hotL = xxhash64(pf.hashColsLeft: _*).isInCollection(hotHashes)
+                val hotR = xxhash64(pf.hashColsRight: _*).isInCollection(hotHashes)
+                // positional union, same rationale as withNullSplit
+                saltAll(lk.where(hotL), r.where(hotR))
+                  .union(lk.where(!hotL)
+                    .join(r.where(!hotR), cond(lk, r), "left"))
+              }
             })
         else if (!leftBig && typesMatch &&
             matchFracRight <= config.bloomMaxMatchFraction)

@@ -149,6 +149,113 @@ object MicroBench {
           f"(decision + join; plain $tPlain%.3f)")
       }
     }
+    // Router WIN demo (r12 VERDICT #5): fixtures where the router's
+    // non-broadcast pick must BEAT forced-shuffle end-to-end, not just
+    // reproduce its rows. Both are derived from the testdata facts — run
+    // with SPARK_GRAFT_SF_DIR=/tmp/sf1 for the sf1 pricing:
+    //  * skew: half the lineitem fact collapses onto key 0, dim ~550k keys
+    //    (past broadcastMaxRows). The hot reducer's partition sits UNDER
+    //    AQE's 256 MB skew-split threshold, which is exactly the regime
+    //    where only pre-shuffle salting helps.
+    //  * low-overlap: full-cardinality fact keys, a >500k-row dim of which
+    //    only ~5 % of keys can match — bloom prunes the fact BEFORE its
+    //    exchange.
+    if (args.contains("routed_fixtures")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Joins
+      val li = graft.sources.Tables.lineitem(spark, dir)
+      val orders = graft.sources.Tables.orders(spark, dir)
+      def t(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      def medBytes(body: => Unit): (Double, Long) = {
+        body // warm
+        val runs = (1 to 3).map { _ =>
+          shuffleBytes.set(0L)
+          val dt = t(body)
+          Thread.sleep(400) // async stage events
+          (dt, shuffleBytes.get)
+        }
+        (runs.map(_._1).sorted.apply(1), runs.map(_._2).max)
+      }
+      // both sides must be genuinely un-broadcastable, or AQE quietly turns
+      // every "shuffle" comparison into a broadcast join and there is no
+      // exchange to beat (the first cut of these fixtures measured exactly
+      // that: flat times, 0 shuffle bytes)
+      val uid = (col("l_orderkey") * 8 + col("l_linenumber")).cast("long")
+      val fixtures = Seq(
+        // FACT ⋈ FACT with 90 % of the left on ONE key (~240 MB of payload
+        // behind it — deliberately under AQE's 256 MB skew-split floor, the
+        // regime where only pre-shuffle salting helps; above the floor AQE's
+        // own split takes over). The right side matches key 0 exactly once,
+        // cold keys ~1:1.
+        ("skew_90pct_fact_fact", "salted",
+          li.select(when(col("l_orderkey") % 10 < 9, lit(0L))
+              .otherwise(uid).as("k"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          li.select(when(uid === 9L, lit(0L)).otherwise(uid).as("k"),
+            col("l_partkey"), col("l_suppkey"))),
+        // full-width fact against a full-width >10 MB dim of which only
+        // ~5 % of keys can match: the plain join shuffles both sides, the
+        // bloom probe drops ~95 % of the fact BEFORE its exchange
+        ("low_overlap_5pct", "bloom",
+          li.select(col("l_orderkey").as("k"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax"),
+            col("l_shipdate"), col("l_returnflag"), col("l_linestatus")),
+          orders.select(when(col("o_orderkey") % 20 === 0, col("o_orderkey"))
+              .otherwise(col("o_orderkey") + lit(10000000000L)).as("k"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))))
+      val forced = Seq(
+        "shuffle" -> Joins.RouteConfig(broadcastMaxRows = 0,
+          skewHotFraction = 1.1, bloomMaxMatchFraction = 0.0),
+        "salted" -> Joins.RouteConfig(broadcastMaxRows = 0,
+          skewHotFraction = 0.0),
+        "bloom" -> Joins.RouteConfig(broadcastMaxRows = 0,
+          skewHotFraction = 1.1, bloomMaxMatchFraction = 1.0))
+      fixtures.foreach { case (fname, expectPick, fact, dim) =>
+        val pick = Joins.routed(fact, dim, Seq("k"), Seq("k"))
+        require(pick.decision.strategy == expectPick,
+          s"$fname: router picked ${pick.decision.strategy}, expected " +
+            s"$expectPick — ${pick.decision.reason}")
+        // the checksum action forces EVERY column through the join —
+        // count() would let Spark prune the payload and measure a join of
+        // bare keys, which is not the shuffle the 100 TB operator pays
+        def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.selectExpr("count(*) AS n", "bit_xor(xxhash64(*)) AS h").head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val ref = checksum(pick.df)
+        println(s"routed_fixtures: $fname router pick = ${pick.decision.strategy} " +
+          s"(${pick.decision.reason}); rows ${ref._1}")
+        (Seq(expectPick -> "PICKED") ++
+            forced.filter(_._1 != expectPick).map { case (n, _) => n -> "forced" })
+          .foreach { case (regime, tag) =>
+            val cfg = forced.find(_._1 == regime).get._2
+            // JOIN-ONLY timing: the preflight is a constant shared by every
+            // regime (priced separately in routed_compare), so route first,
+            // then time the fresh plan's single execution — re-running one
+            // materialized AQE plan would serve cached query stages and
+            // time nothing
+            val runs = (1 to 3).map { _ =>
+              val rj = Joins.routed(fact, dim, Seq("k"), Seq("k"), cfg)
+              require(rj.decision.strategy == regime, rj.decision.reason)
+              shuffleBytes.set(0L)
+              val t0 = System.nanoTime()
+              val got = checksum(rj.df)
+              val dt = (System.nanoTime() - t0) / 1e9
+              require(got == ref, s"$regime changed the result: $got vs $ref")
+              Thread.sleep(400) // async stage events
+              (dt, shuffleBytes.get)
+            }
+            val sec = runs.map(_._1).sorted.apply(1)
+            val bytes = runs.map(_._2).max
+            println(f"routed_fixtures: $fname%-22s $regime%-8s ($tag%-6s) " +
+              f"join-only $sec%7.3f s  shuffle ${bytes / 1048576.0}%9.1f MiB")
+          }
+      }
+    }
+
     args.foreach { name =>
       Registry.all.find(_.name == name).foreach { q =>
         q.run(spark, dir).count() // warmup

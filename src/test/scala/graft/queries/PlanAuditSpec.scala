@@ -368,7 +368,7 @@ class PlanAuditSpec extends SparkSpec {
     val probe = descend(fPlan).collect {
       case f: org.apache.spark.sql.execution.FilterExec => f.toString
     }
-    assert(probe.exists(s => s.contains("xxhash64") && s.contains("shiftright")
+    assert(probe.exists(s => s.contains("xxhash64") && s.contains("bloom_bit_test")
       && s.contains("o_custkey")),
       "bloom regime's membership probe is not a filter on the big side")
   }

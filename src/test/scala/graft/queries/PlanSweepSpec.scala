@@ -29,6 +29,7 @@ class PlanSweepSpec extends SparkSpec {
     "e_pagerank_types", // per-round 1-row dangling-mass scalar × node frame
                         // (localCheckpoint severs most rounds from the plan)
     "s_pq_knn", // ADC scan: broadcast-size query set × compressed code table
+    "s_pq_knn_exact", // same ADC scan shape, uncapped shortlist (oracle twin)
     "a_hll_mergeable", // 1-row merged-sketch frame × 1-row direct/exact frame
     "a_tdigest_quantiles", // 1-row merged-digest frame × 1-row exact-percentile frame
     "a_theta_overlap", // 1-row sketch frames × each other × 1-row exact-count frame (self-audit)
