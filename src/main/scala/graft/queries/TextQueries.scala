@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the training-data-pipeline
@@ -32,6 +32,67 @@ object TextQueries {
   private val sqlTokHash =
     "list_reduce([CAST(0 AS BIGINT)] || list_transform(generate_series(1, length(t)), " +
       "i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), (x, c) -> (x * 31 + c) % 2147483647)"
+
+  /** Plan builder for `t_bigram_lm` — see the QueryDef comment for the full
+    * scale rationale. Exposed with overridable gates so the spec can force
+    * the void-premise fallback on real data and assert it matches the pin.
+    *
+    * The pin gate is count AND bytes: `maxPairs` bounds rows, `maxPinBytes`
+    * bounds the ESTIMATED driver footprint of the collected pair array —
+    * ~160 B of JVM object overhead per (String, String, Long) tuple (tuple
+    * + boxed long + 2 string headers, then the IndexedSeq copy and the
+    * UnsafeRow LocalRelation) plus ~4 B per key char (UTF-16 in the array,
+    * UTF-8 again in the relation). Both stats come from a ONE-ROW probe
+    * over the same pair aggregation, so deciding "too big" costs no driver
+    * transfer at all; only a pinnable table is ever collected. Worst case
+    * at the default gates: ≤ 256 MB estimated ≈ well under half the 8 g
+    * driver even with the broadcast copy alongside. */
+  private[queries] def bigramLm(s: SparkSession, dir: String,
+      maxPairs: Long = 1L << 22, maxPinBytes: Long = 256L << 20): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = "filter(split(text, ' '), x -> x != '')"
+    val bigrams = docs
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val cabAgg = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    import s.implicits._
+    val probe = cabAgg.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("a")) + length(col("b"))), lit(0L)).as("chars"))
+      .head()
+    val nPairs = probe.getAs[Long]("n")
+    val estPinBytes = 160L * nPairs + 4L * probe.getAs[Long]("chars")
+    val (cab, vocab) =
+      if (nPairs <= maxPairs && estPinBytes <= maxPinBytes) {
+        val pinned = cabAgg.as[(String, String, Long)].collect()
+        val local = s.createDataset(pinned.toIndexedSeq).toDF("a", "b", "cab")
+        val singles = docs.select(expr(toks).as("tk"))
+          .filter(size(col("tk")) === 1)
+          .select(element_at(col("tk"), 1).as("t"))
+        val v = local.select(col("a").as("t"))
+          .union(local.select(col("b").as("t")))
+          .union(singles)
+          .agg(count_distinct(col("t")).as("v"))
+        (local, v)
+      } else // premise void: stats-driven plan, full-explode vocabulary
+        (cabAgg, docs.select(explode(expr(toks)).as("t"))
+          .agg(count_distinct(col("t")).as("v")))
+    val ctx = cab.groupBy("a").agg(sum("cab").as("ca"))
+    val lp = cab.join(broadcast(ctx), "a").crossJoin(vocab)
+      .select(col("a"), col("b"),
+        expr("CAST(round(round(ln(cab + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
+        expr("CAST(round(round(ln(CAST(ca + v AS DOUBLE)), 6) * 1e6) AS BIGINT)")
+          .as("ctx_mc"))
+    bigrams.join(broadcast(lp), Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round((sum(col("lc_mc")) - sum(col("ctx_mc"))).cast("double")
+          / count(lit(1))) / lit(1e6)).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -579,67 +640,32 @@ object TextQueries {
     // Scale (rebuilt after the r12 bench caught AQE occasionally planning
     // the scoring join as a full-stream string-pair sort-merge — a 25× cpu
     // blowup at sf1): the exploded bigram stream feeds exactly ONE
-    // aggregation. Its distinct-pair result is bounded by |V|² and must be
-    // broadcast-sized for the scoring probe anyway, so it is pinned as a
-    // LocalRelation (bounded `take`, gated at MaxPairs) and ctx / vocab /
-    // lp all derive from the pin — without it, inner-join null filters
-    // push asymmetrically into each consumer and AQE exchange reuse cannot
-    // dedupe the subtrees (measured: 5 Generate nodes, 0 ReusedExchange).
-    // The scoring pass then re-derives bigrams as a pipelined map
-    // (recompute-over-materialize: a second tokenize pass is cheaper at
-    // 100 TB than caching or shuffling a stream-sized intermediate) and
-    // probes lp as an EXPLICIT broadcast — the hint, not stats, decides.
-    // The vocabulary needs no third full-corpus explode: in a ≥2-token doc
-    // every token borders a bigram, so distinct tokens = distinct pair
-    // endpoints ∪ the tokens of 1-token docs (a cheap filtered scan that
-    // explodes nothing). Net: 3 corpus scans (2 with explode), zero
-    // stream-sized exchanges. Above MaxPairs the broadcastable-lp premise
+    // aggregation per job. Its distinct-pair result is bounded by |V|² and
+    // must be broadcast-sized for the scoring probe anyway, so it is pinned
+    // as a LocalRelation and ctx / vocab / lp all derive from the pin —
+    // without it, inner-join null filters push asymmetrically into each
+    // consumer and AQE exchange reuse cannot dedupe the subtrees (measured:
+    // 5 Generate nodes, 0 ReusedExchange). The pin is DOUBLE-gated (r13
+    // ADVICE): a one-row stats probe (pair count + key-length sum, riding
+    // the same aggregation shape) prices the pin's driver footprint BEFORE
+    // any driver transfer, so the void-premise path collects one row, never
+    // a 4M-tuple take it then discards, and wide-token corpora can't sneak
+    // hundreds of MB past a row-only gate. The scoring pass then re-derives
+    // bigrams as a pipelined map (recompute-over-materialize: a second
+    // tokenize pass is cheaper at 100 TB than caching or shuffling a
+    // stream-sized intermediate) and probes lp as an EXPLICIT broadcast —
+    // the hint, not stats, decides. The vocabulary needs no full-corpus
+    // explode: in a ≥2-token doc every token borders a bigram, so distinct
+    // tokens = distinct pair endpoints ∪ the tokens of 1-token docs (a
+    // cheap filtered scan that explodes nothing). Net on the pin path: 4
+    // corpus scans (probe, pin, singles, scoring — 3 with explode), zero
+    // stream-sized exchanges. Past either gate the broadcastable-lp premise
     // is void and the plan degrades to stats-driven shuffle joins with the
     // full-explode vocabulary. Docs with fewer than 2 tokens carry no
     // bigrams and drop out (documented).
     QueryDef(
       "t_bigram_lm",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val toks = "filter(split(text, ' '), x -> x != '')"
-        val bigrams = docs
-          .select(col("doc_id"), expr(toks).as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))"))
-            .as("bg"))
-          .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-        val cabAgg = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-        import s.implicits._
-        val MaxPairs = 1 << 22 // ~4M pairs ≈ the broadcast-size premise
-        val pinned = cabAgg.as[(String, String, Long)].take(MaxPairs + 1)
-        val (cab, vocab) =
-          if (pinned.length <= MaxPairs) {
-            val local = s.createDataset(pinned.toIndexedSeq).toDF("a", "b", "cab")
-            val singles = docs.select(expr(toks).as("tk"))
-              .filter(size(col("tk")) === 1)
-              .select(element_at(col("tk"), 1).as("t"))
-            val v = local.select(col("a").as("t"))
-              .union(local.select(col("b").as("t")))
-              .union(singles)
-              .agg(count_distinct(col("t")).as("v"))
-            (local, v)
-          } else // premise void: stats-driven plan, full-explode vocabulary
-            (cabAgg, docs.select(explode(expr(toks)).as("t"))
-              .agg(count_distinct(col("t")).as("v")))
-        val ctx = cab.groupBy("a").agg(sum("cab").as("ca"))
-        val lp = cab.join(broadcast(ctx), "a").crossJoin(vocab)
-          .select(col("a"), col("b"),
-            expr("CAST(round(round(ln(cab + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
-            expr("CAST(round(round(ln(CAST(ca + v AS DOUBLE)), 6) * 1e6) AS BIGINT)")
-              .as("ctx_mc"))
-        bigrams.join(broadcast(lp), Seq("a", "b"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            (round((sum(col("lc_mc")) - sum(col("ctx_mc"))).cast("double")
-              / count(lit(1))) / lit(1e6)).as("avg_logprob"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => bigramLm(s, dir),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
              |  FROM documents),
