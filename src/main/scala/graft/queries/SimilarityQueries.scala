@@ -363,5 +363,36 @@ object SimilarityQueries {
             dim = 64, maxSqDistance = 1.25)
           .orderBy("v1", "v2"),
       None),
+
+    // Semantic dedup ORACLE-GATED through exact degradation (r13 VERDICT
+    // #5 — the same move the ANN entries made): with nProbe = nLists every
+    // vector probes every cell, so the cell equi-join's candidate set is
+    // ALL pairs and the operator's output — probes, cell join, exact
+    // in-cell L2, least/greatest normalization, cross-direction dedup —
+    // must equal the brute-force threshold pairs INDEPENDENT of the
+    // trained coarse/PQ codebooks. DuckDB recomputes the pairs with the
+    // bit-identical sequential fold. Corpus bounded to vec_id < CN (the
+    // ORIGINAL vectors at every SF — ScaleGen shifts replica ids) so the
+    // all-pairs oracle stays cheap while the full pipeline is exercised;
+    // the full-corpus capped twin above stays rows-only, its pruning
+    // benefit spec-gated (ScalableDedupSpec recall ≥ the LSH path).
+    QueryDef(
+      "d_semantic_ivfpq_exact",
+      (s, dir) =>
+        graft.operators.ScalableDedup.embeddingNearDupsIvfPq(
+            graft.sources.Tables.embeddings(s, dir)
+              .select("vec_id", "embedding").filter(col("vec_id") < CN),
+            dim = 64, maxSqDistance = 1.25, nLists = 16, nProbe = 16)
+          .orderBy("v1", "v2"),
+      Some(s"""WITH sub AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $CN),
+              |l2 AS (
+              |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+              |    ${sqlFoldSum("list_transform(list_zip(a.embedding, b.embedding), " +
+                   "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+                   "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))")} AS dist
+              |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+              |SELECT v1, v2, dist FROM l2 WHERE dist <= 1.25
+              |ORDER BY v1, v2""".stripMargin)),
   )
 }

@@ -34,7 +34,8 @@ class PlanSweepSpec extends SparkSpec {
     "a_tdigest_quantiles", // 1-row merged-digest frame × 1-row exact-percentile frame
     "a_theta_overlap", // 1-row sketch frames × each other × 1-row exact-count frame (self-audit)
     "s_ivfpq_knn", // bounded query×centroid probe pick; the CODE scan itself is an equi-join on cell (plan-asserted in IvfPqSpec)
-    "d_semantic_ivfpq" // same bounded ×nLists-centroid probe pick; candidates reached by the cell equi-join (plan-asserted in ScalableDedupSpec)
+    "d_semantic_ivfpq", // same bounded ×nLists-centroid probe pick; candidates reached by the cell equi-join (plan-asserted in ScalableDedupSpec)
+    "d_semantic_ivfpq_exact" // exact-degradation oracle twin: same probe shape, all cells probed
   )
 
   /** Global-threshold / global-rank semantics: the unpartitioned window IS
