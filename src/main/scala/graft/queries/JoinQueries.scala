@@ -49,14 +49,14 @@ object JoinQueries {
   }
 
   /** The star-chain aggregation shared by [[j_star_chain]] (plain scans,
-    * SHUFFLE_HASH fact join) and [[j_star_chain_bucketed]] (co-bucketed
-    * facts, exchange- and sort-free join): dims broadcast, decimal-exact
-    * revenue. The oracle is identical — bucketing is a physical property. */
+    * routed SHUFFLE_HASH fact join) and [[j_star_chain_bucketed]]
+    * (co-bucketed facts, exchange- and sort-free join): dims broadcast,
+    * decimal-exact revenue. Takes the already-joined facts — the fact⋈fact
+    * edge is each variant's whole point. The oracle is identical —
+    * bucketing/routing is a physical property. */
   private def starChain(s: org.apache.spark.sql.SparkSession, dir: String,
-      lineitem: org.apache.spark.sql.DataFrame,
-      orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      facts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    facts
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
@@ -270,13 +270,28 @@ object JoinQueries {
     // metrics.py:198-367).
     QueryDef(
       "j_star_chain",
-      (s, dir) =>
-        // SHUFFLE_HASH on the smaller fact side: same single exchange per
-        // side as sort-merge but skips BOTH sorts; valid at 100 TB because
-        // only one orderkey partition of orders must fit an executor (AQE
-        // splits skewed partitions), and orders is ~1/4 of lineitem.
-        starChain(s, dir, Tables.lineitem(s, dir),
-          Tables.orders(s, dir).hint("SHUFFLE_HASH")),
+      (s, dir) => {
+        // The fact⋈fact edge runs THROUGH the router (r13 VERDICT #7 — the
+        // second real consumer, and the one that exercises the NON-broadcast
+        // decision on real data). broadcastMaxRows = 0 is the honest config
+        // for a fact-fact join: a side that scales with the data cannot hash
+        // into one executor at target scale, and a bench-SF broadcast would
+        // demonstrate nothing (the same reasoning that pins the bucketed
+        // twin's MERGE). The preflight then measures what stats can't —
+        // skew (salt) and overlap (bloom) — and on this uniform FK edge
+        // lands on the plain-exchange regime; its decision is logged per
+        // build, and JoinsSpec pins the pick. SHUFFLE_HASH on the
+        // smaller fact side rides into the routed plan: same single
+        // exchange per side as sort-merge but skips BOTH sorts; valid at
+        // 100 TB because only one orderkey partition of orders must fit an
+        // executor (AQE splits skewed partitions), and orders is ~1/4 of
+        // lineitem.
+        val rj = graft.operators.Joins.routed(
+          Tables.lineitem(s, dir), Tables.orders(s, dir).hint("SHUFFLE_HASH"),
+          Seq("l_orderkey"), Seq("o_orderkey"),
+          graft.operators.Joins.RouteConfig(broadcastMaxRows = 0))
+        starChain(s, dir, rj.df)
+      },
       Some(starChainSql),
       headline = true),
 
@@ -293,7 +308,8 @@ object JoinQueries {
       "j_star_chain_bucketed",
       (s, dir) => {
         val (li, or) = bucketedFacts(s, dir)
-        starChain(s, dir, li, or.hint("MERGE"))
+        starChain(s, dir,
+          li.join(or.hint("MERGE"), col("l_orderkey") === col("o_orderkey")))
       },
       Some(starChainSql),
       headline = true),

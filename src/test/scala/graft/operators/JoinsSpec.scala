@@ -383,6 +383,39 @@ class JoinsSpec extends SparkSpec {
     assert(!rjP.decision.reason.startsWith("stats:"))
   }
 
+  test("j_star_chain's fact-fact edge routes to shuffle, keeping the hinted " +
+      "sort-free plan (non-broadcast pick on real data)") {
+    // r13 VERDICT #7: broadcastMaxRows = 0 is the fact-fact config (a side
+    // that scales with the data never broadcasts), so the preflight must
+    // measure and land on the plain-exchange regime — no salt (uniform FK,
+    // MG upper bound ~n/65 << 0.2), no bloom (overlap ~= big-side domain).
+    val dir = "/root/testdata/sf0.001"
+    val rj = Joins.routed(
+      graft.sources.Tables.lineitem(spark, dir),
+      graft.sources.Tables.orders(spark, dir).hint("SHUFFLE_HASH"),
+      Seq("l_orderkey"), Seq("o_orderkey"),
+      Joins.RouteConfig(broadcastMaxRows = 0))
+    assert(rj.decision.strategy === "shuffle", rj.decision.reason)
+    // the SHUFFLE_HASH hint must ride through the routing wrapper: both
+    // sorts skipped, no broadcast of a fact side
+    rj.df.collect()
+    def descend(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        descend(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        descend(q.plan)
+      case other => other.children.flatMap(descend)
+    })
+    val nodes = descend(rj.df.queryExecution.executedPlan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "fact-fact edge lost its shuffle-hash plan through the router")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "a fact side broadcast despite broadcastMaxRows = 0")
+  }
+
   test("routed: empty and all-null sides produce the empty join, no crash") {
     import spark.implicits._
     val fact = (0 until 100).map(i => (i.toLong % 10, i)).toDF("fk", "x")
