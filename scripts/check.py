@@ -64,8 +64,12 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check.py <sf_dir> <out_dir> [query ...] [--json <path>]")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    if len(argv) < 2:
+        sys.exit("usage: check.py <sf_dir> <out_dir> [query ...] [--json <path>]")
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()

@@ -276,7 +276,10 @@ object Bench {
     // is attributable to the run (and the plan) it happened in, and
     // `sf1_unstable` on the adjudication line names any query whose
     // per-run cpu spread exceeds 3× (above a 2 s floor so toy-cost queries
-    // don't flag on listener noise).
+    // don't flag on listener noise). Caveat (r13 ADVICE): metricsDelta
+    // wraps each run, so a listener event landing after one run's quiesce
+    // window (2×50 ms polls, 1 s bound) is attributed to the NEXT run —
+    // per-run cpu/shuffle are advisory; section totals are unaffected.
     val sf1Runs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sf1Unstable = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var sf1Dir = ""

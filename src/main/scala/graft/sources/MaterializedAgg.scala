@@ -191,7 +191,11 @@ object MaterializedAgg {
     val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
     val heartbeat = new Thread(() => {
       while (beating.get()) {
-        try Thread.sleep(math.max(staleMs / 3, 250L))
+        // strictly staleMs/3 — a floor above it (an earlier 250 ms clamp)
+        // would let the beat interval reach the stale horizon for small
+        // horizons, judging a LIVE writer stale between beats (r13 ADVICE);
+        // sub-second horizons are test-only, so the short sleeps are cheap
+        try Thread.sleep(math.max(staleMs / 3, 1L))
         catch { case _: InterruptedException => () }
         if (beating.get())
           try fs.setTimes(lock, System.currentTimeMillis(), -1)
