@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Mechanical round-close gate (r13 VERDICT #1).
+
+Refuses to close a round unless the record is clean:
+
+  1. BENCH_r<N>.json exists, parses, and self-labels clean:
+     contended == false, flagged == {}, errors == {}, sf1_unstable == {},
+     n_failed == 0. A contended bench is noise — re-run on an idle box
+     until clean instead of committing it.
+  2. CORRECTNESS_sf1_r<N>.json exists, is COMMITTED, and reports zero
+     failures (the r13 NOTES claimed this artifact; it was never in git).
+  3. Every repo-artifact filename NOTES_r<N>.md mentions exists in
+     `git ls-files` — a NOTES claim of "committed X" where X is not in
+     the tree fails the gate.
+  4. The working tree is clean (everything the round produced is
+     committed), except the BENCH/DETAIL files the driver re-runs.
+
+Usage: close_round.py <round-number>
+Exit 0 = round may close; nonzero prints every violated rule.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+
+def sh(*args):
+    return subprocess.run(args, capture_output=True, text=True, check=False)
+
+
+def main():
+    if len(sys.argv) != 2 or not sys.argv[1].isdigit():
+        sys.exit("usage: close_round.py <round-number>")
+    n = int(sys.argv[1])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.chdir(root)
+    problems = []
+
+    # 1. clean bench
+    bench_path = f"BENCH_r{n:02d}.json" if os.path.exists(
+        f"BENCH_r{n:02d}.json") else f"BENCH_r{n}.json"
+    if not os.path.exists(bench_path):
+        problems.append(f"{bench_path} missing — run Bench on an idle box first")
+    else:
+        try:
+            with open(bench_path) as f:
+                bench = json.load(f)
+            parsed = bench.get("parsed", bench)
+            for key, want in [("contended", False), ("flagged", {}),
+                              ("errors", {}), ("sf1_unstable", {}),
+                              ("n_failed", 0)]:
+                got = parsed.get(key)
+                if got != want:
+                    problems.append(
+                        f"{bench_path}: {key} = {got!r} (want {want!r}) — "
+                        "a load-poisoned bench is noise; re-run until clean")
+        except (json.JSONDecodeError, KeyError) as e:
+            problems.append(f"{bench_path}: unparseable ({e})")
+
+    ls_files = set(sh("git", "ls-files").stdout.split())
+
+    # 2. sf1 correctness committed and green
+    sf1 = f"CORRECTNESS_sf1_r{n}.json"
+    if not os.path.exists(sf1):
+        problems.append(f"{sf1} missing — run the sf1 sweep "
+                        "(check.py --json) and commit the artifact")
+    else:
+        if sf1 not in ls_files:
+            problems.append(f"{sf1} exists but is NOT committed")
+        try:
+            with open(sf1) as f:
+                rows = json.load(f)
+            # check.py --json shape: name -> {err, rows_match, schema_match,
+            # hash_match, ...}; no-oracle rows carry None matches — only an
+            # explicit error or an explicit False is a failure
+            bad = sorted(
+                name for name, r in rows.items()
+                if r.get("err") is not None or
+                any(r.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")))
+            if bad:
+                problems.append(f"{sf1}: non-green rows: {bad[:10]}")
+        except (json.JSONDecodeError, AttributeError) as e:
+            problems.append(f"{sf1}: unparseable ({e})")
+
+    # 3. every artifact NOTES claims must be in git
+    notes = f"NOTES_r{n}.md"
+    if not os.path.exists(notes):
+        problems.append(f"{notes} missing")
+    else:
+        with open(notes) as f:
+            text = f.read()
+        claimed = set(re.findall(
+            r"\b([A-Za-z][A-Za-z0-9_.\-]*\.(?:json|md|scala|py|h5))\b", text))
+        # the round's own bench artifacts may be re-run by the driver after
+        # the snapshot; everything else named in NOTES must be in the tree
+        for name in sorted(claimed):
+            if name.startswith(("http", "www")) or "/" in name:
+                continue
+            hits = [p for p in ls_files
+                    if p == name or p.endswith("/" + name)]
+            if not hits and os.path.exists(name):
+                problems.append(f"{notes} names {name}: present but UNCOMMITTED")
+            elif not hits:
+                problems.append(f"{notes} names {name}: not in git ls-files "
+                                "— either commit it or stop claiming it")
+
+    # 4. clean working tree
+    dirty = [l for l in sh("git", "status", "--porcelain").stdout.splitlines()
+             if l.strip()]
+    if dirty:
+        problems.append("working tree not clean:\n    " + "\n    ".join(dirty))
+
+    if problems:
+        print(f"ROUND {n} CLOSE: REFUSED ({len(problems)} problem(s))")
+        for p in problems:
+            print(f"  - {p}")
+        sys.exit(1)
+    print(f"ROUND {n} CLOSE: OK — bench clean, sf1 correctness committed, "
+          f"NOTES claims verified, tree clean")
+
+
+if __name__ == "__main__":
+    main()
