@@ -36,6 +36,14 @@ object Bench {
     * without masking real load (a contended box probes 1.5–3×). */
   private val CalIdleEnvelope = 0.75
 
+  /** The 12-query sf1 heavy tail: the scale-predictive section of the bench
+    * and the target set of [[graft.tools.SpillSoak]]'s constrained-memory
+    * run (one list so the two never drift). */
+  val Sf1Heavy: Seq[String] = Seq("e_pagerank_types", "t_bpe_train",
+    "m_lstm_infer", "t_bigram_lm", "j_star_chain", "j_star_chain_bucketed",
+    "d_fuzzy_verify", "d_contamination", "l_pruned_bloom_join",
+    "j_bloom_join", "d_simhash_banded", "j7_nearest_in_group")
+
   private def timeRuns(n: Int)(body: => Unit): Seq[Double] =
     (1 to n).map { _ =>
       val t0 = System.nanoTime()
@@ -262,10 +270,7 @@ object Bench {
     // per-query contention guard ("sf1:"-prefixed probes share the flag
     // map). Numbers land in BENCH_DETAIL's "sf1" section and as sf1_total
     // on the line. SPARK_GRAFT_SF1=0 skips (iteration-speed escape hatch).
-    val sf1Heavy = Seq("e_pagerank_types", "t_bpe_train", "m_lstm_infer",
-      "t_bigram_lm", "j_star_chain", "j_star_chain_bucketed",
-      "d_fuzzy_verify", "d_contamination", "l_pruned_bloom_join",
-      "j_bloom_join", "d_simhash_banded", "j7_nearest_in_group")
+    val sf1Heavy = Bench.Sf1Heavy
     val sf1Min = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val sf1Med = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val sf1Shuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]

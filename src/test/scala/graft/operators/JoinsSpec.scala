@@ -416,6 +416,36 @@ class JoinsSpec extends SparkSpec {
       "a fact side broadcast despite broadcastMaxRows = 0")
   }
 
+  test("preflight decision cache: the same join template measures once per " +
+      "session; different keys or inputs miss") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val or = graft.sources.Tables.orders(spark, dir)
+    val cfg = Joins.RouteConfig(broadcastMaxRows = 0) // force the measured path
+    Joins.clearPreflightCache()
+    val m0 = Joins.preflightMisses.get
+    val d1 = Joins.routed(li, or, Seq("l_orderkey"), Seq("o_orderkey"), cfg)
+    val d2 = Joins.routed(li, or, Seq("l_orderkey"), Seq("o_orderkey"), cfg)
+    assert(Joins.preflightMisses.get - m0 === 1,
+      "identical template re-measured instead of hitting the cache")
+    assert(d1.decision.strategy === d2.decision.strategy)
+    // a REBUILT frame over the same path is the same semantic plan -> hit
+    Joins.routed(graft.sources.Tables.lineitem(spark, dir),
+      graft.sources.Tables.orders(spark, dir),
+      Seq("l_orderkey"), Seq("o_orderkey"), cfg)
+    assert(Joins.preflightMisses.get - m0 === 1,
+      "re-read of the same path must hash to the same cache key")
+    // different key list -> distinct decision, must miss
+    Joins.routed(li.select(col("l_orderkey"), col("l_suppkey")), or.select("o_orderkey"),
+      Seq("l_suppkey"), Seq("o_orderkey"), cfg)
+    assert(Joins.preflightMisses.get - m0 === 2)
+    // a filter changes the semantic plan -> miss
+    Joins.routed(li.filter(col("l_quantity") > 25), or,
+      Seq("l_orderkey"), Seq("o_orderkey"), cfg)
+    assert(Joins.preflightMisses.get - m0 === 3)
+  }
+
   test("routed: empty and all-null sides produce the empty join, no crash") {
     import spark.implicits._
     val fact = (0 until 100).map(i => (i.toLong % 10, i)).toDF("fk", "x")
