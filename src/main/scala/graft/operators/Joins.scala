@@ -276,6 +276,35 @@ object Joins {
     JoinSizeEstimate(statL.getOrElse(-1L), statR.getOrElse(-1L),
       -1.0, -1.0, -1.0, -1.0, -1L, -1L, -1L, -1L)
 
+  private final case class HashElection(elect: Boolean, estMb: Long, budgetMb: Long)
+
+  /** Size the shuffled-hash-join build against the per-slot execution
+    * budget. Estimate: the small side's optimizer `sizeInBytes` (file-size
+    * based for scans — no job) divided across the configured shuffle
+    * partitions, times 4 (UnsafeHashedRelation's ~2× row overhead, plus
+    * headroom for AQE coalescing partitions back up toward its advisory
+    * size). Budget: half of (unified memory / task slots) — a build never
+    * deserves the slot's whole pool. Heap comes from
+    * `spark.executor.memory` when set (cluster mode), else this JVM (local
+    * mode). Unknown stats (sizeInBytes at its 8 EB default) naturally
+    * decline the hint — sort-merge is the safe side of this bet. */
+  private def shuffleHashElection(small: DataFrame): HashElection = {
+    val s = small.sparkSession
+    val heap = s.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory())
+    val fraction = s.conf.getOption("spark.memory.fraction")
+      .map(_.toDouble).getOrElse(0.6)
+    val unified = math.max((heap - 300L * 1024 * 1024) * fraction, 0.0)
+    val slots = math.max(s.sparkContext.defaultParallelism, 1)
+    val budget = unified / slots / 2
+    val parts = math.max(s.conf.get("spark.sql.shuffle.partitions", "200").toInt, 1)
+    val est = (BigDecimal(small.queryExecution.optimizedPlan.stats.sizeInBytes)
+      / parts * 4).toDouble
+    HashElection(est <= budget, (est / (1 << 20)).toLong.max(0),
+      (budget / (1 << 20)).toLong)
+  }
+
   /** Thresholds for [[routed]]'s strategy pick. Row-based on purpose: the
     * preflight measures rows, not bytes, and a row threshold composes with
     * whatever row width the caller knows. At 100 TB tune `broadcastMaxRows`
@@ -484,13 +513,27 @@ object Joins {
                 BloomJoin.compositeKey(bigKeys.map(col)), bloom))
               ordered(bigF, small)
             })
-        else
+        else {
+          // memory-aware SHUFFLE_HASH election (r14 spill soak): a shuffled
+          // hash join skips both sort passes, but its build side CANNOT
+          // spill — a forced hint dies with "Can't acquire ... to build
+          // hash relation" the moment one build partition outgrows its
+          // slot (measured at sf1 under a 140 MB pool). Elect the hint
+          // only when the estimated per-partition build footprint fits
+          // comfortably; otherwise keep the spillable sort-merge.
+          val el = shuffleHashElection(small)
           ("shuffle",
             f"no regime fired (hot $hot%.3f, matchFrac $matchFrac%.3f, " +
               s"typesMatch $typesMatch): plain exchange join, AQE handles " +
-              "moderate skew",
+              "moderate skew; " + (if (el.elect)
+                s"SHUFFLE_HASH elected (est build ~${el.estMb} MiB/partition " +
+                  s"<= ${el.budgetMb} MiB/slot budget)"
+              else
+                s"sort-merge kept (est build ~${el.estMb} MiB/partition > " +
+                  s"${el.budgetMb} MiB/slot budget: the hash build can't spill)"),
             Some(hot),
-            () => ordered(big, small))
+            () => ordered(big, if (el.elect) small.hint("SHUFFLE_HASH") else small))
+        }
       }
 
     val (strategy, reason, hotFrac, run) = decision

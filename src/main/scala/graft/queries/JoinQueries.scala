@@ -280,14 +280,15 @@ object JoinQueries {
         // twin's MERGE). The preflight then measures what stats can't —
         // skew (salt) and overlap (bloom) — and on this uniform FK edge
         // lands on the plain-exchange regime; its decision is logged per
-        // build, and JoinsSpec pins the pick. SHUFFLE_HASH on the
-        // smaller fact side rides into the routed plan: same single
-        // exchange per side as sort-merge but skips BOTH sorts; valid at
-        // 100 TB because only one orderkey partition of orders must fit an
-        // executor (AQE splits skewed partitions), and orders is ~1/4 of
-        // lineitem.
+        // build, and JoinsSpec pins the pick. The shuffle regime ELECTS
+        // SHUFFLE_HASH on the smaller fact side when its estimated build
+        // partition fits the per-slot memory budget (same single exchange
+        // per side as sort-merge but skips BOTH sorts — and the hash build
+        // can't spill, so under memory pressure the router keeps the
+        // spillable sort-merge instead of dying; r14 soak finding): the
+        // caller no longer hardcodes the hint.
         val rj = graft.operators.Joins.routed(
-          Tables.lineitem(s, dir), Tables.orders(s, dir).hint("SHUFFLE_HASH"),
+          Tables.lineitem(s, dir), Tables.orders(s, dir),
           Seq("l_orderkey"), Seq("o_orderkey"),
           graft.operators.Joins.RouteConfig(broadcastMaxRows = 0))
         starChain(s, dir, rj.df)
