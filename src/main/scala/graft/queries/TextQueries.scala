@@ -38,15 +38,18 @@ object TextQueries {
     * the void-premise fallback on real data and assert it matches the pin.
     *
     * The pin gate is count AND bytes: `maxPairs` bounds rows, `maxPinBytes`
-    * bounds the ESTIMATED driver footprint of the collected pair array —
+    * bounds the ESTIMATED driver footprint of the collected pair buffer —
     * ~160 B of JVM object overhead per (String, String, Long) tuple (tuple
     * + boxed long + 2 string headers, then the IndexedSeq copy and the
-    * UnsafeRow LocalRelation) plus ~4 B per key char (UTF-16 in the array,
-    * UTF-8 again in the relation). Both stats come from a ONE-ROW probe
-    * over the same pair aggregation, so deciding "too big" costs no driver
-    * transfer at all; only a pinnable table is ever collected. Worst case
-    * at the default gates: ≤ 256 MB estimated ≈ well under half the 8 g
-    * driver even with the broadcast copy alongside. */
+    * UnsafeRow LocalRelation) plus ~4 B per key char (UTF-16 in the buffer,
+    * UTF-8 again in the relation). Enforcement is a byte-metered
+    * `toLocalIterator` over the pair aggregation: ONE executor-side agg
+    * pass (no separate probe job re-exploding the corpus — measured +38%
+    * cpu, reverted), driver heap bounded by the gate plus one in-flight
+    * partition, and a void premise stops FETCHING at the gate instead of
+    * paying a 4M-row take to discard it. Worst case at the default gates:
+    * ≤ 256 MB estimated ≈ well under half the 8 g driver even with the
+    * broadcast copy alongside. */
   private[queries] def bigramLm(s: SparkSession, dir: String,
       maxPairs: Long = 1L << 22, maxPinBytes: Long = 256L << 20): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -60,15 +63,19 @@ object TextQueries {
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
     val cabAgg = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
     import s.implicits._
-    val probe = cabAgg.agg(count(lit(1)).as("n"),
-      coalesce(sum(length(col("a")) + length(col("b"))), lit(0L)).as("chars"))
-      .head()
-    val nPairs = probe.getAs[Long]("n")
-    val estPinBytes = 160L * nPairs + 4L * probe.getAs[Long]("chars")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var estPinBytes = 0L
+    var pinnable = true
+    val it = cabAgg.as[(String, String, Long)].toLocalIterator()
+    while (pinnable && it.hasNext) {
+      val t = it.next()
+      buf += t
+      estPinBytes += 160L + 4L * (t._1.length + t._2.length)
+      if (buf.length > maxPairs || estPinBytes > maxPinBytes) pinnable = false
+    }
     val (cab, vocab) =
-      if (nPairs <= maxPairs && estPinBytes <= maxPinBytes) {
-        val pinned = cabAgg.as[(String, String, Long)].collect()
-        val local = s.createDataset(pinned.toIndexedSeq).toDF("a", "b", "cab")
+      if (pinnable) {
+        val local = s.createDataset(buf.toIndexedSeq).toDF("a", "b", "cab")
         val singles = docs.select(expr(toks).as("tk"))
           .filter(size(col("tk")) === 1)
           .select(element_at(col("tk"), 1).as("t"))
@@ -646,23 +653,23 @@ object TextQueries {
     // without it, inner-join null filters push asymmetrically into each
     // consumer and AQE exchange reuse cannot dedupe the subtrees (measured:
     // 5 Generate nodes, 0 ReusedExchange). The pin is DOUBLE-gated (r13
-    // ADVICE): a one-row stats probe (pair count + key-length sum, riding
-    // the same aggregation shape) prices the pin's driver footprint BEFORE
-    // any driver transfer, so the void-premise path collects one row, never
-    // a 4M-tuple take it then discards, and wide-token corpora can't sneak
-    // hundreds of MB past a row-only gate. The scoring pass then re-derives
-    // bigrams as a pipelined map (recompute-over-materialize: a second
-    // tokenize pass is cheaper at 100 TB than caching or shuffling a
-    // stream-sized intermediate) and probes lp as an EXPLICIT broadcast —
-    // the hint, not stats, decides. The vocabulary needs no full-corpus
-    // explode: in a ≥2-token doc every token borders a bigram, so distinct
-    // tokens = distinct pair endpoints ∪ the tokens of 1-token docs (a
-    // cheap filtered scan that explodes nothing). Net on the pin path: 4
-    // corpus scans (probe, pin, singles, scoring — 3 with explode), zero
-    // stream-sized exchanges. Past either gate the broadcastable-lp premise
-    // is void and the plan degrades to stats-driven shuffle joins with the
-    // full-explode vocabulary. Docs with fewer than 2 tokens carry no
-    // bigrams and drop out (documented).
+    // ADVICE): rows AND estimated driver bytes, enforced by a byte-metered
+    // toLocalIterator over the aggregation — one executor-side pass, driver
+    // heap bounded by the gate plus one in-flight partition, and a void
+    // premise stops FETCHING at the gate (never a 4M-tuple take discarded;
+    // wide-token corpora can't sneak hundreds of MB past a row-only gate).
+    // The scoring pass then re-derives bigrams as a pipelined map
+    // (recompute-over-materialize: a second tokenize pass is cheaper at
+    // 100 TB than caching or shuffling a stream-sized intermediate) and
+    // probes lp as an EXPLICIT broadcast — the hint, not stats, decides.
+    // The vocabulary needs no full-corpus explode: in a ≥2-token doc every
+    // token borders a bigram, so distinct tokens = distinct pair endpoints
+    // ∪ the tokens of 1-token docs (a cheap filtered scan that explodes
+    // nothing). Net on the pin path: 3 corpus scans (pin, singles, scoring
+    // — 2 with explode), zero stream-sized exchanges. Past either gate the
+    // broadcastable-lp premise is void and the plan degrades to
+    // stats-driven shuffle joins with the full-explode vocabulary. Docs
+    // with fewer than 2 tokens carry no bigrams and drop out (documented).
     QueryDef(
       "t_bigram_lm",
       (s, dir) => bigramLm(s, dir),
