@@ -72,13 +72,16 @@ def main():
             with open(sf1) as f:
                 rows = json.load(f)
             # check.py --json shape: name -> {err, rows_match, schema_match,
-            # hash_match, ...}; no-oracle rows carry None matches — only an
-            # explicit error or an explicit False is a failure
-            bad = sorted(
-                name for name, r in rows.items()
-                if r.get("err") is not None or
-                any(r.get(k) is False
-                    for k in ("rows_match", "schema_match", "hash_match")))
+            # hash_match, spark_rows}. err == "no_oracle" is the rows-only
+            # class (by design) — green iff it produced rows; any other err
+            # or an explicit False match is a failure
+            def bad_row(r):
+                if r.get("err") == "no_oracle":
+                    return not (r.get("spark_rows") or 0) > 0
+                return r.get("err") is not None or any(
+                    r.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match"))
+            bad = sorted(name for name, r in rows.items() if bad_row(r))
             if bad:
                 problems.append(f"{sf1}: non-green rows: {bad[:10]}")
         except (json.JSONDecodeError, AttributeError) as e:
