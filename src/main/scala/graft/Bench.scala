@@ -218,11 +218,28 @@ object Bench {
       def pqSearch(): Unit =
         graft.operators.Pq.search(pqEnc, queries, pqCb, k = 5, shortlist = 64)
           .count()
-      ivfpqSearch(); ivfpqDisk(); pqSearch() // warm
+      // Adaptive warm (r14 tools/AnnJitter finding): these lambda-heavy
+      // search paths C2-compile across their first ~5-7 executions
+      // (measured per-run cpu_s 0.66 -> 0.14 plateau); a single warm run
+      // samples an arbitrary point on the decay curve, which is exactly
+      // the ±30% cross-bench ANN "regression" noise the r13 judge had to
+      // refute. Warm until two consecutive runs' cpu agree within 10%
+      // (cap 8) so the timed window starts on the plateau.
+      def warmToPlateau(run: () => Unit): Unit = {
+        var prev = -1.0
+        var i = 0
+        var stable = false
+        while (i < 8 && !stable) {
+          val (_, c) = metricsDelta(run())
+          stable = prev >= 0 && math.abs(c - prev) <= 0.1 * math.max(prev, 1e-9)
+          prev = c; i += 1
+        }
+      }
       val runs = Seq("s_ivfpq_search" -> (() => ivfpqSearch()),
         "s_ivfpq_disk" -> (() => ivfpqDisk()),
         "s_pq_search" -> (() => pqSearch()))
       val out = runs.map { case (name, run) =>
+        warmToPlateau(run)
         perQueryCal(name) = probeOnce()
         var ts = Seq.empty[Double]
         val (bytes, cpu) = metricsDelta { ts = timeRuns(3)(run()) }
