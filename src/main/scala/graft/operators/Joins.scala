@@ -674,13 +674,27 @@ object Joins {
                 BloomJoin.compositeKey(rightKeys.map(col)), bloom))
               lk.join(rF, cond(lk, rF), "left")
             })
-        else
+        else {
+          // same memory-aware SHUFFLE_HASH election as the inner route; a
+          // left join can only build on the RIGHT (non-preserved) side, so
+          // only the right's footprint is sized
+          val el = shuffleHashElection(r)
           ("shuffle",
             f"no regime fired (leftBig $leftBig, hot $hot%.3f, " +
               f"matchFracRight $matchFracRight%.3f, typesMatch $typesMatch); " +
-              s"$nullLeft null-keyed rows split around the join",
+              s"$nullLeft null-keyed rows split around the join; " +
+              (if (el.elect)
+                s"SHUFFLE_HASH elected on the right (est build ~${el.estMb} " +
+                  s"MiB/partition <= ${el.budgetMb} MiB/slot budget)"
+              else
+                s"sort-merge kept (est build ~${el.estMb} MiB/partition > " +
+                  s"${el.budgetMb} MiB/slot budget: the hash build can't spill)"),
             Some(hot),
-            () => withNullSplit(lk => lk.join(r, cond(lk, r), "left")))
+            () => withNullSplit { lk =>
+              val rr = if (el.elect) r.hint("SHUFFLE_HASH") else r
+              lk.join(rr, cond(lk, rr), "left")
+            })
+        }
       }
 
     val (strategy, reason, hotFrac, run) = decision
