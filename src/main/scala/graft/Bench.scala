@@ -119,6 +119,29 @@ object Bench {
       }
     }
 
+    /** Warm a query until its executor CPU hits the C2 plateau: two
+      * consecutive untimed runs whose cpu agrees within 10% (cap 8 runs).
+      * r14 finding (tools/AnnJitter + StageProfile): lambda- and
+      * reader-heavy paths compile across their first 2-7 executions
+      * (ANN per-run cpu 0.66→0.14; bucketed-scan 3.7→0.95), so ANY timed
+      * window that starts before the plateau reports compilation, not the
+      * plan — the source of every phantom cpu "regression" rounds 12-14
+      * adjudicated. A warm run that throws stops the loop; the timed runs
+      * record the error as the measurement. */
+    def warmToPlateau(run: () => Unit): Unit = {
+      var prev = -1.0
+      var i = 0
+      var stable = false
+      while (i < 8 && !stable) {
+        try {
+          val (_, c) = metricsDelta(run())
+          stable = prev >= 0 && math.abs(c - prev) <= 0.1 * math.max(prev, 1e-9)
+          prev = c
+        } catch { case _: Throwable => stable = true }
+        i += 1
+      }
+    }
+
     // Fixed CPU-bound probe: one whole-stage-codegen pass over an in-memory
     // range, one partition per thread — measures available compute, nothing
     // about the engine under test.
@@ -171,6 +194,15 @@ object Bench {
     }
     val perQueryCal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = Registry.headline.map { q =>
+      // Plateau-warm AT THE BENCH SF before the window (r14): the sf0.001
+      // warm pass misses codepaths the bench-SF execution alone compiles
+      // (the bucketed one-file-per-bucket readers: StageProfile measured
+      // first-sf0.1-run cpu 3.7 s vs 0.95 s steady state), so without
+      // this, the timed window carries C2 compilation and cpu_s_3runs
+      // reads up to ~5x steady state on those queries. min-wall was
+      // already post-warm; this makes the CPU column steady-state too,
+      // which is the bench's stated intent.
+      warmToPlateau(() => q.run(spark, sfDir).count())
       perQueryCal(q.name) = probeOnce()
       var times = List.empty[Double]
       val (bytes, cpu) = metricsDelta {
@@ -218,23 +250,6 @@ object Bench {
       def pqSearch(): Unit =
         graft.operators.Pq.search(pqEnc, queries, pqCb, k = 5, shortlist = 64)
           .count()
-      // Adaptive warm (r14 tools/AnnJitter finding): these lambda-heavy
-      // search paths C2-compile across their first ~5-7 executions
-      // (measured per-run cpu_s 0.66 -> 0.14 plateau); a single warm run
-      // samples an arbitrary point on the decay curve, which is exactly
-      // the ±30% cross-bench ANN "regression" noise the r13 judge had to
-      // refute. Warm until two consecutive runs' cpu agree within 10%
-      // (cap 8) so the timed window starts on the plateau.
-      def warmToPlateau(run: () => Unit): Unit = {
-        var prev = -1.0
-        var i = 0
-        var stable = false
-        while (i < 8 && !stable) {
-          val (_, c) = metricsDelta(run())
-          stable = prev >= 0 && math.abs(c - prev) <= 0.1 * math.max(prev, 1e-9)
-          prev = c; i += 1
-        }
-      }
       val runs = Seq("s_ivfpq_search" -> (() => ivfpqSearch()),
         "s_ivfpq_disk" -> (() => ivfpqDisk()),
         "s_pq_search" -> (() => pqSearch()))
@@ -331,11 +346,12 @@ object Bench {
           case None => recordErr(s"sf1:$name",
             new NoSuchElementException("not in headline registry"))
           case Some(q) =>
-            // one untimed warm run: the sf0.001 warmup loop doesn't touch
-            // sf1 data, so run 1 would otherwise measure JIT + broadcast
-            // warmup — r10's sf1 medians sat up to 4× above the mins
-            try q.run(spark, sf1Dir).count()
-            catch { case _: Throwable => () }
+            // plateau warm: the sf0.001 warmup loop doesn't touch sf1
+            // data, and r14's run showed ONE warm run is not enough (the
+            // bucketed chain's first timed sf1 run still carried 7.2 cpu_s
+            // of compilation vs 2.2 steady — exactly the >3x spread
+            // sf1_unstable flags); warm to the C2 plateau instead
+            warmToPlateau(() => q.run(spark, sf1Dir).count())
             perQueryCal(s"sf1:$name") = probeOnce()
             var times = List.empty[Double]
             var runRecs = List.empty[String]
