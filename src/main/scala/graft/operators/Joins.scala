@@ -355,9 +355,14 @@ object Joins {
     * common real-world skew). `joinType = "left"` routes with the
     * outer-sound subset of moves — see [[routedLeft]]: right-only
     * broadcast/bloom, left-big-only salting, and the left-side null mass
-    * SPLIT around the join instead of shuffled. Right/full outer are
-    * rejected (no sound rewrites). Self-joins must alias one side first
-    * (the `frame(col)` disambiguation needs distinct lineages).
+    * SPLIT around the join instead of shuffled. `"right"` is the mirror
+    * image — routed as a flipped left join, columns restored to
+    * left-then-right order. `"full"` keeps only the universally-sound
+    * moves: BOTH sides' null-keyed masses (the classic outer skew — every
+    * hot NULL lands on one reducer) are split around a non-null full-outer
+    * core and unioned back null-extended; no broadcast (neither side of a
+    * full outer may build), no salt/bloom. Self-joins must alias one side
+    * first (the `frame(col)` disambiguation needs distinct lineages).
     *
     * Preflight cost: ONE concurrent agg pass per side (KB-scale results) —
     * the theta key sketch AND the Misra–Gries skew signal ride the same
@@ -374,10 +379,82 @@ object Joins {
       case "inner" => routedInner(left, right, leftKeys, rightKeys, config)
       case "left" | "leftouter" =>
         routedLeft(left, right, leftKeys, rightKeys, config)
+      case "right" | "rightouter" =>
+        routedRight(left, right, leftKeys, rightKeys, config)
+      case "full" | "fullouter" | "outer" =>
+        routedFull(left, right, leftKeys, rightKeys, config)
       case other => throw new IllegalArgumentException(
-        s"routed supports inner and left(_outer) joins, got '$other' — " +
-          "right/full outer have no sound salt/bloom/null rewrites")
+        s"routed supports inner/left/right/full equi-joins, got '$other'")
     }
+  }
+
+  /** RIGHT-OUTER routing: exactly the mirror of [[routedLeft]] — route the
+    * flipped join (right side preserved), then restore left-then-right
+    * column order. The positional rename dance is because the routed
+    * contract permits duplicate column NAMES across sides, so a by-name
+    * reorder would be ambiguous. */
+  private def routedRight(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      config: RouteConfig): RoutedJoin = {
+    import org.apache.spark.sql.functions.col
+    val rl = routedLeft(right, left, rightKeys, leftKeys, config)
+    val flipped = rl.df // rightCols ++ leftCols
+    val nR = right.columns.length
+    val tmps = flipped.columns.indices.map(i => s"__rr_c$i")
+    val reordered = flipped.toDF(tmps: _*)
+      .select((tmps.drop(nR) ++ tmps.take(nR)).map(col): _*)
+      .toDF(left.columns ++ right.columns: _*)
+    val e = rl.decision.estimate
+    // un-flip the audit trail so rowsLeft means THIS call's left
+    val mirrored = e.copy(rowsLeft = e.rowsRight, rowsRight = e.rowsLeft,
+      distinctLeft = e.distinctRight, distinctRight = e.distinctLeft,
+      nonNullLeft = e.nonNullRight, nonNullRight = e.nonNullLeft,
+      maxKeyRowsLeft = e.maxKeyRowsRight, maxKeyRowsRight = e.maxKeyRowsLeft)
+    RoutedJoin(reordered, rl.decision.copy(
+      reason = s"right routed as flipped left: ${rl.decision.reason}",
+      estimate = mirrored))
+  }
+
+  /** FULL-OUTER routing. No broadcast (neither side of a full outer may be
+    * the build side), no salt (replicating either side duplicates its
+    * unmatched rows), no bloom (dropped rows must still surface
+    * null-extended) — what remains, and what matters at 100 TB, is the
+    * NULL split: null-keyed rows match nothing yet hash to ONE reducer
+    * each side, so both sides' null masses bypass the exchange entirely
+    * and union back null-extended around a non-null full-outer core. */
+  private def routedFull(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      config: RouteConfig): RoutedJoin = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lKeyed = left.where(leftKeys.map(col(_).isNotNull).reduce(_ && _))
+    val rKeyed = right.where(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+    val pf = cachedPreflight(left, right, leftKeys, rightKeys, config.sketchK)
+    val e = pf.estimate
+    val nullLeft = e.rowsLeft - e.nonNullLeft
+    val nullRight = e.rowsRight - e.nonNullRight
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (a, b) => lKeyed(a) === rKeyed(b) }.reduce(_ && _)
+    val core = lKeyed.join(rKeyed, cond, "full")
+    val withLeftNulls =
+      if (nullLeft == 0L) core
+      else core.union(
+        left.where(leftKeys.map(col(_).isNull).reduce(_ || _))
+          .select(left.columns.map(col) ++
+            right.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*))
+    val df =
+      if (nullRight == 0L) withLeftNulls
+      else withLeftNulls.union(
+        right.where(rightKeys.map(col(_).isNull).reduce(_ || _))
+          .select(left.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name))
+            ++ right.columns.map(col): _*))
+    val d = RouteDecision("shuffle",
+      s"full outer: non-null core exchange join; $nullLeft left + " +
+        s"$nullRight right null-keyed rows split around the join " +
+        "(no broadcast/salt/bloom is outer-sound for full)",
+      e, None)
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Joins").info(
+      s"routed full join [shuffle]: ${d.reason}")
+    RoutedJoin(df, d)
   }
 
   private def routedInner(left: DataFrame, right: DataFrame,

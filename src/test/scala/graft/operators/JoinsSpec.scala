@@ -449,6 +449,32 @@ class JoinsSpec extends SparkSpec {
     assert(Joins.preflightMisses.get - m0 === 3)
   }
 
+  test("routed right/full outer: exact vs the plain join, null masses " +
+      "split around the exchange on both sides") {
+    import spark.implicits._
+    val fact = ((0 until 200).map(i => (Some(i.toLong % 60L), i)) ++
+      (0 until 25).map(i => (Option.empty[Long], 1000 + i)))
+      .toDF("fk", "x")
+    val dim = ((0L until 40L).map(j => (Some(j), s"d$j")) ++
+      Seq((Option.empty[Long], "dnull1"), (Option.empty[Long], "dnull2")))
+      .toDF("pk", "name")
+    for (jt <- Seq("right", "full")) {
+      val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"),
+        Joins.RouteConfig(broadcastMaxRows = 0), jt)
+      val got = rj.df.orderBy("x", "name").collect().toSeq
+      val want = fact.join(dim, fact("fk") === dim("pk"), jt)
+        .orderBy("x", "name").collect().toSeq
+      assert(got === want, s"$jt diverged: ${rj.decision.reason}")
+      assert(rj.df.columns.toSeq === Seq("fk", "x", "pk", "name"),
+        s"$jt lost left-then-right column order")
+    }
+    // full's decision must name both split masses
+    val full = Joins.routed(fact, dim, Seq("fk"), Seq("pk"),
+      Joins.RouteConfig(broadcastMaxRows = 0), "full")
+    assert(full.decision.reason.contains("25 left + 2 right null-keyed"),
+      full.decision.reason)
+  }
+
   test("routed: empty and all-null sides produce the empty join, no crash") {
     import spark.implicits._
     val fact = (0 until 100).map(i => (i.toLong % 10, i)).toDF("fk", "x")

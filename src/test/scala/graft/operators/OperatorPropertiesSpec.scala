@@ -188,7 +188,7 @@ class OperatorPropertiesSpec extends SparkSpec {
       bMax <- Gen.oneOf(0L, 1000000L)
       skew <- Gen.oneOf(0.0, 0.2, 1.1)
       bloomF <- Gen.oneOf(0.0, 0.3, 1.0)
-      jt <- Gen.oneOf("inner", "left")
+      jt <- Gen.oneOf("inner", "left", "right", "full")
     } yield (nKeys, mult, dimFrac, hotRows, nullRows, bMax, skew, bloomF, jt)
     holds(Prop.forAll(gen) {
       case (nKeys, mult, dimFrac, hotRows, nullRows, bMax, skew, bloomF, jt) =>
