@@ -523,5 +523,52 @@ object JoinQueries {
               |  (SELECT * FROM customer WHERE c_nationkey = 1) c
               |  ON o_custkey = c_custkey
               |GROUP BY 1 ORDER BY ckey""".stripMargin)),
+
+    // FULL-OUTER routing (r14): both sides carry injected null keys — the
+    // classic outer skew (every hot NULL hashes to one reducer) — and the
+    // router splits BOTH null masses around a non-null full-outer core,
+    // unioned back null-extended. Unmatched rows from either side land in
+    // the COALESCE sentinel groups; hash-gated vs DuckDB's FULL JOIN.
+    QueryDef(
+      "j_routed_full",
+      (s, dir) => {
+        import graft.operators.Joins
+        import graft.operators.Joins.RouteConfig
+        val orders = Tables.orders(s, dir).select(
+          when(col("o_orderkey") % 13 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("ok"),
+          col("o_totalprice"))
+        val cust = Tables.customer(s, dir).filter(col("c_nationkey") === 1)
+          .select(
+            when(col("c_custkey") % 7 === 0, lit(null).cast("long"))
+              .otherwise(col("c_custkey")).as("ck"),
+            col("c_acctbal"))
+        val rj = Joins.routed(orders, cust, Seq("ok"), Seq("ck"),
+          RouteConfig(), "full")
+        require(rj.decision.strategy == "shuffle" &&
+          rj.decision.reason.contains("null-keyed rows split"),
+          s"full routing drifted: ${rj.decision.reason}")
+        rj.df
+          .groupBy(coalesce(col("ok"), lit(-1L)).as("okey"),
+            coalesce(col("ck"), lit(-2L)).as("ckey"))
+          .agg(count(lit(1)).as("n"),
+            Exact.dsum(col("o_totalprice")).as("sum_price"),
+            Exact.dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("okey", "ckey")
+      },
+      Some(s"""WITH o AS (
+              |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              |              ELSE o_custkey END AS ok, o_totalprice
+              |  FROM orders),
+              |c AS (
+              |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+              |              ELSE c_custkey END AS ck, c_acctbal
+              |  FROM customer WHERE c_nationkey = 1)
+              |SELECT COALESCE(ok, -1) AS okey, COALESCE(ck, -2) AS ckey,
+              |  CAST(COUNT(*) AS BIGINT) AS n,
+              |  ${Exact.sqlDsum("o_totalprice")} AS sum_price,
+              |  ${Exact.sqlDsum("c_acctbal")} AS sum_bal
+              |FROM o FULL JOIN c ON ok = ck
+              |GROUP BY 1, 2 ORDER BY okey, ckey""".stripMargin)),
   )
 }
