@@ -37,4 +37,13 @@ object GraftSession {
       // the bucket spec.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
+      // Long-lived sessions accumulate shuffle files until the driver GCs
+      // the referencing objects — ContextCleaner is GC-driven, and the
+      // default periodic-GC interval (30 min) let a 40-minute 185-query
+      // sweep at 30x data pile ~70 GB of dead shuffle into local dirs and
+      // ENOSPC the box (r14 incident, d_ngram_jaccard the innocent
+      // casualty). Two-minute periodic GC keeps dead shuffle bounded at a
+      // negligible driver cost; the same setting is what a 100 TB
+      // long-running query service wants.
+      .config("spark.cleaner.periodicGC.interval", "2min")
 }
