@@ -475,6 +475,113 @@ class JoinsSpec extends SparkSpec {
       full.decision.reason)
   }
 
+  test("preflight cache auto-invalidates when files are replaced in place " +
+      "(footer signature in the key)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache_inval")
+      .toString
+    val factPath = s"$dir/fact"
+    val dim = (0L until 2000L).map(j => (j, s"d$j")).toDF("pk", "name")
+    val cfg = Joins.RouteConfig(broadcastMaxRows = 0) // force the measured path
+    def writeFact(nulls: Boolean): Unit = {
+      val rows = (0 until 3000).map(i => (Some(i.toLong % 100L), i)) ++
+        (if (nulls) (0 until 40).map(i => (Option.empty[Long], 9000 + i))
+         else Nil)
+      rows.toDF("fk", "x").repartition(2)
+        .write.mode("overwrite").parquet(factPath)
+    }
+    writeFact(nulls = false)
+    Joins.clearPreflightCache()
+    val m0 = Joins.preflightMisses.get
+    val rj1 = Joins.routed(spark.read.parquet(factPath), dim,
+      Seq("fk"), Seq("pk"), cfg, "left")
+    rj1.df.count()
+    assert(Joins.preflightMisses.get - m0 === 1)
+    // same files, re-read -> the signature matches, the cache hits
+    Joins.routed(spark.read.parquet(factPath), dim, Seq("fk"), Seq("pk"),
+      cfg, "left")
+    assert(Joins.preflightMisses.get - m0 === 1,
+      "unchanged files must still hit the cache")
+    // REPLACE the files under the same path (the r14 advisory scenario:
+    // a pipeline re-running per batch) — semantic hash is path+schema so
+    // it would collide; the footer signature must force a re-measure
+    writeFact(nulls = true)
+    val fact2 = spark.read.parquet(factPath)
+    val rj2 = Joins.routed(fact2, dim, Seq("fk"), Seq("pk"), cfg, "left")
+    assert(Joins.preflightMisses.get - m0 === 2,
+      "in-place rewrite served the stale preflight: " + rj2.decision.reason)
+    // and the preserved null-keyed mass survives REGARDLESS of cache
+    // state (the split branch is unconditional — belt and suspenders)
+    val got = rj2.df.orderBy("x", "name").collect().toSeq
+    val want = fact2.join(dim, fact2("fk") === dim("pk"), "left")
+      .orderBy("x", "name").collect().toSeq
+    assert(got === want, "null-keyed rows lost after in-place rewrite")
+    assert(rj2.df.where("fk IS NULL").count() === 40)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("outer null split is unconditional: a zero-null estimate cannot gate " +
+      "row preservation") {
+    import spark.implicits._
+    // left/full routes must carry the null branch even when the preflight
+    // sees zero null keys — the branch is empty, not absent (ADVICE r14)
+    val fact = (0 until 300).map(i => (i.toLong % 60L, i)).toDF("fk", "x")
+    val dim = (0L until 40L).map(j => (j, s"d$j")).toDF("pk", "name")
+    val cfg = Joins.RouteConfig(broadcastMaxRows = 0, skewHotFraction = 1.1,
+      bloomMaxMatchFraction = 0.0)
+    for (jt <- Seq("left", "full")) {
+      val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"), cfg, jt)
+      val analyzed = rj.df.queryExecution.analyzed.toString
+      assert(analyzed.contains("Union"),
+        s"$jt: null branch must exist even with zero estimated nulls")
+      assert(analyzed.contains("isnull(fk"),
+        s"$jt: null-mass filter missing from the unconditional branch")
+      val want = fact.join(dim, fact("fk") === dim("pk"), jt)
+        .orderBy("x", "name").collect().toSeq
+      assert(rj.df.orderBy("x", "name").collect().toSeq === want)
+    }
+  }
+
+  test("SHUFFLE_HASH election sizes the worst partition and reports its " +
+      "stats provenance") {
+    import spark.implicits._
+    // pin the budget: 512m heap -> (512-300)*0.6 / 2 slots / 2 = ~31
+    // MiB/slot, independent of the test JVM's real heap
+    spark.conf.set("spark.graft.joins.electionHeap", "512m")
+    try {
+      // uniform build: worst partition = 1/parts -> KB-scale, elected
+      val fact = (0 until 40000).map(i => (i.toLong % 4000L, i)).toDF("fk", "x")
+      val dim = (0L until 4000L).map(j => (j, s"d$j")).toDF("pk", "name")
+      val cfg = Joins.RouteConfig(broadcastMaxRows = 0, skewHotFraction = 1.1,
+        bloomMaxMatchFraction = 0.0)
+      Joins.clearPreflightCache()
+      val rj = Joins.routed(fact, dim, Seq("fk"), Seq("pk"), cfg)
+      assert(rj.decision.strategy === "shuffle")
+      assert(rj.decision.reason.contains("SHUFFLE_HASH elected"),
+        rj.decision.reason)
+      assert(rj.decision.reason.contains("measured:") ||
+        rj.decision.reason.contains("runtime:"), rj.decision.reason)
+      assert(rj.decision.reason.contains("worst-partition"), rj.decision.reason)
+      // skewed BUILD side: one key holds ~all of the build, so the worst
+      // partition is ~the whole side x4 (~54 MiB > 31 budget) while the
+      // AVERAGE partition (~27 MiB over 2 parts) would still have fit —
+      // exactly the r14 advisory's failure mode. Forced skewHotFraction
+      // keeps the salt regime off so the election is what decides.
+      val hotDim = ((0 until 400000).map(i => (1L, s"h$i")) ++
+        (0L until 50L).map(j => (j + 10L, s"d$j"))).toDF("pk", "name")
+      val bigFact = (0 until 500000).map(i => (i.toLong % 55L, i))
+        .toDF("fk", "x")
+      Joins.clearPreflightCache()
+      val rj2 = Joins.routed(bigFact, hotDim, Seq("fk"), Seq("pk"),
+        Joins.RouteConfig(broadcastMaxRows = 0, skewHotFraction = 1.1,
+          bloomMaxMatchFraction = 0.0))
+      assert(rj2.decision.strategy === "shuffle")
+      assert(rj2.decision.reason.contains("sort-merge kept"),
+        "a one-key build must size as its own worst partition: " +
+          rj2.decision.reason)
+    } finally spark.conf.unset("spark.graft.joins.electionHeap")
+  }
+
   test("routed: empty and all-null sides produce the empty join, no crash") {
     import spark.implicits._
     val fact = (0 until 100).map(i => (i.toLong % 10, i)).toDF("fk", "x")
