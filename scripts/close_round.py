@@ -13,7 +13,13 @@ Refuses to close a round unless the record is clean:
      `git ls-files` — a NOTES claim of "committed X" where X is not in
      the tree fails the gate.
   4. The working tree is clean (everything the round produced is
-     committed), except the BENCH/DETAIL files the driver re-runs.
+     committed), except the BENCH/DETAIL files the driver re-runs
+     (BENCH_r<N>.json / BENCH_DETAIL.json — the one allowlist).
+  5. (r14 verdict #7) LEAKCHECK.json reports n_hits == 0, COPYCHECK.json
+     is FRESH for the round (flagged == [] and no error), and the round's
+     bench line carries the plateau-warm methodology fields
+     (warm == "plateau", warm_runs > 0) — a bench without them predates
+     the r14 measurement fix and must not close a round.
 
 Usage: close_round.py <round-number>
 Exit 0 = round may close; nonzero prints every violated rule.
@@ -55,10 +61,38 @@ def main():
                     problems.append(
                         f"{bench_path}: {key} = {got!r} (want {want!r}) — "
                         "a load-poisoned bench is noise; re-run until clean")
+            # rule 5c: plateau-warm methodology fields (r14 §8a) present —
+            # guards against a future backslide to single-warm windows
+            if parsed.get("warm") != "plateau" or not parsed.get("warm_runs"):
+                problems.append(
+                    f"{bench_path}: warm={parsed.get('warm')!r} "
+                    f"warm_runs={parsed.get('warm_runs')!r} — bench must "
+                    "self-label plateau warming (warm=plateau, warm_runs>0)")
         except (json.JSONDecodeError, KeyError) as e:
             problems.append(f"{bench_path}: unparseable ({e})")
 
-    ls_files = set(sh("git", "ls-files").stdout.split())
+    # rule 5a/5b: leak + copy checks clean and fresh for this round
+    for name, check in [
+        ("LEAKCHECK.json", lambda d: [] if d.get("n_hits") == 0 else
+         [f"LEAKCHECK.json: n_hits = {d.get('n_hits')!r} (want 0)"]),
+        ("COPYCHECK.json", lambda d: (
+            ([] if d.get("flagged") == [] else
+             [f"COPYCHECK.json: flagged = {d.get('flagged')!r} (want [])"]) +
+            ([] if not d.get("error") else
+             [f"COPYCHECK.json: error = {d.get('error')!r}"]))),
+    ]:
+        if not os.path.exists(name):
+            problems.append(f"{name} missing — run the round's check first")
+            continue
+        try:
+            with open(name) as f:
+                problems.extend(check(json.load(f)))
+        except json.JSONDecodeError as e:
+            problems.append(f"{name}: unparseable ({e})")
+
+    # split on NEWLINES, not whitespace — filenames may contain spaces
+    ls_files = set(
+        l for l in sh("git", "ls-files").stdout.splitlines() if l)
 
     # 2. sf1 correctness committed and green
     sf1 = f"CORRECTNESS_sf1_r{n}.json"
@@ -109,9 +143,11 @@ def main():
                 problems.append(f"{notes} names {name}: not in git ls-files "
                                 "— either commit it or stop claiming it")
 
-    # 4. clean working tree
+    # 4. clean working tree — except the bench artifacts the driver re-runs
+    # after the snapshot (the docstring's allowlist, now actually applied)
+    allow = {f"BENCH_r{n}.json", f"BENCH_r{n:02d}.json", "BENCH_DETAIL.json"}
     dirty = [l for l in sh("git", "status", "--porcelain").stdout.splitlines()
-             if l.strip()]
+             if l.strip() and l[3:].strip().strip('"') not in allow]
     if dirty:
         problems.append("working tree not clean:\n    " + "\n    ".join(dirty))
 

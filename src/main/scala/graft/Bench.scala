@@ -128,6 +128,7 @@ object Bench {
       * plan — the source of every phantom cpu "regression" rounds 12-14
       * adjudicated. A warm run that throws stops the loop; the timed runs
       * record the error as the measurement. */
+    var plateauWarmRuns = 0 // emitted on the line so the close gate can verify the methodology ran
     def warmToPlateau(run: () => Unit): Unit = {
       var prev = -1.0
       var i = 0
@@ -140,6 +141,7 @@ object Bench {
         } catch { case _: Throwable => stable = true }
         i += 1
       }
+      plateauWarmRuns += i
     }
 
     // Fixed CPU-bound probe: one whole-stage-codegen pass over an in-memory
@@ -474,6 +476,7 @@ object Bench {
           "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""cpu_total_s":${r3(perQueryCpu.values.sum)},""" +
         s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"envelope":$CalIdleEnvelope},""" +
+        s""""warm":"plateau","warm_runs":$plateauWarmRuns,""" +
         s""""flagged":$flaggedJson,"contended":$contended,"value":${r3(total)}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] emitted line ${line.length} chars — may exceed capture window")

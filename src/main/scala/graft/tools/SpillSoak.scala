@@ -26,6 +26,10 @@ object SpillSoak {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val outPath = if (args.length > 1) args(1) else "/tmp/spill_soak.json"
+    // warm corpus: smallest SF by default, overridable (r14 advisory: the
+    // warm pass must not silently pin a path unrelated to the soak target)
+    val warmDir = if (args.length > 2) args(2)
+      else sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.min(32).toString).toInt
     // memory.fraction must land before the first SparkContext of the JVM
@@ -77,7 +81,7 @@ object SpillSoak {
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
     Bench.Sf1Heavy.foreach { name =>
       byName.get(name).foreach { q =>
-        try q.run(spark, "/root/testdata/sf0.001").count() // warm: JIT/codegen
+        try q.run(spark, warmDir).count() // warm: JIT/codegen
         catch { case _: Throwable => () }
         stable()
         val (c0, s0, m0, d0) = (cpuNanos.get / 1e9, shuffleBytes.get,
@@ -94,8 +98,11 @@ object SpillSoak {
               s""""disk_spill_mb":${(d1 - d0) / (1 << 20)}}"""
           } catch {
             case e: Throwable =>
-              s"""{"error":"${e.getClass.getSimpleName}: ${
-                String.valueOf(e.getMessage).replaceAll("[\"\n\r]", " ").take(160)}"}"""
+              // full JSON string escaping (r14 advisory: backslashes in
+              // Hadoop paths / regex text made the artifact unparseable)
+              s"""{"error":${graft.JsonText.quote(
+                s"${e.getClass.getSimpleName}: ${
+                  String.valueOf(e.getMessage).take(160)}")}}"""
           }
         rows(name) = rec
         System.err.println(s"[soak] $name -> $rec")
