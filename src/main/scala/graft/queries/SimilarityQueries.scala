@@ -394,5 +394,90 @@ object SimilarityQueries {
               |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
               |SELECT v1, v2, dist FROM l2 WHERE dist <= 1.25
               |ORDER BY v1, v2""".stripMargin)),
+
+    // CONTAINMENT audit for the capped semantic twin (r14 VERDICT #6): the
+    // production-config run (default nProbe — the pruning the rows-only
+    // d_semantic_ivfpq exercises) restricted to the CN corpus must be a
+    // SUBSET of the exact threshold pairs: the operator verifies every
+    // candidate with exact in-cell L2, so codebook randomness may lose
+    // pairs but can never invent one. The row hash-gates BOTH the subset
+    // invariant (n_subset_violations = 0) and a quantity DuckDB derives
+    // independently (n_exact_pairs via the bit-identical sequential fold)
+    // so the audit cannot go green by accident. The capped twin's own
+    // estimate columns stay rows-only.
+    QueryDef(
+      "d_semantic_subset_audit",
+      (s, dir) => {
+        val vecs = graft.sources.Tables.embeddings(s, dir)
+          .select("vec_id", "embedding").filter(col("vec_id") < CN)
+        val capped = graft.operators.ScalableDedup.embeddingNearDupsIvfPq(
+          vecs, dim = 64, maxSqDistance = 1.25) // default (capped) nProbe
+        val l2 = foldSum("zip_with(e1, e2, (x, y) -> " +
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))")
+        val a = vecs.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+        val b = vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+        val exact = broadcast(a).join(b, col("v1") < col("v2"))
+          .withColumn("dist", expr(l2))
+          .filter(col("dist") <= 1.25)
+          .select("v1", "v2")
+        val violations = capped.select("v1", "v2")
+          .join(exact, Seq("v1", "v2"), "left_anti")
+        exact.agg(count(lit(1)).as("n_exact_pairs")).crossJoin(
+          violations.agg(count(lit(1)).as("n_subset_violations")))
+      },
+      Some(s"""WITH sub AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $CN),
+              |l2 AS (
+              |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+              |    ${sqlFoldSum("list_transform(list_zip(a.embedding, b.embedding), " +
+                   "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+                   "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))")} AS dist
+              |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+              |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+              |       CAST(0 AS BIGINT) AS n_subset_violations
+              |FROM l2 WHERE dist <= 1.25""".stripMargin)),
+
+    // RECALL-FLOOR audit for the capped ANN twin (r14 VERDICT #6): per
+    // query vector, the production-config IVF-PQ search (kNN=5, nProbe=4 —
+    // the rows-only s_ivfpq_knn's exact shape) must recover at least
+    // RecallFloorHits of the brute-force L2 top-5 (Ivf.bruteForce — the
+    // same ranking rule, self excluded). The oracle derives the gated
+    // row set (one row per query, meets_floor TRUE) independently, so a
+    // single query dipping below the floor at ANY scale factor turns the
+    // row red. The recall VALUE itself stays a rows-only estimate on the
+    // capped twin; this row pins the guarantee.
+    QueryDef(
+      "s_ivfpq_recall",
+      (s, dir) => {
+        val vecs = graft.sources.Tables.embeddings(s, dir)
+          .select("vec_id", "embedding")
+        val queries = vecs.filter(col("vec_id") < 20)
+        val idx = graft.operators.IvfPq.build(vecs, dim = 64)
+        val ann = graft.operators.IvfPq.search(idx, queries, kNN = 5,
+            nProbe = 4)
+          .select("q_id", "vec_id")
+          .localCheckpoint(true) // pin-then-free, as s_ivfpq_knn
+        idx.unpersist()
+        val brute = graft.operators.Ivf.bruteForce(vecs, queries, k = 5)
+          .select("q_id", "vec_id")
+        val hits = ann.join(brute, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        queries.select(col("vec_id").as("q_id")).join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            (coalesce(col("n_hits"), lit(0L)) >= RecallFloorHits).as("meets_floor"))
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS meets_floor
+             |FROM embeddings WHERE vec_id < 20 ORDER BY q_id""".stripMargin)),
   )
+
+  /** Per-query recall floor for [[s_ivfpq_recall]]: hits of 5 the capped
+    * search must recover from the brute top-5. Pinned at the MEASURED
+    * worst case — sf0.01 per-query hits are {2..5} (mean recall 0.77,
+    * min exactly 2; sf1 is 5/5 across the board because ScaleGen replicas
+    * sharpen the cells) — so any future recall regression on any single
+    * query turns the row red while the audit stays deterministic
+    * (seeded KMeans). */
+  private val RecallFloorHits = 2L
 }
