@@ -36,6 +36,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "token_gram_hash takes exactly 2 arguments")
         TokenGramHash(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("whitespace_tokens"),
+      WhitespaceText.tokensInfo,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "whitespace_tokens takes exactly 1 argument")
+        WhitespaceTokens(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_bigrams"),
+      WhitespaceText.bigramsInfo,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "token_bigrams takes exactly 1 argument")
+        TokenBigrams(children.head)
+      }))
   }
 }
 
@@ -46,4 +60,6 @@ object GraftFunctions {
   def float_dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
   def token_gram_hash(c: Column, n: Column): Column =
     call_function("token_gram_hash", c, n)
+  def whitespace_tokens(c: Column): Column = call_function("whitespace_tokens", c)
+  def token_bigrams(c: Column): Column = call_function("token_bigrams", c)
 }

@@ -53,30 +53,46 @@ object TextQueries {
   private[queries] def bigramLm(s: SparkSession, dir: String,
       maxPairs: Long = 1L << 22, maxPinBytes: Long = 256L << 20): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val toks = "filter(split(text, ' '), x -> x != '')"
+    // pair extraction through the COMPILED expressions (r14 verdict #5):
+    // whitespace_tokens + token_bigrams are byte-for-byte the old
+    // `filter(split(text,' '))` + transform/struct chain, minus the
+    // interpreted regex split and the boxed lambda per token — the chain
+    // was the registry's worst cpu-per-shuffle-byte (33 cpu_s for 1.8 MB
+    // at sf1)
     val bigrams = docs
-      .select(col("doc_id"), expr(toks).as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))"))
-        .as("bg"))
+      .select(col("doc_id"),
+        explode(expr("token_bigrams(whitespace_tokens(text))")).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
     val cabAgg = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
     import s.implicits._
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var estPinBytes = 0L
     var pinnable = true
+    // gram-hash injectivity over the AGGREGATED pair table, checked for
+    // free during the pin fetch: when the 64-bit rolling gram hash is
+    // injective on these pairs (always, in practice), the per-occurrence
+    // scoring join can key on ONE long instead of two strings — exact by
+    // construction, since every occurrence's own pair is in the table and
+    // maps to a unique hash. A collision (or an unpinnable table) keeps
+    // the exact-string join.
+    val seenHashes = new java.util.HashSet[java.lang.Long]()
+    var hashesInjective = true
     val it = cabAgg.as[(String, String, Long)].toLocalIterator()
     while (pinnable && it.hasNext) {
       val t = it.next()
       buf += t
+      if (!seenHashes.add(graft.functions.TokenGramHash.gramHashes(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(t._1),
+            org.apache.spark.unsafe.types.UTF8String.fromString(t._2))), 2)
+          .getLong(0))) hashesInjective = false
       estPinBytes += 160L + 4L * (t._1.length + t._2.length)
       if (buf.length > maxPairs || estPinBytes > maxPinBytes) pinnable = false
     }
     val (cab, vocab) =
       if (pinnable) {
         val local = s.createDataset(buf.toIndexedSeq).toDF("a", "b", "cab")
-        val singles = docs.select(expr(toks).as("tk"))
+        val singles = docs.select(expr("whitespace_tokens(text)").as("tk"))
           .filter(size(col("tk")) === 1)
           .select(element_at(col("tk"), 1).as("t"))
         val v = local.select(col("a").as("t"))
@@ -85,7 +101,7 @@ object TextQueries {
           .agg(count_distinct(col("t")).as("v"))
         (local, v)
       } else // premise void: stats-driven plan, full-explode vocabulary
-        (cabAgg, docs.select(explode(expr(toks)).as("t"))
+        (cabAgg, docs.select(explode(expr("whitespace_tokens(text)")).as("t"))
           .agg(count_distinct(col("t")).as("v")))
     val ctx = cab.groupBy("a").agg(sum("cab").as("ca"))
     val lp = cab.join(broadcast(ctx), "a").crossJoin(vocab)
@@ -93,7 +109,19 @@ object TextQueries {
         expr("CAST(round(round(ln(cab + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
         expr("CAST(round(round(ln(CAST(ca + v AS DOUBLE)), 6) * 1e6) AS BIGINT)")
           .as("ctx_mc"))
-    bigrams.join(broadcast(lp), Seq("a", "b"))
+    val scored =
+      if (pinnable && hashesInjective) {
+        // hash-keyed scoring: the corpus pass never materializes pair
+        // strings at all — one compiled token+gram-hash scan, longs out,
+        // a long-keyed broadcast probe
+        val lpH = lp.withColumn("h",
+          element_at(expr("token_gram_hash(array(a, b), 2)"), 1))
+          .select("h", "lc_mc", "ctx_mc")
+        docs.select(col("doc_id"),
+          explode(expr("token_gram_hash(whitespace_tokens(text), 2)")).as("h"))
+          .join(broadcast(lpH), Seq("h"))
+      } else bigrams.join(broadcast(lp), Seq("a", "b"))
+    scored
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (round((sum(col("lc_mc")) - sum(col("ctx_mc"))).cast("double")
