@@ -73,11 +73,18 @@ object ModelQueries {
     // pack the 28 features into ONE array<float> below the exchange — 28
     // top-level columns cost an 8-byte row slot each on the wire no matter
     // the declared type; the packed array stores 4-byte elements
+    // repartition on game_id ALONE: play_id/nfl_id are literal zeros here,
+    // and hashing them in would partition by `hashpartitioning(game_id, 0,
+    // 0)` while the collect_list agg's keys alias the folded literals into
+    // fresh attributes (`0 AS 0#…`) — semantically unequal, so
+    // EnsureRequirements inserted a SECOND full exchange of every sequence
+    // byte right above this one (measured: 2 × ~130 MB at sf1 where the
+    // design intends one). HashPartitioning(game_id) is a subset of the
+    // agg's clustering keys, so the groupBy genuinely reuses this exchange.
     val packedFrames = wide
       .select(col("game_id"), col("play_id"), col("nfl_id"), col("frame_id"),
         array((0 until nFeatures).map(k => col(s"f$k")): _*).as("farr"))
-      .repartition(s.sparkContext.defaultParallelism,
-        col("game_id"), col("play_id"), col("nfl_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("game_id"))
     val seqs = graft.bdb.Sequences.build(
       packedFrames, Seq("farr"), maxLen = 7, valueType = "float")
     (wide, seqs)

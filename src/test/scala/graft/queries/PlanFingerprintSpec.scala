@@ -57,7 +57,12 @@ class PlanFingerprintSpec extends SparkSpec {
     "s_lsh_knn_multiprobe" -> Fp(2, 1, 0, 0),
     "a_hll_mergeable" -> Fp(4, 0, 0, 1),
     "a_cms_topk" -> Fp(1, 0, 0, 0),
-    "m_lstm_infer" -> Fp(4, 0, 0, 0),
+    // r15 re-pin 4 -> 2: repartitioning on game_id alone lets the
+    // collect_list agg reuse the explicit exchange (the literal
+    // play_id/nfl_id keys previously defeated EnsureRequirements and
+    // doubled the sequence shuffle); remaining 2 = the sequence exchange
+    // + the final scalar-agg exchange
+    "m_lstm_infer" -> Fp(2, 0, 0, 0),
     // round-7 second wave: the bloom probe filter is narrow (no exchange of
     // its own — 2 = agg + order, 1 broadcast = the dim join); dup-spans is
     // gram-agg + doc window + order with the dup set and doc-stats joins
