@@ -42,7 +42,8 @@ object Bench {
   val Sf1Heavy: Seq[String] = Seq("e_pagerank_types", "t_bpe_train",
     "m_lstm_infer", "t_bigram_lm", "j_star_chain", "j_star_chain_bucketed",
     "d_fuzzy_verify", "d_contamination", "l_pruned_bloom_join",
-    "j_bloom_join", "d_simhash_banded", "j7_nearest_in_group")
+    "j_bloom_join", "d_simhash_banded", "j7_nearest_in_group",
+    "j7_nearest_asof")
 
   private def timeRuns(n: Int)(body: => Unit): Seq[Double] =
     (1 to n).map { _ =>

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * MinHash+LSH, and SimHash. A core training-data-pipeline surface.
   *
   * The source table has no duplicates, so each query first *plants* them
-  * deterministically (exact copies at doc_id+100000, near-copies with an appended
-  * suffix at doc_id+200000) — the same construction in the DuckDB oracle — and then
+  * deterministically (exact copies at doc_id+1000000000, near-copies with an appended
+  * suffix at doc_id+2000000000) — the same construction in the DuckDB oracle — and then
   * must find exactly the planted set.
   *
   * Cross-engine exactness: content hashing uses either `md5` (identical in Spark and
@@ -25,16 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** documents ∪ planted exact dups (+100000, doc_id<40) ∪ planted near-dups
-    * (+200000, doc_id<30, suffix appended). */
+  /** documents ∪ planted exact dups (+1000000000, doc_id<40) ∪ planted near-dups
+    * (+2000000000, doc_id<30, suffix appended). */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") < 40)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
       .unionByName(
         d.filter(col("doc_id") < 30)
-          .select((col("doc_id") + 200000).as("doc_id"),
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
             concat(col("text"), lit(" zz11 zz22 zz33")).as("text")))
   }
 
@@ -42,15 +42,15 @@ object DedupQueries {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 40
+      |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id < 40
       |  UNION ALL
-      |  SELECT doc_id + 200000 AS doc_id, text || ' zz11 zz22 zz33' AS text
+      |  SELECT doc_id + 2000000000 AS doc_id, text || ' zz11 zz22 zz33' AS text
       |  FROM documents WHERE doc_id < 30)""".stripMargin
 
   /** Distinct 5-char shingles per doc, for the id-bounded near-dup subset. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir)
-      .filter(col("doc_id") < 30 || col("doc_id") >= 100000)
+      .filter(col("doc_id") < 30 || col("doc_id") >= 1000000000L)
       .select(col("doc_id"),
         explode(array_distinct(expr(
           "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")))
@@ -63,7 +63,7 @@ object DedupQueries {
        |    SELECT doc_id,
        |      unnest(list_transform(generate_series(1, length(text) - 4),
        |                            i -> substring(text, i, 5))) AS sh
-       |    FROM corpus WHERE doc_id < 30 OR doc_id >= 100000))""".stripMargin
+       |    FROM corpus WHERE doc_id < 30 OR doc_id >= 1000000000))""".stripMargin
 
   /** Shared shingle hash: fold code points as (acc*31 + cp) mod 2^31-1. */
   private val shHash =
@@ -109,7 +109,7 @@ object DedupQueries {
     * tokens of the bounded subset. */
   private def tokenHashes(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir)
-      .filter(col("doc_id") < 30 || col("doc_id") >= 100000)
+      .filter(col("doc_id") < 30 || col("doc_id") >= 1000000000L)
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
       .withColumn("th", expr("rolling_hash(t)")) // native; oracle states the HOF form
@@ -119,7 +119,7 @@ object DedupQueries {
        |toks AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
-       |  FROM corpus WHERE doc_id < 30 OR doc_id >= 100000),
+       |  FROM corpus WHERE doc_id < 30 OR doc_id >= 1000000000),
        |th AS (
        |  SELECT doc_id,
        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(generate_series(1, length(t)),

@@ -243,6 +243,75 @@ object JoinQueries {
              |FROM customer JOIN supplier ON c_nationkey = s_nationkey
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
 
+    // J7 SCALE TWIN — the r15 sweep measured the pairwise form at cpu
+    // exponent 2.2 over 10x->100x data: with the GROUP COUNT fixed (25
+    // nations) and BOTH sides scaling, enumerate-then-min is inherently
+    // quadratic. That regime is fine for the reference's shape (nearest
+    // defender: ~11 defenders per frame — group size BOUNDED, groups scale
+    // -> linear), but a 100 TB corpus with fixed group count needs the 1-D
+    // reformulation: sort each nation's union of customers and suppliers
+    // by acctbal ONCE, and each customer's nearest supplier is one of its
+    // two sorted neighbors (min |c-s| is achieved at a neighbor in sorted
+    // order), so the whole query is O((C+S) log) with ONE window sort —
+    // no pair is ever enumerated. Same rows as j7 (the oracle is j7's);
+    // bit-exact because v-below / above-v are the same double
+    // subtractions the pairwise abs computed. Parallelism is bounded by
+    // the group count (one sort partition per nation) — inherent to the
+    // data model, documented.
+    QueryDef(
+      "j7_nearest_asof",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("nk"), col("c_acctbal"))
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_nationkey").as("nk"), col("s_acctbal"))
+        val supN = sup.groupBy("nk").agg(count(lit(1)).as("n_sup"))
+        val tagged = cust
+          .select(col("nk"), col("c_acctbal").as("v"), col("c_custkey"),
+            lit(0).as("is_sup"))
+          .unionByName(sup.select(col("nk"), col("s_acctbal").as("v"),
+            lit(null).cast("long").as("c_custkey"), lit(1).as("is_sup")))
+        // BOTH frames must be GROWING (unboundedPreceding..currentRow):
+        // Spark evaluates a growing frame incrementally (O(1)/row) but
+        // recomputes a shrinking `1..unboundedFollowing` frame from
+        // scratch per row — O(rows²) per partition, measured at 2165
+        // cpu_s at sf10 (WORSE than the pairwise join it replaces). The
+        // forward neighbor is therefore a growing frame over the
+        // REVERSED order: one exchange, two in-partition sorts, O(n log n).
+        // Suppliers sort BEFORE customers at equal v in both orders, so a
+        // zero-gap supplier is caught either way.
+        val sv = when(col("is_sup") === 1, col("v"))
+        val below = last(sv, ignoreNulls = true).over(
+          Window.partitionBy("nk")
+            .orderBy(col("v"), col("is_sup").desc, col("c_custkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val above = last(sv, ignoreNulls = true).over(
+          Window.partitionBy("nk")
+            .orderBy(col("v").desc, col("is_sup").desc, col("c_custkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        tagged
+          .select(col("nk"), col("v"), col("c_custkey"), col("is_sup"),
+            below.as("below"), above.as("above"))
+          .filter(col("is_sup") === 0)
+          .join(broadcast(supN), Seq("nk"))
+          .select(col("c_custkey"), col("n_sup"),
+            least(
+              when(col("below").isNotNull, col("v") - col("below")),
+              when(col("above").isNotNull, col("above") - col("v"))).as("min_gap"))
+          // invariant (a supN nation has >= 1 supplier, so one neighbor
+          // exists): no-op on rows, but it makes min_gap load-bearing
+          // under a count() action so benches time the window instead of
+          // a column-pruned shell of it
+          .filter(col("min_gap").isNotNull)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_sup,
+             |       min(abs(c_acctbal - s_acctbal)) AS min_gap
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      headline = true),
+
     // J8 — left join + fill default (reference: merge defender_sep, missing → 20.0,
     // BDB_2026.ipynb cell 69/75)
     QueryDef(

@@ -22,6 +22,10 @@ class PlanFingerprintSpec extends SparkSpec {
     * everywhere at this scale. */
   private val pinned = Map(
     "j7_nearest_in_group" -> Fp(2, 1, 0, 0),
+    // scale twin (r15): union -> ONE nk exchange feeding two growing-frame
+    // window sorts + broadcast of the 25-row supplier counts; exchanges =
+    // union repartition + window exchange + final sort
+    "j7_nearest_asof" -> Fp(3, 1, 0, 0),
     "j_star_chain" -> Fp(4, 3, 0, 0),
     // round-13 MERGE pin: the fact-fact edge is the co-bucketed SORT-FREE
     // sort-merge join (PlanAuditSpec asserts no Sort/Exchange under it) —
