@@ -396,8 +396,16 @@ class PlanAuditSpec extends SparkSpec {
     val bhj = all.collect {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
     }
-    assert(bhj.exists(_.leftKeys.size == 2),
-      "the (a,b) scoring probe must be a broadcast hash join")
+    // r15: the scoring probe keys on ONE long (the rolling gram hash,
+    // injectivity driver-verified on the pinned pair table) instead of the
+    // two string keys — assert the hash-keyed broadcast probe, and that
+    // the long key genuinely replaced the string pair
+    val probe = bhj.filter(_.leftKeys.size == 1)
+    assert(probe.nonEmpty,
+      "the gram-hash scoring probe must be a broadcast hash join on one key")
+    assert(probe.exists(_.leftKeys.head.dataType ==
+      org.apache.spark.sql.types.LongType),
+      "the scoring probe key must be the LONG gram hash, not a string pair")
     val pins = all.collect {
       case l: org.apache.spark.sql.execution.LocalTableScanExec => l
     }

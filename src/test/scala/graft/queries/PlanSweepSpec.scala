@@ -35,7 +35,9 @@ class PlanSweepSpec extends SparkSpec {
     "a_theta_overlap", // 1-row sketch frames × each other × 1-row exact-count frame (self-audit)
     "s_ivfpq_knn", // bounded query×centroid probe pick; the CODE scan itself is an equi-join on cell (plan-asserted in IvfPqSpec)
     "d_semantic_ivfpq", // same bounded ×nLists-centroid probe pick; candidates reached by the cell equi-join (plan-asserted in ScalableDedupSpec)
-    "d_semantic_ivfpq_exact" // exact-degradation oracle twin: same probe shape, all cells probed
+    "d_semantic_ivfpq_exact", // exact-degradation oracle twin: same probe shape, all cells probed
+    "d_semantic_subset_audit", // 1-row violations count × 1-row exact-pairs count (plus the bounded probe pick inside the capped run)
+    "s_ivfpq_recall" // bounded query×centroid probe pick, as s_ivfpq_knn; recall join itself is an equi-join on (q_id, vec_id)
   )
 
   /** Global-threshold / global-rank semantics: the unpartitioned window IS
