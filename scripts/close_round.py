@@ -135,6 +135,11 @@ def main():
         for name in sorted(claimed):
             if name.startswith(("http", "www")) or "/" in name:
                 continue
+            # deliberately-ignored artifacts (driver-regenerated per round,
+            # e.g. COPYCHECK.json) cannot be committed — rule 5 checks their
+            # CONTENT instead
+            if sh("git", "check-ignore", "-q", name).returncode == 0:
+                continue
             hits = [p for p in ls_files
                     if p == name or p.endswith("/" + name)]
             if not hits and os.path.exists(name):
