@@ -20,6 +20,10 @@ import graft.queries.Registry
   *
   * Usage: runMain graft.tools.ScaleSweep <out.json> <label=dir> [label=dir ...]
   *        [-- query ...]   (default: Bench.Sf1Heavy)
+  * Env: SPARK_GRAFT_SWEEP_RUNS (timed runs per cell, default 2);
+  *      SPARK_GRAFT_SWEEP_ACTION=count|noop (default count — see the
+  *      column-pruning note at the `consume` binding; registry-wide audits
+  *      want noop).
   */
 object ScaleSweep {
 
@@ -91,17 +95,28 @@ object ScaleSweep {
 
     val byName = Registry.all.map(q => q.name -> q).toMap
     val runs = sys.env.getOrElse("SPARK_GRAFT_SWEEP_RUNS", "2").toInt
+    // `count()` (the Bench-compatible default) lets Catalyst column-prune an
+    // un-consumed projection/window to a shell plan — fine for the join/agg
+    // heavy tail, wrong for a registry-wide audit where map-heavy queries
+    // would time ~nothing at every scale and read as falsely flat. `noop`
+    // materializes EVERY output column through Spark's no-op batch sink, so
+    // the timed work is the real plan at each scale.
+    val action = sys.env.getOrElse("SPARK_GRAFT_SWEEP_ACTION", "count")
+    val consume: org.apache.spark.sql.DataFrame => Unit = action match {
+      case "noop" => df => df.write.mode("overwrite").format("noop").save()
+      case _      => df => { df.count(); () }
+    }
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { name =>
       byName.get(name) match {
         case None => System.err.println(s"[sweep] no registry query named $name")
         case Some(q) =>
-          val warmed = warmToPlateau(() => q.run(spark, dirs.head._2).count())
+          val warmed = warmToPlateau(() => consume(q.run(spark, dirs.head._2)))
           val cells = dirs.map { case (label, d) =>
             val rec =
               try {
-                delta(q.run(spark, d).count()) // settle at this scale
-                val timed = (1 to runs).map(_ => delta(q.run(spark, d).count()))
+                delta(consume(q.run(spark, d))) // settle at this scale
+                val timed = (1 to runs).map(_ => delta(consume(q.run(spark, d))))
                 val cpu = timed.map(_._1).min
                 val sh = timed.map(_._2).max
                 val wall = timed.map(_._3).min
