@@ -11,16 +11,23 @@ object Metrics {
 
   /** A2 — per-play residual rollup feeding TrueSpeed (reference:
     * metrics.py:13-57: mean/median/sum/MAE/RMSE of actual−predicted).
-    * Median is exact via `percentile` (sort-based per group) — at very large
-    * group counts switch to percentile_approx, noted in the Scaladoc rather
-    * than silently.
+    * Median is exact via Percentiles.ranked/medianAgg — a streaming window
+    * plus a codegen conditional agg, bit-identical to the builtin
+    * `percentile` (GoldenParitySpec still reproduces the reference CSV) but
+    * with NO per-group object state: plays are millions of small groups, the
+    * regime where the builtin's per-group value→count maps drive
+    * ObjectHashAggregate into its sort-based fallback (measured on the a2
+    * registry twin: 231 cpu_s at 30×, exponent 1.27). Residuals are non-null
+    * by construction (prediction-join output); the window form would rank
+    * nulls first rather than ignore them.
     */
   def trueSpeedPerPlay(residuals: DataFrame): DataFrame =
-    residuals
+    graft.operators.Percentiles
+      .ranked(residuals, Seq("game_id", "play_id", "nfl_id"), "residual")
       .groupBy("game_id", "play_id", "nfl_id")
       .agg(
         avg("residual").as("residual_mean"),
-        expr("percentile(residual, 0.5)").as("residual_median"),
+        graft.operators.Percentiles.medianAgg("residual").as("residual_median"),
         sum("residual").as("residual_sum"),
         avg(abs(col("residual"))).as("residual_mae"),
         sqrt(avg(col("residual") * col("residual"))).as("residual_rmse"),

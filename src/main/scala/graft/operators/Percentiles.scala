@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Exact per-group interpolated percentiles (percentile_cont semantics) as
+  * distributed two-pass order statistics.
+  *
+  * Spark's builtin exact `percentile` aggregate buffers a value→count map per
+  * group in every task — state that grows with the number of DISTINCT values,
+  * not with any tunable, and hard-OOMs once a group's values outgrow the heap
+  * (the 30× registry scale audit killed an 8 g context this way: 18 M rows,
+  * 3 groups). The window form (`row_number` over a per-group sort) survives by
+  * spilling but caps parallelism at the group count — useless for few huge
+  * groups, the exact regime where percentiles are wanted. This operator keeps
+  * every stage bounded AND data-parallel:
+  *
+  *   1. range-partition by (group, value) + in-partition sort — Spark's
+  *      spillable sort; one group may span MANY partitions, so parallelism
+  *      scales with data volume, not group count;
+  *   2. first scan of the cached sort counts contiguous (partition, group)
+  *      runs — a sorted group is contiguous, so the driver collects at most
+  *      #groups + #partitions rows, metadata-scale at any corpus size;
+  *   3. the driver prefix-sums run counts into per-partition global rank
+  *      offsets and broadcasts the ≤ 2·|qs| target ranks per group
+  *      (floor/ceil of pos = (n−1)·q — percentile_cont's rank pair);
+  *   4. second scan emits only rows whose global rank is a target
+  *      (≤ 2·|qs|·#groups rows total);
+  *   5. the driver interpolates with Spark `Percentile`'s exact double
+  *      arithmetic (see [[interpolate]]) — bit-parity with the builtin, and
+  *      within one ulp of DuckDB's `quantile_cont` (the oracle rounds to 6
+  *      decimals, far above ulp noise).
+  *
+  * The operator is EAGER (runs three jobs: sample-for-ranges, run-count,
+  * rank-extract) and returns a small local result frame
+  * (group: string, q: double, value: double) — one row per (group, q).
+  * Null values are ignored (builtin/`quantile_cont` behavior); null group
+  * keys form their own group (SQL GROUP BY behavior). Ties are safe: rows
+  * tied on (group, value) may be permuted by cache rescans, but every
+  * permutation carries the same value at every rank.
+  */
+object Percentiles {
+
+  private val outSchema = (g: String) => StructType(Seq(
+    StructField(g, StringType, nullable = true),
+    StructField("q", DoubleType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** percentile_cont over a sorted run, in Spark `Percentile`'s exact
+    * arithmetic — the symmetric weighted form
+    * (hi − pos)·lower + (pos − lo)·upper, NOT lower + frac·(upper − lower):
+    * the two differ in the last ulp and the spec pins bit-parity with the
+    * builtin wherever the builtin can run at all. */
+  private[operators] def interpolate(n: Long, q: Double,
+      at: Long => Double): Double = {
+    val pos = (n - 1) * q
+    val lo = math.floor(pos).toLong
+    val hi = math.ceil(pos).toLong
+    val lower = at(lo)
+    if (hi == lo) return lower
+    val upper = at(hi)
+    if (upper == lower) lower
+    else (hi - pos) * lower + (pos - lo) * upper
+  }
+
+  /** Stage 1 of the window-median form (the right shape when GROUPS ARE
+    * SMALL but numerous — the regime where the builtin `percentile`'s
+    * per-group value→count maps drown in object churn and ObjectHashAggregate
+    * falls back to sorting anyway): rank rows within each group by value.
+    * `__rn` (1-based rank, streaming row_number) and `__nn` (group size;
+    * unbounded-frame count buffers only one GROUP's rows, fine for small
+    * groups) ride along for [[medianAgg]]. One exchange on `groupCols` that
+    * a following `groupBy(groupCols)` reuses. Null values rank first —
+    * callers wanting builtin ignore-null semantics should filter first.
+    */
+  def ranked(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(byG.orderBy(col(valueCol))))
+      .withColumn("__nn", count(lit(1)).over(byG))
+  }
+
+  /** Stage 2: exact median over a [[ranked]] frame, as a plain codegen'd
+    * conditional agg — bit-identical to `percentile(v, 0.5)`: the builtin
+    * computes (hi−pos)·lower + (pos−lo)·upper, which at q=0.5 is
+    * 0.5·lower + 0.5·upper; for odd groups lo == hi and the element itself
+    * comes back exactly (0.5v + 0.5v = v). */
+  def medianAgg(valueCol: String): org.apache.spark.sql.Column = {
+    // Column `/` is double division; floor() recovers the integer middle
+    // ranks (exact for any realistic group size — doubles are integral to 2⁵³)
+    val lo = floor((col("__nn") + 1) / 2) // 1-based lower middle
+    val hi = floor(col("__nn") / 2) + 1
+    max(when(col("__rn") === lo, col(valueCol))) * 0.5 +
+      max(when(col("__rn") === hi, col(valueCol))) * 0.5
+  }
+
+  /** Exact percentiles of `valueCol` (cast to double, nulls ignored) for each
+    * value of `groupCol` (cast to string), at quantiles `qs` ∈ [0, 1].
+    * `partitions` = 0 uses spark.sql.shuffle.partitions.
+    */
+  def exactByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], partitions: Int = 0): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    val spark = df.sparkSession
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), outSchema(groupCol))
+    val vals = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+    val p = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = vals
+      .repartitionByRange(p, col("__g"), col("__v"))
+      .sortWithinPartitions("__g", "__v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      // one RDD handle for both scans: identical partition ids by construction
+      val rdd = sorted.as[(String, Double)].rdd
+
+      // pass 1: contiguous (partition, group) run lengths, in partition order
+      val runs: Array[(Int, String, Long)] =
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+          var cur: String = null
+          var started = false
+          var cnt = 0L
+          it.foreach { case (g, _) =>
+            if (started && g == cur) cnt += 1
+            else {
+              if (started) out += ((pid, cur, cnt))
+              cur = g; cnt = 1L; started = true
+            }
+          }
+          if (started) out += ((pid, cur, cnt))
+          out.iterator
+        }.collect()
+      if (runs.isEmpty) return empty
+
+      // prefix-sum to per-(partition, group) global rank offsets + totals
+      val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val offsets = runs.map { case (pid, g, cnt) =>
+        val off = totals.getOrElse(g, 0L)
+        totals(g) = off + cnt
+        (pid, g) -> off
+      }.toMap
+
+      // target ranks per group: floor/ceil of (n−1)·q for every q
+      val targets: Map[String, Set[Long]] = totals.map { case (g, n) =>
+        g -> qs.flatMap { q =>
+          val pos = (n - 1) * q
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.toSet
+      }.toMap
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val bTgt = spark.sparkContext.broadcast(targets)
+
+      // pass 2: emit exactly the target-rank rows
+      val hits: Array[(String, Long, Double)] =
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          val off = bOff.value
+          val tgt = bTgt.value
+          var cur: String = null
+          var started = false
+          var rank = 0L
+          it.flatMap { case (g, v) =>
+            if (!started || g != cur) {
+              cur = g; started = true; rank = off((pid, g))
+            }
+            val r = rank
+            rank += 1
+            if (tgt(g).contains(r)) Some((g, r, v)) else None
+          }
+        }.collect()
+
+      val byGroup: Map[String, Map[Long, Double]] =
+        hits.groupBy(_._1).map { case (g, a) =>
+          g -> a.map(h => h._2 -> h._3).toMap
+        }
+      val rows = new java.util.ArrayList[Row]()
+      totals.foreach { case (g, n) =>
+        val at = byGroup(g)
+        qs.foreach { q =>
+          rows.add(Row(g, q, interpolate(n, q, at.apply)))
+        }
+      }
+      spark.createDataFrame(rows, outSchema(groupCol))
+    } finally sorted.unpersist(blocking = false)
+  }
+}

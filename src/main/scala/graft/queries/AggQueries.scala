@@ -50,16 +50,22 @@ object AggQueries {
 
     // A2 — residual-stats agg: mean/median/sum/MAE/RMSE (reference: TrueSpeed residual
     // rollup, metrics.py:13-57). Median is exact (quantities are .0/.5-exact doubles,
-    // so both engines' linear interpolation is exact).
+    // so both engines' linear interpolation is exact). The median comes from
+    // Percentiles.ranked/medianAgg (streaming window + codegen conditional agg,
+    // one exchange the groupBy reuses) — the builtin `percentile` here means an
+    // ObjectHashAggregate holding one value→count map PER ORDER (millions of
+    // groups), which falls back to sort-based aggregation and drove the 30×
+    // scale audit to 231 cpu_s / exponent 1.27.
     QueryDef(
       "a2_residual_stats",
       (s, dir) =>
-        Tables.lineitem(s, dir)
+        graft.operators.Percentiles
+          .ranked(Tables.lineitem(s, dir), Seq("l_orderkey"), "l_quantity")
           .groupBy("l_orderkey")
           .agg(
             count(lit(1)).as("n"),
             Exact.davg(col("l_quantity")).as("mean_q"),
-            expr("percentile(l_quantity, 0.5)").as("med_q"),
+            graft.operators.Percentiles.medianAgg("l_quantity").as("med_q"),
             Exact.dsum(col("l_quantity")).as("sum_q"),
             Exact.davg(abs(col("l_quantity") - 25.0)).as("mae"),
             sqrt(Exact.davg((col("l_quantity") - 25.0) * (col("l_quantity") - 25.0)))
@@ -542,18 +548,26 @@ object AggQueries {
 
     // Exact interpolated percentiles per group (SQL-standard PERCENTILE_CONT
     // semantics: both engines sort and linearly interpolate; round(6) guards
-    // the interpolation's last ulp). At 100 TB the approximate twin
-    // (a_approx_quantiles) replaces the per-group sort.
+    // the interpolation's last ulp). Computed by graft.operators.Percentiles
+    // — distributed order statistics over a range-partitioned spillable sort
+    // — NOT Spark's builtin `percentile` aggregate, whose per-task value→
+    // count map is unbounded state: the 30× registry scale audit heap-killed
+    // the builtin on 18 M rows over 3 groups. The operator stays bounded and
+    // data-parallel at any scale; a_approx_quantiles remains the sketch twin.
     QueryDef(
       "a_percentiles",
-      (s, dir) =>
-        Tables.lineitem(s, dir)
+      (s, dir) => {
+        val qs = Seq(0.25, 0.5, 0.75)
+        graft.operators.Percentiles
+          .exactByGroup(Tables.lineitem(s, dir), "l_returnflag",
+            "l_extendedprice", qs)
           .groupBy("l_returnflag")
           .agg(
-            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
-          .orderBy("l_returnflag"),
+            round(max(when(col("q") === 0.25, col("value"))), 6).as("p25"),
+            round(max(when(col("q") === 0.5, col("value"))), 6).as("p50"),
+            round(max(when(col("q") === 0.75, col("value"))), 6).as("p75"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
              |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

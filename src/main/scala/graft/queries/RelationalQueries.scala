@@ -449,11 +449,17 @@ object RelationalQueries {
     QueryDef(
       "p_winsorize",
       (s, dir) => {
-        val pct = Tables.lineitem(s, dir)
+        // thresholds via the order-statistics operator (bit-identical
+        // interpolation to the builtin `percentile`, whose 3-group value→
+        // count maps are the exact shape that heap-killed a_percentiles in
+        // the 30× scale audit)
+        val pct = graft.operators.Percentiles
+          .exactByGroup(Tables.lineitem(s, dir), "l_returnflag",
+            "l_extendedprice", Seq(0.05, 0.95))
           .groupBy("l_returnflag")
-          .agg(expr("percentile(l_extendedprice, 0.05)")
+          .agg(max(when(col("q") === 0.05, col("value")))
             .cast(Exact.dt).cast("double").as("p05"),
-            expr("percentile(l_extendedprice, 0.95)")
+            max(when(col("q") === 0.95, col("value")))
               .cast(Exact.dt).cast("double").as("p95"))
         Tables.lineitem(s, dir)
           .join(broadcast(pct), Seq("l_returnflag"))

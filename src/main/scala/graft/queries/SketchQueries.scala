@@ -114,14 +114,21 @@ object SketchQueries {
 
     QueryDef(
       "a_approx_quantiles",
-      (s, dir) =>
-        Tables.lineitem(s, dir)
+      (s, dir) => {
+        // the exact audit column comes from the order-statistics operator —
+        // the builtin's per-group value→count map over a high-distinct
+        // column is the a_percentiles OOM shape
+        val approx = Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
-          .agg(
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-              .as("approx_median"),
-            expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
-          .orderBy("l_returnflag"),
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median"))
+        val exact = graft.operators.Percentiles
+          .exactByGroup(Tables.lineitem(s, dir), "l_returnflag",
+            "l_extendedprice", Seq(0.5))
+          .select(col("l_returnflag"), col("value").as("exact_median"))
+        approx.join(broadcast(exact), Seq("l_returnflag"))
+          .orderBy("l_returnflag")
+      },
       None),
 
     // Mergeable HLL sketches — the 100 TB distinct-count architecture: sketch
@@ -244,10 +251,16 @@ object SketchQueries {
           .select(col("n_days"),
             TDigest.quantileOf(col("td"), 0.5).as("td_p50"),
             TDigest.quantileOf(col("td"), 0.99).as("td_p99"))
-        val exact = ev.agg(
-          expr("percentile(value, 0.5)").as("exact_p50"),
-          expr("percentile(value, 0.99)").as("exact_p99"),
-          count(lit(1)).as("n_events"))
+        // exact audit quantiles via the order-statistics operator (a global
+        // builtin `percentile` holds EVERY distinct value in one map — the
+        // a_percentiles OOM shape, worst-cased here by a single group)
+        val exactQ = graft.operators.Percentiles
+          .exactByGroup(ev.withColumn("__all", lit("all")), "__all", "value",
+            Seq(0.5, 0.99))
+          .agg(
+            max(when(col("q") === 0.5, col("value"))).as("exact_p50"),
+            max(when(col("q") === 0.99, col("value"))).as("exact_p99"))
+        val exact = exactQ.crossJoin(ev.agg(count(lit(1)).as("n_events")))
         merged.crossJoin(exact)
       },
       None,

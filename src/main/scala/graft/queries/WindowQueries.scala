@@ -208,17 +208,24 @@ object WindowQueries {
     // median(|value - med|). Two grouped exact medians; deterministic
     // cross-engine because both interpolate even counts as the mean of two
     // IDENTICAL doubles (2-decimal inputs), and |x - med| reproduces
-    // exactly on both sides.
+    // exactly on both sides. Both medians go through Percentiles.ranked/
+    // medianAgg (streaming window + codegen agg, bit-identical to the
+    // builtin) — the builtin's per-user value→count object maps are the
+    // ObjectHashAggregate shape the 30× scale audit flagged on a2.
     QueryDef(
       "w_mad",
       (s, dir) => {
-        val med = ev(s, dir).groupBy("user_id")
-          .agg(expr("percentile(value, 0.5)").as("med"))
-        ev(s, dir).join(med, Seq("user_id"))
+        import graft.operators.Percentiles
+        val med = Percentiles.ranked(ev(s, dir), Seq("user_id"), "value")
+          .groupBy("user_id")
+          .agg(Percentiles.medianAgg("value").as("med"))
+        val dev = ev(s, dir).join(med, Seq("user_id"))
+          .withColumn("__adev", abs(col("value") - col("med")))
+        Percentiles.ranked(dev, Seq("user_id"), "__adev")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
             first(col("med")).as("med"),
-            expr("percentile(abs(value - med), 0.5)").as("mad"))
+            Percentiles.medianAgg("__adev").as("mad"))
           .orderBy("user_id")
       },
       Some("""WITH med AS (
