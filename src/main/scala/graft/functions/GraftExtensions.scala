@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatDot(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("float_l2sq"),
+      FloatL2Sq.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "float_l2sq takes exactly 2 arguments")
+        FloatL2Sq(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("token_gram_hash"),
       TokenGramHash.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
@@ -58,6 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   def rolling_hash(c: Column): Column = call_function("rolling_hash", c)
   def float_dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
+  def float_l2sq(a: Column, b: Column): Column = call_function("float_l2sq", a, b)
   def token_gram_hash(c: Column, n: Column): Column =
     call_function("token_gram_hash", c, n)
   def whitespace_tokens(c: Column): Column = call_function("whitespace_tokens", c)

@@ -38,16 +38,17 @@ object Ivf {
     Index(centroids, assigned, nLists)
   }
 
-  private val l2ToCentroid = expr(
-    "aggregate(zip_with(embedding, centroid, (x, c) -> " +
-      "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0.0D, (a, p) -> a + p)")
+  // Distances via the native codegen'd sequential fold
+  // (graft.functions.FloatL2Sq) — bit-identical to the HOF
+  // `aggregate(zip_with(...))` forms these used to spell (same element
+  // widening, same left-to-right accumulation; the ANN oracles stay
+  // hash-green) with none of the per-element lambda/intermediate-array cost
+  // that dominated the candidate joins in the 30× scale audit.
+  private val l2ToCentroid = expr("float_l2sq(embedding, centroid)")
 
   /** Exact L2² between `q_emb` and `embedding` — shared with [[Pq]]'s
     * re-rank so the two ANN paths score bit-identically. */
-  private[operators] val l2Pair = expr(
-    "aggregate(zip_with(q_emb, embedding, (x, y) -> " +
-      "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-      "0.0D, (a, p) -> a + p)")
+  private[operators] val l2Pair = expr("float_l2sq(q_emb, embedding)")
 
   /** Top-k (Euclidean) neighbors for each query vector, probing nProbe cells.
     * Queries: (vec_id, embedding). Returns (q_id, rank, vec_id, l2_dist).

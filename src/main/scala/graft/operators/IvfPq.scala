@@ -133,9 +133,8 @@ object IvfPq {
       .as("embedding"))
     val best = guarded
       .crossJoin(broadcast(cents))
-      .withColumn("cdist", expr(
-        """aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid,
-          |  (x, c) -> (x - c) * (x - c)), 0.0D, (a, p) -> a + p)""".stripMargin))
+      // native codegen'd fold — bit-identical to the HOF zip_with form
+      .withColumn("cdist", expr("float_l2sq(embedding, centroid)"))
       .groupBy("vec_id")
       .agg(min_by(struct(col("cell"), col("centroid"), col("embedding")),
         struct(col("cdist"), col("cell"))).as("b"))
@@ -460,9 +459,8 @@ object IvfPq {
            |                        ', index expects $dim')) END""".stripMargin)
         .as("q_emb"))
       .crossJoin(broadcast(idx.ivf.centroids))
-      .withColumn("cdist", expr(
-        """aggregate(zip_with(CAST(q_emb AS ARRAY<DOUBLE>), centroid,
-          |  (x, c) -> (x - c) * (x - c)), 0.0D, (a, p) -> a + p)""".stripMargin))
+      // native codegen'd fold — bit-identical to the HOF zip_with form
+      .withColumn("cdist", expr("float_l2sq(q_emb, centroid)"))
       .withColumn("pr", row_number().over(cellW))
       .filter(col("pr") <= nProbe)
       .withColumn("q_resid", expr(

@@ -81,8 +81,25 @@ object ScalableDedup {
     * the internal index caches can be released before returning.
     */
   def embeddingNearDupsIvfPq(vecs: DataFrame, dim: Int, maxSqDistance: Double,
-      nLists: Int = 16, nProbe: Int = 2, m: Int = 16, k: Int = 16): DataFrame = {
-    val idx = IvfPq.build(vecs, dim, nLists, m, k)
+      nLists: Int = 0, nProbe: Int = 2, m: Int = 16, k: Int = 16): DataFrame = {
+    // nLists = 0 (the default) self-scales the cell count to ~√n. A FIXED
+    // cell count is quadratic: cells grow linearly with the corpus and the
+    // cell equi-join enumerates O(n²·nProbe/nLists) candidate pairs — the 30×
+    // registry scale audit measured cpu exponent ~1.9 on this operator with
+    // the old fixed default of 16. √n cells make build (KMeans assign,
+    // n·√n), probe ranking (n·√n), and candidate verification (n·nProbe·√n)
+    // all O(n^1.5) — the standard IVF balance point. The next rung at true
+    // 100 TB scale is a hierarchical (two-level) coarse quantizer, which
+    // drops the assign/probe terms to n·∜n-ish; cells stay the physical
+    // layout either way.
+    val lists =
+      if (nLists > 0) nLists
+      else {
+        val n = vecs.count() // one footer-count job; the build is eager anyway
+        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+          .min(math.max(1L, n)).toInt // KMeans needs k <= n
+      }
+    val idx = IvfPq.build(vecs, dim, lists, m, k)
     // materialize the (bounded: pairs within threshold) result so the
     // index cache can be released before returning
     val pairs = ivfPqCandidatePairs(vecs, idx, nProbe, maxSqDistance)
@@ -101,9 +118,9 @@ object ScalableDedup {
     val probes = vecs
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(idx.ivf.centroids))
-      .withColumn("cdist", expr(
-        """aggregate(zip_with(CAST(q_emb AS ARRAY<DOUBLE>), centroid,
-          |  (x, c) -> (x - c) * (x - c)), 0.0D, (a, p) -> a + p)""".stripMargin))
+      // native codegen'd fold (graft.functions.FloatL2Sq) — bit-identical to
+      // the HOF zip_with form, none of its per-element lambda cost
+      .withColumn("cdist", expr("float_l2sq(q_emb, centroid)"))
       .withColumn("pr", row_number().over(cellW))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cell"))

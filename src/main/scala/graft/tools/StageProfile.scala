@@ -29,8 +29,14 @@ object StageProfile {
     val spark = graft.GraftSession.builder(cpus).getOrCreate()
     val q = graft.queries.Registry.all.find(_.name == qname)
       .getOrElse(sys.error(s"no registry query named $qname"))
+    // SPARK_GRAFT_SWEEP_ACTION=noop: consume every output column (ScaleSweep's
+    // audit action) instead of count(), which column-prunes map-only work
+    val consume: org.apache.spark.sql.DataFrame => Unit =
+      if (sys.env.get("SPARK_GRAFT_SWEEP_ACTION").contains("noop"))
+        df => df.write.mode("overwrite").format("noop").save()
+      else df => { df.count(); () }
 
-    q.run(spark, dir).count() // warm: staging, codegen, JIT
+    consume(q.run(spark, dir)) // warm: staging, codegen, JIT
 
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     val listener = new SparkListener {
@@ -50,7 +56,7 @@ object StageProfile {
       stages.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      q.run(spark, dir).count()
+      consume(q.run(spark, dir))
       val wallMs = (System.nanoTime() - t0) / 1e6
       Thread.sleep(500) // let the listener bus drain
       spark.sparkContext.removeSparkListener(listener)
