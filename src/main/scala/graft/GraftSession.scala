@@ -21,7 +21,15 @@ object GraftSession {
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cores]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // Default: one shuffle partition per core — right for bench-scale data
+      // on this box. SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for scale
+      // experiments: a cluster sizes shuffle partitions to DATA (AQE
+      // coalesces from a high initial count), and holding 32 while data
+      // grows 100× makes per-task aggregation state grow linearly — the
+      // registry scale audit measured map-side partial aggs falling back to
+      // pass-through emission exactly this way (d_dup_spans, NOTES_r15 §12).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

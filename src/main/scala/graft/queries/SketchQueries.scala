@@ -251,16 +251,18 @@ object SketchQueries {
           .select(col("n_days"),
             TDigest.quantileOf(col("td"), 0.5).as("td_p50"),
             TDigest.quantileOf(col("td"), 0.99).as("td_p99"))
-        // exact audit quantiles via the order-statistics operator (a global
-        // builtin `percentile` holds EVERY distinct value in one map — the
-        // a_percentiles OOM shape, worst-cased here by a single group)
-        val exactQ = graft.operators.Percentiles
-          .exactByGroup(ev.withColumn("__all", lit("all")), "__all", "value",
-            Seq(0.5, 0.99))
-          .agg(
-            max(when(col("q") === 0.5, col("value"))).as("exact_p50"),
-            max(when(col("q") === 0.99, col("value"))).as("exact_p99"))
-        val exact = exactQ.crossJoin(ev.agg(count(lit(1)).as("n_events")))
+        // exact audit quantiles via the builtin: a global `percentile` holds
+        // one map entry per DISTINCT value, and events.value is a bounded
+        // 2-decimal metric domain (measured: 17,792 distinct at sf0.1 AND at
+        // 30× — constant), so the map is ~18k entries at any corpus size.
+        // The a_percentiles OOM shape needs an UNBOUNDED value domain
+        // (prices, measurements at full precision) — those sites use
+        // operators.Percentiles; converting this one cost a 102× bench
+        // regression for no scale win (r15 continuation, bench_diff).
+        val exact = ev.agg(
+          expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("percentile(value, 0.99)").as("exact_p99"),
+          count(lit(1)).as("n_events"))
         merged.crossJoin(exact)
       },
       None,

@@ -246,9 +246,20 @@ object WindowQueries {
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
           .rowsBetween(-9, Window.currentRow)
+        // collect the (bounded, ≤10-element) frame and take the median from
+        // the sorted array — bit-identical to `percentile(value, 0.5)` over
+        // the frame (odd n: the middle element; even n: 0.5·lo + 0.5·hi,
+        // the builtin's symmetric form), but pure codegen'd array arithmetic
+        // instead of the interpreted TypedImperativeAggregate the builtin
+        // re-runs per frame (the registry scale audit measured ~5 µs/row on
+        // it — the registry's costliest window)
         ev(s, dir)
           .select(col("event_id"),
-            expr("percentile(value, 0.5)").over(w).as("roll_med"))
+            array_sort(collect_list(col("value")).over(w)).as("fr"))
+          .select(col("event_id"), expr(
+            """0.5D * element_at(fr, CAST((size(fr) + 1) DIV 2 AS INT)) +
+              |0.5D * element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT))"""
+              .stripMargin).as("roll_med"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id,

@@ -80,7 +80,10 @@ class PlanFingerprintSpec extends SparkSpec {
     "l_pruned_bloom_join" -> Fp(2, 1, 0, 0),
     // t-digest rollup: daily sketch agg + merge agg + final order (3
     // exchanges); the 1-row exact-percentile frame rides a documented
-    // broadcast nested-loop cross join (PlanSweepSpec allowlist shape)
+    // broadcast nested-loop cross join (PlanSweepSpec allowlist shape).
+    // The exact columns stay on the builtin percentile — events.value is a
+    // bounded distinct domain (see the query's comment), so the map is
+    // ~18k entries at any scale
     "a_tdigest_quantiles" -> Fp(3, 0, 0, 1),
   )
 
