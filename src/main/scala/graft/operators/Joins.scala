@@ -140,7 +140,7 @@ object Joins {
     }.mkString(";")
   }
 
-  private def cachedPreflight(left: DataFrame, right: DataFrame,
+  private[operators] def cachedPreflight(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String], k: Int): Preflight = {
     val key = s"${left.queryExecution.analyzed.semanticHash()}|" +
       s"${right.queryExecution.analyzed.semanticHash()}|" +

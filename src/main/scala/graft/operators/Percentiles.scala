@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Exact per-group interpolated percentiles (percentile_cont semantics) as
@@ -33,18 +33,32 @@ import org.apache.spark.storage.StorageLevel
   *      within one ulp of DuckDB's `quantile_cont` (the oracle rounds to 6
   *      decimals, far above ulp noise).
   *
-  * The operator is EAGER (runs three jobs: sample-for-ranges, run-count,
-  * rank-extract) and returns a small local result frame
-  * (group: string, q: double, value: double) — one row per (group, q).
+  * == Execution contract — read before composing ==
+  * The operator is EAGER: calling it RUNS THREE SPARK JOBS immediately
+  * (sample-for-ranges, run-count, rank-extract) and returns a DRIVER-LOCAL
+  * result frame (group: original dtype, q: double, value: double — one row
+  * per (group, q)). It is a terminal action, not a lazy transformation:
+  * composing it mid-DAG materializes at the call site and severs lineage —
+  * downstream operators see a `LocalRelation`, not the input's plan. That is
+  * the intended shape (the result is metadata-scale by construction), but a
+  * caller expecting lazy semantics should either call it last or treat the
+  * result as a broadcast-joinable lookup table. Driver state is bounded by
+  * `maxGroups` (pass 1 run counts ≈ #groups + #partitions; pass 2 hits
+  * ≤ 2·|qs|·#groups): the operator REFUSES with an actionable error when the
+  * group count exceeds it, because the many-small-groups regime belongs on
+  * [[ranked]]/[[medianAgg]] (one distributed window pass, no driver state).
+  *
   * Null values are ignored (builtin/`quantile_cont` behavior); null group
-  * keys form their own group (SQL GROUP BY behavior). Ties are safe: rows
-  * tied on (group, value) may be permuted by cache rescans, but every
+  * keys form their own group (SQL GROUP BY behavior). The group column keeps
+  * its input DataType in the output schema (it must be range-partitionable,
+  * i.e. orderable — true of every GROUP BY-able atomic type). Ties are safe:
+  * rows tied on (group, value) may be permuted by cache rescans, but every
   * permutation carries the same value at every rank.
   */
 object Percentiles {
 
-  private val outSchema = (g: String) => StructType(Seq(
-    StructField(g, StringType, nullable = true),
+  private def outSchema(g: StructField) = StructType(Seq(
+    g.copy(nullable = true),
     StructField("q", DoubleType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
@@ -72,14 +86,20 @@ object Percentiles {
     * `__rn` (1-based rank, streaming row_number) and `__nn` (group size;
     * unbounded-frame count buffers only one GROUP's rows, fine for small
     * groups) ride along for [[medianAgg]]. One exchange on `groupCols` that
-    * a following `groupBy(groupCols)` reuses. Null values rank first —
-    * callers wanting builtin ignore-null semantics should filter first.
+    * a following `groupBy(groupCols)` reuses. Null semantics MATCH the
+    * builtin `percentile` (nulls ignored): `__nn` counts only non-null
+    * values, and since nulls sort FIRST under ascending row_number, shifting
+    * ranks down by the group's null count gives non-null values ranks
+    * 1..`__nn` while null rows land at ranks ≤ 0 — never a median target.
+    * An all-null group yields a NULL median, like the builtin. With no nulls
+    * the shift is zero and both columns are bit-identical to the r15 form.
     */
   def ranked(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byG = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(byG.orderBy(col(valueCol))))
-      .withColumn("__nn", count(lit(1)).over(byG))
+    df.withColumn("__nn", count(col(valueCol)).over(byG))
+      .withColumn("__rn", row_number().over(byG.orderBy(col(valueCol)))
+        - (count(lit(1)).over(byG) - col("__nn")))
   }
 
   /** Stage 2: exact median over a [[ranked]] frame, as a plain codegen'd
@@ -97,19 +117,24 @@ object Percentiles {
   }
 
   /** Exact percentiles of `valueCol` (cast to double, nulls ignored) for each
-    * value of `groupCol` (cast to string), at quantiles `qs` ∈ [0, 1].
-    * `partitions` = 0 uses spark.sql.shuffle.partitions.
+    * value of `groupCol` (ORIGINAL DataType preserved in the output schema;
+    * must be orderable for range partitioning), at quantiles `qs` ∈ [0, 1].
+    * `partitions` = 0 uses spark.sql.shuffle.partitions. EAGER — see the
+    * object scaladoc's execution contract. Refuses when the observed group
+    * count exceeds `maxGroups` (default 2²², ~100 MB of driver run-count
+    * metadata at worst): that regime belongs on [[ranked]]/[[medianAgg]].
     */
   def exactByGroup(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[Double], partitions: Int = 0): DataFrame = {
+      qs: Seq[Double], partitions: Int = 0,
+      maxGroups: Long = 1L << 22): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
     val spark = df.sparkSession
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[Row](), outSchema(groupCol))
+    val gField = df.schema(groupCol)
+    val schema = outSchema(gField)
+    val empty = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     val vals = df
-      .select(col(groupCol).cast("string").as("__g"),
-        col(valueCol).cast("double").as("__v"))
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
     val p = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
@@ -118,19 +143,24 @@ object Percentiles {
       .sortWithinPartitions("__g", "__v")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      import spark.implicits._
-      // one RDD handle for both scans: identical partition ids by construction
-      val rdd = sorted.as[(String, Double)].rdd
+      // one RDD handle for both scans: identical partition ids by
+      // construction. Row-based (not a typed Dataset) so the group key keeps
+      // whatever external type its DataType maps to; keys are compared and
+      // hashed as plain JVM values (null-safe), which is exact for every
+      // atomic GROUP BY-able type.
+      val rdd = sorted.rdd
+      val eq = (a: Any, b: Any) => java.util.Objects.equals(a, b)
 
       // pass 1: contiguous (partition, group) run lengths, in partition order
-      val runs: Array[(Int, String, Long)] =
+      val runs: Array[(Int, Any, Long)] =
         rdd.mapPartitionsWithIndex { (pid, it) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-          var cur: String = null
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
+          var cur: Any = null
           var started = false
           var cnt = 0L
-          it.foreach { case (g, _) =>
-            if (started && g == cur) cnt += 1
+          it.foreach { row =>
+            val g = row.get(0)
+            if (started && eq(g, cur)) cnt += 1
             else {
               if (started) out += ((pid, cur, cnt))
               cur = g; cnt = 1L; started = true
@@ -142,15 +172,24 @@ object Percentiles {
       if (runs.isEmpty) return empty
 
       // prefix-sum to per-(partition, group) global rank offsets + totals
-      val totals = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val totals = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
       val offsets = runs.map { case (pid, g, cnt) =>
         val off = totals.getOrElse(g, 0L)
         totals(g) = off + cnt
         (pid, g) -> off
       }.toMap
+      if (totals.size > maxGroups) {
+        throw new IllegalArgumentException(
+          s"Percentiles.exactByGroup: ${totals.size} groups exceeds " +
+          s"maxGroups=$maxGroups — driver rank metadata would not be " +
+          "metadata-scale. The many-small-groups regime belongs on " +
+          "Percentiles.ranked/medianAgg (one distributed window pass, " +
+          "no driver state); raise maxGroups only if the driver heap is " +
+          "sized for it.")
+      }
 
       // target ranks per group: floor/ceil of (n−1)·q for every q
-      val targets: Map[String, Set[Long]] = totals.map { case (g, n) =>
+      val targets: Map[Any, Set[Long]] = totals.map { case (g, n) =>
         g -> qs.flatMap { q =>
           val pos = (n - 1) * q
           Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
@@ -160,15 +199,17 @@ object Percentiles {
       val bTgt = spark.sparkContext.broadcast(targets)
 
       // pass 2: emit exactly the target-rank rows
-      val hits: Array[(String, Long, Double)] =
+      val hits: Array[(Any, Long, Double)] =
         rdd.mapPartitionsWithIndex { (pid, it) =>
           val off = bOff.value
           val tgt = bTgt.value
-          var cur: String = null
+          var cur: Any = null
           var started = false
           var rank = 0L
-          it.flatMap { case (g, v) =>
-            if (!started || g != cur) {
+          it.flatMap { row =>
+            val g = row.get(0)
+            val v = row.getDouble(1)
+            if (!started || !eq(g, cur)) {
               cur = g; started = true; rank = off((pid, g))
             }
             val r = rank
@@ -177,7 +218,7 @@ object Percentiles {
           }
         }.collect()
 
-      val byGroup: Map[String, Map[Long, Double]] =
+      val byGroup: Map[Any, Map[Long, Double]] =
         hits.groupBy(_._1).map { case (g, a) =>
           g -> a.map(h => h._2 -> h._3).toMap
         }
@@ -188,7 +229,7 @@ object Percentiles {
           rows.add(Row(g, q, interpolate(n, q, at.apply)))
         }
       }
-      spark.createDataFrame(rows, outSchema(groupCol))
+      spark.createDataFrame(rows, schema)
     } finally sorted.unpersist(blocking = false)
   }
 }

@@ -312,6 +312,35 @@ object JoinQueries {
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
       headline = true),
 
+    // J7 ROUTED — the library entry point that picks between the two forms
+    // above on MEASURED stats (r15 VERDICT #2): the preflight's Misra–Gries
+    // max-rows-per-key bound proves bounded fan-out → pairwise (the
+    // reference's regime, linear, unbounded parallelism), or declines it →
+    // sorted-neighbor (fixed group count, O((L+R) log)). Same oracle as j7 —
+    // both routes are bit-identical by construction (NearestInGroupSpec) and
+    // the decision+reason land in the job log like Joins.routed. Supplier
+    // has 25 nations × (SF·400) rows/key, so the route FLIPS with scale:
+    // pairwise at sf0.01/sf0.1 (4–40/key, under the 256 fan-out bound),
+    // sorted-neighbor from sf1 (400/key) — an adaptive path the sf10
+    // correctness tier gates in the regime it actually takes at scale.
+    QueryDef(
+      "j7_nearest_routed",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("nk"), col("c_acctbal"))
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_nationkey").as("nk"), col("s_acctbal"))
+        graft.operators.NearestInGroup
+          .nearest(cust, sup, Seq("nk"), Seq("nk"), "c_acctbal", "s_acctbal")
+          .df
+          .select(col("c_custkey"), col("n_group").as("n_sup"), col("min_gap"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_sup,
+             |       min(abs(c_acctbal - s_acctbal)) AS min_gap
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
     // J8 — left join + fill default (reference: merge defender_sep, missing → 20.0,
     // BDB_2026.ipynb cell 69/75)
     QueryDef(

@@ -253,13 +253,19 @@ object WindowQueries {
         // instead of the interpreted TypedImperativeAggregate the builtin
         // re-runs per frame (the registry scale audit measured ~5 µs/row on
         // it — the registry's costliest window)
+        // collect_list skips nulls, so an all-null frame is EMPTY (size 0) —
+        // guard it to NULL like `percentile(value, 0.5) OVER w` would return,
+        // instead of element_at throwing on index 0 (r15 ADVICE; unreachable
+        // with events.value's non-null contract, but not a contract this
+        // query should silently depend on)
         ev(s, dir)
           .select(col("event_id"),
             array_sort(collect_list(col("value")).over(w)).as("fr"))
           .select(col("event_id"), expr(
-            """0.5D * element_at(fr, CAST((size(fr) + 1) DIV 2 AS INT)) +
-              |0.5D * element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT))"""
-              .stripMargin).as("roll_med"))
+            """CASE WHEN size(fr) = 0 THEN CAST(NULL AS DOUBLE)
+              |ELSE 0.5D * element_at(fr, CAST((size(fr) + 1) DIV 2 AS INT)) +
+              |     0.5D * element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT))
+              |END""".stripMargin).as("roll_med"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id,

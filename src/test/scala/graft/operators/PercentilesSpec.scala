@@ -77,6 +77,47 @@ class PercentilesSpec extends SparkSpec {
     assert(got(0.99) == Percentiles.interpolate(n, 0.99, i => (i + 1).toDouble))
   }
 
+  test("the group column keeps its input DataType (r15 ADVICE)") {
+    import spark.implicits._
+    val df = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("g", "v")
+    val out = Percentiles.exactByGroup(df, "g", "v", Seq(0.5))
+    assert(out.schema("g").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val got = out.collect().map(r => (r.getInt(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got((1, 0.5)) == 15.0 && got((2, 0.5)) == 5.0)
+  }
+
+  test("refuses above maxGroups with an actionable error (eagerness contract)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.exactByGroup(df, "g", "v", Seq(0.5), maxGroups = 10)
+    }
+    assert(e.getMessage.contains("ranked"))
+  }
+
+  test("ranked/medianAgg ignore nulls like the builtin (r15 ADVICE)") {
+    import spark.implicits._
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("a", Some(2.0)),
+      ("b", None), ("b", None), // all-null group -> null median
+      ("c", Some(4.0)), ("c", Some(6.0))
+    ).toDF("g", "v")
+    val got = Percentiles.ranked(df, Seq("g"), "v")
+      .groupBy("g").agg(Percentiles.medianAgg("v").as("med"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got("a") == Some(2.0)) // null ignored: median of {1,2,3}
+    assert(got("b") == None)
+    assert(got("c") == Some(5.0))
+    // and with no nulls the columns are bit-identical to the r15 form
+    val clean = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val r = Percentiles.ranked(clean, Seq("g"), "v")
+      .orderBy("v").collect()
+    assert(r.map(_.getAs[Long]("__rn")).toSeq == Seq(1L, 2L))
+    assert(r.map(_.getAs[Long]("__nn")).toSeq == Seq(2L, 2L))
+  }
+
   test("interpolate reproduces percentile_cont arithmetic") {
     def at(s: Double*): Long => Double = i => s(i.toInt)
     // n=4, q=0.5 -> pos=1.5 -> midpoint of ranks 1 and 2
