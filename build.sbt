@@ -30,7 +30,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // jdk.incubator.vector: the SIMD LSTM kernel (graft.ml.VecKernel). The
+  // module ships with every JDK 16+ but is off the default module graph;
+  // KerasLstm probes for it and falls back to scalar loops if absent.
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// VecKernel.java imports the incubator module (scalac has no --add-modules;
+// javac does). JavaThenScala: scalac then compiles against the emitted
+// .class — whose surface is plain float[] — instead of parsing the .java
+// source with its unresolvable-to-scalac import.
+Compile / compileOrder := CompileOrder.JavaThenScala
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

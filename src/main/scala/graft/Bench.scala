@@ -63,7 +63,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.min(32).toString).toInt
-    val spark = GraftSession.builder(cpus).getOrCreate()
+    // derives shuffle partitions from the bench dir's bytes — identical to
+    // the old per-core count at sf0.1 (17 MB is under the floor), so bench
+    // plans are unchanged; only genuinely large inputs derive more
+    val spark = GraftSession.builder(cpus, sfDir).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Same preflight as Verify: if the testdata's physical types drifted,

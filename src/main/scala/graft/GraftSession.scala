@@ -16,18 +16,78 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession =
     builder(cores).getOrCreate()
 
+  /** Compressed parquet bytes per shuffle partition the session targets when
+    * it can see its input directory. 8 MiB of parquet is ~64–128 MiB of
+    * in-flight row data (the registry's scan→UnsafeRow expansion runs
+    * 8–16×: dictionary+RLE text columns fan out, doubles stay put), so this
+    * IS the standard ~128 MB/partition guidance, stated in the unit the
+    * driver can actually measure before running anything. */
+  val BytesPerShufflePartition: Long = 8L << 20
+
+  /** Shuffle-partition count derived from the input corpus size: one
+    * partition per [[BytesPerShufflePartition]] of on-disk input, floored at
+    * the core count (never fewer slots than the box can fill) and capped
+    * (task-launch overhead dominates past a few thousand on one JVM).
+    *
+    * Holding partitions at the core count while data grows 100× makes
+    * per-reducer aggregation state grow linearly with data — the r15 scale
+    * audit measured d_dup_spans super-linear (cpu exp 1.33) until a manual
+    * env var raised the count, which dropped it to 0.47 (SCALING_AUDIT_r15
+    * partition-probe phase). A cluster derives the same number from AQE's
+    * initialPartitionNum; a local session must derive it from the data it is
+    * pointed at — this is that derivation, replacing the env knob (which
+    * remains as an explicit override). sf0.1 and below stay under the floor,
+    * so every bench-SF plan is unchanged.
+    */
+  def derivedShufflePartitions(cores: Int, dataDir: String,
+      cap: Int = 4096): Int = {
+    val bytes = try {
+      val root = java.nio.file.Paths.get(dataDir)
+      if (!java.nio.file.Files.isDirectory(root)) -1L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    } catch { case _: java.io.IOException => -1L }
+    if (bytes < 0) cores
+    else math.max(cores.toLong,
+      math.min(cap.toLong,
+        (bytes + BytesPerShufflePartition - 1) / BytesPerShufflePartition))
+      .toInt
+  }
+
+  /** Builder for a session that will read `dataDir`: shuffle partitions are
+    * sized to the directory's bytes via [[derivedShufflePartitions]] unless
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS explicitly overrides. */
+  def builder(cores: Int, dataDir: String): SparkSession.Builder =
+    builder(cores).config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        derivedShufflePartitions(cores, dataDir).toString))
+
+  /** Re-point an EXISTING session at a data dir (`spark.sql.shuffle
+    * .partitions` is runtime-mutable): set the derived count, honoring the
+    * same env override as [[builder]]. Multi-scale tools (ScaleSweep) call
+    * this per scale so each tier runs with the partitioning a fresh session
+    * over that tier would have. Returns the count it set. */
+  def tuneShuffleFor(spark: SparkSession, cores: Int, dataDir: String): Int = {
+    val n = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+      .getOrElse(derivedShufflePartitions(cores, dataDir))
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    n
+  }
+
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cores]")
       .appName("graft")
       // Default: one shuffle partition per core — right for bench-scale data
-      // on this box. SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for scale
-      // experiments: a cluster sizes shuffle partitions to DATA (AQE
-      // coalesces from a high initial count), and holding 32 while data
-      // grows 100× makes per-task aggregation state grow linearly — the
-      // registry scale audit measured map-side partial aggs falling back to
-      // pass-through emission exactly this way (d_dup_spans, NOTES_r15 §12).
+      // on this box. Mains that know their input directory use
+      // builder(cores, dataDir), which derives the count from input bytes
+      // (see derivedShufflePartitions); SPARK_GRAFT_SHUFFLE_PARTITIONS
+      // remains the explicit override for scale experiments.
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
       .config("spark.sql.adaptive.enabled", "true")

@@ -15,8 +15,8 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // GraftSession carries the conventions the queries depend on (UTC, nanos-as-long
-    // events reads, AQE, local shuffle sizing).
-    val spark = GraftSession.builder(cpus).getOrCreate()
+    // events reads, AQE, shuffle partitions derived from the corpus bytes).
+    val spark = GraftSession.builder(cpus, sfDir).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Schema preflight (round-7 postmortem): name any testdata column whose

@@ -193,38 +193,72 @@ object KerasLstm {
     System.arraycopy(cell.b, 0, z, 0, n4u)
     accumulate(z, cell.w, x, cell.nIn, n4u)
     accumulate(z, cell.r, h, u, n4u)
-    var j = 0
-    while (j < u) {
-      val i = sigmoid(z(j))
-      val f = sigmoid(z(u + j))
-      val g = tanhF(z(2 * u + j))
-      val o = sigmoid(z(3 * u + j))
-      c(j) = f * c(j) + i * g
-      h(j) = o * tanhF(c(j))
-      j += 1
+    if (vectorized) {
+      // SIMD gate phase (float-precision SVML exp/tanh — see VecKernel
+      // .gates: ~1e-7 relative vs the double-exp scalar form, the same
+      // precision class as the reference's float32 arithmetic; the 1e-4 /
+      // 1e-6 external fixtures and all internal bit-parity specs gate it)
+      VecKernel.gates(z, c, h, u)
+    } else {
+      var j = 0
+      while (j < u) {
+        val i = sigmoid(z(j))
+        val f = sigmoid(z(u + j))
+        val g = tanhF(z(2 * u + j))
+        val o = sigmoid(z(3 * u + j))
+        c(j) = f * c(j) + i * g
+        h(j) = o * tanhF(c(j))
+        j += 1
+      }
     }
   }
 
-  /** z += vᵀ·M for row-major M (nRows × width), 4 rows per pass. */
+  /** True when the JDK Vector API kernel ([[VecKernel]], compiled against
+    * jdk.incubator.vector) can load on this JVM. Probed ONCE per JVM; a JVM
+    * without the module (or without `--add-modules`) throws
+    * NoClassDefFoundError on first touch and every call dispatches to the
+    * scalar loops instead. The two paths are bit-identical by construction
+    * (VecKernel is lane-wise only — no cross-lane reductions, no FMA) and
+    * KerasLstmSpec pins the parity against the committed predictions. */
+  private[graft] val vectorized: Boolean =
+    !sys.env.contains("SPARK_GRAFT_LSTM_SCALAR") && // A/B toggle for benches
+    (try { VecKernel.laneCount() > 0 }
+     catch { case _: Throwable => false })
+
+  /** z += vᵀ·M for row-major M (nRows × width), 4 rows per pass — SIMD
+    * lanes over `width` when the Vector API is present, the identical
+    * scalar op sequence otherwise. */
   private def accumulate(z: Array[Float], m: Array[Float], v: Array[Float],
       nRows: Int, width: Int): Unit = {
     var k = 0
-    while (k + 3 < nRows) {
-      val v0 = v(k); val v1 = v(k + 1); val v2 = v(k + 2); val v3 = v(k + 3)
-      val r0 = k * width; val r1 = r0 + width; val r2 = r1 + width; val r3 = r2 + width
-      var j = 0
-      while (j < width) {
-        z(j) += v0 * m(r0 + j) + v1 * m(r1 + j) + v2 * m(r2 + j) + v3 * m(r3 + j)
-        j += 1
+    if (vectorized) {
+      while (k + 3 < nRows) {
+        VecKernel.accum4(z, m, v(k), v(k + 1), v(k + 2), v(k + 3),
+          k * width, width)
+        k += 4
       }
-      k += 4
-    }
-    while (k < nRows) {
-      val vk = v(k)
-      val row = k * width
-      var j = 0
-      while (j < width) { z(j) += vk * m(row + j); j += 1 }
-      k += 1
+      while (k < nRows) {
+        VecKernel.accum1(z, m, v(k), k * width, width)
+        k += 1
+      }
+    } else {
+      while (k + 3 < nRows) {
+        val v0 = v(k); val v1 = v(k + 1); val v2 = v(k + 2); val v3 = v(k + 3)
+        val r0 = k * width; val r1 = r0 + width; val r2 = r1 + width; val r3 = r2 + width
+        var j = 0
+        while (j < width) {
+          z(j) += v0 * m(r0 + j) + v1 * m(r1 + j) + v2 * m(r2 + j) + v3 * m(r3 + j)
+          j += 1
+        }
+        k += 4
+      }
+      while (k < nRows) {
+        val vk = v(k)
+        val row = k * width
+        var j = 0
+        while (j < width) { z(j) += vk * m(row + j); j += 1 }
+        k += 1
+      }
     }
   }
 

@@ -19,7 +19,7 @@ object RouteProbe {
     val Array(dir, lt, rt, lk, rk) = args.take(5)
     val bmr = if (args.length > 5) args(5).toLong else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.builder(cpus).getOrCreate()
+    val spark = GraftSession.builder(cpus, dir).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def table(n: String) = spark.read.parquet(s"$dir/$n.parquet")
     val rj = Joins.routed(table(lt), table(rt),

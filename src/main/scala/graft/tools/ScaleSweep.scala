@@ -111,8 +111,13 @@ object ScaleSweep {
       byName.get(name) match {
         case None => System.err.println(s"[sweep] no registry query named $name")
         case Some(q) =>
+          GraftSession.tuneShuffleFor(spark, cpus, dirs.head._2)
           val warmed = warmToPlateau(() => consume(q.run(spark, dirs.head._2)))
           val cells = dirs.map { case (label, d) =>
+            // each tier runs with the partition count a fresh session over
+            // that tier would derive (env override respected) — the audit
+            // measures the engine's own sizing, not a frozen local knob
+            GraftSession.tuneShuffleFor(spark, cpus, d)
             val rec =
               try {
                 delta(consume(q.run(spark, d))) // settle at this scale

@@ -35,7 +35,7 @@ object SpillSoak {
     // memory.fraction must land before the first SparkContext of the JVM
     // (the MemoryManager reads it once); env beats -D because the forked
     // run JVM only sees build.sbt's fixed javaOptions
-    val spark = GraftSession.builder(cpus)
+    val spark = GraftSession.builder(cpus, sfDir)
       .config("spark.memory.fraction",
         sys.env.getOrElse("SPARK_MEMORY_FRACTION", "0.6"))
       .getOrCreate()

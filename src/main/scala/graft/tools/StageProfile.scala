@@ -26,7 +26,7 @@ object StageProfile {
     val qname = if (args.length > 1) args(1) else "e_pagerank_types"
     val runs = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
-    val spark = graft.GraftSession.builder(cpus).getOrCreate()
+    val spark = graft.GraftSession.builder(cpus, dir).getOrCreate()
     val q = graft.queries.Registry.all.find(_.name == qname)
       .getOrElse(sys.error(s"no registry query named $qname"))
     // SPARK_GRAFT_SWEEP_ACTION=noop: consume every output column (ScaleSweep's

@@ -19,7 +19,7 @@ object VerifyOne {
       System.err.println("usage: graft.tools.VerifyOne <sfDir> <outDir> [query ...]")
       sys.exit(2)
     }
-    val spark = GraftSession.builder(16).getOrCreate()
+    val spark = GraftSession.builder(16, args(0)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(args(1)).mkdirs()
     args.drop(2).foreach { name =>
