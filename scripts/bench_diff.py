@@ -1,21 +1,41 @@
 #!/usr/bin/env python3
-"""Round-over-round bench adjudication, cpu/bytes FIRST (the round-12 rule):
-compare two BENCH_DETAIL.json sidecars and classify each query's movement.
+"""Round-over-round bench adjudication, cpu/bytes FIRST (the round-12 rule),
+CALIBRATION-NORMALIZED (r15 VERDICT #6): compare two BENCH_DETAIL.json
+sidecars and classify each query's movement.
 
-This box's wall jitters at host level while executor-CPU and shuffle bytes
-stay flat on unchanged plans (rounds 10-12 evidence), so a wall move alone
-is a BOX note, not a regression. Classes, checked in order:
+Every Bench run probes a fixed CPU-bound calibration loop before each query
+(`cal_s`). The median ratio of those probes between the two runs is the
+BOX-SPEED FACTOR — a VM swap or background contention moves every query's
+wall AND cpu by roughly that factor while shuffle bytes stay bit-flat
+(round-15 evidence: a continuation VM shifted probes 0.26→0.39 s uniformly
+and untouched queries carried a matching 1.2-2x cpu factor; NOTES §14
+normalized that comparison by hand — this script now does it). Per-query
+deltas are divided by the factor before judging, and a move that the RAW
+numbers flag but the NORMALIZED numbers clear is classed box-noise, not
+regression.
 
-  plan-change   shuffle bytes moved > 10%  (a plan property changed)
-  cpu-change    cpu_s moved > 25% with bytes flat  (compute changed;
-                note cpu_s itself inflates ~15% under SMT pressure)
-  wall-only     wall_min moved > 20% with cpu and bytes flat  (box)
+Classes, checked in order per query:
+
+  plan-change   shuffle bytes moved > 10%, or the plan fingerprint changed
+                (when both sidecars carry a `fingerprints` map) — a plan
+                property changed; adjudicate by reading the plan
+  code-change   calibration-normalized cpu_s moved > 25% with bytes flat —
+                the computation itself changed (cpu_s still inflates ~15%
+                under SMT pressure; judge against the band)
+  box-noise     RAW cpu or wall crossed its band but the NORMALIZED value
+                is back inside it — the box moved, not the code
+  wall-only     normalized wall moved > 20% with cpu and bytes flat (box,
+                unless it persists across idle runs)
   flat          none of the above
 
-Usage: bench_diff.py OLD_BENCH_DETAIL.json NEW_BENCH_DETAIL.json [--all]
-Prints one line per non-flat query (every query with --all), then a summary.
+Usage: bench_diff.py OLD_BENCH_DETAIL.json NEW_BENCH_DETAIL.json
+                     [--all] [--json OUT.json]
+Prints one line per non-flat query (every query with --all) plus the box
+factor; --json writes the full machine-readable classification for the
+round-close record.
 """
 import json
+import statistics
 import sys
 
 
@@ -26,8 +46,17 @@ def ratio(new, old):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    show_all = "--all" in sys.argv
+    args = []
+    json_out = None
+    show_all = False
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--all":
+            show_all = True
+        elif a == "--json":
+            json_out = next(it)
+        else:
+            args.append(a)
     if len(args) != 2:
         sys.exit(__doc__)
     old = json.load(open(args[0]))
@@ -35,35 +64,69 @@ def main():
     qs = sorted(set(old.get("queries_min", {})) & set(new.get("queries_min", {})))
     only_old = sorted(set(old.get("queries_min", {})) - set(qs))
     only_new = sorted(set(new.get("queries_min", {})) - set(qs))
-    counts = {"plan-change": 0, "cpu-change": 0, "wall-only": 0, "flat": 0}
-    print(f"{'query':26s} {'class':11s} {'wall':>6} {'cpu':>6} {'bytes':>6}")
+
+    # box-speed factor: median calibration-probe ratio over common queries
+    cal_ratios = [r for r in (
+        ratio(new.get("cal_s", {}).get(q), old.get("cal_s", {}).get(q))
+        for q in qs) if r is not None]
+    cal = statistics.median(cal_ratios) if cal_ratios else 1.0
+    old_fp = old.get("fingerprints", {})
+    new_fp = new.get("fingerprints", {})
+
+    counts = {"plan-change": 0, "code-change": 0, "box-noise": 0,
+              "wall-only": 0, "flat": 0}
+    rows = {}
+    print(f"box factor (median cal ratio): {cal:.3f}x "
+          f"({len(cal_ratios)} probes)")
+    print(f"{'query':26s} {'class':11s} {'wall':>6} {'cpu':>6} {'bytes':>6} "
+          f"{'n.cpu':>6}")
     for q in qs:
         rw = ratio(new["queries_min"].get(q), old["queries_min"].get(q))
         rc = ratio(new.get("cpu_s", {}).get(q), old.get("cpu_s", {}).get(q))
         rb = ratio(new.get("shuffle_bytes", {}).get(q),
                    old.get("shuffle_bytes", {}).get(q))
-        if rb is not None and abs(rb - 1) > 0.10:
+        nw = rw / cal if rw is not None else None
+        nc = rc / cal if rc is not None else None
+        fp_changed = (q in old_fp and q in new_fp and old_fp[q] != new_fp[q])
+        raw_flagged = ((rc is not None and abs(rc - 1) > 0.25) or
+                       (rw is not None and abs(rw - 1) > 0.20))
+        norm_clear = ((nc is None or abs(nc - 1) <= 0.25) and
+                      (nw is None or abs(nw - 1) <= 0.20))
+        if (rb is not None and abs(rb - 1) > 0.10) or fp_changed:
             cls = "plan-change"
-        elif rc is not None and abs(rc - 1) > 0.25:
-            cls = "cpu-change"
-        elif rw is not None and abs(rw - 1) > 0.20:
+        elif nc is not None and abs(nc - 1) > 0.25:
+            cls = "code-change"
+        elif raw_flagged and norm_clear:
+            cls = "box-noise"
+        elif nw is not None and abs(nw - 1) > 0.20:
             cls = "wall-only"
         else:
             cls = "flat"
         counts[cls] += 1
+        rows[q] = {"class": cls, "wall_ratio": rw, "cpu_ratio": rc,
+                   "bytes_ratio": rb, "norm_cpu_ratio": nc,
+                   "norm_wall_ratio": nw,
+                   "fingerprint_changed": fp_changed or None}
         if cls != "flat" or show_all:
             def f(r):
                 return f"{r:5.2f}x" if r is not None else "    ?"
-            print(f"{q:26s} {cls:11s} {f(rw)} {f(rc)} {f(rb)}")
+            print(f"{q:26s} {cls:11s} {f(rw)} {f(rc)} {f(rb)} {f(nc)}")
     print(f"\n{len(qs)} common queries: " +
           ", ".join(f"{k} {v}" for k, v in counts.items()))
     if only_old:
         print(f"dropped since old: {', '.join(only_old)}")
     if only_new:
         print(f"new since old: {', '.join(only_new)}")
-    print("adjudicate plan-change by reading the plan, cpu-change against "
-          "the cpu band (SMT inflates ~15%), wall-only as box noise unless "
-          "it persists across idle runs.")
+    print("adjudicate plan-change by reading the plan, code-change against "
+          "the normalized cpu band (SMT inflates ~15%), box-noise is "
+          "auto-explained (raw move matches the calibration shift), "
+          "wall-only as box noise unless it persists across idle runs.")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"box_factor": cal, "n_probes": len(cal_ratios),
+                       "classes": counts, "queries": rows,
+                       "dropped": only_old, "added": only_new}, f, indent=1)
+        print(f"wrote {json_out}")
 
 
 if __name__ == "__main__":

@@ -81,24 +81,54 @@ object ScalableDedup {
     * the internal index caches can be released before returning.
     */
   def embeddingNearDupsIvfPq(vecs: DataFrame, dim: Int, maxSqDistance: Double,
-      nLists: Int = 0, nProbe: Int = 2, m: Int = 16, k: Int = 16): DataFrame = {
-    // nLists = 0 (the default) self-scales the cell count to ~√n. A FIXED
-    // cell count is quadratic: cells grow linearly with the corpus and the
-    // cell equi-join enumerates O(n²·nProbe/nLists) candidate pairs — the 30×
+      nLists: Int = 0, nProbe: Int = 2, m: Int = 16, k: Int = 16,
+      hierarchicalMin: Long = 8192L): DataFrame = {
+    // nLists = 0 (the default) self-scales the quantizer. A FIXED cell
+    // count is quadratic: cells grow linearly with the corpus and the cell
+    // equi-join enumerates O(n²·nProbe/nLists) candidate pairs — the 30×
     // registry scale audit measured cpu exponent ~1.9 on this operator with
-    // the old fixed default of 16. √n cells make build (KMeans assign,
-    // n·√n), probe ranking (n·√n), and candidate verification (n·nProbe·√n)
-    // all O(n^1.5) — the standard IVF balance point. The next rung at true
-    // 100 TB scale is a hierarchical (two-level) coarse quantizer, which
-    // drops the assign/probe terms to n·∜n-ish; cells stay the physical
-    // layout either way.
-    val lists =
-      if (nLists > 0) nLists
-      else {
-        val n = vecs.count() // one footer-count job; the build is eager anyway
-        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    // the old fixed default of 16. The r15 fix (√n flat cells, everything
+    // O(n^1.5)) measured exponent ~1.3; this round adds the documented next
+    // rung: above `hierarchicalMin` vectors the coarse quantizer itself
+    // goes two-level ([[Imi]] — cells sized for CONSTANT ~64-vector
+    // occupancy, probed/assigned through two √C half-space codebooks), so
+    // assignment is O(n·√(n/τ)) with a tiny constant and candidate
+    // verification is O(n·nProbe·τ) — LINEAR. Below the threshold (and for
+    // any EXPLICIT nLists — the oracle-pinned exact twins) the flat path
+    // is unchanged. The route, cell count, and reason are logged.
+    val log = org.slf4j.LoggerFactory.getLogger("graft.operators.ScalableDedup")
+    if (nLists > 0) {
+      log.info(s"semantic-dedup [flat-ivf]: explicit nLists=$nLists")
+      flatPairs(vecs, dim, nLists, nProbe, m, k, maxSqDistance)
+    } else {
+      val n = vecs.count() // one footer-count job; the build is eager anyway
+      if (n < hierarchicalMin) {
+        val lists = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
           .min(math.max(1L, n)).toInt // KMeans needs k <= n
+        log.info(s"semantic-dedup [flat-ivf]: n=$n < $hierarchicalMin, " +
+          s"sqrt-n cells=$lists (flat probe still cheap at this size)")
+        flatPairs(vecs, dim, lists, nProbe, m, k, maxSqDistance)
+      } else {
+        // constant target occupancy τ=64: C = n/64 cells from 2·√C trained
+        // centroids; KMeans needs k <= sample size either way
+        val targetCells = math.max(16L, n / 64L).min(1L << 30).toInt
+        val model = Imi.train(vecs, dim, targetCells, nTotal = n)
+        log.info(s"semantic-dedup [hierarchical-imi]: n=$n >= " +
+          s"$hierarchicalMin, cells=${model.nCells} (${model.k1}x${model.k2} " +
+          s"half-space codebooks, target occupancy ~64), nProbe=$nProbe")
+        val withProbes = vecs
+          .select(col("vec_id"), col("embedding"),
+            Imi.probesUdf(model, nProbe)(col("embedding")).as("probes"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try imiPairs(withProbes, maxSqDistance).localCheckpoint(true)
+        finally { withProbes.unpersist(blocking = false); () }
       }
+    }
+  }
+
+  /** The r15 flat-IVF route (explicit or small-corpus). */
+  private def flatPairs(vecs: DataFrame, dim: Int, lists: Int, nProbe: Int,
+      m: Int, k: Int, maxSqDistance: Double): DataFrame = {
     val idx = IvfPq.build(vecs, dim, lists, m, k)
     // materialize the (bounded: pairs within threshold) result so the
     // index cache can be released before returning
@@ -106,6 +136,27 @@ object ScalableDedup {
       .localCheckpoint(true)
     idx.unpersist()
     pairs
+  }
+
+  /** Candidate pairs from a staged (vec_id, embedding, probes) frame:
+    * element 1 of `probes` is the vector's own cell (the corpus side);
+    * every probed cell reaches candidates by the same EQUI-JOIN shape as
+    * the flat path — never all-pairs — and the exact L2 verdict + (v1, v2)
+    * normalization + cross-direction dedup are identical. */
+  private[operators] def imiPairs(withProbes: DataFrame,
+      maxSqDistance: Double): DataFrame = {
+    val corpus = withProbes.select(col("vec_id"),
+      element_at(col("probes"), 1).as("cell"), col("embedding"))
+    val probes = withProbes.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), explode(col("probes")).as("cell"))
+    probes.join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dist", Ivf.l2Pair) // native float_l2sq, symmetric
+      .filter(col("dist") <= maxSqDistance)
+      // a pair may surface via several probed cells or both directions
+      .select(least(col("q_id"), col("vec_id")).as("v1"),
+        greatest(col("q_id"), col("vec_id")).as("v2"), col("dist"))
+      .distinct()
   }
 
   /** The lazy candidate-pair pipeline behind [[embeddingNearDupsIvfPq]]
