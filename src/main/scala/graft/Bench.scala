@@ -29,11 +29,18 @@ import graft.queries.Registry
   */
 object Bench {
 
-  /** Single-shot probe seconds above which a timing window is labeled
-    * contended. Idle measurements on the target 32-thread box: 0.24–0.37 s
-    * median across rounds 6–8, with single-shot spikes to ~0.61 right after
-    * the warmup phase's GC pressure; 0.75 clears the observed idle spread
-    * without masking real load (a contended box probes 1.5–3×). */
+  /** ABSOLUTE floor (seconds) of the single-shot-probe contention envelope.
+    * Idle measurements on the r15 reference VM: 0.24–0.37 s median across
+    * rounds 6–8, single-shot spikes to ~0.61 (≈2.2× median) right after the
+    * warmup phase's GC pressure; 0.75 clears that spread without masking
+    * real load (a contended box probes 1.5–3× SUSTAINED). The r16 VM class
+    * idles at median ~0.44 with the SAME ~2.2× spike ratio — an absolute
+    * envelope mislabels an idle-but-slower box as contended — so the
+    * effective per-window envelope is max(this floor, 2.5 × the run's own
+    * median probe): identical behavior on the reference VM
+    * (2.5 × 0.28 < 0.75), box-relative elsewhere. Windows flagged by it
+    * are re-measured once (see the retry pass) — transients heal, sustained
+    * load flags again. */
   private val CalIdleEnvelope = 0.75
 
   /** The 12-query sf1 heavy tail: the scale-predictive section of the bench
@@ -158,8 +165,19 @@ object Bench {
     def calibrate(): Double = timeRuns(3)(
       spark.range(0, 2_000_000_000L, 1, cpus)
         .selectExpr("sum(id % 1000003) AS s").collect()).sorted.apply(1)
-    calibrate() // untimed warm (codegen + classloading)
-    val calFirst = calibrate()
+    // calFirst is meant to measure the BOX, not JVM startup: settle the
+    // probe to its own plateau first — on slower VM classes one warm
+    // calibrate still carries C2 compilation (measured: median 1.04 vs
+    // 0.26 steady two probes later) and would read as contention
+    val calFirst = {
+      var prev = calibrate() // untimed warm (codegen + classloading)
+      var cur = calibrate()
+      var i = 0
+      while (i < 4 && math.abs(cur - prev) > 0.15 * math.max(cur, 1e-9)) {
+        prev = cur; cur = calibrate(); i += 1
+      }
+      cur
+    }
 
     // Warm each headline query once on the smallest SF so timings measure
     // steady-state execution, not first-call classloading + codegen.
@@ -403,6 +421,52 @@ object Bench {
 
     val calLast = calibrate()
 
+    // Box-relative envelope + one-shot window retry (r16, see
+    // CalIdleEnvelope's scaladoc): flag threshold = max(floor, 2.5 × the
+    // run's own median probe); each flagged HEADLINE window re-measures
+    // once — a transient spike (GC burst, noisy neighbor) heals and the
+    // clean numbers replace the poisoned ones (the poisoned probe is kept
+    // on the line under "retried"); sustained load re-flags and the run
+    // stays honestly contended. sf1/ann/apply windows keep their flags
+    // (their closures are out of scope here; the relative envelope alone
+    // already clears the slower-box false positives on them).
+    val medianCal = {
+      val cs = perQueryCal.values.toSeq.sorted
+      if (cs.isEmpty) 0.0 else cs(cs.size / 2)
+    }
+    val calEnvelope = math.max(CalIdleEnvelope, 2.5 * medianCal)
+    val resultsMap = scala.collection.mutable.LinkedHashMap(results: _*)
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    locally {
+      val byName = Registry.headline.map(q => q.name -> q).toMap
+      perQueryCal.filter { case (n, c) =>
+        c > calEnvelope && byName.contains(n) &&
+          resultsMap.get(n).exists(_.nonEmpty)
+      }.keys.toSeq.foreach { name =>
+        val probe = probeOnce()
+        if (probe <= calEnvelope) {
+          val q = byName(name)
+          var times = List.empty[Double]
+          val (bytes, cpu) = metricsDelta {
+            (1 to 3).foreach { _ =>
+              val t0 = System.nanoTime()
+              try {
+                q.run(spark, sfDir).count()
+                times ::= (System.nanoTime() - t0) / 1e9
+              } catch { case e: Throwable => recordErr(name, e) }
+            }
+          }
+          if (times.size == 3) {
+            retried(name) = perQueryCal(name)
+            resultsMap(name) = times.sorted
+            perQueryShuffle(name) = bytes
+            perQueryCpu(name) = cpu
+            perQueryCal(name) = probe
+          }
+        }
+      }
+    }
+
     // "total" stays the ROUND-COMPARABLE sum over the headline registry
     // only (ANN/apply ride in their own totals), now as SUM OF MINS — the
     // contention-resistant statistic; medians live in the detail file.
@@ -410,11 +474,11 @@ object Bench {
     // counted in `n_partial`; their surviving timings still appear in the
     // per-query map for diagnosis.
     def median(t: Seq[Double]): Double = t(t.size / 2 min (t.size - 1))
-    val all = (results ++ annResults ++ applyResults).filter(_._2.nonEmpty)
+    val all = (resultsMap.toSeq ++ annResults ++ applyResults).filter(_._2.nonEmpty)
     val qsMin = all.map { case (k, t) => "\"" + k + "\":" + r3(t.head) }
       .mkString("{", ",", "}")
-    val clean = results.filter(_._2.size == 3)
-    val nPartial = results.count(r => r._2.nonEmpty && r._2.size < 3)
+    val clean = resultsMap.toSeq.filter(_._2.size == 3)
+    val nPartial = resultsMap.count(r => r._2.nonEmpty && r._2.size < 3)
     val total = clean.map(_._2.head).sum
     val annTotal = annResults.filter(_._2.nonEmpty).map(_._2.head).sum
     val applyTotal = applyResults.filter(_._2.nonEmpty).map(_._2.head).sum
@@ -424,11 +488,11 @@ object Bench {
     // Per-query contention flags: the probe preceding a query's window
     // exceeded the pinned idle envelope → that window's numbers are
     // load-poisoned and say so on the line. Idle run: empty.
-    val flagged = perQueryCal.filter(_._2 > CalIdleEnvelope)
+    val flagged = perQueryCal.filter(_._2 > calEnvelope)
     val flaggedJson = flagged.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val contended = flagged.nonEmpty ||
-      Seq(calFirst, calAnn, calApply, calLast).exists(_ > CalIdleEnvelope)
+      Seq(calFirst, calAnn, calApply, calLast).exists(_ > calEnvelope)
     val shuffleMb = perQueryShuffle.values.sum / 1048576.0
 
     // Full-fidelity sidecar: medians, per-query calibration, per-query
@@ -457,7 +521,7 @@ object Bench {
       s"""{"sf":"$sfDir","stat_line":"min_of_3","queries_min":$qsMin,""" +
         s""""queries_median":$qsMed,"cal_s":$calJson,"shuffle_bytes":$shJson,""" +
         s""""cpu_s":${dmap(perQueryCpu)},""" +
-        s""""sf1":$sf1Json,"errors":$errJson,"cal_envelope":$CalIdleEnvelope}"""
+        s""""sf1":$sf1Json,"errors":$errJson,"cal_envelope":${r3(calEnvelope)}}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -479,7 +543,9 @@ object Bench {
         s""""sf1_unstable":${sf1Unstable.map { case (k, v) =>
           "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""cpu_total_s":${r3(perQueryCpu.values.sum)},""" +
-        s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"envelope":$CalIdleEnvelope},""" +
+        s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"median":${r3(medianCal)},"envelope":${r3(calEnvelope)}},""" +
+        s""""retried":${retried.map { case (k, v) =>
+          "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},""" +
         s""""warm":"plateau","warm_runs":$plateauWarmRuns,""" +
         s""""flagged":$flaggedJson,"contended":$contended,"value":${r3(total)}}"""
     if (line.length > 1900)
