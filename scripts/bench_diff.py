@@ -16,6 +16,11 @@ regression.
 
 Classes, checked in order per query:
 
+  poisoned      the NEW run's own contention verdict (the `verdict` object
+                Bench writes into the sidecar: fence / unstable / flagged /
+                sf1_unstable) names this query — its numbers are
+                load-poisoned by the run's own admission; nothing about the
+                code can be concluded from them. Re-run idle.
   plan-change   shuffle bytes moved > 10%, or the plan fingerprint changed
                 (when both sidecars carry a `fingerprints` map) — a plan
                 property changed; adjudicate by reading the plan
@@ -73,9 +78,29 @@ def main():
     old_fp = old.get("fingerprints", {})
     new_fp = new.get("fingerprints", {})
 
-    counts = {"plan-change": 0, "code-change": 0, "box-noise": 0,
-              "wall-only": 0, "flat": 0}
+    counts = {"poisoned": 0, "plan-change": 0, "code-change": 0,
+              "box-noise": 0, "wall-only": 0, "flat": 0}
     rows = {}
+
+    # the NEW run's own contention verdict: queries it names are poisoned —
+    # their numbers carry load, not code (r16: a driver re-run with one
+    # query at 46x its committed wall classed itself clean; the verdict
+    # object + this class close that blind spot)
+    nv = new.get("verdict", {})
+    poisoned = set()
+    for field in ("fence", "unstable", "flagged", "sf1_unstable"):
+        for name in (nv.get(field) or {}):
+            poisoned.add(name)
+            if name.startswith("sf1:"):
+                poisoned.add(name[4:])
+    if nv.get("contended"):
+        print("*** NEW run self-labels CONTENDED "
+              f"(drift={nv.get('cal_drift')}, "
+              f"sustained_cal={nv.get('sustained_cal')}, "
+              f"fence={sorted(nv.get('fence') or {})}, "
+              f"unstable={sorted(nv.get('unstable') or {})}) — "
+              "every class below is suspect; re-run on an idle box ***")
+
     print(f"box factor (median cal ratio): {cal:.3f}x "
           f"({len(cal_ratios)} probes)")
     print(f"{'query':26s} {'class':11s} {'wall':>6} {'cpu':>6} {'bytes':>6} "
@@ -92,7 +117,9 @@ def main():
                        (rw is not None and abs(rw - 1) > 0.20))
         norm_clear = ((nc is None or abs(nc - 1) <= 0.25) and
                       (nw is None or abs(nw - 1) <= 0.20))
-        if (rb is not None and abs(rb - 1) > 0.10) or fp_changed:
+        if q in poisoned:
+            cls = "poisoned"
+        elif (rb is not None and abs(rb - 1) > 0.10) or fp_changed:
             cls = "plan-change"
         elif nc is not None and abs(nc - 1) > 0.25:
             cls = "code-change"
@@ -120,7 +147,8 @@ def main():
     print("adjudicate plan-change by reading the plan, code-change against "
           "the normalized cpu band (SMT inflates ~15%), box-noise is "
           "auto-explained (raw move matches the calibration shift), "
-          "wall-only as box noise unless it persists across idle runs.")
+          "wall-only as box noise unless it persists across idle runs; "
+          "poisoned queries say nothing about the code — re-run idle.")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"box_factor": cal, "n_probes": len(cal_ratios),

@@ -9,11 +9,17 @@ import jdk.incubator.vector.VectorSpecies;
  * API (incubator module, JDK 16+). LANE-WISE ONLY: every operation maps lane
  * j to exactly the scalar op sequence at index j — no cross-lane reductions
  * (whose accumulation order the Vector API leaves unspecified for floats)
- * and no FMA (single-rounded where the scalar path rounds twice) — so the
- * results are BIT-IDENTICAL to the scalar loops they replace, not just
- * close. KerasLstmSpec pins the parity against the committed predictions;
- * KerasLstm falls back to its scalar loops when this class fails to load
- * (a JVM without the module or with it not --add-modules'd).
+ * and no FMA (single-rounded where the scalar path rounds twice). Precision
+ * contract, scoped per method: accum4/accum1 are BIT-IDENTICAL to the scalar
+ * loops they replace (mul + left-associated adds, the exact scalar op
+ * sequence per lane); gates is TOLERANCE-EQUAL (~1e-7 relative) to the
+ * scalar fallback and platform-dependent — its lanewise EXP/TANH lower to
+ * whatever vector-math stubs (SVML on x86_64) the host JVM provides, so
+ * vector-vs-scalar A/B toggles (SPARK_GRAFT_LSTM_SCALAR) and different
+ * hosts shift gate outputs in low-order bits. KerasLstmSpec pins the parity
+ * against the committed predictions at the fixtures' tolerance; KerasLstm
+ * falls back to its scalar loops when this class fails to load (a JVM
+ * without the module or with it not --add-modules'd).
  *
  * Why Java and not Scala: scalac cannot compile against an incubator module
  * (it is absent from the default module graph and scalac has no
@@ -102,21 +108,27 @@ public final class VecKernel {
             cv.intoArray(c, j);
             o.mul(cv.lanewise(VectorOperators.TANH)).intoArray(h, j);
         }
-        for (; j < u; j++) {
-            float i = sigmoidF(z[j]);
-            float f = sigmoidF(z[u + j]);
-            float g = (float) Math.tanh(z[2 * u + j]);
-            float o = sigmoidF(z[3 * u + j]);
-            c[j] = f * c[j] + i * g;
-            h[j] = o * (float) Math.tanh(c[j]);
+        if (j < u) {
+            // Remainder tail as ONE masked vector step, so every element of
+            // the array goes through the SAME lanewise EXP/TANH as the full
+            // lanes. A scalar Math.exp/Math.tanh tail would differ from the
+            // lanes by ~1e-7 PER-ELEMENT WITHIN ONE ARRAY (double- vs
+            // float-precision transcendentals), making results depend on
+            // where the lane boundary falls; masked lanes load as 0 (exp(0)
+            // and tanh(0) are finite) and are never stored.
+            var m = S.indexInRange(j, u);
+            FloatVector i = sigmoidV(FloatVector.fromArray(S, z, j, m), one);
+            FloatVector f = sigmoidV(FloatVector.fromArray(S, z, u + j, m), one);
+            FloatVector g = FloatVector.fromArray(S, z, 2 * u + j, m)
+                .lanewise(VectorOperators.TANH);
+            FloatVector o = sigmoidV(FloatVector.fromArray(S, z, 3 * u + j, m), one);
+            FloatVector cv = f.mul(FloatVector.fromArray(S, c, j, m)).add(i.mul(g));
+            cv.intoArray(c, j, m);
+            o.mul(cv.lanewise(VectorOperators.TANH)).intoArray(h, j, m);
         }
     }
 
     private static FloatVector sigmoidV(FloatVector x, FloatVector one) {
         return one.div(one.add(x.neg().lanewise(VectorOperators.EXP)));
-    }
-
-    private static float sigmoidF(float x) {
-        return 1.0f / (1.0f + (float) Math.exp(-x));
     }
 }

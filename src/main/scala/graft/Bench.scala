@@ -19,7 +19,7 @@ import graft.queries.Registry
   * seconds) — a contended run labels itself, per query, mechanically. On an
   * idle 32-thread box the single-shot probe sits at 0.24–0.37 s (NOTES_r6 /
   * NOTES_r8); the envelope pins 0.75 s = that range plus scheduling jitter
-  * headroom (see [[CalIdleEnvelope]]). min-of-3 stays the per-query
+  * headroom (see [[ContentionLabel.CalIdleEnvelope]]). min-of-3 stays the per-query
   * statistic: background load inflates medians long before mins.
   *
   * Shuffle-write bytes ride along as the contention-IMMUNE signal: wall
@@ -29,19 +29,14 @@ import graft.queries.Registry
   */
 object Bench {
 
-  /** ABSOLUTE floor (seconds) of the single-shot-probe contention envelope.
-    * Idle measurements on the r15 reference VM: 0.24–0.37 s median across
-    * rounds 6–8, single-shot spikes to ~0.61 (≈2.2× median) right after the
-    * warmup phase's GC pressure; 0.75 clears that spread without masking
-    * real load (a contended box probes 1.5–3× SUSTAINED). The r16 VM class
-    * idles at median ~0.44 with the SAME ~2.2× spike ratio — an absolute
-    * envelope mislabels an idle-but-slower box as contended — so the
-    * effective per-window envelope is max(this floor, 2.5 × the run's own
-    * median probe): identical behavior on the reference VM
-    * (2.5 × 0.28 < 0.75), box-relative elsewhere. Windows flagged by it
-    * are re-measured once (see the retry pass) — transients heal, sustained
-    * load flags again. */
-  private val CalIdleEnvelope = 0.75
+  // The whole-run contention verdict is the OR of five independent
+  // detectors in ContentionLabel (probe-vs-envelope, run spread at every
+  // tier, calibration non-stationarity, an absolute fence vs the previous
+  // committed line, a sustained median-probe ceiling) — the r16 driver
+  // re-run proved the box-relative envelope ALONE fails open under uniform
+  // load (it is derived from the contaminated sample). Windows flagged by
+  // the envelope are re-measured once (see the retry pass) — transients
+  // heal, sustained load flags again.
 
   /** The 12-query sf1 heavy tail: the scale-predictive section of the bench
     * and the target set of [[graft.tools.SpillSoak]]'s constrained-memory
@@ -65,9 +60,37 @@ object Bench {
   private def r3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** The PREVIOUS committed run's min-of-3 walls (headline names as-is,
+    * sf1 names `sf1:`-prefixed), read from the repo's committed
+    * BENCH_DETAIL.json BEFORE this run overwrites it. Reference points for
+    * [[ContentionLabel]]'s fence — the one contention detector whose
+    * threshold cannot be inflated by this run's own poisoning. Empty when
+    * the file is absent, unparseable, or from a different SF. */
+  private def committedMins(path: String, sfDir: String): Map[String, Double] =
+    try {
+      import org.json4s._
+      val f = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isRegularFile(f)) return Map.empty
+      val j = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8))
+      val sfPrev = j \ "sf" match { case JString(s) => s; case _ => "" }
+      if (sfPrev != sfDir) return Map.empty
+      def mins(v: JValue, prefix: String): Map[String, Double] = v match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(d))  => (prefix + k) -> d
+          case (k, JInt(i))     => (prefix + k) -> i.toDouble
+          case (k, JDecimal(d)) => (prefix + k) -> d.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+      mins(j \ "queries_min", "") ++ mins(j \ "sf1" \ "queries_min", "sf1:")
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val jvmStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val prevMins = committedMins("BENCH_DETAIL.json", sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.min(32).toString).toInt
     // derives shuffle partitions from the bench dir's bytes — identical to
@@ -342,6 +365,7 @@ object Bench {
     // window (2×50 ms polls, 1 s bound) is attributed to the NEXT run —
     // per-run cpu/shuffle are advisory; section totals are unaffected.
     val sf1Runs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val sf1Walls = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val sf1Unstable = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var sf1Dir = ""
     // Deadline guard: the section adds minutes (one-time generation +
@@ -410,6 +434,7 @@ object Bench {
               sf1Unstable(name) = runCpus.reverse.map(r3).mkString("[", ",", "]")
             sf1Shuffle(name) = bytesTot
             sf1Cpu(name) = cpuTot
+            sf1Walls(name) = times.reverse
             val sorted = times.sorted
             if (sorted.nonEmpty) {
               sf1Min(name) = sorted.head
@@ -421,20 +446,17 @@ object Bench {
 
     val calLast = calibrate()
 
-    // Box-relative envelope + one-shot window retry (r16, see
-    // CalIdleEnvelope's scaladoc): flag threshold = max(floor, 2.5 × the
-    // run's own median probe); each flagged HEADLINE window re-measures
-    // once — a transient spike (GC burst, noisy neighbor) heals and the
-    // clean numbers replace the poisoned ones (the poisoned probe is kept
-    // on the line under "retried"); sustained load re-flags and the run
-    // stays honestly contended. sf1/ann/apply windows keep their flags
-    // (their closures are out of scope here; the relative envelope alone
-    // already clears the slower-box false positives on them).
-    val medianCal = {
-      val cs = perQueryCal.values.toSeq.sorted
-      if (cs.isEmpty) 0.0 else cs(cs.size / 2)
-    }
-    val calEnvelope = math.max(CalIdleEnvelope, 2.5 * medianCal)
+    // Box-relative envelope + one-shot window retry (r16): flag threshold =
+    // max(floor, 2.5 × the run's own median probe); each flagged HEADLINE
+    // window re-measures once — a transient spike (GC burst, noisy
+    // neighbor) heals and the clean numbers replace the poisoned ones (the
+    // poisoned probe is kept on the line under "retried"); sustained load
+    // re-flags and the run stays honestly contended. sf1/ann/apply windows
+    // keep their flags (their closures are out of scope here). This
+    // PRE-RETRY envelope only drives retry selection; the emitted verdict
+    // is ContentionLabel's post-retry one.
+    val calEnvelope = ContentionLabel.envelope(
+      ContentionLabel.medianOf(perQueryCal.values.toSeq))
     val resultsMap = scala.collection.mutable.LinkedHashMap(results: _*)
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     locally {
@@ -467,6 +489,23 @@ object Bench {
       }
     }
 
+    // Whole-run contention verdict — OR of five independent detectors
+    // (ContentionLabel scaladoc has the r16 failure analysis): the envelope
+    // alone is self-referential and fails open under uniform load, so the
+    // verdict also reads per-query run spread at EVERY tier, probe-series
+    // non-stationarity, an absolute fence against the PREVIOUS committed
+    // line's mins, and a sustained median-probe ceiling.
+    val verdict = ContentionLabel.label(
+      perQueryCal.toSeq,
+      Seq(calFirst, calAnn, calApply, calLast),
+      (resultsMap.toSeq ++ annResults ++ applyResults) ++
+        sf1Walls.toSeq.map { case (k, v) => (s"sf1:$k", v) },
+      (resultsMap.toSeq ++ annResults ++ applyResults)
+        .filter(_._2.nonEmpty).map { case (k, t) => k -> t.min } ++
+        sf1Min.toSeq.map { case (k, v) => (s"sf1:$k", v) },
+      prevMins)
+    val medianCal = verdict.medianCal
+
     // "total" stays the ROUND-COMPARABLE sum over the headline registry
     // only (ANN/apply ride in their own totals), now as SUM OF MINS — the
     // contention-resistant statistic; medians live in the detail file.
@@ -486,13 +525,24 @@ object Bench {
       JsonText.quote(k) + ":" + JsonText.quote(v)
     }.mkString("{", ",", "}")
     // Per-query contention flags: the probe preceding a query's window
-    // exceeded the pinned idle envelope → that window's numbers are
-    // load-poisoned and say so on the line. Idle run: empty.
-    val flagged = perQueryCal.filter(_._2 > calEnvelope)
+    // exceeded the envelope → that window's numbers are load-poisoned and
+    // say so on the line. Idle run: empty. `contended` is the FULL
+    // ContentionLabel verdict, plus sf1's per-run cpu-spread signal (cpu
+    // spread is measured where walls can stay flat under cpu escalation —
+    // the r16 m_lstm case that only sf1_unstable caught).
+    val flagged = verdict.flagged
     val flaggedJson = flagged.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val contended = flagged.nonEmpty ||
-      Seq(calFirst, calAnn, calApply, calLast).exists(_ > calEnvelope)
+    val contended = verdict.contended || sf1Unstable.nonEmpty
+    val unstableJson = verdict.unstable.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val driftJson = verdict.calDrift
+      .map(_.map(r3).mkString("[", ",", "]")).getOrElse("null")
+    val fenceJson = verdict.fence.map { case (k, cur, prev) =>
+      "\"" + k + "\":[" + r3(cur) + "," + r3(prev) + "]"
+    }.mkString("{", ",", "}")
+    val sustainedJson = verdict.sustainedCal.map(r3).getOrElse("null")
     val shuffleMb = perQueryShuffle.values.sum / 1048576.0
 
     // Full-fidelity sidecar: medians, per-query calibration, per-query
@@ -521,7 +571,14 @@ object Bench {
       s"""{"sf":"$sfDir","stat_line":"min_of_3","queries_min":$qsMin,""" +
         s""""queries_median":$qsMed,"cal_s":$calJson,"shuffle_bytes":$shJson,""" +
         s""""cpu_s":${dmap(perQueryCpu)},""" +
-        s""""sf1":$sf1Json,"errors":$errJson,"cal_envelope":${r3(calEnvelope)}}"""
+        s""""sf1":$sf1Json,"errors":$errJson,"cal_envelope":${r3(verdict.envelope)},""" +
+        // the full contention verdict rides the sidecar too, so bench_diff
+        // can auto-class a poisoned run's queries without the emitted line
+        s""""verdict":{"contended":$contended,"flagged":$flaggedJson,""" +
+        s""""unstable":$unstableJson,"cal_drift":$driftJson,""" +
+        s""""fence":$fenceJson,"sustained_cal":$sustainedJson,""" +
+        s""""sf1_unstable":${sf1Unstable.map { case (k, v) =>
+          "\"" + k + "\":" + v }.mkString("{", ",", "}")}}}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -543,10 +600,12 @@ object Bench {
         s""""sf1_unstable":${sf1Unstable.map { case (k, v) =>
           "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""cpu_total_s":${r3(perQueryCpu.values.sum)},""" +
-        s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"median":${r3(medianCal)},"envelope":${r3(calEnvelope)}},""" +
+        s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"median":${r3(medianCal)},"envelope":${r3(verdict.envelope)}},""" +
         s""""retried":${retried.map { case (k, v) =>
           "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},""" +
         s""""warm":"plateau","warm_runs":$plateauWarmRuns,""" +
+        s""""unstable":$unstableJson,"cal_drift":$driftJson,""" +
+        s""""fence":$fenceJson,"sustained_cal":$sustainedJson,""" +
         s""""flagged":$flaggedJson,"contended":$contended,"value":${r3(total)}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] emitted line ${line.length} chars — may exceed capture window")

@@ -50,7 +50,13 @@ object GraftSession {
           .mapToLong(java.nio.file.Files.size(_)).sum()
         finally s.close()
       }
-    } catch { case _: java.io.IOException => -1L }
+    } catch {
+      // Files.walk/size surface races (file deleted mid-traversal, unreadable
+      // entry) as UncheckedIOException — a RuntimeException — not IOException.
+      // Any failure to size the directory must degrade to the core-count
+      // fallback, never crash session construction.
+      case scala.util.control.NonFatal(_) => -1L
+    }
     if (bytes < 0) cores
     else math.max(cores.toLong,
       math.min(cap.toLong,

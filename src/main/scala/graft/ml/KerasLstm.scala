@@ -217,9 +217,15 @@ object KerasLstm {
     * jdk.incubator.vector) can load on this JVM. Probed ONCE per JVM; a JVM
     * without the module (or without `--add-modules`) throws
     * NoClassDefFoundError on first touch and every call dispatches to the
-    * scalar loops instead. The two paths are bit-identical by construction
-    * (VecKernel is lane-wise only — no cross-lane reductions, no FMA) and
-    * KerasLstmSpec pins the parity against the committed predictions. */
+    * scalar loops instead. Parity between the paths is scoped: the matmul
+    * accumulation (accum4/accum1) is bit-identical by construction
+    * (lane-wise mul/add only — no cross-lane reductions, no FMA), while the
+    * gate phase is tolerance-equal (~1e-7 relative — float- vs
+    * double-precision transcendentals) and platform-dependent (SVML
+    * availability / lane width), so flipping SPARK_GRAFT_LSTM_SCALAR or
+    * moving hosts shifts predictions in low-order bits. Do NOT rely on
+    * scalar/vector interchangeability at the bit level; KerasLstmSpec pins
+    * the parity against the committed predictions at fixture tolerance. */
   private[graft] val vectorized: Boolean =
     !sys.env.contains("SPARK_GRAFT_LSTM_SCALAR") && // A/B toggle for benches
     (try { VecKernel.laneCount() > 0 }

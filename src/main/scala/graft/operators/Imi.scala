@@ -76,6 +76,39 @@ object Imi {
     } finally { sample.unpersist(blocking = false); () }
   }
 
+  /** Persist the trained codebooks (one tiny parquet row — centroids are
+    * 2·√C half-vectors, kilobytes at any corpus size). Training is the only
+    * expensive part of the two-level quantizer; everything downstream
+    * (assignment, probing, the candidate equi-join) is derived from these
+    * arrays, so saving them is what makes the IMI route REUSABLE across
+    * runs and appendable ([[ScalableDedup.appendSemantic]]) instead of
+    * retrained per run. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      model: Model): Unit = {
+    import spark.implicits._
+    Seq((model.dim,
+        model.cb1.map(_.toSeq).toSeq, model.cb2.map(_.toSeq).toSeq))
+      .toDF("dim", "cb1", "cb2")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Open codebooks written by [[writeModel]]. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Model = {
+    val r = spark.read.parquet(path).head()
+    def cb(name: String): Array[Array[Float]] =
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Float]]](name)
+        .map(_.toArray).toArray
+    Model(cb("cb1"), cb("cb2"), r.getAs[Int]("dim"))
+  }
+
+  /** True when a model saved by [[writeModel]] exists at `path`. */
+  def modelExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** UDF: embedding → the `nProbe` nearest cells as long ids
     * (c1 · k2 + c2), best first — element 1 IS the vector's assignment.
     * Exact product-centroid ranking (disjoint halves ⇒ d² = d²₁ + d²₂):

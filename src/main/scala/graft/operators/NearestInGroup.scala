@@ -147,8 +147,15 @@ object NearestInGroup {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftVal: String, rightVal: String): DataFrame = {
     val keyCols = leftKeys.zipWithIndex.map { case (_, i) => s"__nk$i" }
-    val lid = left.withColumn("__nid", monotonically_increasing_id())
-    val lTagged = leftKeys.zip(keyCols).foldLeft(lid) {
+    // ALL left columns ride the union — there is no synthetic row id and no
+    // rejoin. An earlier form tagged the left with
+    // monotonically_increasing_id and re-attached the full row afterwards,
+    // which evaluates the left subtree TWICE; over an order-unstable source
+    // (sample, round-robin repartition) the two evaluations can assign
+    // different ids and silently drop or misattach rows. Carrying the row
+    // through is also cheaper: one full-width exchange replaces a narrow
+    // exchange plus a two-sided join shuffle of the same full-width rows.
+    val lTagged = leftKeys.zip(keyCols).foldLeft(left) {
         case (df, (k, kc)) => df.withColumn(kc, col(k))
       }
       .withColumn("__nv", col(leftVal).cast("double"))
@@ -164,32 +171,32 @@ object NearestInGroup {
     // the exchange so the classic one-reducer null hotspot never forms
     val lNonNull = lTagged.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
     val rNonNull = rTagged.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-    val union = lNonNull
-      .select((keyCols ++ Seq("__nv", "__nis_r")).map(col) :+ col("__nid"): _*)
-      .unionByName(rNonNull.withColumn("__nid", lit(null).cast("long")))
+    // right rows take typed nulls for the carried left columns
+    val union = lNonNull.unionByName(rNonNull, allowMissingColumns = true)
     val rvWhenRight = when(col("__nis_r") === 1, col("__nv"))
+    // no explicit tiebreak beyond (__nv, __nis_r): rows tied on value see
+    // the same below/above regardless of their relative order (right rows
+    // sort first among ties, and every tied right row contributes the same
+    // __nv), so the window values are order-invariant — bit-equality with
+    // pairwise holds under any tie permutation (spec-pinned)
     val below = last(rvWhenRight, ignoreNulls = true).over(
       Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col("__nv").asc_nulls_last, col("__nis_r").desc, col("__nid"))
+        .orderBy(col("__nv").asc_nulls_last, col("__nis_r").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val above = last(rvWhenRight, ignoreNulls = true).over(
       Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col("__nv").desc_nulls_last, col("__nis_r").desc, col("__nid"))
+        .orderBy(col("__nv").desc_nulls_last, col("__nis_r").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val counts = rNonNull.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_group"))
-    val neighbors = union
-      .select(keyCols.map(col) :+ col("__nid") :+ col("__nis_r") :+
-        col("__nv") :+ below.as("__nbelow") :+ above.as("__nabove"): _*)
+    union
+      .withColumn("__nbelow", below)
+      .withColumn("__nabove", above)
       .filter(col("__nis_r") === 0)
       .join(counts, keyCols) // inner: drops left rows with no right match
       .withColumn("min_gap", least(
         when(col("__nbelow").isNotNull, col("__nv") - col("__nbelow")),
         when(col("__nabove").isNotNull, col("__nabove") - col("__nv"))))
-      .select(col("__nid"), col("n_group"), col("min_gap"))
-    // re-attach the full left row by the synthetic id (hash join on a
-    // unique long; broadcast-eligible when the left is small)
-    lid.join(neighbors, Seq("__nid"))
       .select(left.columns.map(col) :+ col("n_group") :+ col("min_gap"): _*)
   }
 }

@@ -57,6 +57,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object Percentiles {
 
+  /** Value-equality wrapper for BinaryType group keys. The run-detection and
+    * driver maps compare keys as plain JVM values; Array[Byte]'s equals is
+    * REFERENCE equality, which would make every row its own run (O(rows)
+    * driver state and a spurious maxGroups refusal). Keys are canonicalized
+    * through this wrapper before any comparison/hashing and unwrapped when
+    * the output rows are built. A dedicated private class (not a bare
+    * ArraySeq) so unwrapping can never confuse a genuine Seq-valued key. */
+  private final case class BinKey(k: scala.collection.immutable.ArraySeq[Byte])
+
+  private def canonKey(a: Any): Any = a match {
+    case b: Array[Byte] =>
+      BinKey(scala.collection.immutable.ArraySeq.unsafeWrapArray(b))
+    case other => other
+  }
+
+  private def decanonKey(a: Any): Any = a match {
+    case BinKey(k) => k.toArray
+    case other     => other
+  }
+
   private def outSchema(g: StructField) = StructType(Seq(
     g.copy(nullable = true),
     StructField("q", DoubleType, nullable = false),
@@ -146,8 +166,9 @@ object Percentiles {
       // one RDD handle for both scans: identical partition ids by
       // construction. Row-based (not a typed Dataset) so the group key keeps
       // whatever external type its DataType maps to; keys are compared and
-      // hashed as plain JVM values (null-safe), which is exact for every
-      // atomic GROUP BY-able type.
+      // hashed as plain JVM values (null-safe) after canonKey, which is exact
+      // for every atomic GROUP BY-able type including BinaryType (wrapped for
+      // value equality — Array[Byte].equals is reference equality).
       val rdd = sorted.rdd
       val eq = (a: Any, b: Any) => java.util.Objects.equals(a, b)
 
@@ -159,7 +180,7 @@ object Percentiles {
           var started = false
           var cnt = 0L
           it.foreach { row =>
-            val g = row.get(0)
+            val g = canonKey(row.get(0))
             if (started && eq(g, cur)) cnt += 1
             else {
               if (started) out += ((pid, cur, cnt))
@@ -207,7 +228,7 @@ object Percentiles {
           var started = false
           var rank = 0L
           it.flatMap { row =>
-            val g = row.get(0)
+            val g = canonKey(row.get(0))
             val v = row.getDouble(1)
             if (!started || !eq(g, cur)) {
               cur = g; started = true; rank = off((pid, g))
@@ -226,7 +247,7 @@ object Percentiles {
       totals.foreach { case (g, n) =>
         val at = byGroup(g)
         qs.foreach { q =>
-          rows.add(Row(g, q, interpolate(n, q, at.apply)))
+          rows.add(Row(decanonKey(g), q, interpolate(n, q, at.apply)))
         }
       }
       spark.createDataFrame(rows, schema)

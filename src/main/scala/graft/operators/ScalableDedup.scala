@@ -82,7 +82,7 @@ object ScalableDedup {
     */
   def embeddingNearDupsIvfPq(vecs: DataFrame, dim: Int, maxSqDistance: Double,
       nLists: Int = 0, nProbe: Int = 2, m: Int = 16, k: Int = 16,
-      hierarchicalMin: Long = 8192L): DataFrame = {
+      hierarchicalMin: Long = 8192L, modelDir: String = ""): DataFrame = {
     // nLists = 0 (the default) self-scales the quantizer. A FIXED cell
     // count is quadratic: cells grow linearly with the corpus and the cell
     // equi-join enumerates O(n²·nProbe/nLists) candidate pairs — the 30×
@@ -110,9 +110,26 @@ object ScalableDedup {
         flatPairs(vecs, dim, lists, nProbe, m, k, maxSqDistance)
       } else {
         // constant target occupancy τ=64: C = n/64 cells from 2·√C trained
-        // centroids; KMeans needs k <= sample size either way
-        val targetCells = math.max(16L, n / 64L).min(1L << 30).toInt
-        val model = Imi.train(vecs, dim, targetCells, nTotal = n)
+        // centroids; KMeans needs k <= sample size either way. With a
+        // `modelDir`, the codebooks are trained ONCE and reused across runs
+        // (the r16 verdict's carry: this branch retrained both codebooks
+        // every run) — reuse is exact, not approximate: the codebooks ARE
+        // the quantizer, so a saved model yields bit-identical cells.
+        val spark = vecs.sparkSession
+        val model =
+          if (modelDir.nonEmpty && Imi.modelExists(spark, modelDir)) {
+            val m = Imi.readModel(spark, modelDir)
+            log.info(s"semantic-dedup [hierarchical-imi]: reusing saved " +
+              s"codebooks from $modelDir (${m.k1}x${m.k2})")
+            require(m.dim == dim,
+              s"saved IMI model at $modelDir has dim ${m.dim}, caller says $dim")
+            m
+          } else {
+            val targetCells = math.max(16L, n / 64L).min(1L << 30).toInt
+            val m = Imi.train(vecs, dim, targetCells, nTotal = n)
+            if (modelDir.nonEmpty) Imi.writeModel(spark, modelDir, m)
+            m
+          }
         log.info(s"semantic-dedup [hierarchical-imi]: n=$n >= " +
           s"$hierarchicalMin, cells=${model.nCells} (${model.k1}x${model.k2} " +
           s"half-space codebooks, target occupancy ~64), nProbe=$nProbe")
@@ -158,6 +175,110 @@ object ScalableDedup {
         greatest(col("q_id"), col("vec_id")).as("v2"), col("dist"))
       .distinct()
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted semantic-dedup index (r16 VERDICT #6): the IMI codebooks +
+  // cell-partitioned vector table on disk, so a recurring dedup job (the
+  // 100 TB reality: a corpus that grows daily) trains the quantizer ONCE
+  // and each later run only assigns/probes new vectors — the same
+  // build/append/stream lifecycle IvfPq gives the ANN index, with the same
+  // (cell, ingest_batch) layout and exactly-once replay contract.
+  // ---------------------------------------------------------------------
+
+  /** Train the IMI quantizer on `vecs` and persist BOTH halves of the
+    * index: the codebooks (`<path>/imi_model`) and the corpus
+    * (`<path>/vectors`, partitioned by assigned cell — candidate reads
+    * prune whole cell directories, like the ANN codes tree). Cells are
+    * sized for constant ~64-vector occupancy unless `targetCells` is
+    * explicit. Returns the trained model. */
+  def buildSemanticIndex(vecs: DataFrame, dim: Int, path: String,
+      targetCells: Int = 0, seed: Long = 42L): Imi.Model = {
+    val spark = vecs.sparkSession
+    val n = vecs.count()
+    val cells = if (targetCells > 0) targetCells
+                else math.max(16L, n / 64L).min(1L << 30).toInt
+    val model = Imi.train(vecs, dim, cells, seed, nTotal = n)
+    Imi.writeModel(spark, s"$path/imi_model", model)
+    assignCells(vecs, model)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("cell", "ingest_batch").mode("overwrite")
+      .parquet(s"$path/vectors")
+    model
+  }
+
+  /** Append new vectors into an index built by [[buildSemanticIndex]]:
+    * assignment uses the SAVED codebooks (no retraining — appended vectors
+    * land in EXISTING cells by construction, since the cell id space is
+    * fixed by the codebooks). With a `batchId` (the streaming path), the
+    * write dynamically OVERWRITES this batch's (cell, batch) partitions, so
+    * a replayed micro-batch replaces its own rows — exactly-once with
+    * respect to the stream; without one, a plain append under batch −1.
+    * Same quantizer-drift contract as [[IvfPq.appendToIndex]]: vectors are
+    * assigned against centroids fit before they existed; rebuild when the
+    * corpus distribution moves. */
+  def appendSemantic(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, batchId: Option[Long] = None): Unit =
+    appendSemanticBatch(path, Imi.readModel(spark, s"$path/imi_model"),
+      newVecs, batchId)
+
+  private def appendSemanticBatch(path: String, model: Imi.Model,
+      newVecs: DataFrame, batchId: Option[Long]): Unit = {
+    val assigned = assignCells(newVecs, model)
+      .withColumn("ingest_batch", lit(batchId.getOrElse(-1L)))
+    val w = assigned.write.partitionBy("cell", "ingest_batch")
+    (batchId match {
+      case Some(_) =>
+        w.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      case None => w.mode("append")
+    }).parquet(s"$path/vectors")
+  }
+
+  /** Follow an unbounded vector stream into the index — one
+    * [[appendSemantic]] per micro-batch keyed by the micro-batch id (the
+    * idempotence key: crash-replayed batches overwrite their own
+    * partitions). Codebooks load ONCE at start; per batch the ingest pays
+    * only the assignment UDF and the partitioned write. Single-writer
+    * contract for layout rewrites, same as the ANN index. */
+  def appendSemanticStream(spark: org.apache.spark.sql.SparkSession,
+      path: String, vecStream: DataFrame, checkpoint: String,
+      name: String = "semantic_ingest")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val model = Imi.readModel(spark, s"$path/imi_model")
+    vecStream.writeStream.queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          if (!batch.isEmpty)
+            appendSemanticBatch(path, model, batch.toDF(), Some(batchId))
+          ()
+      }
+      .start()
+  }
+
+  /** Near-duplicate pairs over EVERYTHING the index holds (base build +
+    * every appended batch), without retraining: probes come from the saved
+    * codebooks, candidates from the same cell equi-join as
+    * [[embeddingNearDupsIvfPq]]'s hierarchical route, every candidate
+    * exactness-verified. Output: (v1, v2, dist), each pair once. */
+  def semanticNearDupsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxSqDistance: Double, nProbe: Int = 2): DataFrame = {
+    val model = Imi.readModel(spark, s"$path/imi_model")
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val withProbes = vecs
+      .select(col("vec_id"), col("embedding"),
+        Imi.probesUdf(model, nProbe)(col("embedding")).as("probes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try imiPairs(withProbes, maxSqDistance).localCheckpoint(true)
+    finally { withProbes.unpersist(blocking = false); () }
+  }
+
+  /** (vec_id, embedding, cell): cell = the vector's IMI assignment (probe
+    * list head — deterministic given the codebooks). */
+  private def assignCells(vecs: DataFrame, model: Imi.Model): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+      element_at(Imi.probesUdf(model, 1)(col("embedding")), 1)
+        .as("cell"))
 
   /** The lazy candidate-pair pipeline behind [[embeddingNearDupsIvfPq]]
     * (separate so specs can assert its JOIN plan before checkpointing). */

@@ -153,6 +153,94 @@ class ScalableDedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted semantic index: appends exactly-once into existing cells, " +
+    "recall gate holds on the appended corpus") {
+    import spark.implicits._
+    val (vecs, plantedPairs) = plantedLarge
+    val path = java.nio.file.Files.createTempDirectory("semidx").toString
+    val base = vecs.filter(col("vec_id") < 1000L) // 480 base vectors
+    val dups = vecs.filter(col("vec_id") >= 1000L) // the 80 near-copies
+    val model = ScalableDedup.buildSemanticIndex(base, dim = 8, path)
+    // append the near-copies as a streamed-style batch; replaying the SAME
+    // batch id must overwrite its own partitions, not duplicate
+    ScalableDedup.appendSemantic(spark, path, dups, batchId = Some(7L))
+    val n1 = spark.read.parquet(s"$path/vectors").count()
+    ScalableDedup.appendSemantic(spark, path, dups, batchId = Some(7L))
+    val n2 = spark.read.parquet(s"$path/vectors").count()
+    assert(n1 === 560L && n2 === n1, s"replayed batch must be a no-op: $n1 -> $n2")
+    // the saved model IS the quantizer the append used: stored cells equal
+    // a fresh assignment under the saved codebooks, and the cell id space
+    // is the model's (appends land in existing cells by construction)
+    val saved = Imi.readModel(spark, s"$path/imi_model")
+    assert((saved.k1, saved.k2, saved.dim) === (model.k1, model.k2, model.dim))
+    val stored = spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id") >= 1000L)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expected = dups.select(col("vec_id"),
+        element_at(Imi.probesUdf(saved, 1)(col("embedding")), 1).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored === expected,
+      "appended cells must be the saved model's assignment")
+    assert(stored.values.toSet.subsetOf((0L until saved.nCells.toLong).toSet))
+    // dedup over the index (codebooks REUSED, nothing retrained): the same
+    // recall gate as the in-memory hierarchical route
+    val pairs = ScalableDedup
+      .semanticNearDupsFromIndex(spark, path, maxSqDistance = 0.25)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val recall = plantedPairs.count(pairs.contains).toDouble / plantedPairs.size
+    assert(recall >= 0.9, s"planted near-dups missed on appended corpus: $recall")
+    assert(pairs.forall(plantedPairs.contains),
+      s"false pairs: ${pairs.diff(plantedPairs)}")
+  }
+
+  test("appendSemanticStream: micro-batches land exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (vecs, _) = plantedLarge
+    val path = java.nio.file.Files.createTempDirectory("semstr").toString
+    ScalableDedup.buildSemanticIndex(
+      vecs.filter(col("vec_id") < 400L), dim = 8, path)
+    def rows(lo: Long, hi: Long): Seq[(Long, Seq[Float])] =
+      vecs.filter(col("vec_id") >= lo && col("vec_id") < hi).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = ScalableDedup.appendSemanticStream(spark, path,
+      input.toDF().toDF("vec_id", "embedding"), s"$path/ckpt")
+    try {
+      input.addData(rows(400, 440): _*)
+      q.processAllAvailable()
+      input.addData(rows(440, 480): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$path/vectors").select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length, "stream must not duplicate")
+    assert(ids.toSet === (0L until 480L).toSet)
+  }
+
+  test("embeddingNearDupsIvfPq(modelDir): codebooks trained once, reused verbatim") {
+    import spark.implicits._
+    val (vecs, plantedPairs) = plantedLarge
+    val dir = java.nio.file.Files.createTempDirectory("imimodel").toString + "/m"
+    def run() = ScalableDedup.embeddingNearDupsIvfPq(vecs, dim = 8,
+        maxSqDistance = 0.25, hierarchicalMin = 1L, modelDir = dir)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val p1 = run()
+    def snapshot() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val s1 = snapshot()
+    assert(s1.nonEmpty, "first run must persist the codebooks")
+    val p2 = run()
+    assert(snapshot() === s1, "second run must not retrain/rewrite the model")
+    assert(p2 === p1, "reused codebooks must reproduce the pairs exactly")
+    val recall = plantedPairs.count(p1.contains).toDouble / plantedPairs.size
+    assert(recall >= 0.9)
+  }
+
   test("embeddingNearDupsIvfPq plan: candidates via cell equi-join, not cross join") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val (vecs, _) = planted
