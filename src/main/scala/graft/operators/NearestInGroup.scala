@@ -102,6 +102,180 @@ object NearestInGroup {
     Result(df, d)
   }
 
+  /** **2-D nearest-in-group** (the reference's ACTUAL J7 shape: per-play
+    * nearest defender by Euclidean distance, preprocess.py:441-513 /
+    * BDB_2026.ipynb cell 69 — [[graft.bdb.Separation]] keeps the reference
+    * regime's pairwise join, which is linear only because a play holds ~11
+    * defenders): for each left row, min √((lx−rx)² + (ly−ry)²) over the
+    * right rows sharing its group key, plus that group's right-row count.
+    *
+    * Same two-regime story as the 1-D [[nearest]], but sorted-neighbor does
+    * NOT generalize to 2-D (no total order puts every Euclidean nearest
+    * neighbor adjacent), so the unbounded-group rung is a '''grid-cell
+    * candidate join''' — the sketch-proposes/exact-confirms shape of
+    * `d_fuzzy_verify`:
+    *
+    *  1. bucket right rows by (⌊x/ε⌋, ⌊y/ε⌋) and REPLICATE each into its
+    *     3×3 neighbor cells (9 rows); left rows probe with their own cell —
+    *     ONE equi-join on (key, cellX, cellY), never all-pairs;
+    *  2. a left row whose best candidate sits within ε is PROVEN exact: a
+    *     true nearest neighbor at distance ≤ ε has |Δx|,|Δy| ≤ ε, hence
+    *     lies in the probed 3×3 block, so the candidate min is the true
+    *     min (computed by the same IEEE expression as pairwise →
+    *     bit-identical, spec-pinned). The ≤-ε check keeps a couple-ulp
+    *     slack for the floor(x/ε) boundary rounding;
+    *  3. the residue (no candidate within ε — sparse keys, outliers, null
+    *     coords) takes the exact per-key pairwise fallback. ε tunes cost,
+    *     never correctness: too small → more fallback rows; too large →
+    *     fatter cells. Aim for ε ≳ the typical nearest-neighbor distance
+    *     (≈ √(area/n) per key).
+    *
+    * Cost: O((L + 9R) shuffle + candidates), candidates ≈ L · (points per
+    * 3×3 block) — linear for any fixed density, ANY group size (the
+    * pairwise form is quadratic when the group count is fixed). Parallelism
+    * is bounded by occupied CELLS, not groups.
+    *
+    * Routing mirrors [[nearest]]: the preflight's Misra–Gries bound proves
+    * bounded fan-out → pairwise (the reference regime); above the bound →
+    * grid. Contract: output = every left row whose key matches ≥ 1 right
+    * row with non-null coordinates, ALL left columns preserved plus
+    * `n_group` and `min_dist` (double — null iff a left coordinate is
+    * null). Right rows with a null coordinate or null key are excluded
+    * from count and distance alike.
+    */
+  def nearest2d(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftX: String, leftY: String, rightX: String, rightY: String,
+      eps: Double, maxPairwiseGroupRows: Long = 256L): Result = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"nearest2d: key lists must pair up, got $leftKeys / $rightKeys")
+    require(eps > 0 && !eps.isInfinite, s"nearest2d: eps must be finite > 0: $eps")
+    require(!left.columns.contains("n_group") && !left.columns.contains("min_dist"),
+      "nearest2d: left columns n_group/min_dist collide with the output contract")
+    val rv = right.filter(col(rightX).isNotNull && col(rightY).isNotNull)
+    val pf = Joins.cachedPreflight(left, rv, leftKeys, rightKeys,
+      ThetaSketch.DefaultK).estimate
+    val (strategy, reason) =
+      if (pf.maxKeyRowsRight <= maxPairwiseGroupRows)
+        ("pairwise",
+          s"max right rows/key <= ${pf.maxKeyRowsRight} (MG upper bound) " +
+          s"<= $maxPairwiseGroupRows: bounded fan-out, linear pairwise join")
+      else
+        ("grid",
+          s"max right rows/key may reach ${pf.maxKeyRowsRight} (MG upper " +
+          s"bound) > $maxPairwiseGroupRows: pairwise enumeration risks " +
+          s"quadratic blowup; grid-cell candidate join (eps=$eps) is linear " +
+          "at any group size")
+    org.slf4j.LoggerFactory.getLogger("graft.operators.NearestInGroup").info(
+      s"nearest-in-group-2d [$strategy]: $reason; " +
+        s"L ${pf.rowsLeft} x R ${pf.rowsRight}")
+    val d = Decision(strategy, reason, pf.maxKeyRowsRight,
+      pf.rowsLeft, pf.rowsRight)
+    val df =
+      if (strategy == "pairwise")
+        pairwise2d(left, rv, leftKeys, rightKeys, leftX, leftY, rightX, rightY)
+      else grid2d(left, rv, leftKeys, rightKeys, leftX, leftY, rightX, rightY, eps)
+    Result(df, d)
+  }
+
+  /** √((lx−rx)² + (ly−ry)²) — ONE shared expression for both 2-D forms so
+    * their bit-equality is structural (sqrt is correctly rounded; the
+    * products and the two-term sum evaluate identically). */
+  private def dist2d(lx: org.apache.spark.sql.Column, ly: org.apache.spark.sql.Column,
+      rx: org.apache.spark.sql.Column, ry: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val dx = lx - rx
+    val dy = ly - ry
+    sqrt(dx * dx + dy * dy)
+  }
+
+  /** The 2-D join+min form. `right` must already be filtered to non-null
+    * coordinates. Same single-evaluation synthetic-id shape as the 1-D
+    * [[pairwise]]. */
+  private[operators] def pairwise2d(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftX: String, leftY: String, rightX: String, rightY: String): DataFrame = {
+    val lid = left.withColumn("__nid", monotonically_increasing_id())
+    val renamedKeys = rightKeys.indices.map(i => s"__nrk$i")
+    val rr = right.select(
+      rightKeys.zip(renamedKeys).map { case (k, n) => col(k).as(n) } :+
+      col(rightX).cast("double").as("__nrx") :+
+      col(rightY).cast("double").as("__nry"): _*)
+    val routed = Joins.routed(lid, rr, leftKeys, renamedKeys)
+    val aggs = left.columns.map(c => first(col(c)).as(c)).toSeq :+
+      count(lit(1)).as("n_group") :+
+      min(dist2d(col(leftX).cast("double"), col(leftY).cast("double"),
+        col("__nrx"), col("__nry"))).as("min_dist")
+    routed.df
+      .groupBy("__nid")
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__nid")
+      .select(left.columns.map(col) :+ col("n_group") :+ col("min_dist"): _*)
+  }
+
+  /** The grid-cell candidate form (see [[nearest2d]]). `right` must already
+    * be filtered to non-null coordinates. The left IS localCheckpoint'ed
+    * (one eager materialization): the synthetic row id is both the
+    * grouping key and the rejoin key across THREE consumers (candidate
+    * pass, fallback anti-join, final rejoin), and truncating lineage is
+    * what makes the id stable over an order-unstable source — the same
+    * hazard the r16 advice flagged on sortedNeighbor, closed here by
+    * construction. */
+  private[operators] def grid2d(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftX: String, leftY: String, rightX: String, rightY: String,
+      eps: Double): DataFrame = {
+    val keyCols = leftKeys.indices.map(i => s"__nk$i")
+    val lid = leftKeys.zip(keyCols).foldLeft(left) {
+        case (df, (k, kc)) => df.withColumn(kc, col(k))
+      }
+      .withColumn("__nid", monotonically_increasing_id())
+      .withColumn("__nlx", col(leftX).cast("double"))
+      .withColumn("__nly", col(leftY).cast("double"))
+      .localCheckpoint()
+    val r = right.select(
+      rightKeys.zip(keyCols).map { case (k, n) => col(k).as(n) } :+
+      col(rightX).cast("double").as("__nrx") :+
+      col(rightY).cast("double").as("__nry"): _*)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val counts = r.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_group"))
+    // each right row registered in its 3×3 neighborhood (9 rows); floor on
+    // double returns bigint, so cell ids join as longs
+    val rGrid = r
+      .withColumn("__dxo", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dyo", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(keyCols.map(col) :+
+        (floor(col("__nrx") / eps) + col("__dxo")).as("__gx") :+
+        (floor(col("__nry") / eps) + col("__dyo")).as("__gy") :+
+        col("__nrx") :+ col("__nry"): _*)
+    // null-keyed left rows can never match (inner contract); null-coord
+    // left rows fall through to the fallback, which yields a null min_dist
+    val lProbe = lid
+      .select((keyCols ++ Seq("__nid", "__nlx", "__nly")).map(col): _*)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__gx", floor(col("__nlx") / eps))
+      .withColumn("__gy", floor(col("__nly") / eps))
+    val gridMin = lProbe
+      .join(rGrid, keyCols :+ "__gx" :+ "__gy")
+      .groupBy("__nid")
+      .agg(min(dist2d(col("__nlx"), col("__nly"), col("__nrx"), col("__nry")))
+        .as("min_dist"))
+    // exactness boundary: within ε the 3×3 containment proof applies; the
+    // (1 − 1e-9) slack keeps floor(x/ε) rounding at the cell boundary from
+    // voiding it (boundary rows simply take the exact fallback)
+    val resolved = gridMin.filter(col("min_dist") <= eps * (1.0 - 1e-9))
+    val fallback = lProbe
+      .join(resolved.select("__nid"), Seq("__nid"), "left_anti")
+      .join(r, keyCols)
+      .groupBy("__nid")
+      .agg(min(dist2d(col("__nlx"), col("__nly"), col("__nrx"), col("__nry")))
+        .as("min_dist"))
+    lid.join(resolved.unionByName(fallback), Seq("__nid"))
+      .join(counts, keyCols)
+      .select(left.columns.map(col) :+ col("n_group") :+ col("min_dist"): _*)
+  }
+
   /** The join+min form. `right` must already be filtered to non-null
     * values. Routes the underlying equi-join through [[Joins.routed]].
     * Values compare as doubles (same cast the sorted form makes — the two

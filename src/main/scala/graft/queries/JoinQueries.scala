@@ -341,6 +341,43 @@ object JoinQueries {
              |FROM customer JOIN supplier ON c_nationkey = s_nationkey
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
 
+    // J7 2-D — the reference's ACTUAL nearest-defender shape (Euclidean
+    // distance per play, preprocess.py:441-513; bdb/Separation.scala keeps
+    // the reference regime's pairwise join, linear only because groups are
+    // ~11 defenders). NearestInGroup.nearest2d routes pairwise ↔ grid-cell
+    // candidate join on the same MG bound as j7_nearest_routed: pairwise at
+    // sf0.01/sf0.1 (4–40 suppliers/key), grid from sf1 (400+/key) — so the
+    // scale tiers gate BOTH physical forms of the 2-D operator. Point =
+    // (acctbal, key mod 1000): a genuine 2-D layout over the TPC-H-ish
+    // tables, same min-over-group oracle shape as j7. Both forms share one
+    // IEEE distance expression (bit-equality spec-pinned), and sqrt/mul are
+    // correctly rounded in Spark and DuckDB alike, so the oracle compares
+    // exact — no rounding crutch.
+    QueryDef(
+      "j7_nearest_2d",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("nk"),
+            col("c_acctbal").as("cx"),
+            (col("c_custkey") % 1000).cast("double").as("cy"))
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_nationkey").as("nk"), col("s_acctbal").as("sx"),
+            (col("s_suppkey") % 1000).cast("double").as("sy"))
+        graft.operators.NearestInGroup
+          .nearest2d(cust, sup, Seq("nk"), Seq("nk"),
+            "cx", "cy", "sx", "sy", eps = 500.0)
+          .df
+          .select(col("c_custkey"), col("n_group").as("n_sup"), col("min_dist"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_sup,
+             |       min(sqrt((c_acctbal - s_acctbal) * (c_acctbal - s_acctbal)
+             |                + (CAST(c_custkey % 1000 AS DOUBLE) - CAST(s_suppkey % 1000 AS DOUBLE))
+             |                  * (CAST(c_custkey % 1000 AS DOUBLE) - CAST(s_suppkey % 1000 AS DOUBLE))))
+             |         AS min_dist
+             |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
     // J8 — left join + fill default (reference: merge defender_sep, missing → 20.0,
     // BDB_2026.ipynb cell 69/75)
     QueryDef(

@@ -92,6 +92,90 @@ class NearestInGroupSpec extends SparkSpec {
     }
   }
 
+  // ----- 2-D (the reference's actual J7 shape: Euclidean nearest defender)
+
+  /** bounded 2-D groups (~4 right rows/key, many keys) */
+  private def bounded2d: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val left = (0 until 200).map(i => (i.toLong, (i % 50).toLong,
+      i * 0.37 - 20.0, math.sin(i * 0.9) * 30)).toDF("lid", "k", "lx", "ly")
+    val right = (0 until 200).map(i => ((i % 50).toLong,
+      i * 0.61 - 35.0, math.cos(i * 1.1) * 30)).toDF("k", "rx", "ry")
+    (left, right)
+  }
+
+  /** fixed group count, both sides large — the regime the grid form is for */
+  private def fixedCount2d: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val left = (0 until 900).map(i => (i.toLong, (i % 3).toLong,
+      math.sin(i * 0.7) * 100, math.cos(i * 0.31) * 100)).toDF("lid", "k", "lx", "ly")
+    val right = (0 until 900).map(i => ((i % 3).toLong,
+      math.cos(i * 1.3) * 100, math.sin(i * 0.17) * 100)).toDF("k", "rx", "ry")
+    (left, right)
+  }
+
+  test("2-D: grid ≡ pairwise bit-equality on both shapes, across eps regimes") {
+    // eps spans: smaller than typical NN distance (mostly fallback), around
+    // it (the intended operating point), and one giant cell (grid join
+    // degenerates to pairwise-with-extra-steps) — exactness must not depend
+    // on the tuning knob
+    for ((l, r) <- Seq(bounded2d, fixedCount2d); eps <- Seq(0.5, 8.0, 1000.0)) {
+      val p = NearestInGroup.pairwise2d(l, r, Seq("k"), Seq("k"),
+        "lx", "ly", "rx", "ry")
+      val g = NearestInGroup.grid2d(l, r, Seq("k"), Seq("k"),
+        "lx", "ly", "rx", "ry", eps)
+      assert(canon(p) == canon(g), s"eps=$eps")
+      assert(g.columns.toSeq == l.columns.toSeq ++ Seq("n_group", "min_dist"))
+    }
+  }
+
+  test("2-D router: pairwise under the MG bound, grid above it") {
+    val (lb, rb) = bounded2d
+    val resB = NearestInGroup.nearest2d(lb, rb, Seq("k"), Seq("k"),
+      "lx", "ly", "rx", "ry", eps = 8.0)
+    assert(resB.decision.strategy == "pairwise", resB.decision.reason)
+    val (lf, rf) = fixedCount2d
+    val resF = NearestInGroup.nearest2d(lf, rf, Seq("k"), Seq("k"),
+      "lx", "ly", "rx", "ry", eps = 8.0, maxPairwiseGroupRows = 64)
+    assert(resF.decision.strategy == "grid", resF.decision.reason)
+    assert(resF.decision.maxKeyRowsRight > 64)
+    assert(canon(resF.df) == canon(NearestInGroup.pairwise2d(lf, rf,
+      Seq("k"), Seq("k"), "lx", "ly", "rx", "ry")))
+  }
+
+  test("2-D nulls: null keys never match; null coords excluded right, null min_dist left") {
+    import spark.implicits._
+    val l = Seq[(java.lang.Long, java.lang.Long, java.lang.Double, java.lang.Double)](
+      (1L, 10L, 0.0, 0.0), (2L, 10L, null, 1.0), (3L, null, 1.0, 1.0),
+      (4L, 99L, 1.0, 1.0)
+    ).toDF("lid", "k", "lx", "ly")
+    val r = Seq[(java.lang.Long, java.lang.Double, java.lang.Double)](
+      (10L, 3.0, 4.0), (10L, 6.0, 8.0), (10L, null, 1.0), (77L, 0.0, 0.0)
+    ).toDF("k", "rx", "ry")
+    val rNn = r.filter(col("rx").isNotNull && col("ry").isNotNull)
+    for (df <- Seq(
+        NearestInGroup.pairwise2d(l, rNn, Seq("k"), Seq("k"), "lx", "ly", "rx", "ry"),
+        NearestInGroup.grid2d(l, rNn, Seq("k"), Seq("k"), "lx", "ly", "rx", "ry", 2.0))) {
+      val rows = df.orderBy("lid").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(rows.forall(_.getAs[Long]("n_group") == 2L)) // null-coord right excluded
+      assert(rows(0).getAs[Double]("min_dist") == 5.0) // 3-4-5 triangle
+      assert(rows(1).isNullAt(rows(1).fieldIndex("min_dist"))) // null lx
+    }
+  }
+
+  test("2-D duplicate left rows each keep their own output row") {
+    import spark.implicits._
+    val l = Seq((10L, 1.0, 1.0), (10L, 1.0, 1.0)).toDF("k", "lx", "ly")
+    val r = Seq((10L, 4.0, 5.0)).toDF("k", "rx", "ry")
+    for (df <- Seq(
+        NearestInGroup.pairwise2d(l, r, Seq("k"), Seq("k"), "lx", "ly", "rx", "ry"),
+        NearestInGroup.grid2d(l, r, Seq("k"), Seq("k"), "lx", "ly", "rx", "ry", 2.0))) {
+      assert(df.count() == 2)
+      assert(df.collect().forall(_.getAs[Double]("min_dist") == 5.0))
+    }
+  }
+
   test("duplicate left rows each keep their own output row") {
     import spark.implicits._
     val l = Seq((10L, 5.0), (10L, 5.0)).toDF("k", "lv") // no unique key
