@@ -24,9 +24,17 @@ Classes, checked in order per query:
   plan-change   shuffle bytes moved > 10%, or the plan fingerprint changed
                 (when both sidecars carry a `fingerprints` map) — a plan
                 property changed; adjudicate by reading the plan
-  code-change   calibration-normalized cpu_s moved > 25% with bytes flat —
-                the computation itself changed (cpu_s still inflates ~15%
-                under SMT pressure; judge against the band)
+  code-change   calibration-normalized cpu_s AND wall moved > 25%/20% with
+                bytes flat — the computation itself changed
+  cpu-only      normalized cpu_s moved > 25% but wall and bytes are flat —
+                burst-concurrency cpu accounting, not work (r17 evidence:
+                j_star_chain_bucketed burns 1.5-3x the executor-cpu at 32
+                threads vs 8 on a FIXED 40-task plan, run-to-run spread 2x
+                on an idle box; the single-query calibration probe
+                amortizes per-thread overhead and cannot normalize it).
+                Adjudicate with StageProfile at SPARK_GRAFT_CPUS=8 vs 32:
+                if cpu collapses with thread count, it is the box, not the
+                code.
   box-noise     RAW cpu or wall crossed its band but the NORMALIZED value
                 is back inside it — the box moved, not the code
   wall-only     normalized wall moved > 20% with cpu and bytes flat (box,
@@ -79,7 +87,7 @@ def main():
     new_fp = new.get("fingerprints", {})
 
     counts = {"poisoned": 0, "plan-change": 0, "code-change": 0,
-              "box-noise": 0, "wall-only": 0, "flat": 0}
+              "cpu-only": 0, "box-noise": 0, "wall-only": 0, "flat": 0}
     rows = {}
 
     # the NEW run's own contention verdict: queries it names are poisoned —
@@ -97,6 +105,7 @@ def main():
         print("*** NEW run self-labels CONTENDED "
               f"(drift={nv.get('cal_drift')}, "
               f"sustained_cal={nv.get('sustained_cal')}, "
+              f"steal_pct={nv.get('steal_pct')}, "
               f"fence={sorted(nv.get('fence') or {})}, "
               f"unstable={sorted(nv.get('unstable') or {})}) — "
               "every class below is suspect; re-run on an idle box ***")
@@ -122,7 +131,11 @@ def main():
         elif (rb is not None and abs(rb - 1) > 0.10) or fp_changed:
             cls = "plan-change"
         elif nc is not None and abs(nc - 1) > 0.25:
-            cls = "code-change"
+            # cpu moved: wall is the tiebreak between a real computation
+            # change and burst-concurrency cpu accounting (see the class
+            # table) — with wall flat, cpu-only is the honest label
+            cls = ("code-change" if nw is not None and abs(nw - 1) > 0.20
+                   else "cpu-only")
         elif raw_flagged and norm_clear:
             cls = "box-noise"
         elif nw is not None and abs(nw - 1) > 0.20:

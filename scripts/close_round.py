@@ -20,6 +20,15 @@ Refuses to close a round unless the record is clean:
      bench line carries the plateau-warm methodology fields
      (warm == "plateau", warm_runs > 0) — a bench without them predates
      the r14 measurement fix and must not close a round.
+  6. (r16 verdict #4, rounds >= 17) the full-registry scale gate:
+     SCALING_r<N>.json (PlanDiffScales sf3->sf10, cpu + exponents for every
+     registry query) exists, is committed, and
+       a. every query whose 100x cpu >= 0.5 s has exponent <= 1.15 OR is in
+          the OUTPUT_BOUND allowlist below (each entry justified in place);
+       b. every sf3->sf10 plan-flip query (its `differs` list) has a GREEN
+          row in the committed CORRECTNESS_sf10_r<N>.json — adaptive plans
+          are hash-gated in the regime they actually take at 100x,
+          automatically, including flips that appear in future rounds.
 
 Usage: close_round.py <round-number>
 Exit 0 = round may close; nonzero prints every violated rule.
@@ -147,6 +156,80 @@ def main():
             elif not hits:
                 problems.append(f"{notes} names {name}: not in git ls-files "
                                 "— either commit it or stop claiming it")
+
+    # 6. full-registry scale gate (rounds >= 17)
+    # Queries whose OUTPUT grows super-linearly under ScaleGen's exact-copy
+    # replication — their cpu exponent measures the fixture's output growth,
+    # not a scaling bug. Every entry needs the justification beside it; a
+    # NEW super-linear query must either earn a line here or be fixed.
+    OUTPUT_BOUND = {
+        # grouped cross join: output = sum of per-group |L_i| x |R_i| by
+        # definition (the operator's contract), quadratic in replication
+        "j6_grouped_cross",
+        # exact all-pairs twin of the semantic dedup (the oracle for the
+        # IVF-PQ path): planted near-dup pairs grow quadratically because
+        # ScaleGen replicates embeddings as exact copies (NOTES_r16 §5)
+        "d_semantic_ivfpq_exact",
+        # the IVF-PQ route itself: candidate generation is linear, but the
+        # PAIR OUTPUT is the same quadratic planted set as its exact twin;
+        # r16 measured exponent 0.91 on the saturated 30x->100x segment
+        # AGAINST that output - keep the entry for smaller-segment noise
+        "d_semantic_ivfpq",
+        # subset audit re-verifies the quadratic pair set above
+        "d_semantic_subset_audit",
+    }
+    if n >= 17:
+        scaling = f"SCALING_r{n}.json"
+        sf10 = f"CORRECTNESS_sf10_r{n}.json"
+        if not os.path.exists(scaling):
+            problems.append(f"{scaling} missing — run PlanDiffScales "
+                            "(sf3 sf10, full registry) and commit it")
+        else:
+            if scaling not in ls_files:
+                problems.append(f"{scaling} exists but is NOT committed")
+            try:
+                with open(scaling) as f:
+                    sc = json.load(f)
+                qs_sc = sc.get("queries", {})
+                hot = sorted(
+                    name for name, r in qs_sc.items()
+                    if (r.get("cpu_b") or 0) >= 0.5
+                    and r.get("exponent") is not None
+                    and r["exponent"] > 1.15
+                    and name not in OUTPUT_BOUND)
+                if hot:
+                    problems.append(
+                        f"{scaling}: super-linear cpu exponents (> 1.15 at "
+                        f">= 0.5 s) outside the output-bound allowlist: "
+                        f"{hot[:10]} — fix the operator or justify an "
+                        "allowlist entry")
+                flips = sc.get("differs", [])
+                if not os.path.exists(sf10):
+                    if flips:
+                        problems.append(
+                            f"{sf10} missing but {scaling} lists plan flips "
+                            f"{flips[:10]} — hash-gate them at 100x")
+                else:
+                    if sf10 not in ls_files:
+                        problems.append(f"{sf10} exists but is NOT committed")
+                    with open(sf10) as f:
+                        rows10 = json.load(f)
+                    missing = sorted(q for q in flips if q not in rows10)
+                    if missing:
+                        problems.append(
+                            f"{sf10}: sf3->sf10 plan-flip queries not "
+                            f"gated: {missing}")
+                    def bad10(r):
+                        if r.get("err") == "no_oracle":
+                            return not (r.get("spark_rows") or 0) > 0
+                        return r.get("err") is not None or any(
+                            r.get(k) is False for k in
+                            ("rows_match", "schema_match", "hash_match"))
+                    bad = sorted(q for q, r in rows10.items() if bad10(r))
+                    if bad:
+                        problems.append(f"{sf10}: non-green rows: {bad[:10]}")
+            except (json.JSONDecodeError, AttributeError, TypeError) as e:
+                problems.append(f"{scaling}: unparseable ({e})")
 
     # 4. clean working tree — except the bench artifacts the driver re-runs
     # after the snapshot (the docstring's allowlist, now actually applied)

@@ -91,6 +91,11 @@ object Bench {
     val jvmStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val prevMins = committedMins("BENCH_DETAIL.json", sfDir)
+    // host-steal baseline: the hypervisor counter the verdict's steal
+    // detector diffs at the end — the one contention signal an in-guest
+    // probe can neither generate nor hide (r17 root-cause of the r16
+    // driver's cpu x26-50 anomaly)
+    val steal0 = ContentionLabel.procStatSteal()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.min(32).toString).toInt
     // derives shuffle partitions from the bench dir's bytes — identical to
@@ -489,6 +494,14 @@ object Bench {
       }
     }
 
+    // measured host-steal fraction over the whole run (always emitted raw;
+    // the verdict flags it only above ContentionLabel.StealCeiling)
+    val stealPct: Option[Double] = for {
+      (s0, t0) <- steal0
+      (s1, t1) <- ContentionLabel.procStatSteal()
+      if t1 > t0
+    } yield (s1 - s0).toDouble / (t1 - t0)
+
     // Whole-run contention verdict — OR of five independent detectors
     // (ContentionLabel scaladoc has the r16 failure analysis): the envelope
     // alone is self-referential and fails open under uniform load, so the
@@ -503,7 +516,8 @@ object Bench {
       (resultsMap.toSeq ++ annResults ++ applyResults)
         .filter(_._2.nonEmpty).map { case (k, t) => k -> t.min } ++
         sf1Min.toSeq.map { case (k, v) => (s"sf1:$k", v) },
-      prevMins)
+      prevMins,
+      stealFrac = stealPct)
     val medianCal = verdict.medianCal
 
     // "total" stays the ROUND-COMPARABLE sum over the headline registry
@@ -543,6 +557,11 @@ object Bench {
       "\"" + k + "\":[" + r3(cur) + "," + r3(prev) + "]"
     }.mkString("{", ",", "}")
     val sustainedJson = verdict.sustainedCal.map(r3).getOrElse("null")
+    // the raw measured fraction (adjudication data even when under the
+    // ceiling); verdict.steal is the FLAG form and feeds `contended`
+    val stealJson = stealPct
+      .map(s => String.format(java.util.Locale.ROOT, "%.4f", Double.box(s)))
+      .getOrElse("null")
     val shuffleMb = perQueryShuffle.values.sum / 1048576.0
 
     // Full-fidelity sidecar: medians, per-query calibration, per-query
@@ -577,6 +596,7 @@ object Bench {
         s""""verdict":{"contended":$contended,"flagged":$flaggedJson,""" +
         s""""unstable":$unstableJson,"cal_drift":$driftJson,""" +
         s""""fence":$fenceJson,"sustained_cal":$sustainedJson,""" +
+        s""""steal_pct":$stealJson,""" +
         s""""sf1_unstable":${sf1Unstable.map { case (k, v) =>
           "\"" + k + "\":" + v }.mkString("{", ",", "}")}}}"""
     }
@@ -606,6 +626,7 @@ object Bench {
         s""""warm":"plateau","warm_runs":$plateauWarmRuns,""" +
         s""""unstable":$unstableJson,"cal_drift":$driftJson,""" +
         s""""fence":$fenceJson,"sustained_cal":$sustainedJson,""" +
+        s""""steal_pct":$stealJson,""" +
         s""""flagged":$flaggedJson,"contended":$contended,"value":${r3(total)}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] emitted line ${line.length} chars — may exceed capture window")

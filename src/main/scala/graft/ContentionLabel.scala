@@ -38,6 +38,10 @@ package graft
   *    class must re-pin this constant — that is the documented trade the
   *    r16 advisory asked for, after the pure box-relative envelope proved
   *    it can hide exactly this case.
+  *  - '''host steal''' (see [[StealCeiling]]): the hypervisor's own
+  *    counter for cycles taken from this guest — the direct observable for
+  *    the r16 executor-cpu ×26–50 anomaly, which no in-guest probe can
+  *    reproduce or fully detect.
   *
   * Any signal firing ⇒ `contended:true`. The per-signal fields ride the
   * emitted line so an adjudicator sees WHICH detector fired and why.
@@ -75,6 +79,32 @@ object ContentionLabel {
   val FenceRatio = 5.0
   val FenceFloorSec = 1.0
 
+  /** Steal fraction (Δsteal / Δtotal from /proc/stat across the run) above
+    * which the run is contended at the HOST level. The r17 root-cause of
+    * the r16 driver anomaly (executor cpu ×26–50, escalating run-over-run):
+    * an in-guest antagonist (24 spinners, load 22) does NOT inflate
+    * executorCpuTime at all (measured: sf1 m_lstm 17.9 cpu_s/run under
+    * load vs 16.95 committed idle — threads wait, they don't burn), so the
+    * only mechanism left that inflates guest THREAD cpu clocks is host
+    * vCPU steal charged into the running thread's timeslice. Steal is also
+    * the one counter in-guest probes cannot fake or miss: it comes from
+    * the hypervisor. Box lifetime average here ~1.2%; 3% sustained across
+    * a run means a noisy host — numbers are poisoned. */
+  val StealCeiling = 0.03
+
+  /** (steal, total) jiffies from the aggregate cpu line of /proc/stat;
+    * None off-Linux or when unreadable. Diff two samples and divide to get
+    * the run's steal fraction. */
+  def procStatSteal(): Option[(Long, Long)] =
+    try {
+      val line = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next() finally src.close()
+      }
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      if (f.length < 8) None else Some((f(7), f.sum))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   final case class Verdict(
       medianCal: Double,
       envelope: Double,
@@ -88,6 +118,8 @@ object ContentionLabel {
       fence: Seq[(String, Double, Double)],
       /** median probe when above SustainedCalCeiling */
       sustainedCal: Option[Double],
+      /** host steal fraction when above StealCeiling */
+      steal: Option[Double],
       contended: Boolean)
 
   def medianOf(xs: Seq[Double]): Double = {
@@ -121,13 +153,16 @@ object ContentionLabel {
     * @param currentMins min-of-3 per query for the fence comparison
     * @param committedMins the PREVIOUS committed line's min-of-3 per query
     *   (empty when no previous line exists or its SF differs — fence off)
+    * @param stealFrac host steal fraction over the run (Δsteal/Δtotal from
+    *   [[procStatSteal]]); None when unavailable
     */
   def label(
       probesInOrder: Seq[(String, Double)],
       edgeProbes: Seq[Double],
       wallRuns: Seq[(String, Seq[Double])],
       currentMins: Seq[(String, Double)],
-      committedMins: Map[String, Double]): Verdict = {
+      committedMins: Map[String, Double],
+      stealFrac: Option[Double] = None): Verdict = {
     val medianCal = medianOf(probesInOrder.map(_._2))
     val env = envelope(medianCal)
     val flagged = probesInOrder.filter(_._2 > env)
@@ -143,9 +178,11 @@ object ContentionLabel {
       }
     }
     val sustained = if (medianCal > SustainedCalCeiling) Some(medianCal) else None
+    val steal = stealFrac.filter(_ > StealCeiling)
     val contended = flagged.nonEmpty || unstable.nonEmpty || drift.nonEmpty ||
-      fence.nonEmpty || sustained.nonEmpty || edgeProbes.exists(_ > env)
+      fence.nonEmpty || sustained.nonEmpty || steal.nonEmpty ||
+      edgeProbes.exists(_ > env)
     Verdict(medianCal, env, flagged, unstable, drift, fence, sustained,
-      contended)
+      steal, contended)
   }
 }

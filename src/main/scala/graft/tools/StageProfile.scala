@@ -18,7 +18,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 object StageProfile {
 
   private final case class St(id: Int, name: String, submit: Long,
-      complete: Long, runMs: Long, cpuMs: Long, tasks: Int,
+      complete: Long, runMs: Long, cpuMs: Long, gcMs: Long, tasks: Int,
       shufWr: Long, shufRd: Long)
 
   def main(args: Array[String]): Unit = {
@@ -46,7 +46,8 @@ object StageProfile {
           si.name.linesIterator.next().take(70),
           si.submissionTime.getOrElse(-1L), si.completionTime.getOrElse(-1L),
           si.taskMetrics.executorRunTime,
-          si.taskMetrics.executorCpuTime / 1000000L, si.numTasks,
+          si.taskMetrics.executorCpuTime / 1000000L,
+          si.taskMetrics.jvmGCTime, si.numTasks,
           si.taskMetrics.shuffleWriteMetrics.bytesWritten,
           si.taskMetrics.shuffleReadMetrics.totalBytesRead))
       }
@@ -81,15 +82,17 @@ object StageProfile {
         f"${(wallMs - spanMs) / 1000.0}%.3f s; " +
         f"executorRun ${ss.map(_.runMs).sum / 1000.0}%.3f s, " +
         f"executorCpu ${ss.map(_.cpuMs).sum / 1000.0}%.3f s, " +
+        f"jvmGC ${ss.map(_.gcMs).sum / 1000.0}%.3f s, " +
         f"shufWrite ${ss.map(_.shufWr).sum / 1048576.0}%.1f MiB")
       if (r == runs) {
-        println("[profile] stageId  span_ms  gapBefore_ms  tasks  runMs  cpuMs  shufWr_mb  shufRd_mb  name")
+        println("[profile] stageId  span_ms  gapBefore_ms  tasks  runMs  cpuMs  gcMs  shufWr_mb  shufRd_mb  name")
         var prevEnd = first
         ss.foreach { s =>
           val gap = math.max(0L, s.submit - prevEnd)
           prevEnd = math.max(prevEnd, s.complete)
           println(f"[profile] ${s.id}%7d  ${s.complete - s.submit}%7d  " +
             f"$gap%12d  ${s.tasks}%5d  ${s.runMs}%5d  ${s.cpuMs}%5d  " +
+            f"${s.gcMs}%5d  " +
             f"${s.shufWr / 1048576.0}%9.1f  ${s.shufRd / 1048576.0}%9.1f  ${s.name}")
         }
       }

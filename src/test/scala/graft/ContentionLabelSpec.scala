@@ -111,6 +111,25 @@ class ContentionLabelSpec extends AnyFunSuite {
     assert(v.unstable.isEmpty && !v.contended)
   }
 
+  test("host steal above the ceiling forces contended; below stays clean") {
+    val idle = (1 to 12).map(i => s"q$i" -> 0.30)
+    val hot = ContentionLabel.label(idle, Nil, Nil, Nil, Map.empty,
+      stealFrac = Some(0.25))
+    assert(hot.steal.contains(0.25) && hot.contended)
+    val cool = ContentionLabel.label(idle, Nil, Nil, Nil, Map.empty,
+      stealFrac = Some(0.012)) // the box's lifetime average
+    assert(cool.steal.isEmpty && !cool.contended)
+  }
+
+  test("procStatSteal parses the aggregate cpu line on Linux") {
+    if (new java.io.File("/proc/stat").exists()) {
+      val s = ContentionLabel.procStatSteal()
+      assert(s.nonEmpty)
+      val (steal, total) = s.get
+      assert(steal >= 0 && total > steal)
+    }
+  }
+
   test("driftThirds needs >= 6 probes") {
     assert(ContentionLabel.driftThirds(Seq(0.2, 0.9, 0.2, 0.9, 0.2)).isEmpty)
   }
