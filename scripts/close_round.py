@@ -165,7 +165,13 @@ def main():
     OUTPUT_BOUND = {
         # grouped cross join: output = sum of per-group |L_i| x |R_i| by
         # definition (the operator's contract), quadratic in replication
-        "j6_grouped_cross",
+        "j6_pairs_in_group",
+        # deliberately PINS the pairwise physical form as the oracle anchor
+        # for the bounded-group regime; quadratic when the group count is
+        # fixed and both sides scale BY DESIGN of the fixture — the scale
+        # path is j7_nearest_routed (gated linear), this row exists so the
+        # pairwise form's oracle never drifts
+        "j7_nearest_in_group",
         # exact all-pairs twin of the semantic dedup (the oracle for the
         # IVF-PQ path): planted near-dup pairs grow quadratically because
         # ScaleGen replicates embeddings as exact copies (NOTES_r16 §5)

@@ -141,6 +141,11 @@ class NearestInGroupSpec extends SparkSpec {
     assert(resF.decision.maxKeyRowsRight > 64)
     assert(canon(resF.df) == canon(NearestInGroup.pairwise2d(lf, rf,
       Seq("k"), Seq("k"), "lx", "ly", "rx", "ry")))
+    // density-derived eps (the default): same bits, cost-only choice
+    val resAuto = NearestInGroup.nearest2d(lf, rf, Seq("k"), Seq("k"),
+      "lx", "ly", "rx", "ry", maxPairwiseGroupRows = 64)
+    assert(resAuto.decision.strategy == "grid")
+    assert(canon(resAuto.df) == canon(resF.df))
   }
 
   test("2-D nulls: null keys never match; null coords excluded right, null min_dist left") {
