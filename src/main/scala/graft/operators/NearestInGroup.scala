@@ -128,14 +128,14 @@ object NearestInGroup {
     *     coords) takes the exact per-key pairwise fallback. ε tunes cost,
     *     never correctness: too small → more fallback rows; too large →
     *     fatter cells. `eps = 0` (the default) derives it from the data —
-    *     2·√(boundingArea / nRight), about twice the expected
-    *     nearest-neighbor distance of a uniform scatter — so candidate
-    *     count per left row stays ~constant (≈ 9·ε²·density = 36) AS
-    *     DENSITY GROWS: a fixed ε goes quadratic the moment the corpus
-    *     densifies in a fixed coordinate domain (measured: exponent 1.38
-    *     at ε=500 on the 30×→100× replicated tiers), the derived ε stays
-    *     linear. One cheap agg over the right side, only when the grid
-    *     route is taken.
+    *     2·√(boundingArea / avgRowsPerKey), about twice the expected
+    *     PER-KEY nearest-neighbor distance of a uniform scatter — so
+    *     candidate count per left row stays ~constant (≈ 9·ε²·keyDensity
+    *     = 36) AS DENSITY GROWS: a fixed ε goes quadratic the moment the
+    *     corpus densifies in a fixed coordinate domain (measured: exponent
+    *     1.38 at ε=500 on the 30×→100× replicated tiers), the derived ε
+    *     stays linear. One cheap agg over the right side, only when the
+    *     grid route is taken.
     *
     * Cost: O((L + 9R) shuffle + candidates), candidates ≈ L · (points per
     * 3×3 block) — linear for any fixed density, ANY group size (the
@@ -193,28 +193,46 @@ object NearestInGroup {
     Result(df, d)
   }
 
-  /** Density-derived grid cell size: 2·√(boundingArea / n) over the right
-    * side — roughly twice a uniform scatter's expected nearest-neighbor
-    * distance, so the 3×3 probe block holds a bounded handful of candidates
-    * at ANY density and the candidate join stays linear as the corpus
-    * densifies. Degenerate spans (collinear/identical points) fall back to
-    * the larger span scaled by √n, then to 1.0 — any positive ε is exact,
-    * these are only cost choices. One agg job over the pre-filtered right. */
+  /** Density-derived grid cell size: 2·√(boundingArea / avgRowsPerKey) —
+    * roughly twice a uniform scatter's expected nearest-neighbor distance
+    * AT THE KEY LEVEL. The density that matters is PER KEY: groups share
+    * the coordinate domain, so dividing the bounding box by the TOTAL row
+    * count (the first cut of this derivation) makes ε shrink with the key
+    * count and fall below the per-key NN distance — nearly every row
+    * missed its ε and took the pairwise fallback, measuring WORSE than a
+    * caller-pinned ε (cpu exponent 1.77 vs 1.38 on the replicated tiers).
+    * With per-key density the 3×3 block holds ~36 expected candidates and
+    * the Poisson miss probability at 2× the expected NN distance is
+    * e^(−4π) ≈ 3·10⁻⁶ — the fallback is outliers only, and the candidate
+    * join stays linear as the corpus densifies. Degenerate spans
+    * (collinear/identical points) fall back to the larger span scaled by
+    * √n, then to 1.0 — any positive ε is exact, these are only cost
+    * choices. One agg job over the pre-filtered right (the key count via
+    * approx_count_distinct — a cost knob needs no exact shuffle). */
   private def derivedEps(rv: DataFrame, rightKeys: Seq[String],
       rightX: String, rightY: String): Double = {
+    // density of DISTINCT POSITIONS per key, not rows: duplicates stack on
+    // one position (quantized/replicated data), and a row-count density
+    // would shrink ε below the position-level NN distance — nearly every
+    // probe misses and falls back (measured before the fix). The grid
+    // itself joins distinct positions too, so this is the matching measure.
     val r = rv.agg(
       min(col(rightX).cast("double")), max(col(rightX).cast("double")),
       min(col(rightY).cast("double")), max(col(rightY).cast("double")),
-      count(lit(1))).head()
+      approx_count_distinct(struct(
+        rightKeys.map(col) :+ col(rightX) :+ col(rightY): _*)),
+      approx_count_distinct(struct(rightKeys.map(col): _*))).head()
     if (r.isNullAt(0) || r.getLong(4) == 0L) return 1.0
     val spanX = r.getDouble(1) - r.getDouble(0)
     val spanY = r.getDouble(3) - r.getDouble(2)
     val n = r.getLong(4).toDouble
+    val nKeys = math.max(1L, r.getLong(5)).toDouble
+    val perKey = math.max(1.0, n / nKeys)
     val area = spanX * spanY
-    if (area > 0) 2.0 * math.sqrt(area / n)
+    if (area > 0) 2.0 * math.sqrt(area / perKey)
     else {
       val span = math.max(spanX, spanY)
-      if (span > 0) math.max(span / math.sqrt(n), Double.MinPositiveValue)
+      if (span > 0) math.max(span / math.sqrt(perKey), Double.MinPositiveValue)
       else 1.0
     }
   }
@@ -274,15 +292,26 @@ object NearestInGroup {
       .withColumn("__nlx", col(leftX).cast("double"))
       .withColumn("__nly", col(leftY).cast("double"))
       .localCheckpoint()
-    val r = right.select(
+    val rRows = right.select(
       rightKeys.zip(keyCols).map { case (k, n) => col(k).as(n) } :+
       col(rightX).cast("double").as("__nrx") :+
       col(rightY).cast("double").as("__nry"): _*)
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    // DISTINCT positions, with multiplicities: the distance to a position
+    // is the distance to every duplicate at it, so min-over-positions ≡
+    // min-over-rows (bit-identical — same value set) while the candidate
+    // join touches each position ONCE. This is what keeps the operator
+    // linear on duplicate-heavy data (quantized sensors, replicated
+    // fixtures: the 100× tier stacks 100 exact copies per position — a
+    // per-ROW candidate join degenerates to pairwise cost at ANY ε, this
+    // measured cpu exponent 1.97 before the dedup). n_group still counts
+    // ROWS (sum of multiplicities), matching the pairwise contract.
+    val r = rRows.groupBy(keyCols.map(col) :+ col("__nrx") :+ col("__nry"): _*)
+      .agg(count(lit(1)).as("__nmult"))
     val counts = r.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_group"))
-    // each right row registered in its 3×3 neighborhood (9 rows); floor on
-    // double returns bigint, so cell ids join as longs
+      .agg(sum("__nmult").as("n_group"))
+    // each distinct position registered in its 3×3 neighborhood (9 rows);
+    // floor on double returns bigint, so cell ids join as longs
     val rGrid = r
       .withColumn("__dxo", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("__dyo", explode(array(lit(-1L), lit(0L), lit(1L))))

@@ -169,6 +169,25 @@ class NearestInGroupSpec extends SparkSpec {
     }
   }
 
+  test("2-D duplicate RIGHT rows: grid dedups positions, counts multiplicities") {
+    import spark.implicits._
+    // 100 exact copies per right position — the replicated-tier shape that
+    // degenerates a per-row candidate join; the contract must not notice
+    val l = (0 until 50).map(i => (i.toLong, 10L,
+      i * 1.3, math.sin(i.toDouble) * 10)).toDF("lid", "k", "lx", "ly")
+    val rBase = (0 until 8).map(j => (10L, j * 7.0 + 0.5, j * 3.0 - 4.0))
+    val r = (0 until 100).flatMap(_ => rBase).toDF("k", "rx", "ry")
+    val p = NearestInGroup.pairwise2d(l, r, Seq("k"), Seq("k"),
+      "lx", "ly", "rx", "ry")
+    for (eps <- Seq(2.0, 50.0)) {
+      val g = NearestInGroup.grid2d(l, r, Seq("k"), Seq("k"),
+        "lx", "ly", "rx", "ry", eps)
+      assert(canon(g) == canon(p), s"eps=$eps")
+    }
+    assert(p.collect().forall(_.getAs[Long]("n_group") == 800L),
+      "n_group counts ROWS (multiplicities), not distinct positions")
+  }
+
   test("2-D duplicate left rows each keep their own output row") {
     import spark.implicits._
     val l = Seq((10L, 1.0, 1.0), (10L, 1.0, 1.0)).toDF("k", "lx", "ly")
