@@ -197,15 +197,17 @@ def main():
     # allowlist: an entry here is a todo with a deadline.
     CARRIED_OPEN = {
         17: {
-            # all four sit in the small-cell variance band the r17 same-dir
-            # control measured (identical data, one process, cells 2.2x
-            # apart); a_entropy's cross-harness steady ratio reads exp
-            # ~0.95. r18 task: 3-point fits (sf1/sf3/sf10) separate cache
-            # transitions from genuine growth. NOTES_r17 has the evidence.
-            "l_incr_agg_retract",   # 3.9->38.4 (exp 1.90), cells 1.9-4.3 on same data
-            "a_entropy",            # 6.1->46.8 (exp 1.69), cells 6.8-15.1 on same data
-            "a12_having_global",    # 12.1->75.6 (exp 1.52), read 1.155 in the prior idle run
-            "e_sliding_hourly",     # 6.0->37.0 (exp 1.51), 37 s cell
+            # the ONE survivor of the r17 three-point adjudication (the
+            # other three carried cells re-measured linear/marginal in a
+            # fresh JVM and now pass the gate outright). Consistent exp
+            # ~2.0 on BOTH segments (0.32 -> 3.63 -> 38.4 cpu_s at
+            # sf1/sf3/sf10); PathProbe bisection: the scan is linear, the
+            # GLOBAL SORT is the growth (1.21 -> 6.19 s bare) — range
+            # fan-out follows the directory-derived shuffle-partition count
+            # while the sorted state table is metadata-scale (30 MB), so
+            # per-task constants and n·log(p) dominate. r18 fix: size
+            # metadata-scale sorts to the frame, not the directory.
+            "l_incr_agg_retract",
         },
     }
     if n >= 17:
