@@ -23,9 +23,11 @@ Refuses to close a round unless the record is clean:
   6. (r16 verdict #4, rounds >= 17) the full-registry scale gate:
      SCALING_r<N>.json (PlanDiffScales sf3->sf10, cpu + exponents for every
      registry query) exists, is committed, and
-       a. every query whose 100x cpu >= 20 s has exponent <= 1.3 OR is in
-          the OUTPUT_BOUND allowlist below (each entry justified in place)
-          OR carried in CARRIED_OPEN for THIS round only (expires — the
+       a. every query whose 100x cpu >= 20 s has exponent <= 1.3 OR
+          carries an "OUTPUT_BOUND:" scaleNote in its QueryDef (the code is
+          the source of truth; PlanDiffScales copies the note into the
+          SCALING artifact and the gate prints every entry it honors)
+          OR is carried in CARRIED_OPEN for THIS round only (expires — the
           next round must re-adjudicate or fix). Thresholds calibrated by
           the r17 same-dir control: two cells over IDENTICAL sf3 data in
           one process read 6.8 vs 15.1 cpu_s (a_entropy) and 4.3 vs 1.9
@@ -165,48 +167,27 @@ def main():
                                 "— either commit it or stop claiming it")
 
     # 6. full-registry scale gate (rounds >= 17)
-    # Queries whose OUTPUT grows super-linearly under ScaleGen's exact-copy
-    # replication — their cpu exponent measures the fixture's output growth,
-    # not a scaling bug. Every entry needs the justification beside it; a
-    # NEW super-linear query must either earn a line here or be fixed.
-    OUTPUT_BOUND = {
-        # grouped cross join: output = sum of per-group |L_i| x |R_i| by
-        # definition (the operator's contract), quadratic in replication
-        "j6_pairs_in_group",
-        # deliberately PINS the pairwise physical form as the oracle anchor
-        # for the bounded-group regime; quadratic when the group count is
-        # fixed and both sides scale BY DESIGN of the fixture — the scale
-        # path is j7_nearest_routed (gated linear), this row exists so the
-        # pairwise form's oracle never drifts
-        "j7_nearest_in_group",
-        # exact all-pairs twin of the semantic dedup (the oracle for the
-        # IVF-PQ path): planted near-dup pairs grow quadratically because
-        # ScaleGen replicates embeddings as exact copies (NOTES_r16 §5)
-        "d_semantic_ivfpq_exact",
-        # the IVF-PQ route itself: candidate generation is linear, but the
-        # PAIR OUTPUT is the same quadratic planted set as its exact twin;
-        # r16 measured exponent 0.91 on the saturated 30x->100x segment
-        # AGAINST that output - keep the entry for smaller-segment noise
-        "d_semantic_ivfpq",
-        # subset audit re-verifies the quadratic pair set above
+    # The OUTPUT_BOUND allowlist is GENERATED from QueryDef metadata
+    # (r17 verdict #8): a query whose cpu exponent is super-linear BY
+    # CONTRACT carries a `scaleNote` starting with "OUTPUT_BOUND:" in its
+    # QueryDef (the justification lives beside the code), PlanDiffScales
+    # copies it into SCALING_r<N>.json, and the gate honors exactly those
+    # entries -- printing every one it uses, so the list cannot grow
+    # silently. Rounds before 18 predate the metadata; their artifacts are
+    # covered by the legacy set below.
+    LEGACY_OUTPUT_BOUND = {
+        "j6_pairs_in_group", "j7_nearest_in_group",
+        "d_semantic_ivfpq_exact", "d_semantic_ivfpq",
         "d_semantic_subset_audit",
     }
-    # Round-scoped carries: flagged, adjudication documented but OPEN —
+    # Round-scoped carries: flagged, adjudication documented but OPEN --
     # each entry names its evidence and EXPIRES with the round (the gate
     # re-fails next round unless re-adjudicated or fixed). NOT a second
     # allowlist: an entry here is a todo with a deadline.
     CARRIED_OPEN = {
         17: {
-            # the ONE survivor of the r17 three-point adjudication (the
-            # other three carried cells re-measured linear/marginal in a
-            # fresh JVM and now pass the gate outright). Consistent exp
-            # ~2.0 on BOTH segments (0.32 -> 3.63 -> 38.4 cpu_s at
-            # sf1/sf3/sf10); PathProbe bisection: the scan is linear, the
-            # GLOBAL SORT is the growth (1.21 -> 6.19 s bare) — range
-            # fan-out follows the directory-derived shuffle-partition count
-            # while the sorted state table is metadata-scale (30 MB), so
-            # per-task constants and n·log(p) dominate. r18 fix: size
-            # metadata-scale sorts to the frame, not the directory.
+            # fixed in r18 (GraftSession.frameSortedBy -- metadata-scale
+            # sorts sized to the frame, not the directory; FrameSizedSortSpec)
             "l_incr_agg_retract",
         },
     }
@@ -224,17 +205,25 @@ def main():
                     sc = json.load(f)
                 qs_sc = sc.get("queries", {})
                 carried = CARRIED_OPEN.get(n, set())
+                noted = {name for name, r in qs_sc.items()
+                         if str(r.get("scale_note") or "")
+                         .startswith("OUTPUT_BOUND")}
+                output_bound = noted if n >= 18 else (
+                    noted | LEGACY_OUTPUT_BOUND)
+                if output_bound:
+                    print(f"{scaling}: honoring OUTPUT_BOUND notes for: "
+                          + ", ".join(sorted(output_bound)))
                 hot = sorted(
                     name for name, r in qs_sc.items()
                     if (r.get("cpu_b") or 0) >= 20
                     and r.get("exponent") is not None
                     and r["exponent"] > 1.3
-                    and name not in OUTPUT_BOUND
+                    and name not in output_bound
                     and name not in carried)
                 if hot:
                     problems.append(
                         f"{scaling}: super-linear cpu exponents (> 1.3 at "
-                        f">= 20 s) outside the output-bound allowlist and "
+                        f">= 20 s) with no OUTPUT_BOUND scaleNote and outside "
                         f"this round's CARRIED_OPEN: {hot[:10]} — fix the "
                         "operator, justify an allowlist entry, or carry "
                         "WITH evidence")

@@ -61,19 +61,30 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** The PREVIOUS committed run's min-of-3 walls (headline names as-is,
-    * sf1 names `sf1:`-prefixed), read from the repo's committed
-    * BENCH_DETAIL.json BEFORE this run overwrites it. Reference points for
-    * [[ContentionLabel]]'s fence — the one contention detector whose
-    * threshold cannot be inflated by this run's own poisoning. Empty when
-    * the file is absent, unparseable, or from a different SF. */
+    * sf1 names `sf1:`-prefixed), read from the repo's COMMITTED
+    * BENCH_DETAIL.json — `git show HEAD:<path>`, never the working tree:
+    * the working-tree copy is the previous run's output even when that run
+    * was contended and never committed, so a poisoned prior run would
+    * inflate the fence baseline and silence the one contention detector
+    * advertised as immune to poisoning (r17 ADVICE). Falls back to the
+    * working-tree file only when git itself is unavailable, and in EITHER
+    * source skips a baseline that self-labels contended. Empty when
+    * absent, unparseable, contended, or from a different SF. */
   private def committedMins(path: String, sfDir: String): Map[String, Double] =
     try {
       import org.json4s._
-      val f = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.isRegularFile(f)) return Map.empty
-      val j = org.json4s.jackson.JsonMethods.parse(
-        new String(java.nio.file.Files.readAllBytes(f),
-          java.nio.charset.StandardCharsets.UTF_8))
+      val text = gitShowHead(path).orElse {
+        val f = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isRegularFile(f))
+          Some(new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else None
+      }.getOrElse(return Map.empty)
+      val j = org.json4s.jackson.JsonMethods.parse(text)
+      j \ "verdict" \ "contended" match {
+        case JBool(true) => return Map.empty // a contended baseline is noise
+        case _ => ()
+      }
       val sfPrev = j \ "sf" match { case JString(s) => s; case _ => "" }
       if (sfPrev != sfDir) return Map.empty
       def mins(v: JValue, prefix: String): Map[String, Double] = v match {
@@ -86,6 +97,17 @@ object Bench {
       }
       mins(j \ "queries_min", "") ++ mins(j \ "sf1" \ "queries_min", "sf1:")
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** The file as committed at HEAD, or None (not in git / git absent). */
+  private def gitShowHead(path: String): Option[String] =
+    try {
+      val pb = new ProcessBuilder("git", "show", s"HEAD:$path")
+      pb.redirectErrorStream(true) // one stream: no pipe-buffer deadlock
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   def main(args: Array[String]): Unit = {
     val jvmStart = System.nanoTime()

@@ -102,7 +102,10 @@ object ContentionLabel {
         try src.getLines().next() finally src.close()
       }
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      if (f.length < 8) None else Some((f(7), f.sum))
+      // total = first 8 fields only (user..steal): guest/guest_nice are
+      // already counted inside user/nice, so including them double-counts
+      // guest time and understates the steal fraction (r17 ADVICE)
+      if (f.length < 8) None else Some((f(7), f.take(8).sum))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   final case class Verdict(

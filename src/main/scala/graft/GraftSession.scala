@@ -84,6 +84,43 @@ object GraftSession {
     n
   }
 
+  /** Partition count sized to the FRAME being exchanged, not the session's
+    * directory-derived `spark.sql.shuffle.partitions` — the r17 scale
+    * defect's general form: a session sized for a 1.5 GB corpus fans a
+    * 30 MB state-table sort out to 192 range partitions, and the per-task
+    * constants plus n·log(p) dominate a sort that wants ~2
+    * (`l_incr_agg_retract`, cpu exponent ~2.0; PathProbe bisection in
+    * NOTES_r17 §4). Derives the count from the optimizer's size estimate of
+    * THIS plan (exact file bytes for a parquet scan — the state-table
+    * case), clamped to [1, current shuffle partitions]: metadata-scale
+    * frames get metadata-scale exchanges, data-scale frames keep the
+    * directory-derived count (estimates for derived plans only ever
+    * OVER-state, which degrades to today's behavior, never under-pays
+    * parallelism on a genuinely large frame below what the bytes say). */
+  def frameSizedPartitions(df: org.apache.spark.sql.Dataset[_]): Int = {
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (bytes + BytesPerShufflePartition - 1) / BytesPerShufflePartition
+    want.min(BigInt(cap)).max(BigInt(1)).toInt
+  }
+
+  /** Global sort with the exchange sized to the frame ([[frameSizedPartitions]]):
+    * `repartitionByRange(k, cols) + sortWithinPartitions(cols)` is exactly
+    * `orderBy(cols)` with an explicit partition count (same range exchange,
+    * same asc-nulls-first total order), and an EXPLICIT count is the one
+    * thing AQE respects verbatim — the implicit `orderBy` fans to
+    * `spark.sql.shuffle.partitions`. Use at every sort whose input is
+    * metadata-scale by contract (materialized-view state, manifests,
+    * per-group summaries) under a session sized for the data directory. */
+  def frameSortedBy(df: org.apache.spark.sql.DataFrame,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val k = frameSizedPartitions(df)
+    // k == 1 keeps the same shape: RangePartitioner skips its sampling job
+    // for a single partition, and the one-partition exchange (unlike a
+    // coalesce(1)) leaves the parent stage's parallelism intact
+    df.repartitionByRange(k, cols: _*).sortWithinPartitions(cols: _*)
+  }
+
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)

@@ -122,8 +122,10 @@ object NearestInGroup {
     *     true nearest neighbor at distance ≤ ε has |Δx|,|Δy| ≤ ε, hence
     *     lies in the probed 3×3 block, so the candidate min is the true
     *     min (computed by the same IEEE expression as pairwise →
-    *     bit-identical, spec-pinned). The ≤-ε check keeps a couple-ulp
-    *     slack for the floor(x/ε) boundary rounding;
+    *     bit-identical, spec-pinned). The ≤-ε check keeps a relative slack
+    *     for the distance rounding plus an absolute 4·(maxAbs+ε)·ulp(1)
+    *     slack for the floor(x/ε) CELL-INDEX rounding, which grows with
+    *     coordinate magnitude, not with ε (see [[grid2d]]);
     *  3. the residue (no candidate within ε — sparse keys, outliers, null
     *     coords) takes the exact per-key pairwise fallback. ε tunes cost,
     *     never correctness: too small → more fallback rows; too large →
@@ -331,10 +333,25 @@ object NearestInGroup {
       .groupBy("__nid")
       .agg(min(dist2d(col("__nlx"), col("__nly"), col("__nrx"), col("__nry")))
         .as("min_dist"))
-    // exactness boundary: within ε the 3×3 containment proof applies; the
-    // (1 − 1e-9) slack keeps floor(x/ε) rounding at the cell boundary from
-    // voiding it (boundary rows simply take the exact fallback)
-    val resolved = gridMin.filter(col("min_dist") <= eps * (1.0 - 1e-9))
+    // exactness boundary: within the threshold the 3×3 containment proof
+    // applies. Two rounding sources eat into ε: (a) the distance
+    // expression's last-ulp rounding — covered by the relative (1 − 1e-9)
+    // slack; (b) the ⌊x/ε⌋ CELL-INDEX rounding, whose error grows with
+    // |x/ε| (~|x/ε|·2⁻⁵³ cells), not with ε — with a caller-pinned ε on
+    // far-from-origin coordinates a true neighbor just inside ε could land
+    // 2 computed cells away and be silently missed (r17 ADVICE). The
+    // absolute slack 4·(maxAbs+ε)·ulp(1) bounds that drift for every row
+    // that can pass the filter (a passing left coordinate is within ε of a
+    // right one, so |l| ≤ maxAbs+ε; per-axis computed |Δx/ε| then stays
+    // ≤ 1, and a value-space gap ≤ 1 forces a floor gap ≤ 1 — the true
+    // argmin is inside the probed 3×3 block). If ε is so small against the
+    // coordinate magnitude that the slack consumes it, the threshold goes
+    // ≤ 0 and every row takes the exact fallback: ε tunes cost, never
+    // correctness, in every regime.
+    val maxAbsRow = r.agg(max(greatest(abs(col("__nrx")), abs(col("__nry"))))).head()
+    val maxAbs = if (maxAbsRow.isNullAt(0)) 0.0 else maxAbsRow.getDouble(0)
+    val threshold = eps * (1.0 - 1e-9) - 4.0 * (maxAbs + eps) * math.ulp(1.0)
+    val resolved = gridMin.filter(col("min_dist") <= threshold)
     val fallback = lProbe
       .join(resolved.select("__nid"), Seq("__nid"), "left_anti")
       .join(r, keyCols)

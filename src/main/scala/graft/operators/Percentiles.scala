@@ -156,8 +156,18 @@ object Percentiles {
     val vals = df
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
+    // frame-sized default (r17 verdict #2 sweep): a small frame under a
+    // session whose shuffle count was derived from a much LARGER data
+    // directory would otherwise fan its range sort — and the per-partition
+    // run metadata both passes collect — out to partitions the frame cannot
+    // fill. Floored at the box parallelism (this operator is compute-bound
+    // over the frame, unlike a pure metadata sort) and capped at the
+    // session count, so only the directory-oversized regime changes.
     val p = if (partitions > 0) partitions
-            else spark.sessionState.conf.numShufflePartitions
+            else math.max(
+              math.min(spark.sparkContext.defaultParallelism,
+                spark.sessionState.conf.numShufflePartitions),
+              graft.GraftSession.frameSizedPartitions(vals))
     val sorted = vals
       .repartitionByRange(p, col("__g"), col("__v"))
       .sortWithinPartitions("__g", "__v")

@@ -123,6 +123,24 @@ object ScalableDedup {
               s"codebooks from $modelDir (${m.k1}x${m.k2})")
             require(m.dim == dim,
               s"saved IMI model at $modelDir has dim ${m.dim}, caller says $dim")
+            // occupancy drift check (r17 ADVICE): reuse is exact by design,
+            // but a model trained at a much smaller corpus pins nCells while
+            // n grows — occupancy trends past the τ=64 self-scaling target
+            // and the cell equi-join back toward the quadratic candidate
+            // blowup the self-scaling fixed. Reuse stays (retraining here
+            // would silently change which near-dup pairs the index can
+            // recall between two runs over the same data); the drift is
+            // LOUD instead, with the repair named.
+            val occupancy = n.toDouble / math.max(1, m.nCells)
+            if (occupancy > 4 * 64) {
+              log.warn(s"semantic-dedup [hierarchical-imi]: corpus has " +
+                f"outgrown the saved codebooks at $modelDir — occupancy " +
+                f"$occupancy%.0f vectors/cell vs the 64 target (${m.nCells} " +
+                s"cells for $n vectors). Candidate generation degrades " +
+                "toward quadratic; retrain by pointing modelDir at a fresh " +
+                "directory (and rebuild any persisted index that used " +
+                "these codebooks).")
+            }
             m
           } else {
             val targetCells = math.max(16L, n / 64L).min(1L << 30).toInt

@@ -211,7 +211,11 @@ object JoinQueries {
              |       abs(a.s_acctbal - b.s_acctbal) AS bal_gap
              |FROM supplier a JOIN supplier b
              |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
-             |ORDER BY nk, k1, k2""".stripMargin)),
+             |ORDER BY nk, k1, k2""".stripMargin),
+      scaleNote = Some("OUTPUT_BOUND: grouped cross join — the OUTPUT is the " +
+        "pairs, Σ per-group |L_i|·|R_i| by the operator's contract, " +
+        "quadratic under replication; the exponent measures output growth, " +
+        "not a scaling bug")),
 
     // J7 — nearest-neighbor within group via join+min (reference: per-frame nearest
     // defender, BDB_2026.ipynb cell 69 — the O(n²) Python loop becomes one shuffle
@@ -241,7 +245,13 @@ object JoinQueries {
       Some("""SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_sup,
              |       min(abs(c_acctbal - s_acctbal)) AS min_gap
              |FROM customer JOIN supplier ON c_nationkey = s_nationkey
-             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      scaleNote = Some("OUTPUT_BOUND: deliberately PINS the pairwise " +
+        "physical form as the oracle anchor for the bounded-group regime - " +
+        "quadratic when the group count is fixed and both sides scale BY " +
+        "DESIGN of the fixture; the scale path is j7_nearest_routed (gated " +
+        "linear) and j7_nearest_2d (grid); this row exists so the pairwise " +
+        "form's oracle never drifts")),
 
     // J7 SCALE TWIN — the r15 sweep measured the pairwise form at cpu
     // exponent 2.2 over 10x->100x data: with the GROUP COUNT fixed (25

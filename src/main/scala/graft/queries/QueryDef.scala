@@ -13,7 +13,18 @@ final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** Scale-gate adjudication carried WITH the query (r17 verdict #8): a
+      * query whose sf3→sf10 cpu exponent is super-linear BY CONTRACT —
+      * its OUTPUT grows super-linearly under the replicated fixture, or it
+      * deliberately pins a quadratic physical form as an oracle anchor —
+      * declares that here, starting with `OUTPUT_BOUND:` followed by the
+      * justification. [[graft.tools.PlanDiffScales]] copies the note into
+      * SCALING_r&lt;N&gt;.json and `scripts/close_round.py` generates its
+      * allowlist from those notes, so the code is the source of truth and
+      * the gate prints every entry it honors — the list cannot grow
+      * silently. Queries without a note are gated at exponent ≤ 1.3. */
+    scaleNote: Option[String] = None)
 
 /** Determinism helpers.
   *

@@ -783,14 +783,20 @@ object RelationalQueries {
     QueryDef(
       "l_incr_agg",
       (s, dir) =>
-        graft.sources.MaterializedAgg.read(s, mviewOrdersPath(s, dir) + "/view")
-          .select(col("o_custkey"), col("cnt"),
-            col("sum_o_totalprice").as("sum_price"),
-            col("avg_o_totalprice").as("avg_price"),
-            col("min_o_totalprice").as("min_price"),
-            col("max_o_totalprice").as("max_price"),
-            col("max_o_orderkey").as("max_key"))
-          .orderBy("o_custkey"),
+        // frame-sized sort: the state table is metadata-scale (O(groups))
+        // while the session's shuffle partitions are sized for the DATA
+        // directory — a plain orderBy fans this 30 MB frame out to the
+        // directory-derived count (192 at 100x, cpu exponent ~2.0 on the
+        // retract twin, NOTES_r17 §4)
+        graft.GraftSession.frameSortedBy(
+          graft.sources.MaterializedAgg.read(s, mviewOrdersPath(s, dir) + "/view")
+            .select(col("o_custkey"), col("cnt"),
+              col("sum_o_totalprice").as("sum_price"),
+              col("avg_o_totalprice").as("avg_price"),
+              col("min_o_totalprice").as("min_price"),
+              col("max_o_totalprice").as("max_price"),
+              col("max_o_orderkey").as("max_key")),
+          col("o_custkey")),
       Some(s"""SELECT o_custkey, count(*) AS cnt,
              |  ${Exact.sqlDsum("o_totalprice")} AS sum_price,
              |  ${Exact.sqlDavg("o_totalprice")} AS avg_price,
@@ -811,13 +817,14 @@ object RelationalQueries {
     QueryDef(
       "l_incr_agg_join",
       (s, dir) =>
-        graft.sources.MaterializedAgg.read(s, mviewJoinPath(s, dir) + "/view")
-          .select(col("c_nationkey"), col("cnt"),
-            col("sum_o_totalprice").as("sum_price"),
-            col("avg_o_totalprice").as("avg_price"),
-            col("min_o_totalprice").as("min_price"),
-            col("max_o_totalprice").as("max_price"))
-          .orderBy("c_nationkey"),
+        graft.GraftSession.frameSortedBy( // state is metadata-scale: see l_incr_agg
+          graft.sources.MaterializedAgg.read(s, mviewJoinPath(s, dir) + "/view")
+            .select(col("c_nationkey"), col("cnt"),
+              col("sum_o_totalprice").as("sum_price"),
+              col("avg_o_totalprice").as("avg_price"),
+              col("min_o_totalprice").as("min_price"),
+              col("max_o_totalprice").as("max_price")),
+          col("c_nationkey")),
       Some(s"""SELECT c_nationkey, count(*) AS cnt,
              |  ${Exact.sqlDsum("o_totalprice")} AS sum_price,
              |  ${Exact.sqlDavg("o_totalprice")} AS avg_price,
@@ -837,12 +844,13 @@ object RelationalQueries {
     QueryDef(
       "l_incr_agg_retract",
       (s, dir) =>
-        graft.sources.MaterializedAgg.read(s,
-            mviewRetractPath(s, dir) + "/view")
-          .select(col("o_custkey"), col("cnt"),
-            col("sum_o_totalprice").as("sum_price"),
-            col("avg_o_totalprice").as("avg_price"))
-          .orderBy("o_custkey"),
+        graft.GraftSession.frameSortedBy( // state is metadata-scale: see l_incr_agg
+          graft.sources.MaterializedAgg.read(s,
+              mviewRetractPath(s, dir) + "/view")
+            .select(col("o_custkey"), col("cnt"),
+              col("sum_o_totalprice").as("sum_price"),
+              col("avg_o_totalprice").as("avg_price")),
+          col("o_custkey")),
       Some(s"""SELECT o_custkey, count(*) AS cnt,
              |  ${Exact.sqlDsum("o_totalprice")} AS sum_price,
              |  ${Exact.sqlDavg("o_totalprice")} AS avg_price

@@ -362,7 +362,12 @@ object SimilarityQueries {
             graft.sources.Tables.embeddings(s, dir).select("vec_id", "embedding"),
             dim = 64, maxSqDistance = 1.25)
           .orderBy("v1", "v2"),
-      None),
+      None,
+      scaleNote = Some("OUTPUT_BOUND: candidate generation is linear " +
+        "(measured exponent 0.54 sf3->sf10), but the PAIR OUTPUT is the " +
+        "same quadratic planted set as the exact twin — ScaleGen replicates " +
+        "embeddings as exact copies (NOTES_r16 §5); smaller segments can " +
+        "read super-linear from output growth alone")),
 
     // Semantic dedup ORACLE-GATED through exact degradation (r13 VERDICT
     // #5 — the same move the ANN entries made): with nProbe = nLists every
@@ -393,7 +398,11 @@ object SimilarityQueries {
                    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))")} AS dist
               |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
               |SELECT v1, v2, dist FROM l2 WHERE dist <= 1.25
-              |ORDER BY v1, v2""".stripMargin)),
+              |ORDER BY v1, v2""".stripMargin),
+      scaleNote = Some("OUTPUT_BOUND: exact all-pairs twin of the semantic " +
+        "dedup (the oracle for the IVF-PQ path) — planted near-dup pairs " +
+        "grow quadratically because ScaleGen replicates embeddings as " +
+        "exact copies (NOTES_r16 §5); the output IS that pair set")),
 
     // CONTAINMENT audit for the capped semantic twin (r14 VERDICT #6): the
     // production-config run (default nProbe — the pruning the rows-only
@@ -436,7 +445,11 @@ object SimilarityQueries {
               |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
               |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
               |       CAST(0 AS BIGINT) AS n_subset_violations
-              |FROM l2 WHERE dist <= 1.25""".stripMargin)),
+              |FROM l2 WHERE dist <= 1.25""".stripMargin),
+      scaleNote = Some("OUTPUT_BOUND: subset audit — re-verifies the " +
+        "quadratic planted pair set of d_semantic_ivfpq_exact (its exact " +
+        "all-pairs reference join is the cost), so its exponent tracks " +
+        "that output growth by construction")),
 
     // RECALL-FLOOR audit for the capped ANN twin (r14 VERDICT #6): per
     // query vector, the production-config IVF-PQ search (kNN=5, nProbe=4 —

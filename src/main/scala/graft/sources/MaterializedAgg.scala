@@ -570,8 +570,19 @@ object MaterializedAgg {
   }
 
   /** Merge two state frames: every stored aggregate is mergeable by
-    * construction, so this is one more hash aggregate over |groups| rows. */
+    * construction, so this is one more hash aggregate over |groups| rows.
+    *
+    * The merge exchange is FRAME-sized: state frames are metadata-scale
+    * (O(groups)) by this object's contract, while the session's shuffle
+    * partitions are sized for the DATA directory — letting the groupBy fan
+    * |groups| rows out to the directory-derived count pays per-task
+    * constants for parallelism the frame cannot use (the same defect class
+    * as the r17 `l_incr_agg_retract` sort, NOTES_r17 §4). An explicit
+    * hash repartition on the group key at the committed state's own byte
+    * count satisfies the aggregate's required distribution, so no second
+    * exchange is added. */
   private def mergeStates(a: DataFrame, b: DataFrame, spec: Spec): DataFrame = {
+    val k = graft.GraftSession.frameSizedPartitions(a)
     val aggs: Seq[Column] =
       Seq(sum(col("__cnt")).as("__cnt")) ++
         spec.sumCols.flatMap { c =>
@@ -585,7 +596,8 @@ object MaterializedAgg {
         spec.quantileCols.map(c =>
           graft.operators.TDigest.tdigestMergeAgg(col(s"__td_$c"))
             .as(s"__td_$c"))
-    a.unionByName(b).groupBy(spec.groupCols.map(col): _*)
+    a.unionByName(b).repartition(k, spec.groupCols.map(col): _*)
+      .groupBy(spec.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 

@@ -117,10 +117,15 @@ object PlanDiffScales {
           System.err.println(s"[plandiff] $name: $a -> $b" +
             s"${if (d) "  DIFFERS" else ""}  cpu ${n3(cpuA)} -> ${n3(cpuB)}" +
             expo.map(e => s"  exp ${n3(e)}").getOrElse(""))
+          // the QueryDef's scale-gate adjudication rides the artifact:
+          // close_round generates its OUTPUT_BOUND allowlist from these
+          // notes, so the code is the source of truth (r17 verdict #8)
+          val note = q.scaleNote
+            .map(s => s""","scale_note":${JsonText.quote(s)}""").getOrElse("")
           rows(name) =
             s"""{"a":${JsonText.quote(a)},"b":${JsonText.quote(b)},""" +
             s""""differs":$d,"cpu_a":${n3(cpuA)},"cpu_b":${n3(cpuB)},""" +
-            s""""exponent":${expo.map(n3).getOrElse("null")}}"""
+            s""""exponent":${expo.map(n3).getOrElse("null")}$note}"""
       }
     }
     val json = rows.map { case (k, v) => s"${JsonText.quote(k)}:$v" }

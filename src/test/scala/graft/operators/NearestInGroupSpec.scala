@@ -129,6 +129,31 @@ class NearestInGroupSpec extends SparkSpec {
     }
   }
 
+  test("2-D grid: far-from-origin coordinates with a pinned eps stay exact") {
+    // r17 ADVICE: the floor(x/eps) cell-index rounding error scales with
+    // |x/eps|, not eps — at coordinates ~1e12 and a tiny pinned eps the old
+    // relative-only slack could admit a non-minimal min_dist. The absolute
+    // 4·(maxAbs+eps)·ulp(1) slack must keep grid ≡ pairwise in every
+    // regime, including the one where the slack consumes eps entirely and
+    // every row takes the exact fallback.
+    import spark.implicits._
+    val off = 1.0e12
+    val left = (0 until 600).map(i => (i.toLong, (i % 2).toLong,
+      off + math.sin(i * 0.7) * 3, off + math.cos(i * 0.31) * 3))
+      .toDF("lid", "k", "lx", "ly")
+    val right = (0 until 600).map(i => ((i % 2).toLong,
+      off + math.cos(i * 1.3) * 3, off + math.sin(i * 0.17) * 3))
+      .toDF("k", "rx", "ry")
+    val p = NearestInGroup.pairwise2d(left, right, Seq("k"), Seq("k"),
+      "lx", "ly", "rx", "ry")
+    // 5e-4: slack > threshold, 100% fallback; 0.01: mixed; 8.0: resolved
+    for (eps <- Seq(5e-4, 0.01, 8.0)) {
+      val g = NearestInGroup.grid2d(left, right, Seq("k"), Seq("k"),
+        "lx", "ly", "rx", "ry", eps)
+      assert(canon(p) == canon(g), s"eps=$eps at offset $off")
+    }
+  }
+
   test("2-D router: pairwise under the MG bound, grid above it") {
     val (lb, rb) = bounded2d
     val resB = NearestInGroup.nearest2d(lb, rb, Seq("k"), Seq("k"),
