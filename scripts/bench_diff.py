@@ -32,6 +32,10 @@ Classes, checked in order per query:
                 threads vs 8 on a FIXED 40-task plan, run-to-run spread 2x
                 on an idle box; the single-query calibration probe
                 amortizes per-thread overhead and cannot normalize it).
+                Since r18 both sidecars carry a measured `burst_factor`
+                (BurstProbe) and cpu ratios are pre-divided by the factor
+                ratio, so a pure VM-class swap self-normalizes; residual
+                cpu-only rows are within-class burst spread.
                 Adjudicate with StageProfile at SPARK_GRAFT_CPUS=8 vs 32:
                 if cpu collapses with thread count, it is the box, not the
                 code.
@@ -83,6 +87,15 @@ def main():
         ratio(new.get("cal_s", {}).get(q), old.get("cal_s", {}).get(q))
         for q in qs) if r is not None]
     cal = statistics.median(cal_ratios) if cal_ratios else 1.0
+    # box-CLASS cpu factor (r17 verdict #4): each sidecar's burst-concurrency
+    # accounting factor (BurstProbe: N-wide allocation-heavy burst cpu over
+    # N x single-task cpu; honest accounting = 1.0). The calibration probe
+    # tracks core SPEED but amortizes per-burst allocator contention, so a
+    # VM-class swap moves cpu_s without moving cal_s (NOTES_r17 par3: fixed
+    # 40-task plan, 1.5-3.2x cpu at 32 threads vs 8, bytes bit-flat). cpu
+    # ratios are additionally divided by the two runs' burst-factor ratio;
+    # absent on either side (pre-r18 sidecars) the divisor is 1.
+    burst = ratio(new.get("burst_factor"), old.get("burst_factor")) or 1.0
     old_fp = old.get("fingerprints", {})
     new_fp = new.get("fingerprints", {})
 
@@ -111,7 +124,8 @@ def main():
               "every class below is suspect; re-run on an idle box ***")
 
     print(f"box factor (median cal ratio): {cal:.3f}x "
-          f"({len(cal_ratios)} probes)")
+          f"({len(cal_ratios)} probes); burst-factor ratio: {burst:.3f}x "
+          f"(new {new.get('burst_factor')}, old {old.get('burst_factor')})")
     print(f"{'query':26s} {'class':11s} {'wall':>6} {'cpu':>6} {'bytes':>6} "
           f"{'n.cpu':>6}")
     for q in qs:
@@ -120,7 +134,7 @@ def main():
         rb = ratio(new.get("shuffle_bytes", {}).get(q),
                    old.get("shuffle_bytes", {}).get(q))
         nw = rw / cal if rw is not None else None
-        nc = rc / cal if rc is not None else None
+        nc = rc / (cal * burst) if rc is not None else None
         fp_changed = (q in old_fp and q in new_fp and old_fp[q] != new_fp[q])
         raw_flagged = ((rc is not None and abs(rc - 1) > 0.25) or
                        (rw is not None and abs(rw - 1) > 0.20))
@@ -164,7 +178,8 @@ def main():
           "poisoned queries say nothing about the code — re-run idle.")
     if json_out:
         with open(json_out, "w") as f:
-            json.dump({"box_factor": cal, "n_probes": len(cal_ratios),
+            json.dump({"box_factor": cal, "burst_factor_ratio": burst,
+                   "n_probes": len(cal_ratios),
                        "classes": counts, "queries": rows,
                        "dropped": only_old, "added": only_new}, f, indent=1)
         print(f"wrote {json_out}")

@@ -135,6 +135,21 @@ object Bench {
       drift.foreach(p => System.err.println(s"[bench]   $p"))
     }
 
+    // Box-class instrument (r17 verdict #4): the burst-concurrency cpu
+    // accounting factor — executor-cpu of N concurrent allocation-heavy
+    // tasks over N × one task's cpu (honest accounting = 1.0; NOTES_r17 §3
+    // measured 1.5-3.2× on this VM class at 32 threads, which is what
+    // inflated cpu_total_s across rounds while bytes stayed bit-flat).
+    // Riding the line + sidecar lets bench_diff normalize cpu by the two
+    // runs' factor RATIO, so BASELINE.md's pinned cpu column gates again
+    // across VM classes. Measured before the run's own listener attaches
+    // and before any query, on the plateau-warm principle (its own warm
+    // jobs are untimed).
+    val burstFactor: Option[Double] =
+      try Some(graft.tools.BurstProbe.burstFactor(spark))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] burst probe failed: $e"); None }
+
     // Run-total shuffle-write bytes + executor CPU time (stage-completion
     // listener, same shape as tools/MicroBench). Events deliver async;
     // totals are read after a stabilization poll at the end of the run.
@@ -584,6 +599,7 @@ object Bench {
     val stealJson = stealPct
       .map(s => String.format(java.util.Locale.ROOT, "%.4f", Double.box(s)))
       .getOrElse("null")
+    val burstJson = burstFactor.map(r3).getOrElse("null")
     val shuffleMb = perQueryShuffle.values.sum / 1048576.0
 
     // Full-fidelity sidecar: medians, per-query calibration, per-query
@@ -611,7 +627,7 @@ object Bench {
       // should read first (wall time needs the calibration ratio)
       s"""{"sf":"$sfDir","stat_line":"min_of_3","queries_min":$qsMin,""" +
         s""""queries_median":$qsMed,"cal_s":$calJson,"shuffle_bytes":$shJson,""" +
-        s""""cpu_s":${dmap(perQueryCpu)},""" +
+        s""""cpu_s":${dmap(perQueryCpu)},"burst_factor":$burstJson,""" +
         s""""sf1":$sf1Json,"errors":$errJson,"cal_envelope":${r3(verdict.envelope)},""" +
         // the full contention verdict rides the sidecar too, so bench_diff
         // can auto-class a poisoned run's queries without the emitted line
@@ -642,6 +658,7 @@ object Bench {
         s""""sf1_unstable":${sf1Unstable.map { case (k, v) =>
           "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""cpu_total_s":${r3(perQueryCpu.values.sum)},""" +
+        s""""burst_factor":$burstJson,""" +
         s""""calibration":{"first":${r3(calFirst)},"ann":${r3(calAnn)},"apply":${r3(calApply)},"last":${r3(calLast)},"median":${r3(medianCal)},"envelope":${r3(verdict.envelope)}},""" +
         s""""retried":${retried.map { case (k, v) =>
           "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")},""" +

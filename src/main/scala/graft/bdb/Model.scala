@@ -54,10 +54,21 @@ final class LstmModel(modelPath: String, features: Seq[String],
   require(model.nFeatures == features.size,
     s"$modelPath expects ${model.nFeatures} features, got ${features.size}")
 
-  override def predict(frames: DataFrame): DataFrame = {
+  override def predict(frames: DataFrame): DataFrame =
+    LstmScoring.scoreAndAttach(frames, frames, features, model, maxLen)
+}
+
+/** Shared LSTM serving path: build padded sequences from `featFrames`
+  * (the caller's possibly-standardized view of `frames`), score them with
+  * the float32 forward pass, and join the per-frame predictions back to
+  * `frames` positionally. */
+private[bdb] object LstmScoring {
+  def scoreAndAttach(frames: DataFrame, featFrames: DataFrame,
+      features: Seq[String], model: graft.ml.KerasLstm.Model,
+      maxLen: Int, unscale: DataFrame => DataFrame = identity): DataFrame = {
     val keys = Schemas.trajectoryKeys
-    val seqs = Sequences.build(frames, features, maxLen)
-    val preds = graft.ml.KerasLstm.scoreSequences(seqs, model, keys)
+    val seqs = Sequences.build(featFrames, features, maxLen)
+    val preds = unscale(graft.ml.KerasLstm.scoreSequences(seqs, model, keys))
     // Sequences.build keeps the LAST maxLen frames, so seq position 1 is
     // frame rank (L - maxLen + 1) on long trajectories: shift the rank;
     // truncated head frames get frame_idx <= 0 → no match → null prediction.
@@ -69,6 +80,77 @@ final class LstmModel(modelPath: String, features: Seq[String],
           greatest(count(lit(1)).over(w) - maxLen, lit(0))).cast("long"))
       .join(preds, keys :+ "frame_idx", "left")
       .drop("frame_idx")
+  }
+}
+
+/** **In-engine TRAINED convergence LSTM** (r17 verdict #5 — the one
+  * reference capability the engine previously could not reproduce): the
+  * exact reference architecture (models.py:23-67), trained DISTRIBUTED by
+  * [[graft.ml.LstmTrainer]]'s synchronous data-parallel BPTT (gradients
+  * treeAggregate'd, Adam on the driver, weights broadcast per step) and
+  * served by the same [[graft.ml.KerasLstm]] float32 forward pass as the
+  * committed reference weights.
+  *
+  * Features AND label are z-scored on TRAIN statistics (stored in the
+  * model; applied at predict, predictions un-scaled back): with ~200 Adam
+  * steps on the fixture, raw-magnitude labels would spend the whole budget
+  * growing the output head. Null features impute to the mean (0 after
+  * scaling) — same tolerance as GBT's handleInvalid=keep. */
+final class TrainedLstmModel private (
+    val model: graft.ml.KerasLstm.Model,
+    features: Seq[String],
+    featMean: Array[Double], featStd: Array[Double],
+    labelMean: Double, labelStd: Double, maxLen: Int) extends ConvergenceModel {
+
+  override def predict(frames: DataFrame): DataFrame =
+    LstmScoring.scoreAndAttach(
+      frames, TrainedLstmModel.standardize(frames, features, featMean, featStd),
+      features, model, maxLen,
+      unscale = _.withColumn("predicted_converge_rate",
+        col("predicted_converge_rate") * labelStd + labelMean))
+}
+
+object TrainedLstmModel {
+
+  private[bdb] def standardize(df: DataFrame, features: Seq[String],
+      mean: Array[Double], std: Array[Double]): DataFrame =
+    features.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+      d.withColumn(f, coalesce((col(f) - mean(i)) / std(i), lit(0.0)))
+    }
+
+  /** Train on labeled frames (the [[Pipeline.labeledFeatures]] contract).
+    * `valFrames` drives early stopping with best-weights restore, like the
+    * reference's callbacks (models.py:110-118). */
+  def train(trainFrames: DataFrame, valFrames: Option[DataFrame],
+      features: Seq[String], labelCol: String = "converge_rate",
+      maxLen: Int = 25, epochs: Int = 150, batchesPerEpoch: Int = 2,
+      patience: Int = 20, seed: Long = 42L): TrainedLstmModel = {
+    val statCols = features.flatMap(f =>
+      Seq(avg(col(f)), coalesce(stddev_samp(col(f)), lit(1.0)))) ++
+      Seq(avg(col(labelCol)), coalesce(stddev_samp(col(labelCol)), lit(1.0)))
+    val r = trainFrames.agg(statCols.head, statCols.tail: _*).head()
+    val featMean = features.indices.map(i => r.getDouble(2 * i)).toArray
+    val featStd = features.indices
+      .map(i => math.max(r.getDouble(2 * i + 1), 1e-9)).toArray
+    val labelMean = r.getDouble(2 * features.size)
+    val labelStd = math.max(r.getDouble(2 * features.size + 1), 1e-9)
+
+    def prep(df: DataFrame): DataFrame = Sequences.build(
+      standardize(df, features, featMean, featStd)
+        .withColumn(labelCol, (col(labelCol) - labelMean) / labelStd),
+      features :+ labelCol, maxLen)
+
+    val cfg = graft.ml.LstmTrainer.Config(nFeatures = features.size,
+      epochs = epochs, batchesPerEpoch = batchesPerEpoch,
+      patience = patience, seed = seed)
+    val trained = graft.ml.LstmTrainer.train(
+      prep(trainFrames), valFrames.map(prep), Schemas.trajectoryKeys, cfg)
+    org.slf4j.LoggerFactory.getLogger("graft.bdb.TrainedLstmModel").info(
+      s"trained ${trained.epochsRun} epochs (best ${trained.bestEpoch}): " +
+        f"train mse ${trained.trainLoss}%.5f, monitored ${trained.valLoss}%.5f " +
+        "(standardized units)")
+    new TrainedLstmModel(trained.model, features, featMean, featStd,
+      labelMean, labelStd, maxLen)
   }
 }
 

@@ -23,7 +23,13 @@ object Pipeline {
       features: DataFrame, routeFeatures: DataFrame, perPlay: DataFrame,
       scorecard: DataFrame, modelMetrics: DataFrame)
 
-  def run(tracking: DataFrame, output: DataFrame, supp: DataFrame): Result = {
+  /** Phase 0 + separation + labels: (receivers, labeled) — the normalized
+    * receiver frames and, for completed passes, the same frames with
+    * `converge_rate` attached: the feature table every convergence model
+    * (GBT, in-engine LSTM) trains on. Factored out of [[run]] so
+    * model-level specs/tools build the same table without the
+    * clustering/scorecard phases. */
+  def labeledFeatures(tracking: DataFrame, supp: DataFrame): (DataFrame, DataFrame) = {
     // Phase 0 — normalize + kinematics (map-side, one window exchange)
     val frames = Kinematics.addDirectionChange(
       Kinematics.addFrameIndex(
@@ -40,7 +46,12 @@ object Pipeline {
     val labeled = Labels.addConvergeRate(
       Labels.filterToCompletedPasses(
         Separation.attachSeparation(receivers, separation), supp))
-      .cache()
+    (receivers, labeled)
+  }
+
+  def run(tracking: DataFrame, output: DataFrame, supp: DataFrame): Result = {
+    val (receivers, labeled0) = labeledFeatures(tracking, supp)
+    val labeled = labeled0.cache()
 
     // Phase 1 — route features + clustering on receiver trajectories
     val routeFeats = Routes.routeFeatures(

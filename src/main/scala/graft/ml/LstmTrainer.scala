@@ -62,6 +62,8 @@ object LstmTrainer {
       dropout1: Double = 0.3,
       dropout2: Double = 0.2,
       patience: Int = 10,
+      reduceLrPatience: Int = 3,
+      minLr: Double = 1e-6,
       seed: Long = 42L) {
     require(nFeatures > 0 && units1 > 0 && units2 > 0 && denseUnits > 0)
     require(batchesPerEpoch >= 1 && epochs >= 1)
@@ -474,6 +476,8 @@ object LstmTrainer {
     var bestP = p.clone()
     var bestEpoch = 0
     var sinceBest = 0
+    var sinceLrDrop = 0
+    var curLr = cfg.lr
     var lastTrainLoss = 0.0
     var epoch = 0
     val log = org.slf4j.LoggerFactory.getLogger("graft.ml.LstmTrainer")
@@ -510,7 +514,7 @@ object LstmTrainer {
             val gi = grad(i) / n // mean over the batch's unmasked steps
             m(i) = beta1 * m(i) + (1 - beta1) * gi
             v(i) = beta2 * v(i) + (1 - beta2) * gi * gi
-            p(i) -= cfg.lr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps)
+            p(i) -= curLr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps)
             i += 1
           }
           epochSse += sse
@@ -522,10 +526,20 @@ object LstmTrainer {
       val monitored = valRdd.map(lossOf(_, p)).getOrElse(lastTrainLoss)
       epoch += 1
       if (monitored < bestLoss) {
-        bestLoss = monitored; bestP = p.clone(); bestEpoch = epoch; sinceBest = 0
-      } else sinceBest += 1
+        bestLoss = monitored; bestP = p.clone(); bestEpoch = epoch
+        sinceBest = 0; sinceLrDrop = 0
+      } else {
+        sinceBest += 1
+        sinceLrDrop += 1
+        // ReduceLROnPlateau (reference models.py:118: factor 0.5, its own
+        // patience, floored at minLr)
+        if (sinceLrDrop > cfg.reduceLrPatience && curLr > cfg.minLr) {
+          curLr = math.max(cfg.minLr, curLr * 0.5)
+          sinceLrDrop = 0
+        }
+      }
       log.info(f"epoch $epoch%3d train=$lastTrainLoss%.5f monitored=$monitored%.5f" +
-        f" best=$bestLoss%.5f@$bestEpoch")
+        f" best=$bestLoss%.5f@$bestEpoch lr=$curLr%.2e")
     }
     trainRdd.unpersist(blocking = false)
     valRdd.foreach(_.unpersist(blocking = false))

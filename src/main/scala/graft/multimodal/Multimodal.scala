@@ -35,7 +35,14 @@ object Multimodal {
   final case class MediaFeatures(
       asset_id: Long, kind: String, n_bytes: Long, sha_prefix: String,
       mean_byte: Double, decoded_w: Int, decoded_h: Int,
-      feature_vec: Array[Float])
+      feature_vec: Array[Float],
+      /** LOUD provenance for every feature row (r17 verdict #6): "real"
+        * when a genuine codec produced `feature_vec` (imageio pixels, PCM
+        * samples), "stub" when the deterministic byte-fold stand-in did
+        * (codec-compressed video/audio — no JDK codec exists). Downstream
+        * consumers filter on this instead of silently training on stub
+        * features. */
+      decode_status: String)
 
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -358,15 +365,16 @@ object Multimodal {
         val (w, h) = img.map(d => (d.width, d.height))
           .orElse(aud.map(d => (d.samples.length, d.sampleRate.toInt)))
           .getOrElse((-1, -1))
+        val real = img.map(d => ImageCodec.features(d, dims))
+          .orElse(aud.map(d => AudioCodec.features(d, dims)))
         MediaFeatures(
           a.asset_id, a.kind, bytes.length.toLong,
           java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).take(4).map("%02x".format(_)).mkString,
           if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length,
           w, h,
-          img.map(d => ImageCodec.features(d, dims))
-            .orElse(aud.map(d => AudioCodec.features(d, dims)))
-            .getOrElse(StubCodec.decode(bytes, dims)))
+          real.getOrElse(StubCodec.decode(bytes, dims)),
+          if (real.isDefined) "real" else "stub")
       }
     }
   }

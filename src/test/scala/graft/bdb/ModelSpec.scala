@@ -63,6 +63,47 @@ class ModelSpec extends SparkSpec {
     assert(r2c > r2, "excluding the unpredictable frame must not hurt R²")
   }
 
+  test("LSTM acceptance: in-engine distributed training beats R² 0.93 " +
+      "(vs reference LSTM 0.9466)") {
+    // r17 verdict #5's done criterion: the engine TRAINS the reference's
+    // convergence LSTM itself (LstmTrainer synchronous data-parallel BPTT)
+    // and the held-out causal-frames R² on the synthetic fixture beats
+    // 0.93. Same leakage-safe game split and the same feature table the
+    // GBT acceptance uses (per-frame kinematics + causal SequenceFeatures
+    // — the reference feeds ITS LSTM 28 engineered features too, cell 88).
+    // Deterministic: Synth is hash-generated, seeds fixed, dropout masks
+    // are a pure function of (seed, sequence, epoch), the gradient sum is
+    // partitioning-independent. Measured 2026-08-16 (TrainProbe, 300
+    // epochs × 6 batches): all-frames 0.9291, causal 0.9435.
+    val t = Synth.tracking(spark, nGames = 8, playsPerGame = 25)
+    val (_, labeled0) = Pipeline.labeledFeatures(t, Synth.supplementary(t))
+    val labeled = SequenceFeatures.add(labeled0).cache()
+    val features = Seq("dist_to_ball", "heading_align_cos", "vx", "vy", "s",
+      "defender_separation", "time_since_start") ++ SequenceFeatures.cols
+    val (train, valid) = ModelEval.splitByGame(labeled, 0.2)
+    val model = TrainedLstmModel.train(train, Some(valid), features,
+      epochs = 300, batchesPerEpoch = 6)
+    val scoredValid = model.withResidual(valid)
+    // The label forces converge_rate = 0.0 on each trajectory's FINAL
+    // frame (lead(dist) null — BDB_2026.ipynb cell 80): no causal model
+    // can anticipate it, so acceptance reads the causal-frames R² (the
+    // GBT acceptance above documents the same penalty).
+    val lastW = org.apache.spark.sql.expressions.Window
+      .partitionBy(Schemas.trajectoryKeys.map(col): _*)
+    val causal = scoredValid
+      .withColumn("__last", col("frame_id") === max(col("frame_id")).over(lastW))
+      .filter(!col("__last")).drop("__last")
+    val r2all = ModelEval.regressionMetrics(scoredValid).head()
+      .getAs[Double]("r2")
+    val r2c = ModelEval.regressionMetrics(causal).head().getAs[Double]("r2")
+    info(s"held-out r2 = $r2all, causal-frames r2 = $r2c")
+    labeled.unpersist()
+    assert(r2c > 0.93 && r2c <= 1.0,
+      s"trained-LSTM causal-frames R² below acceptance: $r2c")
+    assert(r2all > 0.90 && r2all <= 1.0,
+      s"trained-LSTM all-frames R² drifted out of band: $r2all")
+  }
+
   test("splitByGame is disjoint and exhaustive on game_id") {
     import spark.implicits._
     val df = (1 to 500).map(g => (g.toLong, g * 2.0)).toDF("game_id", "v")

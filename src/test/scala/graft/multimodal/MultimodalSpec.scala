@@ -261,6 +261,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.feature_vec.toSeq).toSeq === again.map(_.feature_vec.toSeq).toSeq)
   }
 
+  test("decode_status is a loud real-vs-stub provenance column (r17 verdict #6)") {
+    import spark.implicits._
+    // a truly decodable image + PCM wav beside codec-compressed stand-ins
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", "image/png", 4, 2, 0L, fixturePng),
+      Multimodal.Asset(2L, "audio", "audio/wav", 0, 0, 100L, sineWav()),
+      Multimodal.Asset(3L, "audio", "audio/mp3", 0, 0, 100L,
+        Array[Byte](1, 2, 3)), // no JDK MP3 codec → stub
+      Multimodal.Asset(4L, "video", "video/mp4", 64, 64, 1000L,
+        "fake-h264-payload".getBytes("UTF-8"))).toDS()
+    val rows = Multimodal.extractFeatures(assets, dims = 4).collect()
+    assert(rows.map(_.decode_status).toSet.subsetOf(Set("real", "stub")))
+    // a real decode reports true dimensions; the stub reports -1/-1 — the
+    // status column and the dimension sentinel must agree row-by-row
+    rows.foreach { r =>
+      if (r.decode_status == "real")
+        assert(r.decoded_w >= 0 && r.decoded_h >= 0, s"asset ${r.asset_id}")
+      else
+        assert(r.decoded_w == -1 && r.decoded_h == -1, s"asset ${r.asset_id}")
+    }
+    // the synthetic corpus mixes decodable images/PCM with stub-only video:
+    // both statuses must actually occur, or the column proves nothing
+    assert(rows.exists(_.decode_status == "real"))
+    assert(rows.exists(_.decode_status == "stub"))
+  }
+
   test("withBlobMetadata: byte length and md5 via built-ins") {
     val df = Multimodal.synthAssets(spark, 5).toDF()
     val meta = Multimodal.withBlobMetadata(df).orderBy("asset_id").collect()
