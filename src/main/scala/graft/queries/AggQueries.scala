@@ -408,15 +408,36 @@ object AggQueries {
 
     // A12 — HAVING against a global agg (reference: Total_Targets > max*0.5 volume
     // filter, metrics.py:327-330). Scalar threshold via cross join of the 1-row agg.
+    //
+    // `totals` has THREE consumers (the scalar max, the join probe, and the
+    // orderBy's range-sample pass), and exchange reuse only saves the scan +
+    // partial agg — Catalyst re-runs the 1M-group decimal FINAL agg once per
+    // consumer (StageProfile r18: 3 × 22 MB exchange reads, the third pass
+    // alone 10 cpu_s at sf10 with 1.3 s GC; sf3→sf10 exponent 1.184).
+    // The group count is customer-bounded — a FRAME, not the fact table —
+    // so an EAGER localCheckpoint finalizes it exactly once and every
+    // consumer reads the ~30 MB materialized state (same discipline as
+    // PageRank's per-round checkpoint). Eager, not lazy: AQE launches the
+    // scalar-max and range-sample stages concurrently, and a lazy
+    // checkpoint lets both race to compute `totals` before either
+    // materializes it (measured r18: the sample-side recompute alone burnt
+    // 22 cpu_s at sf10). Timing stays honest — every measured path invokes
+    // the query builder inside its timed window.
     QueryDef(
       "a12_having_global",
       (s, dir) => {
         val totals = Tables.orders(s, dir)
           .groupBy("o_custkey")
           .agg(Exact.dsum(col("o_totalprice")).as("total"))
-        val mx = totals.agg(max(col("total")).as("mx"))
-        totals.crossJoin(mx)
-          .filter(col("total") > col("mx") * 0.5)
+          .localCheckpoint()
+        // threshold multiplied ONCE on the 1-row aggregate: the filter
+        // lands in the (interpreted, non-codegen) BNLJ join condition, so a
+        // per-row `mx * 0.5` pays an interpreted decimal multiply +
+        // overflow check per customer (measured r18: the join stage burnt
+        // 17-22 cpu_s at sf10; a plain compare is a fraction of that)
+        val mx = totals.agg((max(col("total")) * 0.5).as("thr"))
+        totals.crossJoin(broadcast(mx))
+          .filter(col("total") > col("thr"))
           .select("o_custkey", "total")
           .orderBy("o_custkey")
       },
