@@ -16,10 +16,26 @@ object Checkpoints {
   /** Unpersist the RDD behind a localCheckpoint'd frame; no-op for frames
     * that are not checkpoint reads. Safe while downstream frames built from
     * `df` are still lazy ONLY if they are never executed afterwards —
-    * release strictly after the last action that consumes the lineage. */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.logical match {
+    * release strictly after the last action that consumes the lineage.
+    *
+    * Matches on the ANALYZED plan with alias wrappers stripped: a
+    * checkpointed frame that crossed a session boundary through a global
+    * temp view (PageRank / Bpe's isolated iteration sessions) analyzes to
+    * `SubqueryAlias(view, LogicalRDD)` — the raw-logical match alone would
+    * silently leak those blocks. */
+  def release(df: DataFrame): Unit = {
+    @annotation.tailrec
+    def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        strip(a.child)
+      case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+        strip(v.child)
+      case other => other
+    }
+    strip(df.queryExecution.analyzed) match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
+  }
 }

@@ -122,6 +122,47 @@ object PageRank {
     // views can be dropped before returning. The result re-rooted into the
     // caller is a LogicalRDD leaf; nothing of the private session leaks.
     val caller = edges.sparkSession
+    // COLLAPSE the multigraph on the CALLER's session, before any conf
+    // scoping: the collapse is the one O(|E|) pass, and it must run at the
+    // caller's data-sized parallelism. The r18 stage profile caught the old
+    // shape executing the whole upstream edge pipeline (a window over the
+    // full events table, for e_pagerank_types) inside the iteration scope's
+    // 1-partition conf — a 420 ms single task where the caller session
+    // would have run 32 (plans/r18/e_pagerank_types_before.txt:
+    // `Exchange hashpartitioning(user_id, 1)`). Scoped-down partitions are
+    // for the ITERATION's metadata-scale frames only.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val pairs = e0.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    pairs.persist()
+    val nPairs = pairs.count()
+    // the local path declares its node column as src's type, while the
+    // distributed path WIDENS mixed src/dst types via unionByName — so
+    // mixed-type edges must take the distributed iteration or the two
+    // paths would fork (or createDataFrame would reject the rows)
+    val typesAgree = e0.schema("src").dataType == e0.schema("dst").dataType
+    val tolPico = tol.map(t => (t * Unit).toLong)
+    if (localMaxNodes > 0 && typesAgree && nPairs <= SmallGraphMaxPairs) {
+      // SMALL-GRAPH fast path: collect the collapsed pairs (bounded by the
+      // gate), derive nodes/degrees on the driver, iterate locally —
+      // bit-identical arithmetic (spec-pinned against the distributed
+      // path), zero node-layout jobs, zero per-round stages, and no
+      // private-session plumbing at all.
+      val es = pairs.collect()
+      val nodeType = e0.schema("src").dataType
+      val distinctNodes = {
+        val s = new java.util.HashSet[Any]()
+        es.foreach { r => s.add(r.get(0)); s.add(r.get(1)) }
+        s.size()
+      }
+      if (distinctNodes <= localMaxNodes) {
+        pairs.unpersist(false)
+        return runLocal(caller, es, nodeType, damping, iterations, tolPico)
+      }
+    }
+    // Distributed iteration: isolate its scoped confs on a private session
+    // (see the comment block above); the already-collapsed-and-persisted
+    // pair frame crosses via a global temp view, and CacheManager is
+    // shared-state so the iso plan reads the materialized blocks.
     val iso = caller.newSession()
     caller.conf.getAll.foreach { case (k, v) =>
       if (iso.conf.isModifiable(k) && iso.conf.getOption(k) != Some(v))
@@ -132,16 +173,15 @@ object PageRank {
     val inView = s"graft_pagerank_in_$vid"
     val outView = s"graft_pagerank_out_$vid"
     try {
-      edges.createOrReplaceGlobalTempView(inView)
-      val eIso = iso.table(s"global_temp.$inView")
+      pairs.createOrReplaceGlobalTempView(inView)
+      val pIso = iso.table(s"global_temp.$inView")
       iso.conf.set("spark.sql.shuffle.partitions",
-        partitionCountFor(eIso.select(col(srcCol), col(dstCol))).toString)
-      val (res, rounds) =
-        runScoped(eIso, iterations, damping, srcCol, dstCol, tol,
-          localMaxNodes)
+        partitionCountFor(pIso).toString)
+      val (res, rounds) = runScoped(pIso, iterations, damping, tolPico)
       res.createOrReplaceGlobalTempView(outView)
       (caller.table(s"global_temp.$outView"), rounds)
     } finally {
+      pairs.unpersist(false)
       caller.catalog.dropGlobalTempView(inView)
       caller.catalog.dropGlobalTempView(outView)
       ()
@@ -152,44 +192,15 @@ object PageRank {
     * PageRank runs on one application must not clobber each other's. */
   private val viewIds = new java.util.concurrent.atomic.AtomicLong
 
-  private def runScoped(edges: DataFrame, iterations: Int, damping: Double,
-      srcCol: String, dstCol: String, tol: Option[Double],
-      localMaxNodes: Int): (DataFrame, Int) = {
-    // convergence threshold in exact pico-units (floor: any delta strictly
-    // below tol·Unit stops — the comparison itself is integer-exact)
-    val tolPico = tol.map(t => (t * Unit).toLong)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // the multigraph collapse is the FIRST job either way (see prepare);
-    // running it as the probe shares its cache with whichever path wins
-    val pairs = e0.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-    pairs.persist()
-    val nPairs = pairs.count()
-    // the local path declares its node column as src's type, while the
-    // distributed path WIDENS mixed src/dst types via unionByName — so
-    // mixed-type edges must take the distributed iteration or the two
-    // paths would fork (or createDataFrame would reject the rows)
-    val typesAgree = e0.schema("src").dataType == e0.schema("dst").dataType
-    if (localMaxNodes > 0 && typesAgree && nPairs <= SmallGraphMaxPairs) {
-      // SMALL-GRAPH fast path: collect the collapsed pairs (bounded by the
-      // gate), derive nodes/degrees on the driver, iterate locally —
-      // bit-identical arithmetic (spec-pinned against the distributed
-      // path), zero node-layout jobs and zero per-round stages
-      val es = pairs.collect()
-      val nodeType = e0.schema("src").dataType
-      val distinctNodes = {
-        val s = new java.util.HashSet[Any]()
-        es.foreach { r => s.add(r.get(0)); s.add(r.get(1)) }
-        s.size()
-      }
-      if (distinctNodes <= localMaxNodes) {
-        pairs.unpersist(false)
-        return runLocal(edges.sparkSession, es, nodeType, damping,
-          iterations, tolPico)
-      }
-    }
+  /** The distributed iteration, on the ISO session: `pairs` is the
+    * already-collapsed (and persisted) weighted pair frame, re-analyzed on
+    * the session whose confs are scoped for the iteration (tolPico: the
+    * convergence threshold in exact pico-units — floor: any delta strictly
+    * below tol·Unit stops; the comparison itself is integer-exact). */
+  private def runScoped(pairs: DataFrame, iterations: Int, damping: Double,
+      tolPico: Option[Long]): (DataFrame, Int) = {
     val (stateBase, eP, n) = prepareFromPairs(pairs,
-      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    pairs.unpersist(false)
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     if (n == 0) {
       // materialize BEFORE releasing the inputs it reads from
       val empty = stateBase.select(col("node"))

@@ -132,6 +132,9 @@ object ScaleGen {
       case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
       case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
     }
+    // this process just overwrote <dst>/<table>.parquet files — drop any
+    // memoized relations over them (Tables.read memoizes listing+schema)
+    graft.sources.Tables.invalidate(dst)
   }
 
   def main(args: Array[String]): Unit = {

@@ -36,6 +36,24 @@ class BpeSpec extends SparkSpec {
     assert(words("widest") === Seq("w", "i", "d", "est</w>"))
   }
 
+  test("driver-local trainer is BIT-identical to the distributed iteration") {
+    // overlap-heavy corpus: repeated symbols ("aaaa", "banana") exercise the
+    // leftmost-first non-overlapping scan, where local/distributed forks
+    // would show first; plus the Sennrich corpus for the tie-break ladder
+    val tricky = Seq("aaaa aa banana bananas low lower lowest aaaa banana")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (corpus <- Seq(sennrich, tricky)) {
+      val local = Bpe.train(corpus, "text", maxMerges = 10)
+      val dist = Bpe.train(corpus, "text", maxMerges = 10, localMaxWords = 0)
+      assert(local.merges === dist.merges)
+      val lw = local.words.select("word", "cnt", "sym")
+        .as[(String, Long, Seq[String])].collect().sortBy(_._1)
+      val dw = dist.words.select("word", "cnt", "sym")
+        .as[(String, Long, Seq[String])].collect().sortBy(_._1)
+      assert(lw === dw)
+    }
+  }
+
   test("tokenize applies merges in learned order — held-out word segments correctly") {
     val model = Bpe.train(sennrich, "text", maxMerges = 8)
     val toks = Bpe.tokenize(Seq((0L, "lowest")).toDF("doc_id", "text"),
