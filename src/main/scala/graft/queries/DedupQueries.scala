@@ -465,8 +465,13 @@ object DedupQueries {
           // Exceeding the bound returns -1, which the filter drops; results
           // are identical to the unbounded form the oracle states.
           .withColumn("mx", greatest(length(col("t1")), length(col("t2"))))
+          // exact-copy short-circuit: LSH candidate sets are dominated by
+          // exact duplicates, whose O(n·k) DP the byte-equality check skips
+          // (lev is 0 either way; null texts fall through to levenshtein and
+          // stay null-dropped as before)
           .withColumn("lev",
-            expr("levenshtein(t1, t2, CAST(mx / 10 AS INT))").cast("long"))
+            when(col("t1") === col("t2"), lit(0L)).otherwise(
+              expr("levenshtein(t1, t2, CAST(mx / 10 AS INT))").cast("long")))
           .filter(col("lev") >= 0 && col("lev") * 10 <= col("mx"))
           .select("d1", "d2", "lev")
           .orderBy("d1", "d2")

@@ -476,8 +476,12 @@ object JoinQueries {
         val supp = Tables.supplier(s, dir)
           .where(col("s_nationkey") === 7)
           .select("s_suppkey", "s_name")
+        // footer-exact row-count upper bound sizes the bloom without the
+        // default per-execution distinct-count job (see FileSkipping.tableRows)
+        val nSupp = graft.sources.FileSkipping
+          .tableRows(s, s"$dir/supplier.parquet", "s_suppkey")
         graft.operators.BloomJoin
-          .inner(li, supp, "l_suppkey", "s_suppkey")
+          .inner(li, supp, "l_suppkey", "s_suppkey", expectedItems = nSupp)
           .groupBy("s_suppkey", "s_name")
           .agg(count(lit(1)).as("n_items"),
             Exact.dsum(col("l_quantity")).as("sum_qty"))

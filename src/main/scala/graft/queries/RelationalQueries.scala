@@ -541,8 +541,12 @@ object RelationalQueries {
         val dim = Tables.customer(s, dir)
           .where(col("c_mktsegment") === "BUILDING")
           .select("c_custkey")
+        // footer-exact row-count upper bound sizes the bloom without the
+        // default per-execution distinct-count job (see FileSkipping.tableRows)
+        val nCust = graft.sources.FileSkipping
+          .tableRows(s, s"$dir/customer.parquet", "c_custkey")
         graft.operators.BloomJoin
-          .inner(facts, dim, "o_custkey", "c_custkey")
+          .inner(facts, dim, "o_custkey", "c_custkey", expectedItems = nCust)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
             Exact.dsum(col("o_totalprice")).as("sum_price"))

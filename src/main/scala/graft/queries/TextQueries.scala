@@ -63,9 +63,22 @@ object TextQueries {
       .select(col("doc_id"),
         explode(expr("token_bigrams(whitespace_tokens(text))")).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-    val cabAgg = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    // The pin pass pads each doc's token array with one trailing NULL, so
+    // every doc contributes a sentinel (last_token, NULL) bigram. That folds
+    // the vocabulary into THIS aggregation: distinct tokens = pair endpoints
+    // ∪ sentinel endpoints (in a ≥2-token doc every token borders a real
+    // bigram; a 1-token doc surfaces its only token as its sentinel's `a`).
+    // The separate singles corpus scan the vocab used to need — a full
+    // tokenize pass per execution, run inside the broadcast build — is gone.
+    val cabAgg = docs
+      .select(explode(expr(
+        "token_bigrams(array_append(whitespace_tokens(text), CAST(NULL AS STRING)))"))
+        .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
     import s.implicits._
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val vocabSet = new java.util.HashSet[String]()
     var estPinBytes = 0L
     var pinnable = true
     // gram-hash injectivity over the AGGREGATED pair table, checked for
@@ -80,35 +93,54 @@ object TextQueries {
     val it = cabAgg.as[(String, String, Long)].toLocalIterator()
     while (pinnable && it.hasNext) {
       val t = it.next()
-      buf += t
-      if (!seenHashes.add(graft.functions.TokenGramHash.gramHashes(
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
-            org.apache.spark.unsafe.types.UTF8String.fromString(t._1),
-            org.apache.spark.unsafe.types.UTF8String.fromString(t._2))), 2)
-          .getLong(0))) hashesInjective = false
-      estPinBytes += 160L + 4L * (t._1.length + t._2.length)
-      if (buf.length > maxPairs || estPinBytes > maxPinBytes) pinnable = false
+      if (t._2 == null) {
+        // sentinel row: vocabulary contribution only (bounded by |V|, so it
+        // is metered but never counts toward the pair gate)
+        vocabSet.add(t._1)
+        estPinBytes += 160L + 4L * t._1.length
+      } else {
+        buf += t
+        vocabSet.add(t._1); vocabSet.add(t._2)
+        if (!seenHashes.add(graft.functions.TokenGramHash.gramHashes(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(t._1),
+              org.apache.spark.unsafe.types.UTF8String.fromString(t._2))), 2)
+            .getLong(0))) hashesInjective = false
+        estPinBytes += 160L + 4L * (t._1.length + t._2.length)
+        if (buf.length > maxPairs) pinnable = false
+      }
+      if (estPinBytes > maxPinBytes) pinnable = false
     }
-    val (cab, vocab) =
+    val lp =
       if (pinnable) {
-        val local = s.createDataset(buf.toIndexedSeq).toDF("a", "b", "cab")
-        val singles = docs.select(expr("whitespace_tokens(text)").as("tk"))
-          .filter(size(col("tk")) === 1)
-          .select(element_at(col("tk"), 1).as("t"))
-        val v = local.select(col("a").as("t"))
-          .union(local.select(col("b").as("t")))
-          .union(singles)
+        // ctx sums on the driver (exact long adds, order-independent — same
+        // values as the sum(cab) groupBy they replace), so lp is ONE
+        // LocalRelation and the broadcast build touches no corpus data. The
+        // log-probability micro-unit arithmetic stays in Spark expressions,
+        // identical to the fallback's, so pinned and distributed paths agree
+        // bit-for-bit.
+        val ctx = new java.util.HashMap[String, Long]()
+        buf.foreach(t => ctx.merge(t._1, t._3, (x, y) => x + y))
+        val rows = buf.map(t => (t._1, t._2, t._3, ctx.get(t._1))).toIndexedSeq
+        s.createDataset(rows).toDF("a", "b", "cab", "ca")
+          .withColumn("v", lit(vocabSet.size.toLong))
+          .select(col("a"), col("b"),
+            expr("CAST(round(round(ln(cab + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
+            expr("CAST(round(round(ln(CAST(ca + v AS DOUBLE)), 6) * 1e6) AS BIGINT)")
+              .as("ctx_mc"))
+      } else {
+        // premise void: stats-driven plan, full-explode vocabulary; the
+        // sentinel groups are dropped before any real pair math
+        val cab = cabAgg.filter(col("b").isNotNull)
+        val vocab = docs.select(explode(expr("whitespace_tokens(text)")).as("t"))
           .agg(count_distinct(col("t")).as("v"))
-        (local, v)
-      } else // premise void: stats-driven plan, full-explode vocabulary
-        (cabAgg, docs.select(explode(expr("whitespace_tokens(text)")).as("t"))
-          .agg(count_distinct(col("t")).as("v")))
-    val ctx = cab.groupBy("a").agg(sum("cab").as("ca"))
-    val lp = cab.join(broadcast(ctx), "a").crossJoin(vocab)
-      .select(col("a"), col("b"),
-        expr("CAST(round(round(ln(cab + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
-        expr("CAST(round(round(ln(CAST(ca + v AS DOUBLE)), 6) * 1e6) AS BIGINT)")
-          .as("ctx_mc"))
+        val ctx = cab.groupBy("a").agg(sum("cab").as("ca"))
+        cab.join(broadcast(ctx), "a").crossJoin(vocab)
+          .select(col("a"), col("b"),
+            expr("CAST(round(round(ln(cab + 1.0), 6) * 1e6) AS BIGINT)").as("lc_mc"),
+            expr("CAST(round(round(ln(CAST(ca + v AS DOUBLE)), 6) * 1e6) AS BIGINT)")
+              .as("ctx_mc"))
+      }
     val scored =
       if (pinnable && hashesInjective) {
         // hash-keyed scoring: the corpus pass never materializes pair
@@ -690,11 +722,14 @@ object TextQueries {
     // (recompute-over-materialize: a second tokenize pass is cheaper at
     // 100 TB than caching or shuffling a stream-sized intermediate) and
     // probes lp as an EXPLICIT broadcast — the hint, not stats, decides.
-    // The vocabulary needs no full-corpus explode: in a ≥2-token doc every
-    // token borders a bigram, so distinct tokens = distinct pair endpoints
-    // ∪ the tokens of 1-token docs (a cheap filtered scan that explodes
-    // nothing). Net on the pin path: 3 corpus scans (pin, singles, scoring
-    // — 2 with explode), zero stream-sized exchanges. Past either gate the
+    // The vocabulary needs no full-corpus explode OR separate scan: the pin
+    // pass pads each doc with one trailing-NULL sentinel bigram, so distinct
+    // tokens = pair endpoints ∪ sentinel endpoints, counted on the driver
+    // during the pin fetch. Net on the pin path: 2 corpus scans (pin,
+    // scoring — both exploding), zero stream-sized exchanges, and the
+    // broadcast build reads only a LocalRelation (ctx summed on the driver —
+    // exact long adds; the micro-unit ln/round math stays in the SAME Spark
+    // expressions both paths share). Past either gate the
     // broadcastable-lp premise is void and the plan degrades to
     // stats-driven shuffle joins with the full-explode vocabulary. Docs
     // with fewer than 2 tokens carry no bigrams and drop out (documented).

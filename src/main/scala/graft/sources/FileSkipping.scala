@@ -242,6 +242,18 @@ object FileSkipping {
   def fileStats(spark: SparkSession, path: String, column: String): Seq[FileStat] =
     fileStatsMulti(spark, path, Seq(column)).getOrElse(column, Seq.empty)
 
+  /** EXACT table row count from parquet footer metadata (sum of per-file row
+    * counts; `column` only names which footer chunk to read stats through).
+    * Memo-backed like every stats read here — after the first call this is
+    * job-free, which makes it the right `expectedItems` upper bound for
+    * [[graft.operators.BloomJoin]] builds over a filtered dim subset: an
+    * upper bound only LOWERS the realized false-positive rate (more bits per
+    * actual key), never changes join results, and it replaces the per-
+    * execution distinct-count job (a scan + shuffle) the default sizing
+    * pays. */
+  def tableRows(spark: SparkSession, path: String, column: String): Long =
+    fileStats(spark, path, column).map(_.rows).sum
+
   /** The footer pass, DISTRIBUTED: executors each open a slice of the file
     * list (one footer open covers every requested column) and return only
     * fixed-width stats rows. Driver-side state is the listing + the stats —
@@ -254,23 +266,74 @@ object FileSkipping {
     columns.map(c => c -> rows.collect { case (`c`, s) => s }).toMap
   }
 
-  /** The distributed footer job over an explicit file list. */
+  /** Per-JVM footer-stats memo, keyed (file, length, column) — METADATA, the
+    * same catalog class as `Tables`' relation memo: parquet footers are
+    * immutable per (path, length) (Spark writers emit job-UUID part names, so
+    * an overwrite replaces the file SET rather than rewriting a name in
+    * place), and the directory LISTING stays fresh on every call, so new or
+    * vanished files are always seen. Only the per-file stats rows are reused;
+    * without this, every pruned-scan execution re-runs a distributed
+    * footer-open job whose driver latency (~0.1-0.2 s of job gaps at bench
+    * scale) dwarfs the metadata it fetches. In-process writers that rewrite
+    * a table dir invalidate through [[Tables.invalidate]] →
+    * [[invalidateStats]]. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String), FileStat]()
+
+  /** Drop memoized footer stats and schemas for every file under `dir`. */
+  def invalidateStats(dir: String): Unit = {
+    statsCache.keySet.removeIf(_._1.startsWith(dir))
+    schemaCache.keySet.removeIf(_.startsWith(dir)); ()
+  }
+
+  /** Per-JVM schema memo per table dir — the same catalog layer as
+    * [[statsCache]] (invalidated together). The pruned read-back paths pass
+    * this schema explicitly, skipping the per-call footer-inference JOB
+    * `spark.read.parquet(files)` otherwise runs (~50 ms span + scheduling
+    * gap per execution at bench scale). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def tableSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
+  /** Read-back of a pruned file subset with the memoized table schema and
+    * the residual predicate applied — exactly `spark.read.parquet(...)`
+    * .where(pred)` minus the per-call schema-inference job. An empty kept
+    * set still returns a correctly-typed empty frame. */
+  private def readKept(spark: SparkSession, path: String, kept: Seq[String],
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val sch = tableSchema(spark, path)
+    if (kept.isEmpty) spark.read.schema(sch).parquet(path).where(pred).limit(0)
+    else spark.read.schema(sch).parquet(kept: _*).where(pred)
+  }
+
+  /** The distributed footer job over an explicit file list; memo-backed
+    * (see [[statsCache]]) — only files not yet seen pay the job. */
   private def footerPass(spark: SparkSession, files: Seq[(String, Long)],
       columns: Seq[String]): Seq[(String, FileStat)] = {
     if (files.isEmpty) return Seq.empty
-    val box = new ConfBox(spark.sparkContext.hadoopConfiguration)
-    val bc = spark.sparkContext.broadcast(box)
     val cols = columns.toIndexedSeq
-    val slices = math.max(1,
-      math.min(files.size, spark.sparkContext.defaultParallelism * 2))
-    val rows = spark.sparkContext.parallelize(files, slices)
-      .mapPartitions { it =>
-        val conf = bc.value.conf
-        it.flatMap { case (file, len) => footerStatsAll(conf, file, len, cols) }
-      }
-      .collect()
-    bc.destroy()
-    rows.toSeq
+    val missing = files.filter { case (f, l) =>
+      cols.exists(c => !statsCache.containsKey((f, l, c)))
+    }
+    if (missing.nonEmpty) {
+      val box = new ConfBox(spark.sparkContext.hadoopConfiguration)
+      val bc = spark.sparkContext.broadcast(box)
+      val slices = math.max(1,
+        math.min(missing.size, spark.sparkContext.defaultParallelism * 2))
+      val rows = spark.sparkContext.parallelize(missing, slices)
+        .mapPartitions { it =>
+          val conf = bc.value.conf
+          it.flatMap { case (file, len) => footerStatsAll(conf, file, len, cols) }
+        }
+        .collect()
+      bc.destroy()
+      rows.foreach { case (c, st) => statsCache.put((st.file, st.length, c), st) }
+    }
+    for { (f, l) <- files; c <- cols; st <- Option(statsCache.get((f, l, c))) }
+      yield (c, st)
   }
 
   /** Write a parquet directory with NATIVE per-column bloom filters in the
@@ -534,8 +597,7 @@ object FileSkipping {
       lo: Any, hi: Any): DataFrame = {
     val (kept, _) = prunedFilesDict(spark, path, column, lo, hi)
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
-    if (kept.isEmpty) spark.read.parquet(path).where(pred).limit(0)
-    else spark.read.parquet(kept: _*).where(pred)
+    readKept(spark, path, kept, pred)
   }
 
   /** Split the table's files into (kept, pruned) for `column = value`,
@@ -569,8 +631,7 @@ object FileSkipping {
       value: Any): DataFrame = {
     val (kept, _) = pointLookupFiles(spark, path, column, value)
     val pred = col(column) === lit(value)
-    if (kept.isEmpty) spark.read.parquet(path).where(pred).limit(0)
-    else spark.read.parquet(kept: _*).where(pred)
+    readKept(spark, path, kept, pred)
   }
 
   private val ManifestDir = "_graft_stats.parquet"
@@ -720,10 +781,7 @@ object FileSkipping {
       lo: Any, hi: Any): DataFrame = {
     val (kept, _) = prunedFiles(spark, path, column, lo, hi)
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
-    if (kept.isEmpty)
-      spark.read.parquet(path).where(pred).limit(0)
-    else
-      spark.read.parquet(kept: _*).where(pred)
+    readKept(spark, path, kept, pred)
   }
 
   private def normalize(v: Any): Any = v match {

@@ -48,10 +48,15 @@ object Tables {
   }
 
   /** Drop every memoized relation under `dir`, for all sessions — call
-    * after overwriting any `<dir>/<table>.parquet` in-process. */
-  def invalidate(dir: String): Unit = relCache.synchronized {
-    relCache.values.forEach { m =>
-      m.keySet.removeIf(_.startsWith(dir)); ()
+    * after overwriting any `<dir>/<table>.parquet` in-process. Also drops
+    * [[FileSkipping]]'s footer-stats memo for the same files (the two memos
+    * cache the same catalog layer and must invalidate together). */
+  def invalidate(dir: String): Unit = {
+    FileSkipping.invalidateStats(dir)
+    relCache.synchronized {
+      relCache.values.forEach { m =>
+        m.keySet.removeIf(_.startsWith(dir)); ()
+      }
     }
   }
 

@@ -25,12 +25,14 @@ class BigramLmGateSpec extends SparkSpec {
   }
 
   test("fallback plan contains no LocalRelation pin; pinned plan does") {
-    // the pin is the only 3-column LocalRelation in the plan (the dataset's
-    // tuple names sit under the a/b/cab renaming Project)
+    // the pin is the only 4-column LocalRelation in the plan (the dataset's
+    // tuple names sit under the a/b/cab/ca renaming Project; ctx is summed
+    // on the driver, so the pinned plan carries no corpus subtree at all
+    // below the broadcast)
     def hasLocalPin(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-            if lr.output.size == 3 => lr
+            if lr.output.size == 4 => lr
       }.nonEmpty
     assert(hasLocalPin(TextQueries.bigramLm(spark, dir)))
     assert(!hasLocalPin(TextQueries.bigramLm(spark, dir, maxPinBytes = 0L)))

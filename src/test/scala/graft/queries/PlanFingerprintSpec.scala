@@ -50,7 +50,10 @@ class PlanFingerprintSpec extends SparkSpec {
     // round-13 rebuild: the pair table is pinned as a LocalRelation and lp
     // is an explicit broadcast — the scoring job is 1 Generate / 0 SMJ; the
     // 5 exchanges are the tiny ctx/vocab aggs + the per-doc agg + order
-    "t_bigram_lm" -> Fp(5, 2, 0, 1),
+    // r18: vocab folded into the pin pass (sentinel bigrams) and ctx summed
+    // on the driver — the singles-scan exchanges, the ctx broadcast join,
+    // and the 1-row vocab cross join all left the plan
+    "t_bigram_lm" -> Fp(2, 1, 0, 0),
     "t_chunk" -> Fp(1, 0, 0, 0),
     "t_bpe_train" -> Fp(1, 0, 0, 0),
     "d_simhash_banded" -> Fp(4, 0, 0, 0),
