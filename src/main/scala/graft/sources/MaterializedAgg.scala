@@ -601,9 +601,12 @@ object MaterializedAgg {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  // Tables.readDir memo: a state snapshot dir is write-once (new ids get
+  // new paths), so the relation — listing + schema, never rows — is safe to
+  // reuse; without it every read of the view pays a one-task footer job.
   private def readState(spark: SparkSession, viewPath: String,
       id: Long): DataFrame =
-    spark.read.parquet(s"$viewPath/state_$id")
+    Tables.readDir(spark, s"$viewPath/state_$id")
 
   // ---- commit protocol ---------------------------------------------------
 

@@ -34,7 +34,15 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def read(spark: SparkSession, dir: String, table: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    readDir(spark, s"$dir/$table.parquet")
+
+  /** Memoized analyzed relation for an arbitrary parquet DIRECTORY — the
+    * same catalog as [[read]], for write-once dirs that don't follow the
+    * `<dir>/<table>.parquet` naming (e.g. MaterializedAgg's immutable
+    * `state_<id>` snapshots, which are never rewritten in place — new ids
+    * get new paths, vacuum only deletes superseded ones). */
+  def readDir(spark: SparkSession, path: String): DataFrame = {
     val perSession = relCache.synchronized {
       var m = relCache.get(spark)
       if (m == null) {
@@ -43,8 +51,7 @@ object Tables {
       }
       m
     }
-    perSession.computeIfAbsent(s"$dir/$table.parquet",
-      p => spark.read.parquet(p))
+    perSession.computeIfAbsent(path, p => spark.read.parquet(p))
   }
 
   /** Drop every memoized relation under `dir`, for all sessions — call

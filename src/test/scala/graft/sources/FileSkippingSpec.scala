@@ -446,4 +446,30 @@ class FileSkippingSpec extends SparkSpec {
       FileSkipping.prunedFiles(spark, path, "id", "a", "z")
     }
   }
+
+  test("footer-stats/schema memo: repeated reads serve cached metadata; an " +
+      "in-process rewrite through Tables.invalidate is seen fresh") {
+    val path = tmp("fsk_memo")
+    writeRanged(path)
+    val first = FileSkipping.fileStats(spark, path, "id")
+    assert(first.map(_.maxLong.get).max === 999L)
+    assert(FileSkipping.readPruned(spark, path, "id", 0, 10_000).count() === 1000L)
+    // memo must serve the same stats object-for-object on a second call
+    assert(FileSkipping.fileStats(spark, path, "id") === first)
+    // rewrite the table in place (different row count AND value domain),
+    // invalidate like every in-process writer must, and re-read: the fresh
+    // listing sees the new files, the memo must not resurrect old bounds
+    spark.range(5000, 5100).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .withColumn("s", format_string("k%04d", col("id")))
+      .repartition(2).write.mode("overwrite").parquet(path)
+    Tables.invalidate(new java.io.File(path).getParent)
+    val second = FileSkipping.fileStats(spark, path, "id")
+    assert(second.size === 2)
+    assert(second.flatMap(_.minLong).min === 5000L)
+    assert(second.flatMap(_.maxLong).max === 5099L)
+    // pruned read-back (memoized schema path) sees only the new data
+    assert(FileSkipping.readPruned(spark, path, "id", 0, 10_000).count() === 100L)
+    assert(FileSkipping.readPruned(spark, path, "id", 0, 4999).count() === 0L)
+  }
 }
