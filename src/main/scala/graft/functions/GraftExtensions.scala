@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenGramHash(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      PqAdc.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "pq_adc takes exactly 2 arguments")
+        PqAdc(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("whitespace_tokens"),
       WhitespaceText.tokensInfo,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
@@ -68,6 +75,8 @@ object GraftFunctions {
   def float_l2sq(a: Column, b: Column): Column = call_function("float_l2sq", a, b)
   def token_gram_hash(c: Column, n: Column): Column =
     call_function("token_gram_hash", c, n)
+  def pq_adc(tbl: Column, codes: Column): Column =
+    call_function("pq_adc", tbl, codes)
   def whitespace_tokens(c: Column): Column = call_function("whitespace_tokens", c)
   def token_bigrams(c: Column): Column = call_function("token_bigrams", c)
 }

@@ -107,6 +107,20 @@ object KerasLstm {
       * `Seq[Seq[Double]]` form boxes every element and allocates a wrapper
       * per timestep. */
     def forwardFlat(flat: Array[Double], seqLen: Int): Array[Float] = {
+      // same per-element rounding the old double loop applied
+      // (x(k) = flat(off+k).toFloat), so delegating keeps bit-parity while
+      // ONE kernel serves both element widths
+      val f = new Array[Float](flat.length)
+      var i = 0
+      while (i < flat.length) { f(i) = flat(i).toFloat; i += 1 }
+      forwardFlatF(f, seqLen)
+    }
+
+    /** Float-input twin of [[forwardFlat]] — THE kernel (the double form
+      * rounds and delegates). Lets a float32 sequence pipeline cross the
+      * UDF boundary as array<float> with no widen-to-double cast and half
+      * the boundary bytes; bit-identical either way (KerasLstmSpec). */
+    def forwardFlatF(flat: Array[Float], seqLen: Int): Array[Float] = {
       val nF = lstm1.nIn
       val preds = new Array[Float](seqLen)
       val x = new Array[Float](nF)
@@ -123,7 +137,7 @@ object KerasLstm {
         var allZero = true
         var k = 0
         while (k < nF) {
-          val v = flat(off + k).toFloat
+          val v = flat(off + k)
           x(k) = v
           if (v != 0f) allZero = false
           k += 1
@@ -345,19 +359,35 @@ object KerasLstm {
     // into inferred `size(..)>0 / isnotnull(..)` filters below the Project
     // and the forward pass runs 3x per sequence (accumulator-verified).
     // Nondeterministic expressions are never duplicated or pushed through.
-    val forward = udf { (flat: Array[Double], seqLen: Int) =>
-      bc.value.forwardFlat(flat, seqLen)
-    }.asNondeterministic()
+    // Element-width dispatch at the UDF boundary: a float32-built sequence
+    // table (Sequences.build valueType="float" — the model's own dtype)
+    // crosses as array<float> with NO widen-to-double cast — one array
+    // materialization and half the boundary bytes per sequence gone from
+    // the hot stage (§4). Double-built sequences keep the old path; both
+    // feed the SAME kernel (forwardFlat rounds and delegates to
+    // forwardFlatF), so predictions are bit-identical either way.
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val isFloat = seqs.schema("seq").dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    val forward =
+      (if (isFloat)
+        udf { (flat: Array[Float], seqLen: Int) =>
+          bc.value.forwardFlatF(flat, seqLen)
+        }
+      else
+        udf { (flat: Array[Double], seqLen: Int) =>
+          bc.value.forwardFlat(flat, seqLen)
+        }).asNondeterministic()
+    val flatCol = flatten(slice(col("seq"), lit(1), col("seq_len")))
     val flatSeqs = seqs
       // Flatten AND de-pad below the exchange: the shuffle ships one
-      // compact primitive double array of seq_len×nF (tail padding sliced
-      // off — forwardFlat never reads it), not the padded nested form.
-      // The cast accepts float-built sequences (Sequences.build
-      // valueType="float") — float→double→float round-trips exactly, so
-      // the forward pass is bit-identical either way.
+      // compact primitive array of seq_len×nF (tail padding sliced
+      // off — the forward pass never reads it), not the padded nested form.
       .select((keyCols.map(col) :+ col("seq_len") :+
-        flatten(slice(col("seq"), lit(1), col("seq_len")))
-          .cast("array<double>").as("flat")): _*)
+        (if (isFloat) flatCol else flatCol.cast("array<double>"))
+          .as("flat")): _*)
     (if (rebalance)
       // This stage is CPU-bound (~36 k flops/frame), so AQE's bytes-based
       // partition coalescing starves it: a few MB of shuffled sequences

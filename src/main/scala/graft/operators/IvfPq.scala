@@ -500,7 +500,13 @@ object IvfPq {
       case None => enc0
     }
 
-    // cell EQUI-join: each probed (query, cell) pair scans only that cell
+    // cell EQUI-join: each probed (query, cell) pair scans only that cell.
+    // Deliberately TWO passes (codes-only ADC scan, then an embedding join
+    // for the shortlist): candidates are probed-cell rows REPLICATED per
+    // probing query, and the shortlist window's partial WindowGroupLimit
+    // sorts that stream locally — carrying the embedding would multiply
+    // every candidate vector's bytes through the sort, while the second
+    // pass reads each shortlisted embedding exactly once (§8).
     val adcW = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
     val cands = broadcast(probesF)
       .join(enc.select("vec_id", "cell", "codes"), Seq("cell"))

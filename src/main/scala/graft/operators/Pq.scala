@@ -117,11 +117,14 @@ object Pq {
        |  ELSE raise_error(concat('PQ query: vector dim ', size($vecCol), ', codebook expects ${cb.m * cb.subDim}'))
        |END""".stripMargin
 
-  /** ADC score: m table lookups against a `codes` column, `tbl` bound. */
-  private[operators] val adcScoreExpr: String =
-    """aggregate(sequence(0, size(codes) - 1), 0.0D, (acc, j) ->
-      |  acc + element_at(element_at(tbl, j + 1), element_at(codes, j + 1) + 1))"""
-      .stripMargin
+  /** ADC score: m table lookups against a `codes` column, `tbl` bound.
+    * Native codegen'd fold ([[graft.functions.PqAdc]]) — bit-identical to
+    * the HOF form (`aggregate(sequence(0, size(codes)-1), 0.0D, (acc, j) ->
+    * acc + element_at(element_at(tbl, j+1), element_at(codes, j+1)+1))`,
+    * pinned by PqAdcSpec), which paid m interpreted lambda calls plus a
+    * materialized index array PER CANDIDATE ROW in the ANN scans' inner
+    * loop. */
+  private[operators] val adcScoreExpr: String = "pq_adc(tbl, codes)"
 
   /** ANN search over an encoded corpus.
     *
@@ -141,6 +144,12 @@ object Pq {
       .drop("__cb")
 
     // ADC scan: m integer lookups per corpus row; shortlist per query.
+    // Deliberately TWO passes over the corpus (codes-only ADC scan, then an
+    // embedding join for the shortlist): the shortlist window's partial
+    // WindowGroupLimit sorts the FULL |q|×|corpus| candidate stream
+    // locally, so a carried embedding column would replicate every corpus
+    // vector once per probing query through that sort — the §8 heavy-bytes
+    // anti-pattern. PqSpec pins the ADC side to (vec_id, codes).
     val adcW = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
     val cands = broadcast(q)
       .crossJoin(encoded.select(col("vec_id"), col("codes")))

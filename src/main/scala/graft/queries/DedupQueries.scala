@@ -172,21 +172,39 @@ object DedupQueries {
     */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
+    // Every doc carries ALL FOUR band keys (`bkeys`) through the band
+    // explode, so a bucket-local pair can see exactly which bands the two
+    // docs collide in. A pair colliding in several bands is then emitted
+    // ONLY from its minimal colliding band — globally unique by
+    // construction — which deletes the whole-pair-set `distinct()` exchange
+    // the old shape paid to collapse multi-band duplicates (guide §2.4:
+    // 3 exchanges → 2 before the caller's sort). Exact string equality on
+    // the band keys, so the emitted set is bit-identical to the distinct'd
+    // one; the extra ~100 B/banded row through the band exchange is the
+    // documented price (§2.3) for removing a full shuffle of the pairs.
     val banded = sig.select(col("doc_id"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+      array((0 until 4).map(b =>
         concat_ws("_", col(s"mh_${3 * b}"), col(s"mh_${3 * b + 1}"),
-          col(s"mh_${3 * b + 2}")).as("bkey"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+          col(s"mh_${3 * b + 2}"))): _*).as("bkeys"))
+      .select(col("doc_id"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
     banded
       .groupBy("band", "bkey")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))"""
-          .stripMargin)).as("p"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("bkeys"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("band"), explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(x.doc_id AS d1, x.bkeys AS k1,
+          |                y.doc_id AS d2, y.bkeys AS k2))))""".stripMargin))
+        .as("p"))
+      .filter(col("band") === expr(
+        """CASE WHEN p.k1[0] = p.k2[0] THEN 0
+          |     WHEN p.k1[1] = p.k2[1] THEN 1
+          |     WHEN p.k1[2] = p.k2[2] THEN 2
+          |     ELSE 3 END""".stripMargin))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .distinct()
   }
 
   private val sqlLshPairs =
@@ -258,16 +276,26 @@ object DedupQueries {
           .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
             .as("ds"))
           .filter(size(col("ds")) > 1)
-          .select(explode(expr(
+          .select(col("band"), explode(expr(
             """flatten(transform(ds, (x, i) ->
               |  transform(slice(ds, i + 2, size(ds)),
               |    y -> struct(x.doc_id AS d1, x.simhash AS h1,
               |                y.doc_id AS d2, y.simhash AS h2))))""".stripMargin))
             .as("p"))
+          // a qualifying pair collides in ≥2 bands (pigeonhole) and would
+          // surface once per colliding band; emitting it ONLY from its
+          // minimal colliding band — decidable in place from the two
+          // signatures the pair row already carries — makes each pair
+          // globally unique and deletes the old `distinct()` exchange
+          // (guide §2.4: 4 exchanges → 3). Bit-exact: integer band-slice
+          // equality, same rows out.
+          .filter(col("band") === expr(
+            """CASE WHEN (p.h1 & 255) = (p.h2 & 255) THEN 0
+              |     WHEN ((p.h1 >> 8) & 255) = ((p.h2 >> 8) & 255) THEN 1
+              |     ELSE 2 END""".stripMargin))
           .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
             bit_count(col("p.h1").bitwiseXOR(col("p.h2"))).as("hamming"))
           .filter(col("hamming") <= 1)
-          .distinct()
           .orderBy("d1", "d2")
       },
       Some(s"""WITH $sqlSimhashSigs,

@@ -42,37 +42,17 @@ object ModelQueries {
   private[graft] def inferInput(s: org.apache.spark.sql.SparkSession,
       dir: String, nFeatures: Int): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
-    val base = Seq(
-      col("l_quantity") % 100,
-      col("l_extendedprice") % 53,
-      col("l_discount") * 10,
-      col("l_tax") * 10,
-      (col("l_partkey") % 7).cast("double"))
-    // float32 AT THE SOURCE: the cast must sit below the repartition so
-    // the one exchange ships 4-byte features (the model is float32 — the
-    // early cast is bit-identical, proven by the before/after dump diff)
-    val named = base.zipWithIndex.map { case (c, k) =>
-      c.cast("float").as(s"f$k")
-    }
-    val derived = (5 until nFeatures).map(k =>
-      sin(base(k % 5) + lit(k)).cast("float").as(s"f$k"))
-    // ONE exchange for the whole pipeline: the explicit repartition on the
-    // trajectory keys both feeds the collect_list agg (same keys → the
-    // groupBy reuses it, no second exchange) and fixes the scoring
-    // parallelism up front, so scoreSequences' rebalance exchange — a
-    // second full pass over every sequence byte — is skipped. Features
-    // ship as float32 (the model's own dtype — bit-identical predictions,
-    // half the shuffle bytes). Together: ~4x less shuffle than the
-    // double + rebalance form at sf1.
-    val wide = Tables.lineitem(s, dir)
-      .filter(col("l_orderkey") % 4 === 0)
-      .select(Seq(
-        col("l_orderkey").as("game_id"), lit(0L).as("play_id"),
-        lit(0L).as("nfl_id"), col("l_linenumber").cast("long").as("frame_id"))
-        ++ named ++ derived: _*)
-    // pack the 28 features into ONE array<float> below the exchange — 28
-    // top-level columns cost an 8-byte row slot each on the wire no matter
-    // the declared type; the packed array stores 4-byte elements
+    // ONE exchange for the whole pipeline, and it ships the FIVE RAW BASE
+    // COLUMNS the 28 features derive from, not the features: 5 numeric
+    // slots (~56 B/row) instead of a 28-float array (~140 B/row), and the
+    // 23 sin() transforms + float casts + array pack run AFTER the
+    // exchange at the repartition's full parallelism instead of on the
+    // scan's few bin-packed splits (r19 stage profile: the feature scan
+    // was a 3-task stage holding ~0.3 s of wall while 29 cores idled —
+    // §2.3 "shuffle keys/metadata, not payloads" + §2.5 input-split
+    // parallelism). Feature EXPRESSIONS are unchanged and compute on
+    // bit-identical shuffled values, so predictions are bit-identical.
+    //
     // repartition on game_id ALONE: play_id/nfl_id are literal zeros here,
     // and hashing them in would partition by `hashpartitioning(game_id, 0,
     // 0)` while the collect_list agg's keys alias the folded literals into
@@ -81,10 +61,36 @@ object ModelQueries {
     // byte right above this one (measured: 2 × ~130 MB at sf1 where the
     // design intends one). HashPartitioning(game_id) is a subset of the
     // agg's clustering keys, so the groupBy genuinely reuses this exchange.
+    val raw = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("game_id"),
+        col("l_linenumber").cast("long").as("frame_id"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_partkey"))
+      .repartition(s.sparkContext.defaultParallelism, col("game_id"))
+    val base = Seq(
+      col("l_quantity") % 100,
+      col("l_extendedprice") % 53,
+      col("l_discount") * 10,
+      col("l_tax") * 10,
+      (col("l_partkey") % 7).cast("double"))
+    // float32 features: the model's own dtype — bit-identical predictions
+    val named = base.zipWithIndex.map { case (c, k) =>
+      c.cast("float").as(s"f$k")
+    }
+    val derived = (5 until nFeatures).map(k =>
+      sin(base(k % 5) + lit(k)).cast("float").as(s"f$k"))
+    val wide = raw.select(Seq(
+      col("game_id"), lit(0L).as("play_id"),
+      lit(0L).as("nfl_id"), col("frame_id")) ++ named ++ derived: _*)
+    // pack the 28 features into ONE array<float>: 28 top-level columns
+    // cost an 8-byte row slot each no matter the declared type; the packed
+    // array stores 4-byte elements. Projects preserve the game_id hash
+    // partitioning, so the sequence agg still reuses the one exchange and
+    // scoreSequences' rebalance pass stays skipped (rebalance = false).
     val packedFrames = wide
       .select(col("game_id"), col("play_id"), col("nfl_id"), col("frame_id"),
         array((0 until nFeatures).map(k => col(s"f$k")): _*).as("farr"))
-      .repartition(s.sparkContext.defaultParallelism, col("game_id"))
     val seqs = graft.bdb.Sequences.build(
       packedFrames, Seq("farr"), maxLen = 7, valueType = "float")
     (wide, seqs)

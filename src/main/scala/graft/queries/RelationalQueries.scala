@@ -681,7 +681,11 @@ object RelationalQueries {
     QueryDef(
       "l_upsert_merge",
       (s, dir) =>
-        s.read.parquet(upsertedOrdersPath(s, dir))
+        // Tables.readDir, not a raw read: the staged dir is write-once per
+        // JVM (stagedCopy), so the per-execution footer/listing job the raw
+        // read pays is pure waste — the same catalog-memo rationale as every
+        // other table read (guide §6); stagedCopy invalidates on re-stage.
+        graft.sources.Tables.readDir(s, upsertedOrdersPath(s, dir))
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
           .orderBy("o_orderkey"),
       Some("""WITH batch AS (
@@ -741,7 +745,8 @@ object RelationalQueries {
     QueryDef(
       "l_scd2_asof",
       (s, dir) =>
-        s.read.parquet(scdSupplierPath(s, dir))
+        // memoized like l_upsert_merge above — write-once staged dir
+        graft.sources.Tables.readDir(s, scdSupplierPath(s, dir))
           .filter(col("effective_from") <= 250 &&
             (col("effective_to").isNull || col("effective_to") > 250))
           .select("s_suppkey", "s_nationkey", "s_acctbal",
@@ -880,6 +885,10 @@ object RelationalQueries {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       write(l)
+      // the staging deleted + rewrote the dir: drop any relation/footer memo
+      // a previous read of this path left behind (Tables.readDir serves the
+      // staged queries; the memo must never outlive the bytes it described)
+      graft.sources.Tables.invalidate(l)
       // loud postcondition instead of a downstream empty-glob mystery: an
       // empty staging (partial write, commit failure) must fail HERE with
       // the staged name, and leave no CHM entry so the next caller

@@ -61,6 +61,22 @@ class KerasLstmSpec extends SparkSpec {
     }
   }
 
+  test("forwardFlatF (float boundary) is bit-identical to forwardFlat (double)") {
+    fixture.foreach { case (seqId, rows) =>
+      val seq = rows.map(_._1).toArray
+      val nF = seq.head.length
+      val maxLen = seq.length + 2
+      val flatF = new Array[Float](maxLen * nF)
+      seq.zipWithIndex.foreach { case (x, t) =>
+        x.zipWithIndex.foreach { case (v, k) => flatF(t * nF + k) = v }
+      }
+      val flatD = flatF.map(_.toDouble)
+      assert(model.forwardFlatF(flatF, seq.length).toSeq ===
+        model.forwardFlat(flatD, seq.length).toSeq,
+        s"seq $seqId: float boundary diverged from double boundary")
+    }
+  }
+
   test("extreme activations saturate to ±1, never NaN (exp-form tanh overflow guard)") {
     // features large enough to push gate pre-activations far past the
     // exp(2x) overflow point (x ≈ 355): Math.tanh returns ±1 there and the

@@ -164,4 +164,47 @@ class PageRankSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(dr(v)), s"$v: $r vs ${dr(v)}")
     }
   }
+
+  test("multigraph collapse runs at the CALLER's parallelism, not the " +
+      "iteration scope's (r18 regression: a 1-partition collapse)") {
+    // The r18 defect: the O(|E|) collapse executed inside the private
+    // iteration session whose shuffle.partitions is scoped DOWN to the
+    // collapsed frame's size, so the one data-scale pass of the whole
+    // operator ran as a single task. This pins the fix: with the caller
+    // session set to 5 shuffle partitions (AQE coalescing off so tiny test
+    // data can't legally merge them), SOME stage of the run must execute
+    // 5 tasks — the collapse's reduce side. Pre-fix, every stage ran at
+    // the iteration scope's 1-2 partitions and this fails.
+    val caller = spark.newSession()
+    caller.conf.set("spark.sql.shuffle.partitions", "5")
+    caller.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val edges = caller.range(0, 2000)
+      .selectExpr("CAST(id % 53 AS STRING) AS src",
+        "CAST((id * 7) % 53 AS STRING) AS dst")
+    val taskCounts = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        taskCounts.add(e.stageInfo.numTasks); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // localMaxNodes = 0 forces the distributed path end-to-end, so the
+      // iteration scope (the conf this test guards against leaking) exists
+      PageRank.run(edges, iterations = 2, localMaxNodes = 0).count()
+      // listener events deliver async — poll until the queue quiesces
+      var prev = -1
+      var i = 0
+      while (i < 40 && taskCounts.size != prev) {
+        prev = taskCounts.size; Thread.sleep(50); i += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val counts = taskCounts.asScala.toSeq
+    assert(counts.exists(_ >= 5),
+      s"no stage ran at the caller's 5-partition parallelism — the collapse " +
+        s"is executing inside the iteration scope again (stage task counts: " +
+        s"${counts.sorted.mkString(",")})")
+  }
 }

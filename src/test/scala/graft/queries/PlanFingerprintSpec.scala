@@ -46,7 +46,7 @@ class PlanFingerprintSpec extends SparkSpec {
     "e_pagerank_types" -> Fp(1, 0, 0, 0),
     "t_fingerprint" -> Fp(1, 0, 0, 0),
     "t_pack" -> Fp(2, 0, 0, 0),
-    "d_contamination" -> Fp(5, 5, 0, 0),
+    "d_contamination" -> Fp(4, 3, 0, 0), // r19: planted-branch + bench-gram pins (OPTIMIZATION_r19 #5)
     // round-13 rebuild: the pair table is pinned as a LocalRelation and lp
     // is an explicit broadcast — the scoring job is 1 Generate / 0 SMJ; the
     // 5 exchanges are the tiny ctx/vocab aggs + the per-doc agg + order
@@ -56,10 +56,10 @@ class PlanFingerprintSpec extends SparkSpec {
     "t_bigram_lm" -> Fp(2, 1, 0, 0),
     "t_chunk" -> Fp(1, 0, 0, 0),
     "t_bpe_train" -> Fp(1, 0, 0, 0),
-    "d_simhash_banded" -> Fp(4, 0, 0, 0),
+    "d_simhash_banded" -> Fp(3, 0, 0, 0), // r19: min-band emission replaced distinct (OPTIMIZATION_r19 #2)
     "d_minhash_sig" -> Fp(2, 0, 0, 0),
-    "d_minhash_lsh_pairs" -> Fp(4, 0, 0, 0),
-    "d_fuzzy_verify" -> Fp(4, 2, 0, 0),
+    "d_minhash_lsh_pairs" -> Fp(3, 0, 0, 0), // r19: min-band emission (OPTIMIZATION_r19 #2)
+    "d_fuzzy_verify" -> Fp(3, 2, 0, 0), // r19: lshPairs min-band emission (OPTIMIZATION_r19 #2)
     "s_knn_brute" -> Fp(2, 2, 0, 1),
     "s_lsh_knn_multiprobe" -> Fp(2, 1, 0, 0),
     "a_hll_mergeable" -> Fp(4, 0, 0, 1),
