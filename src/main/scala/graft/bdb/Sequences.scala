@@ -29,28 +29,8 @@ object Sequences {
     */
   def build(frames: DataFrame, features: Seq[String], maxLen: Int = 25,
       valueType: String = "double"): DataFrame = {
-    require(valueType == "double" || valueType == "float",
-      s"valueType must be double or float, got $valueType")
-    // A single feature name that is ALREADY an array column is taken as the
-    // pre-packed per-frame vector. The distinction is bytes on the wire:
-    // N top-level columns occupy 8-byte UnsafeRow slots EACH regardless of
-    // declared type, while a packed array<float> stores 4-byte elements —
-    // pack before the exchange and the shuffle payload roughly halves
-    // again. Semantics identical (same values in frame order).
-    val packed = features.size == 1 &&
-      frames.schema(features.head).dataType
-        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-    val featArr =
-      if (packed) col(features.head).cast(s"array<$valueType>")
-      else array(features.map(col(_).cast(valueType)): _*)
+    val (collected, packed) = collectedSorted(frames, features, valueType)
     val zeroLit = if (valueType == "float") "CAST(0.0 AS FLOAT)" else "0.0d"
-    val collected = frames
-      .groupBy(Schemas.trajectoryKeys.map(col): _*)
-      .agg(collect_list(struct(col("frame_id"), featArr.as("f"))).as("raw"))
-      // collect_list order is nondeterministic across partitions → sort by
-      // frame_id inside the array (deterministic, no extra shuffle).
-      .withColumn("sorted", expr("transform(array_sort(raw), x -> x.f)"))
-      .drop("raw")
     // pad width: static for named features; from the (always present) first
     // kept frame for the packed form — a trajectory group has >= 1 frame
     val padWidth = if (packed) "size(element_at(kept, 1))"
@@ -70,6 +50,59 @@ object Sequences {
         s"transform(sequence(1, $maxLen), i -> CASE WHEN i <= size(kept) THEN 1.0d ELSE 0.0d END)"))
       .select(Schemas.trajectoryKeys.map(col) ++
         Seq(col("seq_len"), col("seq"), col("mask")): _*)
+  }
+
+  /** The grouped, frame-id-sorted per-trajectory feature arrays shared by
+    * [[build]] and [[buildFlat]]: one collect_list exchange, deterministic
+    * in-array sort. Returns (frame, packed?) where `sorted` holds the
+    * per-frame feature arrays in frame order. */
+  private def collectedSorted(frames: DataFrame, features: Seq[String],
+      valueType: String): (DataFrame, Boolean) = {
+    require(valueType == "double" || valueType == "float",
+      s"valueType must be double or float, got $valueType")
+    // A single feature name that is ALREADY an array column is taken as the
+    // pre-packed per-frame vector. The distinction is bytes on the wire:
+    // N top-level columns occupy 8-byte UnsafeRow slots EACH regardless of
+    // declared type, while a packed array<float> stores 4-byte elements —
+    // pack before the exchange and the shuffle payload roughly halves
+    // again. Semantics identical (same values in frame order).
+    val packed = features.size == 1 &&
+      frames.schema(features.head).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val featArr =
+      if (packed) col(features.head).cast(s"array<$valueType>")
+      else array(features.map(col(_).cast(valueType)): _*)
+    val collected = frames
+      .groupBy(Schemas.trajectoryKeys.map(col): _*)
+      .agg(collect_list(struct(col("frame_id"), featArr.as("f"))).as("raw"))
+      // collect_list order is nondeterministic across partitions → sort by
+      // frame_id inside the array (deterministic, no extra shuffle).
+      .withColumn("sorted", expr("transform(array_sort(raw), x -> x.f)"))
+      .drop("raw")
+    (collected, packed)
+  }
+
+  /** The DE-PADDED flat form [[graft.ml.KerasLstm.scoreFlat]] consumes:
+    * key columns + `seq_len` + `flat` (the last `maxLen` frames' features
+    * concatenated, NO zero padding, NO mask). Bit-identical to
+    * `flatten(slice(build(...).seq, 1, seq_len))` — the padded form's
+    * `seq` is `kept ++ pad` with `seq_len = size(kept)`, so slicing to
+    * seq_len recovers exactly `kept` (SequencesSpec pins the equality).
+    * Exists because the inference path pays the pad/mask build per
+    * trajectory (array_repeat allocations + a concat the consumer
+    * immediately slices off — interpreted HOFs, guide §4) only to discard
+    * it; train/export consumers that need the dense (N, maxLen, F) tensor
+    * contract keep using [[build]]. */
+  def buildFlat(frames: DataFrame, features: Seq[String], maxLen: Int = 25,
+      valueType: String = "double"): DataFrame = {
+    val (collected, _) = collectedSorted(frames, features, valueType)
+    collected
+      .withColumn("seq_len", least(size(col("sorted")), lit(maxLen)))
+      // keep the LAST maxLen frames (the build contract), flattened
+      .withColumn("flat", flatten(expr(
+        s"slice(sorted, greatest(size(sorted) - $maxLen + 1, 1), $maxLen)")))
+      .select(Schemas.trajectoryKeys.map(col) ++
+        Seq(col("seq_len"), col("flat")): _*)
   }
 
   // ---- typed-Aggregator variant (SURVEY §2.9 candidate (a)) ----

@@ -371,6 +371,33 @@ object KerasLstm {
       case ArrayType(ArrayType(FloatType, _), _) => true
       case _ => false
     }
+    val flatCol = flatten(slice(col("seq"), lit(1), col("seq_len")))
+    val flatSeqs = seqs
+      // Flatten AND de-pad below the exchange: the shuffle ships one
+      // compact primitive array of seq_len×nF (tail padding sliced
+      // off — the forward pass never reads it), not the padded nested form.
+      .select((keyCols.map(col) :+ col("seq_len") :+
+        (if (isFloat) flatCol else flatCol.cast("array<double>"))
+          .as("flat")): _*)
+    scoreFlat(flatSeqs, model, keyCols, rebalance)
+  }
+
+  /** [[scoreSequences]] for a table that ALREADY carries the de-padded
+    * flat form (key columns + `seq_len: int` + `flat: array<float|double>`
+    * — [[graft.bdb.Sequences.buildFlat]]'s contract): skips the
+    * padded-`seq` detour entirely. Bit-identical to scoring the padded
+    * form: `flatten(slice(seq, 1, seq_len))` IS the flat column
+    * (KerasLstmSpec pins it), and both element widths feed the same
+    * kernel. */
+  def scoreFlat(flatSeqs: DataFrame, model: Model,
+      keyCols: Seq[String], rebalance: Boolean = true): DataFrame = {
+    val spark = flatSeqs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val isFloat = flatSeqs.schema("flat").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     val forward =
       (if (isFloat)
         udf { (flat: Array[Float], seqLen: Int) =>
@@ -380,14 +407,6 @@ object KerasLstm {
         udf { (flat: Array[Double], seqLen: Int) =>
           bc.value.forwardFlat(flat, seqLen)
         }).asNondeterministic()
-    val flatCol = flatten(slice(col("seq"), lit(1), col("seq_len")))
-    val flatSeqs = seqs
-      // Flatten AND de-pad below the exchange: the shuffle ships one
-      // compact primitive array of seq_len×nF (tail padding sliced
-      // off — the forward pass never reads it), not the padded nested form.
-      .select((keyCols.map(col) :+ col("seq_len") :+
-        (if (isFloat) flatCol else flatCol.cast("array<double>"))
-          .as("flat")): _*)
     (if (rebalance)
       // This stage is CPU-bound (~36 k flops/frame), so AQE's bytes-based
       // partition coalescing starves it: a few MB of shuffled sequences

@@ -177,6 +177,16 @@ object AggQueries {
     // Decomposed as ln(n) - (Σ c·ln(c))/n with the transcendentals rounded
     // to 6 dp BEFORE the exact-decimal sum (the t_unigram_lm recipe), so
     // both engines agree bit-for-bit.
+    //
+    // Scaling accounting (r19 adjudication of the r18 1.611 cell, measured
+    // clean at CPUS=8, a_percentiles as control — plans/r19/
+    // a_entropy_scaling*.json): sf3→sf10 cpu exponent 1.249 with each
+    // tier's own derived shuffle-partition count (58 vs 200), 1.109 with
+    // the count pinned equal. The gap is per-partition constants (range
+    // sampling, merge streams) against a still-small tier, not per-row
+    // growth; the residual ~1.1 is the n·log n of the data-scale ORDER BY
+    // (output is one row per user — OUTPUT_BOUND, the sort is the
+    // deliverable).
     QueryDef(
       "a_entropy",
       (s, dir) => {

@@ -91,7 +91,12 @@ object ModelQueries {
     val packedFrames = wide
       .select(col("game_id"), col("play_id"), col("nfl_id"), col("frame_id"),
         array((0 until nFeatures).map(k => col(s"f$k")): _*).as("farr"))
-    val seqs = graft.bdb.Sequences.build(
+    // buildFlat, not build: inference reads only the de-padded flat frames
+    // (scoreFlat), so the pad/mask construction the padded contract carries
+    // — per-trajectory array_repeat allocations + a concat that
+    // scoreSequences' slice immediately discards — never runs (r19, §4;
+    // bit-identical by SequencesSpec's flat≡padded pin).
+    val seqs = graft.bdb.Sequences.buildFlat(
       packedFrames, Seq("farr"), maxLen = 7, valueType = "float")
     (wide, seqs)
   }
@@ -103,7 +108,7 @@ object ModelQueries {
         val model = graft.ml.KerasLstm.load(modelPath)
         val (_, seqs) = inferInput(s, dir, model.nFeatures)
         graft.ml.KerasLstm
-          .scoreSequences(seqs, model, Seq("game_id", "play_id", "nfl_id"),
+          .scoreFlat(seqs, model, Seq("game_id", "play_id", "nfl_id"),
             rebalance = false) // inferInput pre-partitioned to core count
           .agg(
             count(lit(1)).as("n_frames"),

@@ -450,41 +450,33 @@ object TextQueries {
         val benchHead8 = bench
           .select(col("doc_id").as("b_src"),
             expr(s"array_join(slice($toks, 1, 8), ' ')").as("head8"))
-        // The PLANTED branch of the corpus union is pinned per execution
-        // (eager localCheckpoint, the a12 precedent): it is fixture-sized by
-        // construction (20 rows) but its lineage — a scan + broadcast-join
-        // against benchHead8 — used to re-execute once per corpus CONSUMER
-        // (the hash pass and the verify pass), costing two benchHead8
-        // broadcast builds and two planted-branch scans per run (guide §5
-        // plan truncation; the r19 before-plan shows 8 documents scans).
-        val planted = docs
-          .filter(col("doc_id") >= 100 && col("doc_id") < 120)
-          .withColumn("b_src", col("doc_id") % 20)
-          .join(benchHead8, Seq("b_src"))
-          .select((col("doc_id") + 300000).as("doc_id"),
-            concat(col("text"), lit(" "), col("head8")).as("text"))
-          .localCheckpoint()
+        // NOTE (r19, measured): pinning the planted branch and the bench
+        // grams with eager localCheckpoints (to deduplicate their subtrees
+        // across the two corpus consumers) was tried and REVERTED. The
+        // deduplicated subtrees are fixture-bounded (20 bench docs, 20
+        // planted rows — ~50 ms of executor work), while each eager pin
+        // added a synchronous driver job plus a ~200 ms re-plan gap on the
+        // truncated lineage: StageProfile showed 0.25 s executor CPU vs
+        // 0.9 s driver dead time, and the bench read 0.51 → 0.58 s. The
+        // lazy single-DAG shape below plans once; the repeated subtrees
+        // stay constant-size at any corpus scale.
         val corpus = docs.filter(col("doc_id") >= 20)
           .select(col("doc_id"), col("text"))
-          .unionByName(planted)
-        // benchmark side: string grams (with source id) AND the hash set.
-        // Grams are pinned once (benchmark-set-bounded — tiny by the same
-        // contract that makes the hash set broadcastable) and the hash set
-        // DERIVES from the pinned grams: token_gram_hash over a re-split
-        // gram is the same rolling FNV over the same 8 tokens (the join/
-        // filter split is lossless — tokens are nonempty and space-free), so
-        // the old second bench scan + explode for the hashes is gone.
+          .unionByName(
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+              .withColumn("b_src", col("doc_id") % 20)
+              .join(benchHead8, Seq("b_src"))
+              .select((col("doc_id") + 300000).as("doc_id"),
+                concat(col("text"), lit(" "), col("head8")).as("text")))
+        // benchmark side: string grams (with source id) AND the hash set
         val benchGrams = bench
           .filter(expr(s"size($toks) >= 8"))
           .select(col("doc_id").as("bench_id"),
             explode(expr(s"transform(sequence(1, size($toks) - 7), " +
               s"i -> array_join(slice($toks, i, 8), ' '))")).as("g"))
           .distinct()
-          .localCheckpoint()
-        val benchHashes = benchGrams
-          .select(expr(
-            s"element_at(token_gram_hash(filter(split(g, ' '), x -> x != ''), 8), 1)")
-            .as("gh")).distinct()
+        val benchHashes = bench
+          .select(explode(expr(ghash)).as("gh")).distinct()
         // corpus side: (doc_id, pos, hash) ONLY — never the text (a Generate
         // output row materializes every projected child column, so carrying
         // the document through a 10M-row explode would copy each doc once

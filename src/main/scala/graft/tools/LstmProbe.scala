@@ -28,7 +28,7 @@ object LstmProbe {
     timed("features only") { wide.count() }
     timed("+ sequence assembly") { seqs.count() }
     timed("+ forward pass") {
-      graft.ml.KerasLstm.scoreSequences(seqs, model,
+      graft.ml.KerasLstm.scoreFlat(seqs, model,
         Seq("game_id", "play_id", "nfl_id")).count()
     }
     timed("+ final agg (full query)") {

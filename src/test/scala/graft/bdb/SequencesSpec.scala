@@ -43,6 +43,35 @@ class SequencesSpec extends SparkSpec {
     assert(out.getAs[collection.Seq[Double]]("mask").forall(_ === 1.0))
   }
 
+  test("buildFlat ≡ flatten(slice(build.seq, 1, seq_len)) bit-for-bit " +
+      "(short / exact / long; double and float; packed and named)") {
+    import org.apache.spark.sql.functions.{col, expr, array}
+    for (n <- Seq(1, 3, 5, 8); vt <- Seq("double", "float")) {
+      // named-features form
+      val padded = Sequences.build(frames(n), Seq("f1", "f2"), maxLen = 5,
+        valueType = vt)
+        .select(col("seq_len"),
+          expr("flatten(slice(seq, 1, seq_len))").as("flat")).head()
+      val flat = Sequences.buildFlat(frames(n), Seq("f1", "f2"), maxLen = 5,
+        valueType = vt).select(col("seq_len"), col("flat")).head()
+      assert(flat.getAs[Int]("seq_len") === padded.getAs[Int]("seq_len"),
+        s"n=$n vt=$vt")
+      assert(flat.getSeq[Any](1) === padded.getSeq[Any](1), s"n=$n vt=$vt")
+      // packed (pre-arrayed) form — the m_lstm_infer shape
+      val fp = frames(n).select(col("game_id"), col("play_id"),
+        col("nfl_id"), col("frame_id"), array(col("f1"), col("f2")).as("farr"))
+      val paddedP = Sequences.build(fp, Seq("farr"), maxLen = 5, valueType = vt)
+        .select(col("seq_len"),
+          expr("flatten(slice(seq, 1, seq_len))").as("flat")).head()
+      val flatP = Sequences.buildFlat(fp, Seq("farr"), maxLen = 5,
+        valueType = vt).select(col("seq_len"), col("flat")).head()
+      assert(flatP.getAs[Int]("seq_len") === paddedP.getAs[Int]("seq_len"),
+        s"packed n=$n vt=$vt")
+      assert(flatP.getSeq[Any](1) === paddedP.getSeq[Any](1),
+        s"packed n=$n vt=$vt")
+    }
+  }
+
   test("typed Aggregator variant produces identical output to the HOF form") {
     for (n <- Seq(3, 5, 8)) {
       val viaHof = Sequences.build(frames(n), Seq("f1", "f2"), maxLen = 5).head()

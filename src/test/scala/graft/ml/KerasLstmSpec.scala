@@ -149,6 +149,35 @@ class KerasLstmSpec extends SparkSpec {
     assert(scored.filter(col("predicted_converge_rate").isNull).count() === 0)
   }
 
+  test("scoreFlat(buildFlat) ≡ scoreSequences(build) bit-for-bit " +
+      "(the m_lstm_infer de-padded fast path)") {
+    import spark.implicits._
+    val frames = (1 to 4).flatMap { traj =>
+      (1 to (traj * 2 + 1)).map { f =>
+        (traj.toLong, 0L, 0L, f.toLong,
+          (0 until model.nFeatures).map(k =>
+            (f * 0.07f + k * 0.013f + traj * 0.3f)).toArray)
+      }
+    }.toDF("game_id", "play_id", "nfl_id", "frame_id", "farr")
+    val keys = Seq("game_id", "play_id", "nfl_id")
+    val viaPadded = KerasLstm.scoreSequences(
+      graft.bdb.Sequences.build(frames, Seq("farr"), maxLen = 7,
+        valueType = "float"), model, keys)
+      .orderBy("game_id", "frame_idx").collect()
+    val viaFlat = KerasLstm.scoreFlat(
+      graft.bdb.Sequences.buildFlat(frames, Seq("farr"), maxLen = 7,
+        valueType = "float"), model, keys)
+      .orderBy("game_id", "frame_idx").collect()
+    assert(viaFlat.length === viaPadded.length)
+    viaFlat.zip(viaPadded).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      assert(a.getLong(3) === b.getLong(3))
+      assert(java.lang.Double.doubleToLongBits(a.getDouble(4)) ===
+        java.lang.Double.doubleToLongBits(b.getDouble(4)),
+        s"prediction diverged at game_id=${a.getLong(0)} frame=${a.getLong(3)}")
+    }
+  }
+
   test("LstmModel.predict joins predictions back onto frames positionally") {
     import spark.implicits._
     val feats = (0 until model.nFeatures).map(k => s"f$k")

@@ -46,7 +46,9 @@ class PlanFingerprintSpec extends SparkSpec {
     "e_pagerank_types" -> Fp(1, 0, 0, 0),
     "t_fingerprint" -> Fp(1, 0, 0, 0),
     "t_pack" -> Fp(2, 0, 0, 0),
-    "d_contamination" -> Fp(4, 3, 0, 0), // r19: planted-branch + bench-gram pins (OPTIMIZATION_r19 #5)
+    // r19: per-execution pins were tried and REVERTED (driver dead time
+    // exceeded the fixture-bounded subtree work — OPTIMIZATION_r19 #5)
+    "d_contamination" -> Fp(5, 5, 0, 0),
     // round-13 rebuild: the pair table is pinned as a LocalRelation and lp
     // is an explicit broadcast — the scoring job is 1 Generate / 0 SMJ; the
     // 5 exchanges are the tiny ctx/vocab aggs + the per-doc agg + order
